@@ -1,0 +1,105 @@
+"""Vectorized last-writer-wins (LWW) merge kernels.
+
+Semantics mirror ape-dts's micro-batch compaction (``RdbMerger``,
+dt-parallelizer/src/rdb_merger.rs:74-120): within a batch, events are folded
+per primary key — Update behaves as delete(before)+insert(after), the last
+event by log position wins. The reference keys groups by a 128-bit hash of the
+id-col values and bails out to a serial path on NULL keys / hash collisions /
+changed unique keys (rdb_merger.rs:54-59,124-161; row_data.rs:183-199). We
+compare actual key tuples (no collisions), reject NULL keys at validation
+(transcripts PK is non-null by construction), and turn PK-change updates into
+delete(old)+insert(new) upstream (stages/normalize.py) — so there is no serial
+fallback at all, which is what makes the apply stage embarrassingly parallel.
+
+Kernels are Arrow-in/Arrow-out and vectorized (polars sort+unique — no Python
+row loops); they run inside ``map_groups`` / ``map_batches`` per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import polars as pl
+import pyarrow as pa
+
+from ape_dts_ray.meta import COL_OFFSET, COL_OP, COL_SEQ, OP_DELETE
+
+KEY_COLS = ("conv_id", "turn_idx")
+ORDER_COLS = (COL_OFFSET, COL_SEQ)
+
+
+def _cast_like(table: pa.Table, schema: pa.Schema) -> pa.Table:
+    """Cast polars' arrow output (large_string etc.) back to the engine schema."""
+    cols = [f.name for f in schema]
+    return table.select(cols).cast(schema)
+
+
+def lww_last(
+    events: pa.Table,
+    key_cols: Sequence[str] = KEY_COLS,
+    order_cols: Sequence[str] = ORDER_COLS,
+) -> pa.Table:
+    """Collapse an event table to one row per key: the last event by
+    ``order_cols``. Keeps delete events as rows (tombstones) — the caller
+    decides whether to drop them (delta files keep them; final state drops).
+
+    RdbMerger analog: rdb_merger.rs:74-120 (delete_rows/insert_rows fold).
+    """
+    if events.num_rows == 0:
+        return events
+    order = [c for c in order_cols if c in events.column_names]
+    df = pl.from_arrow(events)
+    out = df.sort(order).unique(subset=list(key_cols), keep="last")
+    return _cast_like(out.to_arrow(), events.schema)
+
+
+def drop_tombstones(state: pa.Table, op_col: str = COL_OP) -> pa.Table:
+    import pyarrow.compute as pc
+
+    if state.num_rows == 0 or op_col not in state.column_names:
+        return state
+    return state.filter(pc.not_equal(state.column(op_col), pa.scalar(OP_DELETE)))
+
+
+def unify_tables(tables: list[pa.Table]) -> list[pa.Table]:
+    """Additive schema evolution: align tables to the unified schema,
+    null-backfilling missing columns (ape-dts column-mapping rule — columns
+    absent from an event are simply absent; targets null-fill them, SURVEY §1.2).
+    """
+    tables = [t for t in tables if t is not None]
+    schemas = [t.schema for t in tables]
+    unified = pa.unify_schemas(schemas, promote_options="permissive")
+    out = []
+    for t in tables:
+        arrays = []
+        for f in unified:
+            if f.name in t.column_names:
+                arrays.append(t.column(f.name).cast(f.type))
+            else:
+                arrays.append(pa.nulls(t.num_rows, type=f.type))
+        out.append(pa.Table.from_arrays(arrays, schema=unified))
+    return out
+
+
+def fold_state(
+    pieces: list[pa.Table],
+    key_cols: Sequence[str] = KEY_COLS,
+    order_cols: Sequence[str] = ("_epoch", COL_OFFSET, COL_SEQ),
+    keep_tombstones: bool = False,
+) -> pa.Table | None:
+    """Merge-on-read for one lake partition: fold base + delta tables (each
+    already LWW-unique per key within itself) into live state. Base rows carry
+    ``_epoch = -1`` so any delta beats them; across deltas the (epoch, offset)
+    order decides. This is the engine-side equivalent of the reference's
+    target-side merge-on-read (StarRocks/ClickHouse sign+version columns,
+    starrocks_sinker.rs:102-126; Foxlake MERGE ... DEDUPLICATION='SOURCE',
+    foxlake_merger.rs:82-104).
+    """
+    pieces = [p for p in pieces if p is not None and p.num_rows > 0]
+    if not pieces:
+        return None
+    aligned = unify_tables(pieces)
+    merged = lww_last(pa.concat_tables(aligned), key_cols, order_cols)
+    if not keep_tombstones:
+        merged = drop_tombstones(merged)
+    return merged

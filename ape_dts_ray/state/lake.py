@@ -1,0 +1,266 @@
+"""The Parquet lake table: layout, commit/watermark API, merge-on-read state,
+compaction.
+
+Layout (one directory per logical table — the "table = unit of state" rule,
+SURVEY §1.3; resumable because every file is addressed by (epoch, partition)):
+
+    <root>/
+      _table.json                     # TableMeta + partitioning config + schema version
+      _manifests/epoch-%08d.json      # committed-epoch manifests (state/manifest.py)
+      base/part-%05d.parquet          # compacted state, _epoch = -1 sort rank
+      delta/epoch-%08d/part-%05d.parquet
+
+Visibility rule: a delta file exists physically once its apply task finished,
+but is readable only if its epoch's manifest is committed — uncommitted epochs
+are invisible, so a crashed replay resumes by re-running the first uncommitted
+epoch and deterministically overwriting its orphan files (exactly-once; see
+state/manifest.py docstring for the reference citations).
+
+Merge-on-read: live state of a partition = LWW fold of base + committed deltas
+ordered by (_epoch, log_offset, seq) — stages/merge.py ``fold_state``.
+Compaction (the FoxlakeMerger analog, foxlake_merger.rs:82-104) folds sealed
+deltas into base and deletes them; it is also the only boundary where the
+hot-key salt set may change (ape_dts_ray/partition.py docstring).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ape_dts_ray.meta import COL_EPOCH, COL_OFFSET, COL_OP, COL_SEQ, EngineConfig, TableMeta
+from ape_dts_ray.state.manifest import (
+    EpochManifest,
+    atomic_write_parquet,
+    atomic_write_text,
+)
+from ape_dts_ray.stages import merge as merge_mod
+
+MANIFEST_DIR = "_manifests"
+TABLE_FILE = "_table.json"
+
+
+class LakeTable:
+    def __init__(self, root: str, meta: TableMeta, config: EngineConfig,
+                 schema_version: int = 0):
+        self.root = root
+        self.meta = meta
+        self.config = config
+        self.schema_version = schema_version
+
+    # ---------- lifecycle ----------
+    @classmethod
+    def create(cls, root: str, meta: TableMeta | None = None,
+               config: EngineConfig | None = None) -> "LakeTable":
+        meta = meta or TableMeta()
+        config = config or EngineConfig()
+        os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, "base"), exist_ok=True)
+        os.makedirs(os.path.join(root, "delta"), exist_ok=True)
+        t = cls(root, meta, config)
+        t._save_table_json()
+        return t
+
+    @classmethod
+    def open(cls, root: str) -> "LakeTable":
+        with open(os.path.join(root, TABLE_FILE)) as f:
+            d = json.load(f)
+        meta = TableMeta(
+            name=d["name"], id_cols=tuple(d["id_cols"]),
+            partition_col=d["partition_col"], order_cols=tuple(d["order_cols"]),
+            payload_cols=tuple(d["payload_cols"]))
+        cfg = EngineConfig(num_partitions=d["num_partitions"],
+                           epoch_size=d.get("epoch_size", EngineConfig.epoch_size),
+                           batch_size=d.get("batch_size", EngineConfig.batch_size),
+                           hot_keys=tuple(d.get("hot_keys", ())))
+        return cls(root, meta, cfg, schema_version=d.get("schema_version", 0))
+
+    def _save_table_json(self) -> None:
+        d = {
+            "name": self.meta.name, "id_cols": list(self.meta.id_cols),
+            "partition_col": self.meta.partition_col,
+            "order_cols": list(self.meta.order_cols),
+            "payload_cols": list(self.meta.payload_cols),
+            "num_partitions": self.config.num_partitions,
+            # epoch planning must replay identically after a driver restart —
+            # resume skips by epoch id, so window boundaries are persisted state
+            "epoch_size": self.config.epoch_size,
+            "batch_size": self.config.batch_size,
+            "hot_keys": list(self.config.hot_keys),
+            "schema_version": self.schema_version,
+        }
+        atomic_write_text(os.path.join(self.root, TABLE_FILE),
+                          json.dumps(d, indent=1, sort_keys=True))
+
+    # ---------- paths ----------
+    def delta_path(self, epoch: int, part_id: int) -> str:
+        return os.path.join(self.root, "delta", f"epoch-{epoch:08d}",
+                            f"part-{part_id:05d}.parquet")
+
+    def base_path(self, part_id: int) -> str:
+        return os.path.join(self.root, "base", f"part-{part_id:05d}.parquet")
+
+    def manifest_path(self, epoch: int) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, f"epoch-{epoch:08d}.json")
+
+    # ---------- commit protocol ----------
+    def committed_epochs(self) -> list[int]:
+        mdir = os.path.join(self.root, MANIFEST_DIR)
+        out = []
+        for f in os.listdir(mdir):
+            if f.startswith("epoch-") and f.endswith(".json"):
+                out.append(int(f[len("epoch-"):-len(".json")]))
+        return sorted(out)
+
+    def read_manifest(self, epoch: int) -> EpochManifest:
+        with open(self.manifest_path(epoch)) as f:
+            return EpochManifest.from_json(f.read())
+
+    def committed_watermark(self) -> int:
+        """Highest committed log offset (position.log analog). -1 if none."""
+        epochs = self.committed_epochs()
+        if not epochs:
+            return -1
+        return self.read_manifest(epochs[-1]).offset_max
+
+    def commit_epoch(self, manifest: EpochManifest,
+                     schema_version: int | None = None) -> None:
+        """Atomically publish an epoch (tmp+rename). Idempotent: re-committing
+        an already-committed epoch with identical deterministic content is a
+        no-op overwrite (duplicate replays deduped by epoch id —
+        foxlake_parallelizer.rs:99-121 analog)."""
+        atomic_write_text(self.manifest_path(manifest.epoch), manifest.to_json())
+        if schema_version is not None and schema_version != self.schema_version:
+            self.schema_version = schema_version
+            self._save_table_json()
+
+    # ---------- read path ----------
+    def partition_files(self, part_id: int) -> list[str]:
+        """Base + committed delta files for one partition, epoch-ascending."""
+        files = []
+        bp = self.base_path(part_id)
+        if os.path.exists(bp):
+            files.append(bp)
+        for e in self.committed_epochs():
+            dp = self.delta_path(e, part_id)
+            if os.path.exists(dp):
+                files.append(dp)
+        return files
+
+    def _fold_files(self, files: list[str], keep_tombstones: bool = False,
+                    columns: list[str] | None = None) -> pa.Table | None:
+        pieces = [pq.read_table(f) for f in files]
+        folded = merge_mod.fold_state(
+            pieces, key_cols=self.meta.id_cols, keep_tombstones=keep_tombstones)
+        if folded is not None and columns:
+            folded = folded.select([c for c in columns if c in folded.column_names])
+        return folded
+
+    def state_dataset(self, columns: list[str] | None = None,
+                      concurrency: int | None = None):
+        """Live state as a Ray Dataset — one task per lake partition, each
+        folding only its own files (partition-pure layout ⇒ NO shuffle).
+        This is the manifest-reader source pattern (FoxlakeS3Extractor analog,
+        foxlake_s3_extractor.rs — list committed files, emit their contents)."""
+        import ray.data as rd
+
+        parts = [{"part_id": p} for p in range(self.config.num_partitions)]
+        root, meta, cfg, sv = self.root, self.meta, self.config, self.schema_version
+
+        def fold(batch: pa.Table) -> pa.Table:
+            lake = LakeTable(root, meta, cfg, sv)
+            out = []
+            for pid in batch.column("part_id").to_pylist():
+                files = lake.partition_files(pid)
+                if not files:
+                    continue
+                t = lake._fold_files(files, columns=columns)
+                if t is not None and t.num_rows:
+                    out.append(t)
+            if not out:
+                return pa.table({})
+            return pa.concat_tables(merge_mod.unify_tables(out))
+
+        ds = rd.from_items(parts).map_batches(
+            fold, batch_format="pyarrow", batch_size=1,
+            concurrency=concurrency)
+        return ds
+
+    def state_table(self, drop_engine_cols: bool = True) -> pa.Table:
+        """Whole live state as one Arrow table (tests / small results only)."""
+        pieces = []
+        for pid in range(self.config.num_partitions):
+            files = self.partition_files(pid)
+            if files:
+                t = self._fold_files(files)
+                if t is not None and t.num_rows:
+                    pieces.append(t)
+        if not pieces:
+            return pa.table({})
+        out = pa.concat_tables(merge_mod.unify_tables(pieces))
+        if drop_engine_cols:
+            drop = [c for c in (COL_EPOCH, COL_OFFSET, COL_SEQ, COL_OP, "part_id")
+                    if c in out.column_names]
+            out = out.drop_columns(drop)
+        import pyarrow.compute as pc
+        idx = pc.sort_indices(out, sort_keys=[(c, "ascending") for c in self.meta.order_cols])
+        return out.take(idx)
+
+    # ---------- compaction ----------
+    def compact(self, new_hot_keys: tuple[str, ...] | None = None) -> int:
+        """Fold committed deltas into base, then drop them. Returns #epochs
+        folded. FoxlakeMerger analog (foxlake_merger.rs:82-104); runs offline
+        relative to replay. Tombstones are dropped at compaction (a key fully
+        deleted needs no base row; any later re-insert has a higher offset in a
+        newer epoch). Hot-key set may be rotated here only (partition.py)."""
+        epochs = self.committed_epochs()
+        if not epochs:
+            return 0
+        if new_hot_keys is not None:
+            # repartition-on-compact: fold full state then re-split by new salt
+            raise NotImplementedError("hot-key rotation lands with repartitioning compaction")
+        watermark = self.read_manifest(epochs[-1]).offset_max
+        for pid in range(self.config.num_partitions):
+            files = self.partition_files(pid)
+            if not files:
+                continue
+            folded = self._fold_files(files, keep_tombstones=False)
+            bp = self.base_path(pid)
+            if folded is None or folded.num_rows == 0:
+                if os.path.exists(bp):
+                    os.remove(bp)
+                continue
+            # base rows rank below every future delta
+            n = folded.num_rows
+            i = folded.column_names.index(COL_EPOCH)
+            folded = folded.set_column(
+                i, COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
+            atomic_write_parquet(folded, bp, compression="zstd")
+        # deltas + manifests are superseded; record watermark in table json
+        for e in epochs:
+            ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
+            if os.path.isdir(ddir):
+                shutil.rmtree(ddir)
+            os.remove(self.manifest_path(e))
+        # keep the watermark: write a synthetic "compacted" manifest so
+        # committed_watermark() survives compaction (resume correctness)
+        m = EpochManifest(epoch=epochs[-1], offset_min=-1, offset_max=watermark,
+                          schema_version=self.schema_version, partitions=[])
+        atomic_write_text(os.path.join(self.root, MANIFEST_DIR, "compacted.json"),
+                          m.to_json())
+        return len(epochs)
+
+    def compacted_watermark(self) -> int:
+        p = os.path.join(self.root, MANIFEST_DIR, "compacted.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                return EpochManifest.from_json(f.read()).offset_max
+        return -1
+
+    def watermark(self) -> int:
+        return max(self.committed_watermark(), self.compacted_watermark())

@@ -1,0 +1,74 @@
+"""Epoch manifests: the exactly-once commit protocol + lineage record.
+
+Design (SURVEY §2.6/§4, mirroring ape-dts's recipe of at-least-once transport +
+idempotent apply = exactly-once effect):
+
+- Every apply task writes its partition's delta file under a name that is a
+  **deterministic function of (epoch, partition)** — a retried/replayed task
+  overwrites rather than duplicates. This mirrors the Foxlake sequencer/epoch
+  reasoning (dt-connector/src/sinker/foxlake/orc_sequencer.rs:15-43;
+  duplicate-epoch handling foxlake_parallelizer.rs:99-121).
+- An epoch becomes VISIBLE only when its manifest JSON exists; the manifest is
+  written tmp+rename (atomic on POSIX). Readers/compaction consume only
+  committed ("sealed") epochs — the epoch-barrier rule of
+  foxlake_parallelizer.rs:70-126.
+- The manifest carries per-partition lineage: applied offset range,
+  upsert/delete counts, file name — the ``S3FileMeta`` analog
+  (dt-common/src/meta/foxlake/s3_file_meta.rs:10-22) and the source of the
+  committed-offset watermark (``position.log`` analog,
+  dt-pipeline/src/base_pipeline.rs:365-390). Resume = max committed offset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PartitionLineage:
+    part_id: int
+    file: str              # relative path of the delta file
+    rows: int              # rows in the delta (post-LWW, incl. tombstones)
+    events: int            # raw events folded into it
+    upserts: int
+    deletes: int
+    offset_min: int
+    offset_max: int
+
+
+@dataclass
+class EpochManifest:
+    epoch: int
+    offset_min: int        # window lower bound (inclusive)
+    offset_max: int        # window upper bound (inclusive) = committed watermark
+    schema_version: int
+    partitions: list[PartitionLineage] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "EpochManifest":
+        d = json.loads(s)
+        parts = [PartitionLineage(**p) for p in d.pop("partitions")]
+        return EpochManifest(partitions=parts, **d)
+
+
+def atomic_write_text(path: str, text: str) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def atomic_write_parquet(table, path: str, **kw) -> None:
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp, **kw)
+    os.replace(tmp, path)

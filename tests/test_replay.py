@@ -1,0 +1,123 @@
+"""End-to-end replay tests: event log → lake → state equals oracle replay.
+
+Mirrors the reference's e2e strategy (dt-tests: drive events, compare full
+final state under stable (conv_id, turn_idx) order — rdb_test_runner.rs:599-726).
+Per-turn text equality is the north-star invariant (BASELINE.json input_hint).
+"""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from ape_dts_ray.fixtures import gen_events, oracle_replay
+from ape_dts_ray.meta import EngineConfig, TableMeta
+from ape_dts_ray.pipelines.replay import plan_epochs, replay
+from ape_dts_ray.state.lake import LakeTable
+
+
+def _mk_lake(tmp_path, **cfg):
+    defaults = dict(num_partitions=8, epoch_size=4000)
+    defaults.update(cfg)
+    return LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(**defaults))
+
+
+def _assert_state_matches(lake, events, check_cols=("role", "text", "tool", "ts")):
+    state = lake.state_table().to_pandas()
+    oracle = oracle_replay(events)
+    assert len(state) == len(oracle), (len(state), len(oracle))
+    state = state.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    for col in ("conv_id", "turn_idx", *check_cols):
+        pd.testing.assert_series_equal(
+            state[col], oracle[col], check_dtype=False, check_names=False,
+            obj=f"column {col}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_basic_replay_matches_oracle(tmp_path):
+    events = gen_events(seed=42, n_convs=50, max_turns=10, n_events=5000,
+                        delete_frac=0.2)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    manifests = replay(lake, events_path=path)
+    assert len(manifests) == len(plan_epochs(events.num_rows - 1, 4000))
+    _assert_state_matches(lake, events)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pk_change_and_hot_key(tmp_path):
+    events = gen_events(seed=7, n_convs=20, max_turns=8, n_events=4000,
+                        hot_frac=0.4, delete_frac=0.1, pk_change_frac=0.1)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+    # conv-000000 is hot → salted across partitions
+    lake = _mk_lake(tmp_path, hot_keys=("conv-000000",))
+    replay(lake, events_path=path)
+    _assert_state_matches(lake, events)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_exactly_once(tmp_path):
+    """Crash after epoch 1, rerun → same final state; re-feeding committed
+    epochs is a no-op (cdc_resumer semantics, idempotence via LWW +
+    deterministic file names)."""
+    events = gen_events(seed=3, n_convs=30, max_turns=10, n_events=6000,
+                        delete_frac=0.15)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+
+    lake = _mk_lake(tmp_path, epoch_size=2000)
+    replay(lake, events_path=path, stop_after_epoch=1)   # "crash" mid-replay
+    assert lake.committed_epochs() == [0, 1]
+    wm_mid = lake.watermark()
+    assert wm_mid == 2 * 2000 - 1
+
+    lake2 = LakeTable.open(lake.root)                    # fresh driver
+    replay(lake2, events_path=path)                      # resumes
+    _assert_state_matches(lake2, events)
+    state1 = lake2.state_table()
+
+    replay(LakeTable.open(lake.root), events_path=path)  # full re-feed: no-op
+    state2 = LakeTable.open(lake.root).state_table()
+    assert state1.equals(state2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compaction_preserves_state_and_watermark(tmp_path):
+    events = gen_events(seed=9, n_convs=25, max_turns=6, n_events=3000,
+                        delete_frac=0.3)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path, epoch_size=1500)
+    replay(lake, events_path=path)
+    before = lake.state_table()
+    wm = lake.watermark()
+    n = lake.compact()
+    assert n >= 2
+    after = lake.state_table()
+    assert before.equals(after)
+    assert lake.watermark() == wm
+    assert lake.committed_epochs() == []
+    # replay after compaction is a no-op (watermark covers all offsets)
+    replay(LakeTable.open(lake.root), events_path=path)
+    assert LakeTable.open(lake.root).state_table().equals(before)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lineage_counts(tmp_path):
+    events = gen_events(seed=5, n_convs=10, max_turns=5, n_events=1000,
+                        delete_frac=0.25)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path, epoch_size=10**9)  # single epoch
+    (m,) = replay(lake, events_path=path)
+    assert sum(p.events for p in m.partitions) == events.num_rows
+    assert m.offset_max >= events.num_rows - 1
+    offsets = [(p.offset_min, p.offset_max) for p in m.partitions]
+    assert all(lo >= 0 and hi < events.num_rows for lo, hi in offsets)
+    # per-partition delta files exist and are partition-pure
+    for p in m.partitions:
+        assert os.path.exists(os.path.join(lake.root, p.file))
