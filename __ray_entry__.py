@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for ape_dts_ray (Ray Data CDC / incremental-ingest engine).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver initialises Ray BEFORE importing this module; nothing here (or in
+the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every CDC query replays the change stream derived from the ``events`` view
+(ape_dts_ray/sources/derive.py — derivation implemented once in Arrow and once
+as the ``changes`` CTE below, kept in lockstep) through the real engine:
+fresh /tmp lake, normalize → hash shuffle → LWW apply → manifest commit →
+merge-on-read state. Operator coverage map: SURVEY.md §2.
 """
 
 from __future__ import annotations
@@ -18,27 +15,133 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from ape_dts_ray.sources.derive import CHANGES_CTE
+
+_LAST = """
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY log_offset DESC) AS rn
+  FROM changes
+)
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full CDC replay of the sf0.001 change stream → live state."""
+    from ape_dts_ray.pipelines import queries as q
+
+    return q.cdc_apply_lww("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ape_dts_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_apply_lww": q.cdc_apply_lww,
+        "cdc_merge_batch": q.cdc_merge_batch,
+        "cdc_filter_events": q.cdc_filter_events,
+        "cdc_route_rename": q.cdc_route_rename,
+        "cdc_lineage_per_conv": q.cdc_lineage_per_conv,
+        "cdc_snapshot_read": q.cdc_snapshot_read,
+        "cdc_checker": q.cdc_checker,
+        "cdc_schema_evolution": q.cdc_schema_evolution,
+        "dedup_exact": q.dedup_exact,
+        "text_stats": q.text_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_apply_lww": CHANGES_CTE + "," + _LAST + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        "cdc_merge_batch": CHANGES_CTE + "," + _LAST + """
+            SELECT conv_id, turn_idx, op AS last_op, log_offset AS last_offset
+            FROM ranked WHERE rn = 1
+        """,
+        "cdc_filter_events": CHANGES_CTE + """
+            SELECT log_offset, op, conv_id, turn_idx, text
+            FROM changes
+            WHERE op IN ('insert', 'update') AND tool = 'search'
+        """,
+        "cdc_route_rename": CHANGES_CTE + """
+            SELECT log_offset, conv_id AS conversation_id, turn_idx,
+                   text AS content
+            FROM changes
+        """,
+        "cdc_lineage_per_conv": CHANGES_CTE + """
+            SELECT conv_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts,
+                   CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+                   MIN(log_offset) AS offset_min,
+                   MAX(log_offset) AS offset_max
+            FROM changes GROUP BY conv_id
+        """,
+        "cdc_snapshot_read": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200
+        """,
+        "cdc_checker": CHANGES_CTE + "," + _LAST + """,
+            src AS (
+              SELECT conv_id, turn_idx, role, text, tool, ts
+              FROM ranked WHERE rn = 1 AND op <> 'delete'
+            ),
+            ins_ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY log_offset DESC) AS rn
+              FROM changes WHERE op = 'insert'
+            ),
+            dst AS (
+              SELECT conv_id, turn_idx, role, text, tool, ts
+              FROM ins_ranked WHERE rn = 1
+            ),
+            j AS (
+              SELECT
+                COALESCE(s.conv_id, d.conv_id) AS conv_id,
+                COALESCE(s.turn_idx, d.turn_idx) AS turn_idx,
+                CASE
+                  WHEN d.conv_id IS NULL THEN 'miss'
+                  WHEN s.conv_id IS NULL THEN 'extra'
+                  WHEN s.role IS DISTINCT FROM d.role
+                    OR s.text IS DISTINCT FROM d.text
+                    OR s.tool IS DISTINCT FROM d.tool
+                    OR s.ts   IS DISTINCT FROM d.ts THEN 'diff'
+                END AS check_type
+              FROM src s FULL OUTER JOIN dst d
+                ON s.conv_id = d.conv_id AND s.turn_idx = d.turn_idx
+            )
+            SELECT conv_id, turn_idx, check_type
+            FROM j WHERE check_type IS NOT NULL
+        """,
+        "cdc_schema_evolution": CHANGES_CTE + """,
+            aug AS (
+              SELECT *, CASE
+                WHEN log_offset >= (SELECT CAST(COUNT(*) / 2 AS BIGINT) FROM events)
+                     AND op <> 'delete'
+                THEN CASE WHEN tool = 'search' THEN 'web' ELSE 'chat' END
+              END AS channel
+              FROM changes
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY log_offset DESC) AS rn
+              FROM aug
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts, channel
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        "dedup_exact": """
+            SELECT doc_id, n_chars FROM (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS text_len
+            FROM documents
+        """,
+    }

@@ -1,0 +1,150 @@
+"""Data check / revise — the ape-dts checker family re-expressed as joins.
+
+Reference semantics (dt-connector/src/sinker/mysql/mysql_checker.rs:71-150,
+base_checker.rs:21-83): for every extracted source row, look the target row up
+by id cols; absent → ``miss.log``; present but any column differs → ``diff.log``
+(JSON lines, routed back through the reverse router). ``revise`` re-applies
+the correct source rows; ``review`` re-checks only logged keys
+(mysql_check_extractor.rs:52-106).
+
+Ray-Data-first: the keyed lookup becomes ONE partitioned full-outer join —
+both sides get the same deterministic ``part_id`` (hash of the PK), are
+unioned with a side tag, and each partition is compared with a vectorized
+pandas merge inside ``map_groups``. No driver-side loops, no per-key lookups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ape_dts_ray.partition import COL_PART, add_partition_column
+
+CHECK_MISS = "miss"     # in src, absent from dst
+CHECK_DIFF = "diff"     # in both, compared columns differ
+CHECK_EXTRA = "extra"   # in dst, absent from src (not emitted by the reference
+                        # checker, which only probes src rows; optional here)
+
+
+def check_datasets(
+    src_ds,
+    dst_ds,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    compare_cols: tuple[str, ...] = ("role", "text", "tool", "ts"),
+    num_partitions: int = 32,
+    include_extra: bool = False,
+):
+    """Full-outer compare of two datasets on ``key_cols``. Returns a Dataset of
+    ``key_cols + [check_type]`` rows (empty when the tables match)."""
+
+    def tag(side):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = [c for c in (*key_cols, *compare_cols) if c in t.column_names]
+            t = t.select(cols)
+            for c in compare_cols:       # align schemas for union
+                if c not in t.column_names:
+                    t = t.append_column(c, pa.nulls(t.num_rows, pa.string()))
+            return t.append_column("_side", pa.array(
+                np.full(t.num_rows, side, dtype=object), type=pa.string()))
+        return fn
+
+    src = src_ds.map_batches(tag("src"), batch_format="pyarrow")
+    dst = dst_ds.map_batches(tag("dst"), batch_format="pyarrow")
+    both = src.union(dst).map_batches(
+        lambda t: add_partition_column(t, num_partitions),
+        batch_format="pyarrow")
+
+    kc, cc = list(key_cols), list(compare_cols)
+
+    def compare(group: pd.DataFrame) -> pd.DataFrame:
+        s = group[group["_side"] == "src"]
+        d = group[group["_side"] == "dst"]
+        m = s.merge(d, on=kc, how="outer", suffixes=("_s", "_d"), indicator=True)
+        out = []
+        miss = m[m["_merge"] == "left_only"]
+        if len(miss):
+            out.append(miss[kc].assign(check_type=CHECK_MISS))
+        bothm = m[m["_merge"] == "both"]
+        if len(bothm):
+            neq = np.zeros(len(bothm), dtype=bool)
+            for c in cc:
+                a, b = bothm[f"{c}_s"], bothm[f"{c}_d"]
+                neq |= ~((a == b) | (a.isna() & b.isna()))
+            if neq.any():
+                out.append(bothm.loc[neq, kc].assign(check_type=CHECK_DIFF))
+        if include_extra:
+            extra = m[m["_merge"] == "right_only"]
+            if len(extra):
+                out.append(extra[kc].assign(check_type=CHECK_EXTRA))
+        if not out:
+            return pd.DataFrame({c: pd.Series(dtype=group[c].dtype) for c in kc}
+                                | {"check_type": pd.Series(dtype=object)})
+        return pd.concat(out, ignore_index=True)
+
+    return both.groupby(COL_PART).map_groups(compare, batch_format="pandas")
+
+
+def write_check_logs(check_ds, out_dir: str) -> dict[str, int]:
+    """Persist check results as ``miss.log`` / ``diff.log`` / ``extra.log``
+    JSONL — the check/miss.log, check/diff.log layout of the reference
+    (docs/en/snapshot/check.md). Returns per-type counts."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    counts: dict[str, int] = {}
+    rows = check_ds.take_all()   # check output is small by contract (defect list)
+    by_type: dict[str, list] = {}
+    for r in rows:
+        t = r.pop("check_type")
+        by_type.setdefault(t, []).append(r)
+    for t, rs in by_type.items():
+        with open(os.path.join(out_dir, f"{t}.log"), "w") as f:
+            for r in rs:
+                f.write(json.dumps(r, default=str, sort_keys=True) + "\n")
+        counts[t] = len(rs)
+    return counts
+
+
+def revise(lake, src_ds, check_ds,
+           key_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> int:
+    """Re-apply source truth for every miss/diff key (revise task analog:
+    check_log extractor → write sinker). Returns #keys revised.
+
+    The fix is applied as a synthetic epoch of insert events above the current
+    watermark, so it flows through the normal exactly-once apply path."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ape_dts_ray.pipelines.replay import EpochWindow, replay_window
+
+    bad = check_ds.take_all()
+    bad = [r for r in bad if r["check_type"] in (CHECK_MISS, CHECK_DIFF)]
+    if not bad:
+        return 0
+    # broadcast the (small) defect key set; semi-join filter inside map_batches
+    keyset = {"\x00".join(str(r[c]) for c in key_cols) for r in bad}
+    kc = list(key_cols)
+
+    def pick(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        combined = df[kc[0]].astype(str)
+        for c in kc[1:]:
+            combined = combined + "\x00" + df[c].astype(str)
+        return pa.Table.from_pandas(df[combined.isin(keyset)], preserve_index=False)
+
+    fixes = src_ds.map_batches(pick, batch_format="pyarrow")
+    batches = list(fixes.iter_batches(batch_format="pyarrow"))
+    fix_tbl = pa.concat_tables(batches)
+    wm = lake.watermark()
+    n = fix_tbl.num_rows
+    ev = fix_tbl.append_column("log_offset", pa.array(
+        np.arange(wm + 1, wm + 1 + n, dtype=np.int64)))
+    ev = ev.append_column("op", pa.array(np.full(n, "insert", dtype=object),
+                                         type=pa.string()))
+    epoch = (max(lake.committed_epochs()) + 1) if lake.committed_epochs() else 0
+    w = EpochWindow(epoch=epoch, lo=wm + 1, hi=wm + n, schema_version=lake.schema_version)
+    m = replay_window(lake, w, events_ds=rd.from_arrow(ev))
+    lake.commit_epoch(m)
+    return len(keyset)

@@ -1,0 +1,227 @@
+"""Named query pipelines over the driver's sf parquet tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
+rows (and column NAMES) match the DuckDB oracle in ``__ray_entry__.oracle_sql``
+— the driver compares row-count + schema + order-insensitive value hash.
+
+The CDC queries replay the change stream derived from the ``events`` view
+(sources/derive.py) through the REAL engine: a fresh lake under /tmp, the full
+normalize → shuffle → apply → commit path, then state read-back. They are the
+operator-inventory coverage for SURVEY §2 (sources, sinks, transforms,
+parallelizers); the documents/embeddings queries cover the training-data ops.
+
+Ray is initialised by the caller (driver / test fixture / bench.py) — nothing
+here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ape_dts_ray.meta import EngineConfig, TableMeta
+from ape_dts_ray.partition import COL_PART, add_partition_column
+from ape_dts_ray.sources.derive import changes_dataset
+from ape_dts_ray.state.lake import LakeTable
+
+QUERY_PARTITIONS = 16
+
+
+def _fresh_lake(tag: str, **cfg) -> LakeTable:
+    root = tempfile.mkdtemp(prefix=f"ape_dts_ray_{tag}_")
+    defaults = dict(num_partitions=QUERY_PARTITIONS, epoch_size=50_000)
+    defaults.update(cfg)
+    return LakeTable.create(root + "/lake", TableMeta(), EngineConfig(**defaults))
+
+
+def _replay_changes(sf_dir: str, tag: str, event_filter=None) -> LakeTable:
+    from ape_dts_ray.pipelines.replay import replay
+
+    lake = _fresh_lake(tag)
+    ds = changes_dataset(sf_dir)
+    replay(lake, events_ds=ds, event_filter=event_filter)
+    return lake
+
+
+# ---------- CDC engine queries (SURVEY §2.1/2.2/2.4) ----------
+
+def cdc_apply_lww(sf_dir: str) -> pa.Table:
+    """Flagship: full CDC replay → committed lake → live state.
+    Covers extractor→normalize→shuffle→LWW apply→manifest commit→merge-on-read."""
+    lake = _replay_changes(sf_dir, "lww")
+    return lake.state_table()
+
+
+def cdc_merge_batch(sf_dir: str):
+    """RdbMerger micro-batch semantics in isolation (rdb_merger.rs:74-120):
+    per-key last event incl. tombstones — (key, last_op, last_offset)."""
+    from ape_dts_ray.stages.merge import lww_last
+
+    ds = changes_dataset(sf_dir).map_batches(
+        lambda t: add_partition_column(t, QUERY_PARTITIONS),
+        batch_format="pyarrow")
+
+    def merge_group(t: pa.Table) -> pa.Table:
+        out = lww_last(t.drop_columns([COL_PART]),
+                       key_cols=("conv_id", "turn_idx"),
+                       order_cols=("log_offset",))
+        return out.select(["conv_id", "turn_idx", "op", "log_offset"]).rename_columns(
+            ["conv_id", "turn_idx", "last_op", "last_offset"])
+
+    return ds.groupby(COL_PART).map_groups(merge_group, batch_format="pyarrow")
+
+
+def cdc_filter_events(sf_dir: str):
+    """RdbFilter analog (rdb_filter.rs:95-100 do_events + where_condition)."""
+    from ape_dts_ray.stages.filter import EventFilter
+
+    f = EventFilter(do_events=("insert", "update"),
+                    where_expr=pc.field("tool") == "search")
+    return changes_dataset(sf_dir).map_batches(
+        f, batch_format="pyarrow").select_columns(
+        ["log_offset", "op", "conv_id", "turn_idx", "text"])
+
+
+def cdc_route_rename(sf_dir: str):
+    """RdbRouter column-map analog (rdb_router.rs:122-158) — zero-copy rename."""
+    from ape_dts_ray.stages.router import Router
+
+    r = Router(col_maps={"transcripts": {"conv_id": "conversation_id",
+                                         "text": "content"}})
+    return changes_dataset(sf_dir).map_batches(
+        r.batch_fn("transcripts"), batch_format="pyarrow").select_columns(
+        ["log_offset", "conversation_id", "turn_idx", "content"])
+
+
+def cdc_lineage_per_conv(sf_dir: str):
+    """Lineage/metrics counters (counter_type.rs analog): per conversation,
+    event counts by class + applied offset range. Partial-aggregates inside
+    map_batches, then a small groupby — the pre-aggregation pattern."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def flags(t: pa.Table) -> pa.Table:
+        is_del = pc.equal(t.column("op"), pa.scalar("delete"))
+        t = t.append_column("is_delete", pc.cast(is_del, pa.int64()))
+        t = t.append_column("is_upsert", pc.cast(pc.invert(is_del), pa.int64()))
+        return t.select(["conv_id", "log_offset", "is_delete", "is_upsert"])
+
+    ds = changes_dataset(sf_dir).map_batches(flags, batch_format="pyarrow")
+    return ds.groupby("conv_id").aggregate(
+        Count(alias_name="n_events"),
+        Sum("is_upsert", alias_name="n_upserts"),
+        Sum("is_delete", alias_name="n_deletes"),
+        Min("log_offset", alias_name="offset_min"),
+        Max("log_offset", alias_name="offset_max"),
+    )
+
+
+def cdc_snapshot_read(sf_dir: str):
+    """Snapshot extractor analog (mysql_snapshot_extractor.rs keyset scan +
+    where_condition + projection): pruned, filtered parquet read — columns and
+    row filters pushed into the read."""
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=pads.field("n_chars") > 200)
+
+
+def cdc_checker(sf_dir: str):
+    """Checker analog (mysql_checker.rs:71-150): full replay state vs
+    insert-only state; miss = keys whose first write wasn't an insert,
+    diff = keys later updated, extra = keys later deleted."""
+    from ape_dts_ray.pipelines.checker import check_datasets
+    from ape_dts_ray.stages.filter import EventFilter
+
+    src_lake = _replay_changes(sf_dir, "chk_src")
+    dst_lake = _replay_changes(sf_dir, "chk_dst",
+                               event_filter=EventFilter(do_events=("insert",)))
+    out = check_datasets(src_lake.state_dataset(), dst_lake.state_dataset(),
+                         num_partitions=QUERY_PARTITIONS, include_extra=True)
+    return out.select_columns(["conv_id", "turn_idx", "check_type"])
+
+
+def cdc_schema_evolution(sf_dir: str) -> pa.Table:
+    """Additive schema evolution: second half of the log carries a new
+    ``channel`` column (schema v1); the replay crosses the barrier and the
+    final state null-backfills rows last written under v0 (pa.unify_schemas —
+    the ddl barrier + column-mapping rule, SURVEY §1.2/§2.6)."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.pipelines.replay import replay
+
+    # barrier at the median offset — SQL-expressible via a constant only if the
+    # oracle recomputes it; use count/2 on event_id (dense 0..n-1 by generation)
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    cut = n // 2
+
+    def with_channel(t: pa.Table) -> pa.Table:
+        # runs AFTER window filtering (router_fn hook), and epochs never span
+        # the barrier — so a batch is entirely v0 or v1; v0 batches genuinely
+        # LACK the column (additive evolution, not a pre-nulled column) and
+        # fold_state null-backfills at merge-on-read
+        if t.num_rows == 0 or pc.max(t.column("log_offset")).as_py() < cut:
+            return t
+        ch = pc.if_else(
+            pc.not_equal(t.column("op"), pa.scalar("delete")),
+            pc.if_else(pc.equal(t.column("tool"), pa.scalar("search")),
+                       pa.scalar("web"), pa.scalar("chat")),
+            pa.nulls(t.num_rows, pa.string()))
+        return t.append_column("channel", ch)
+
+    lake = _fresh_lake("schemaevo")
+    replay(lake, events_ds=changes_dataset(sf_dir), barriers=[(cut, 1)],
+           router_fn=with_channel)
+    assert lake.schema_version == 1
+    return lake.state_table()
+
+
+# ---------- training-data ops over documents / embeddings ----------
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: hash-partition by content, keep smallest doc_id per text
+    (groupby + per-group first — the guide's canonical exact-dedup shape)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+
+    def hash_col(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        h = pd.util.hash_array(t.column("text").to_numpy(zero_copy_only=False))
+        return t.append_column("_h", pa.array(h.astype(np.int64)))
+
+    ds = ds.map_batches(hash_col, batch_format="pyarrow")
+
+    def first_per_text(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(t)
+        out = df.sort("doc_id").unique(subset=["text"], keep="first")
+        return out.select(["doc_id", "n_chars"]).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())]))
+
+    return ds.groupby("_h").map_groups(first_per_text, batch_format="pyarrow")
+
+
+def text_stats(sf_dir: str):
+    """Quality-scoring primitives (integer outputs for exact oracle compare):
+    token count (single-space split), char length, uppercase-letter count."""
+    import ray.data as rd
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        n_tokens = pc.add(pc.count_substring(txt, " "), 1)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "text_len": pc.cast(pc.utf8_length(txt), pa.int64()),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow")

@@ -1,0 +1,59 @@
+"""Driver-contract conformance: run every ``queries()`` entry at sf0.01 and
+compare against its ``oracle_sql()`` DuckDB result — row count, column set,
+and full order-insensitive value equality (EXCEPT ALL both ways). This is a
+local replica of the driver's CORRECTNESS gate."""
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _to_arrow(result) -> pa.Table:
+    if isinstance(result, pa.Table):
+        return result
+    if hasattr(result, "iter_batches"):   # ray Dataset
+        batches = list(result.iter_batches(batch_format="pyarrow"))
+        return pa.concat_tables(batches) if batches else pa.table({})
+    return pa.Table.from_pandas(result, preserve_index=False)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(name, con):
+    q = entrymod.queries()[name]
+    sqls = entrymod.oracle_sql()
+    assert name in sqls, f"{name} lacks an oracle (rows-only check)"
+    res = _to_arrow(q(SF_DIR))
+    ora = con.sql(sqls[name]).arrow()
+    assert res.num_rows == ora.num_rows, (res.num_rows, ora.num_rows)
+    assert set(res.column_names) == set(ora.column_names), (
+        res.column_names, ora.column_names)
+    cols = ", ".join(f'"{c}"' for c in sorted(res.column_names))
+    con.register("res_tbl", res)
+    con.register("ora_tbl", ora)
+    extra = con.sql(
+        f"SELECT {cols} FROM res_tbl EXCEPT ALL SELECT {cols} FROM ora_tbl"
+    ).fetchmany(5)
+    missing = con.sql(
+        f"SELECT {cols} FROM ora_tbl EXCEPT ALL SELECT {cols} FROM res_tbl"
+    ).fetchmany(5)
+    assert not extra and not missing, {"extra": extra, "missing": missing}
+    con.unregister("res_tbl")
+    con.unregister("ora_tbl")
