@@ -1,0 +1,99 @@
+"""On-the-fly distributed CDC-stream generation for benchmarking.
+
+The bench replays 10^6–10^8+ events locally as a stand-in for the 10^10-event
+target; the stream is NEVER materialized on the driver — each Ray task
+synthesizes one block of events as a pure function of ``(seed, block_id)``
+(deterministic, so a resumed bench regenerates identical data; this is also
+why scripts must not use wall-clock/randomness in the plan).
+
+Stream shape mirrors the reference benchmark's CDC load (sysbench
+oltp_update_index: an update-dominated stream over a fixed key space,
+docs/en/benchmark.md:41-44) plus deletes and hot-conversation skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ape_dts_ray.fixtures import ROLES, TOOLS
+
+TS0 = np.datetime64("2025-01-01T00:00:00", "us")
+
+
+def gen_block(
+    seed: int,
+    block_id: int,
+    block_size: int,
+    n_convs: int,
+    max_turns: int,
+    delete_frac: float = 0.1,
+    hot_frac: float = 0.0,
+    text_len: int = 80,
+) -> pa.Table:
+    """One block of change events, offsets [block_id*block_size, ...)."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, block_id]))
+    n = block_size
+    off = np.arange(block_id * block_size, block_id * block_size + n, dtype=np.int64)
+
+    conv_i = rng.integers(0, n_convs, size=n)
+    if hot_frac > 0:
+        conv_i[rng.random(n) < hot_frac] = 0
+    turn = rng.integers(0, max_turns, size=n).astype(np.int32)
+    is_del = rng.random(n) < delete_frac
+    op = np.where(is_del, "delete", "update").astype(object)
+
+    conv = np.char.add("conv-", np.char.zfill(conv_i.astype(str), 7)).astype(object)
+    role = ROLES[(conv_i + turn) % len(ROLES)].astype(object)
+    tool = TOOLS[(conv_i * 7 + turn) % len(TOOLS)].astype(object)
+    # payload text ~text_len chars, vectorized (repeat a seeded chunk + unique tail)
+    pad = "x" * max(0, text_len - 24)
+    text = np.char.add(
+        np.char.add(np.char.add(conv.astype(str), " t"), turn.astype(str)),
+        np.char.add(np.char.add(" o", off.astype(str)), pad)).astype(object)
+    role[is_del] = None
+    tool[is_del] = None
+    text[is_del] = None
+    ts = TS0 + (off * 1000).astype("timedelta64[us]")
+
+    import pyarrow.compute as pc
+    ts_arr = pc.if_else(pa.array(~is_del), pa.array(ts, type=pa.timestamp("us")),
+                        pa.nulls(n, pa.timestamp("us")))
+    return pa.table({
+        "log_offset": pa.array(off),
+        "op": pa.array(op, type=pa.string()),
+        "conv_id": pa.array(conv, type=pa.string()),
+        "turn_idx": pa.array(turn),
+        "role": pa.array(role, type=pa.string()),
+        "text": pa.array(text, type=pa.string()),
+        "tool": pa.array(tool, type=pa.string()),
+        "ts": ts_arr,
+    })
+
+
+def stream_factory(seed: int, total_events: int, block_size: int,
+                   n_convs: int, max_turns: int, delete_frac: float = 0.1,
+                   hot_frac: float = 0.0, text_len: int = 80):
+    """Returns ``events_factory(window) -> Dataset`` for ``replay(...)``:
+    generates exactly the blocks covering [window.lo, window.hi] in parallel
+    Ray tasks (epoch windows are aligned to block boundaries by choosing
+    epoch_size as a multiple of block_size)."""
+    import ray.data as rd
+
+    def factory(window):
+        b_lo = window.lo // block_size
+        b_hi = window.hi // block_size
+        assert window.lo == b_lo * block_size, "epoch_size must be a multiple of block_size"
+
+        def gen(batch: pa.Table) -> pa.Table:
+            out = [gen_block(seed, int(b), block_size, n_convs, max_turns,
+                             delete_frac, hot_frac, text_len)
+                   for b in batch.column("id").to_pylist()]
+            return pa.concat_tables(out)
+
+        return rd.range(b_hi - b_lo + 1).map_batches(
+            lambda t: t.set_column(0, "id", pa.compute.add(t.column("id"), b_lo)),
+            batch_format="pyarrow").map_batches(
+            gen, batch_format="pyarrow", batch_size=1)
+
+    return factory

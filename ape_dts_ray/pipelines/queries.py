@@ -161,14 +161,14 @@ def cdc_schema_evolution(sf_dir: str) -> pa.Table:
     cut = n // 2
 
     def with_channel(t: pa.Table) -> pa.Table:
-        # runs AFTER window filtering (router_fn hook), and epochs never span
-        # the barrier — so a batch is entirely v0 or v1; v0 batches genuinely
-        # LACK the column (additive evolution, not a pre-nulled column) and
-        # fold_state null-backfills at merge-on-read
+        # batches may mix v0/v1 rows (grouped-epoch execution), so the column
+        # is derived row-level; v0-only batches genuinely LACK the column
+        # (additive evolution) and fold_state null-backfills at merge-on-read
         if t.num_rows == 0 or pc.max(t.column("log_offset")).as_py() < cut:
             return t
+        is_v1 = pc.greater_equal(t.column("log_offset"), pa.scalar(cut, pa.int64()))
         ch = pc.if_else(
-            pc.not_equal(t.column("op"), pa.scalar("delete")),
+            pc.and_(is_v1, pc.not_equal(t.column("op"), pa.scalar("delete"))),
             pc.if_else(pc.equal(t.column("tool"), pa.scalar("search")),
                        pa.scalar("web"), pa.scalar("chat")),
             pa.nulls(t.num_rows, pa.string()))

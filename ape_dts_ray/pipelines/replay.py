@@ -1,35 +1,53 @@
 """End-to-end CDC replay: event log → committed Parquet lake state.
 
-Pipeline per epoch window (SURVEY §7 target shape; lifecycle mirrors the
-reference's CDC task wiring, dt-task/src/task_runner.rs:398-602 +
-dt-pipeline/src/base_pipeline.rs:59-141, re-expressed as ONE Ray Data pipeline
-with exactly one shuffle):
+Pipeline (SURVEY §7 target shape; lifecycle mirrors the reference's CDC task
+wiring, dt-task/src/task_runner.rs:398-602 + dt-pipeline/src/base_pipeline.rs:
+59-141, re-expressed as ONE Ray Data pipeline with exactly one shuffle):
 
-    read events in [lo, hi]           read_parquet(filter=...) | Dataset
-      → normalize (validate, PK-change split)      map_batches, Arrow
-      → event filter / router (optional)           map_batches, Arrow
-      → part_id = hash(PK) with hot-key salt       map_batches, Arrow
-      → groupby(part_id).map_groups(apply)         THE shuffle + stateful write
-      → lineage rows → EpochManifest → atomic commit (driver)
+    read events in [lo, hi]            read_parquet(filter=...) | Dataset | factory
+      → normalize (validate, PK-change split)        map_batches, Arrow
+      → event filter / router (optional)             map_batches, Arrow
+      → _shard = epoch_idx·P + hash(PK) (hot-salted) map_batches, Arrow
+      → groupby(_shard).map_groups(apply)            THE shuffle + delta write
+      → lineage rows → per-epoch manifests → atomic commits in order (driver)
+
+Multiple epoch windows are applied per pipeline execution (``group_epochs``):
+windows have disjoint offset ranges so their (epoch, partition) groups are
+independent — the streaming executor pipelines them without per-epoch
+barriers, and the driver still commits manifests in epoch order. Group size =
+checkpoint granularity (a crash re-runs at most one group).
 
 Epoch windows never span a schema-change offset — the DDL barrier
 (dt-connector/src/extractor/base_extractor.rs:118-124 drains the queue before
-pushing a DDL; we cut the window instead). Resume: windows whose epoch is
-already committed are skipped wholesale (cdc_resumer.rs analog); a partially
-applied window re-runs and its deterministic file names make the re-apply
-idempotent.
+pushing a DDL; we cut the window instead). Resume: committed epochs are
+skipped wholesale (cdc_resumer.rs analog); a partially applied group re-runs
+and its deterministic delta names make the re-apply idempotent.
+
+NOTE batch_size: replay stages use batch_size=None (one batch per block).
+Setting a row-count batch_size on a stage whose upstream emits few-row
+descriptor blocks (range/manifest datasets) makes Ray bundle that many INPUT
+rows into one task and the pipeline collapses to a single task.
 """
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
+# Dataset CONSTRUCTION (read_parquet → filesystem resolution) is not safe to
+# race from overlapped group threads: Ray probes `fsspec.implementations.http`
+# on every read, and with aiohttp absent a concurrent import of that module
+# leaves a partially-initialized module that raises a plain ImportError (not
+# the ModuleNotFoundError Ray catches). Construction is cheap (metadata only)
+# — serialize it; EXECUTION stays concurrent.
+_DS_BUILD_LOCK = threading.Lock()
+
 from ape_dts_ray.meta import COL_OFFSET, EngineConfig
-from ape_dts_ray.partition import add_partition_column
-from ape_dts_ray.stages.apply import make_apply_fn
+from ape_dts_ray.stages.apply import COL_SHARD, add_shard_column, make_apply_fn
 from ape_dts_ray.stages.normalize import normalize_batch
 from ape_dts_ray.state.lake import LakeTable
 from ape_dts_ray.state.manifest import EpochManifest, PartitionLineage
@@ -74,28 +92,34 @@ def plan_epochs(max_offset: int, epoch_size: int,
     return windows
 
 
-def replay_window(
+def apply_windows(
     lake: LakeTable,
-    window: EpochWindow,
+    windows: list[EpochWindow],
     events_path: str | list[str] | None = None,
     events_ds=None,
+    window_prefiltered: bool = False,
     event_filter=None,
     router_fn=None,
     batch_size: int | None = None,
     read_columns: list[str] | None = None,
-) -> EpochManifest:
-    """Apply one epoch window and return its (uncommitted) manifest."""
+) -> list[EpochManifest]:
+    """Apply a contiguous run of epoch windows in one pipeline execution;
+    returns their (uncommitted) manifests in epoch order."""
     import ray.data as rd
 
     cfg: EngineConfig = lake.config
-    bs = batch_size or cfg.batch_size
+    lo, hi = windows[0].lo, windows[-1].hi
+    bs = batch_size
 
-    if events_ds is None:
+    if window_prefiltered:
+        pass
+    elif events_ds is None:
         # row-group pushdown on the offset range — prune at the read
-        expr = (pads.field(COL_OFFSET) >= window.lo) & (pads.field(COL_OFFSET) <= window.hi)
-        events_ds = rd.read_parquet(events_path, filter=expr, columns=read_columns)
+        expr = (pads.field(COL_OFFSET) >= lo) & (pads.field(COL_OFFSET) <= hi)
+        with _DS_BUILD_LOCK:
+            events_ds = rd.read_parquet(events_path, filter=expr,
+                                        columns=read_columns)
     else:
-        lo, hi = window.lo, window.hi
         events_ds = events_ds.map_batches(
             lambda t: t.filter(pc.and_(
                 pc.greater_equal(t.column(COL_OFFSET), lo),
@@ -110,36 +134,64 @@ def replay_window(
 
     hot = frozenset(cfg.hot_keys) if cfg.hot_keys else None
     nparts = cfg.num_partitions
+    epoch_los = np.array([w.lo for w in windows], dtype=np.int64)
+    epoch_ids = np.array([w.epoch for w in windows], dtype=np.int64)
     ds = ds.map_batches(
-        lambda t: add_partition_column(t, nparts, hot),
+        lambda t: add_shard_column(t, epoch_los, epoch_ids, nparts, hot),
         batch_format="pyarrow", batch_size=bs)
 
-    apply_fn = make_apply_fn(lake.root, window.epoch, lake.meta.id_cols)
-    lineage_ds = ds.groupby("part_id").map_groups(apply_fn, batch_format="pyarrow")
-    lineage_rows = lineage_ds.take_all()   # ≤ num_partitions rows — small by design
+    apply_fn = make_apply_fn(lake.root, nparts, lake.meta.id_cols)
+    lineage_ds = ds.groupby(COL_SHARD).map_groups(apply_fn, batch_format="pyarrow")
+    lineage_rows = lineage_ds.take_all()   # ≤ windows × partitions rows — small
 
-    manifest = EpochManifest(
-        epoch=window.epoch, offset_min=window.lo, offset_max=window.hi,
-        schema_version=window.schema_version,
-        partitions=[PartitionLineage(**r) for r in
-                    sorted(lineage_rows, key=lambda r: r["part_id"])])
-    return manifest
+    by_epoch: dict[int, list[dict]] = {}
+    for r in lineage_rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    manifests = []
+    for w in windows:
+        rows = sorted(by_epoch.get(w.epoch, []), key=lambda r: r["part_id"])
+        manifests.append(EpochManifest(
+            epoch=w.epoch, offset_min=w.lo, offset_max=w.hi,
+            schema_version=w.schema_version,
+            partitions=[PartitionLineage(**{k: v for k, v in r.items()
+                                            if k != "epoch"}) for r in rows]))
+    return manifests
+
+
+def replay_window(lake: LakeTable, window: EpochWindow, **kw) -> EpochManifest:
+    """Apply one epoch window and return its (uncommitted) manifest."""
+    return apply_windows(lake, [window], **kw)[0]
 
 
 def replay(
     lake: LakeTable,
     events_path: str | list[str] | None = None,
     events_ds=None,
+    events_factory=None,
     max_offset: int | None = None,
     min_offset: int = 0,
     barriers: list[tuple[int, int]] | None = None,
     event_filter=None,
     router_fn=None,
     stop_after_epoch: int | None = None,
+    group_epochs: int = 4,
+    pipeline_depth: int = 2,
 ) -> list[EpochManifest]:
     """Full replay driver: plan windows, skip committed epochs (resume), apply
-    + commit the rest in order. ``stop_after_epoch`` simulates a crash for
-    exactly-once tests."""
+    + commit the rest in order, ``group_epochs`` windows per pipeline
+    execution. ``stop_after_epoch`` simulates a crash for exactly-once tests.
+
+    ``events_factory(window) -> Dataset`` produces exactly the given window
+    span's events (already offset-bounded) — used by bench/generated streams
+    so each group synthesizes only its own slice; requires ``max_offset``.
+
+    ``pipeline_depth`` > 1 overlaps up to that many group executions (driver
+    threads; Ray schedules their tasks jointly) while manifests still commit
+    strictly in epoch order — the ape-dts extractor/pipeline overlap
+    (task_runner.rs:531-556 joins both tokio tasks) at group granularity.
+    Exactly-once is unaffected: a group is visible only once every EARLIER
+    epoch committed, and delta names stay deterministic.
+    """
     import pyarrow.parquet as pq
 
     if max_offset is None:
@@ -158,14 +210,38 @@ def replay(
 
     windows = plan_epochs(max_offset, lake.config.epoch_size, barriers, min_offset)
     committed = set(lake.committed_epochs())
-    done = []
-    for w in windows:
-        if w.epoch in committed or w.hi <= lake.compacted_watermark():
-            continue
-        m = replay_window(lake, w, events_path=events_path, events_ds=events_ds,
-                          event_filter=event_filter, router_fn=router_fn)
-        lake.commit_epoch(m, schema_version=w.schema_version)
-        done.append(m)
-        if stop_after_epoch is not None and w.epoch >= stop_after_epoch:
-            break
+    pending = [w for w in windows
+               if w.epoch not in committed and w.hi > lake.compacted_watermark()]
+    if stop_after_epoch is not None:
+        pending = [w for w in pending if w.epoch <= stop_after_epoch]
+
+    def run_chunk(chunk: list[EpochWindow]) -> list[EpochManifest]:
+        if events_factory is not None:
+            span = EpochWindow(chunk[0].epoch, chunk[0].lo, chunk[-1].hi)
+            return apply_windows(lake, chunk, events_ds=events_factory(span),
+                                 window_prefiltered=True,
+                                 event_filter=event_filter, router_fn=router_fn)
+        return apply_windows(lake, chunk, events_path=events_path,
+                             events_ds=events_ds,
+                             event_filter=event_filter, router_fn=router_fn)
+
+    g = max(1, group_epochs)
+    chunks = [pending[i:i + g] for i in range(0, len(pending), g)]
+    done: list[EpochManifest] = []
+    if pipeline_depth <= 1 or len(chunks) <= 1:
+        for chunk in chunks:
+            ms = run_chunk(chunk)
+            for m in ms:   # commit in epoch order — the watermark only advances
+                lake.commit_epoch(m, schema_version=m.schema_version)
+            done.extend(ms)
+        return done
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=pipeline_depth) as pool:
+        futures = [pool.submit(run_chunk, c) for c in chunks]
+        for fut in futures:            # iterate in chunk order ⇒ ordered commits
+            ms = fut.result()
+            for m in ms:
+                lake.commit_epoch(m, schema_version=m.schema_version)
+            done.extend(ms)
     return done

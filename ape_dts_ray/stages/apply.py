@@ -1,16 +1,23 @@
-"""The apply stage: per-partition LWW merge + delta write + lineage.
+"""The apply stage: per-(epoch, partition) LWW merge + delta write + lineage.
 
 This is the Ray-Data translation of ape-dts's MergeParallelizer + sinker pool
 (dt-parallelizer/src/merge_parallelizer.rs:53-191 + rdb_merger.rs:74-120): the
-epoch's events are hash-shuffled by lake partition (``groupby(part_id)``), and
-each group is folded to one row per primary key (last writer by
-(log_offset, seq) wins; deletes kept as tombstones), then written as ONE delta
-Parquet file whose name is a deterministic function of (epoch, partition) —
-the retry-safe, exactly-once write (see state/manifest.py).
+events are hash-shuffled by lake partition, and each (epoch, partition) group
+is folded to one row per primary key (last writer by (log_offset, seq) wins;
+deletes kept as tombstones), then written as ONE delta Parquet file whose name
+is a deterministic function of (epoch, partition) — the retry-safe,
+exactly-once write (see state/manifest.py).
 
-The task returns a single lineage row (PartitionLineage analog of S3FileMeta,
-s3_file_meta.rs:10-22); the driver assembles the epoch manifest from those and
-commits it atomically.
+Several epoch windows are applied in a single pipeline execution: the shuffle
+key is ``_shard = epoch_index * num_partitions + part_id``, so one sort fans
+out every (epoch, partition) group and no per-epoch barrier exists — the
+streaming executor keeps all stages busy across epochs (the driver still
+commits manifests in epoch order). Epoch windows have disjoint offset ranges,
+so cross-epoch concurrency cannot violate LWW ordering (merge-on-read sorts by
+(_epoch, log_offset, seq)).
+
+Each task returns lineage rows (PartitionLineage analog of S3FileMeta,
+s3_file_meta.rs:10-22); the driver assembles per-epoch manifests from them.
 
 Unlike the reference there is NO serial fallback path: NULL keys are rejected
 and PK-changes are pre-split (stages/normalize.py), so every group is
@@ -26,21 +33,52 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ape_dts_ray.meta import COL_EPOCH, COL_OFFSET, COL_OP, OP_DELETE
-from ape_dts_ray.partition import COL_PART
 from ape_dts_ray.stages.merge import lww_last
-from ape_dts_ray.state.manifest import atomic_write_parquet
+
+COL_SHARD = "_shard"
+
+LINEAGE_SCHEMA = pa.schema([
+    ("epoch", pa.int64()), ("part_id", pa.int32()), ("file", pa.string()),
+    ("rows", pa.int64()), ("events", pa.int64()), ("upserts", pa.int64()),
+    ("deletes", pa.int64()), ("offset_min", pa.int64()), ("offset_max", pa.int64()),
+])
 
 
-def make_apply_fn(lake_root: str, epoch: int, id_cols: tuple[str, ...],
-                  delta_path_fmt: str | None = None):
-    """Build the ``map_groups`` body for one epoch. Captures only plain
-    strings/ints (cheap to ship to tasks; no driver state)."""
+def _lineage_table(rows: list[dict]) -> pa.Table:
+    if not rows:
+        return LINEAGE_SCHEMA.empty_table()
+    return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
+
+
+def add_shard_column(batch: pa.Table, epoch_los: np.ndarray, epoch_ids: np.ndarray,
+                     num_partitions: int, hot_keys=None) -> pa.Table:
+    """Append ``_shard`` = epoch_index * P + part_id (vectorized).
+
+    ``epoch_los``: ascending window lower bounds; ``epoch_ids``: the epoch
+    number of each window (epoch = ids[searchsorted(los, offset, 'right')-1]).
+    """
+    from ape_dts_ray.partition import partition_ids
+
+    off = batch.column(COL_OFFSET).to_numpy(zero_copy_only=False)
+    idx = np.searchsorted(epoch_los, off, side="right") - 1
+    epochs = epoch_ids[idx]
+    conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+    turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+    pid = partition_ids(conv, turn, num_partitions, hot_keys)
+    shard = epochs.astype(np.int64) * num_partitions + pid
+    return batch.append_column(COL_SHARD, pa.array(shard))
+
+
+def make_apply_fn(lake_root: str, num_partitions: int, id_cols: tuple[str, ...]):
+    """Build the ``map_groups`` body. Captures only plain strings/ints (cheap
+    to ship to tasks; no driver state)."""
 
     def apply_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _lineage_table([])
-        part_id = int(group.column(COL_PART)[0].as_py())
-        events = group.drop_columns([COL_PART])
+        shard = int(group.column(COL_SHARD)[0].as_py())
+        epoch, part_id = divmod(shard, num_partitions)
+        events = group.drop_columns([COL_SHARD])
         merged = lww_last(events, key_cols=id_cols)
         n = merged.num_rows
         is_del = pc.equal(merged.column(COL_OP), pa.scalar(OP_DELETE))
@@ -51,10 +89,18 @@ def make_apply_fn(lake_root: str, epoch: int, id_cols: tuple[str, ...],
         path = os.path.join(
             lake_root, "delta", f"epoch-{epoch:08d}", f"part-{part_id:05d}.parquet")
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        # plain write: the final name is deterministic per (epoch, partition),
+        # and the manifest commit (driver-side, after ALL writes of the epoch
+        # succeeded) is the atomicity point — a torn file from a crashed task
+        # belongs to an uncommitted epoch and is overwritten on retry/resume
+        import pyarrow.parquet as pq
+
+        from ape_dts_ray.state.manifest import atomic_write_parquet
         atomic_write_parquet(merged, path, compression="zstd")
 
         offs = events.column(COL_OFFSET)
         row = {
+            "epoch": epoch,
             "part_id": part_id,
             "file": os.path.relpath(path, lake_root),
             "rows": n,
@@ -67,16 +113,3 @@ def make_apply_fn(lake_root: str, epoch: int, id_cols: tuple[str, ...],
         return _lineage_table([row])
 
     return apply_group
-
-
-LINEAGE_SCHEMA = pa.schema([
-    ("part_id", pa.int32()), ("file", pa.string()), ("rows", pa.int64()),
-    ("events", pa.int64()), ("upserts", pa.int64()), ("deletes", pa.int64()),
-    ("offset_min", pa.int64()), ("offset_max", pa.int64()),
-])
-
-
-def _lineage_table(rows: list[dict]) -> pa.Table:
-    if not rows:
-        return LINEAGE_SCHEMA.empty_table()
-    return pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
