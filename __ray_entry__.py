@@ -46,7 +46,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_checker": q.cdc_checker,
         "cdc_schema_evolution": q.cdc_schema_evolution,
         "dedup_exact": q.dedup_exact,
+        "dedup_minhash": q.dedup_minhash,
+        "dedup_simhash": q.dedup_simhash,
+        "ann_topk": q.ann_topk,
+        "ann_ivf": q.ann_ivf,
         "text_stats": q.text_stats,
+        "text_quality_counts": q.text_quality_counts,
+        "text_langid": q.text_langid,
+        "doc_fingerprint": q.doc_fingerprint,
     }
 
 
@@ -144,4 +151,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS text_len
             FROM documents
         """,
+        "text_quality_counts": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS text_len,
+                   CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+                   CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe
+              FROM embeddings WHERE vec_id < 5
+            ),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qe, e.embedding) AS c
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+              FROM sims
+            )
+            SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+        # dedup_minhash / dedup_simhash / ann_ivf / text_langid /
+        # doc_fingerprint: deterministic but not reasonably SQL-expressible
+        # (LSH banding, signature hashing, heuristic voting) → rows-only check.
     }

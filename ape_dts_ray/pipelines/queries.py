@@ -208,6 +208,97 @@ def dedup_exact(sf_dir: str):
     return ds.groupby("_h").map_groups(first_per_text, batch_format="pyarrow")
 
 
+def text_quality_counts(sf_dir: str):
+    """Quality-scoring integer primitives (functions/text.py) — SQL oracle via
+    regexp counts."""
+    import ray.data as rd
+
+    from ape_dts_ray.functions.text import quality_counts
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        quality_counts, batch_format="pyarrow")
+
+
+def text_langid(sf_dir: str):
+    """Stopword-vote language ID (deterministic heuristic; rows-only check)."""
+    import ray.data as rd
+
+    from ape_dts_ray.functions.text import LangId
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", concurrency=2)
+
+
+def doc_fingerprint(sf_dir: str):
+    """Winnowing-style rolling-hash fingerprints (rows-only check)."""
+    import ray.data as rd
+
+    from ape_dts_ray.functions.text import Fingerprint
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).map_batches(
+        Fingerprint, batch_format="pandas", concurrency=2)
+
+
+def dedup_minhash(sf_dir: str):
+    """MinHash-LSH near-dup pairs over documents (rows-only; deterministic)."""
+    import ray.data as rd
+
+    from ape_dts_ray.functions.dedup import minhash_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return minhash_dedup(ds, threshold=0.6, bands=32)
+
+
+def dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs over documents (rows-only; deterministic)."""
+    import ray.data as rd
+
+    from ape_dts_ray.functions.dedup import simhash_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return simhash_dedup(ds, max_hamming=3)
+
+
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 of the first 5 embeddings against the corpus
+    — exact, so it carries a SQL oracle (list_cosine_similarity)."""
+    import ray.data as rd
+
+    from ape_dts_ray.functions.similarity import brute_force_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qdf = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filter=pads.field("vec_id") < 5).to_pandas()
+    queries = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+               for r in qdf.itertuples()}
+    out = brute_force_topk(ds, queries, k=10)
+    return out[["query_id", "vec_id", "rank"]]
+
+
+def ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 (scale path; rows-only check)."""
+    import ray.data as rd
+
+    from ape_dts_ray.functions.similarity import ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qdf = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filter=pads.field("vec_id") < 5).to_pandas()
+    queries = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+               for r in qdf.itertuples()}
+    out = ivf_topk(ds, queries, k=10, n_centroids=16, n_probe=4)
+    return out[["query_id", "vec_id", "rank"]]
+
+
 def text_stats(sf_dir: str):
     """Quality-scoring primitives (integer outputs for exact oracle compare):
     token count (single-space split), char length, uppercase-letter count."""

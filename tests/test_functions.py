@@ -1,0 +1,141 @@
+"""Training-data ops: dedup / similarity / text / multimodal."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from ape_dts_ray.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture()
+def corpus():
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest while birds sing songs above") * 3
+    docs = []
+    for i in range(20):
+        docs.append((i, f"unique document number {i} " +
+                     " ".join(f"w{i}x{j}" for j in range(40))))
+    docs.append((100, base))
+    docs.append((101, base.replace("lazy", "sleepy")))       # near-dup of 100
+    docs.append((102, base))                                  # exact dup of 100
+    docs.append((103, "totally different tiny text"))
+    return pd.DataFrame(docs, columns=["doc_id", "text"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_dedup_finds_planted_neardups(corpus):
+    ds = rd.from_pandas(corpus)
+    out = dedup.minhash_dedup(ds, threshold=0.6, bands=32)
+    got = set(zip(out["doc_id"], out["dup_of"]))
+    assert (101, 100) in got and (102, 100) in got
+    assert all(d >= 100 for d, _ in got)     # no false positives among uniques
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_dedup(corpus):
+    ds = rd.from_pandas(corpus)
+    out = dedup.simhash_dedup(ds, max_hamming=3)
+    pairs = set(zip(out["a"], out["b"]))
+    assert (100, 102) in pairs               # identical text, hamming 0
+    assert (100, 101) in pairs or (101, 102) in pairs  # near-dup within 3 bits
+
+
+def test_jaccard_and_signature_determinism():
+    t = "a b c d e f g h i j k l"
+    s1, s2 = dedup.minhash_signature(t), dedup.minhash_signature(t)
+    assert (s1 == s2).all()
+    assert dedup.jaccard(t, t) == 1.0
+    assert dedup.jaccard(t, "z y x w v u t s r q p o") == 0.0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dedup_and_topk():
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((50, 16))
+    V[13] = V[7] + rng.standard_normal(16) * 0.01     # planted near-dup
+    df = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64),
+                       "embedding": list(V.astype(np.float32))})
+    ds = rd.from_pandas(df)
+    pairs = dedup.embedding_dedup(ds, threshold=0.95)
+    assert (7, 13) in set(zip(pairs["a"], pairs["b"]))
+
+    queries = {0: V[3], 1: V[20]}
+    out = similarity.brute_force_topk(ds, queries, k=5)
+    # numpy oracle
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for qid, qv in queries.items():
+        qn = qv / np.linalg.norm(qv)
+        sims = Vn @ qn
+        expect = np.lexsort((np.arange(50), -sims))[:5]
+        got = out[out["query_id"] == qid].sort_values("rank")["vec_id"].to_numpy()
+        assert (got == expect).all()
+    assert out[(out["query_id"] == 0) & (out["rank"] == 1)]["vec_id"].iloc[0] == 3
+
+    # IVF: approximate, but rank-1 self-hit must survive bucket probing
+    ivf = similarity.ivf_topk(ds, queries, k=5, n_centroids=8, n_probe=4)
+    assert ivf[(ivf["query_id"] == 0) & (ivf["rank"] == 1)]["vec_id"].iloc[0] == 3
+
+
+def test_langid_and_quality():
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat and the dog are in the house with a mouse",
+                 "el perro y el gato en la casa con un ratón para los niños",
+                 "der Hund und die Katze sind in dem Haus mit einer Maus",
+                 "zzz qqq www"],
+    })
+    out = text.LangId()(df)
+    assert list(out["lang_pred"]) == ["en", "es", "de", "und"]
+
+    q = text.QualityScore()(df)
+    assert (q["quality"] >= 0).all() and (q["quality"] <= 1).all()
+    assert q["quality"].iloc[0] > q["quality"].iloc[3]   # real text beats junk
+
+    counts = text.quality_counts(pa.Table.from_pandas(df))
+    assert counts.column("n_tokens").to_pylist()[0] == 12
+    tc = text.TokenCount()(df)
+    assert (tc["bpe_tokens"] >= tc["ws_tokens"]).all()
+
+
+def test_fingerprint_rolling_hash():
+    fp = text.Fingerprint(window=8, k=4)
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["abcdefghijklmnop", "abcdefghijklmnop", "short"]})
+    out = fp(df)
+    assert out["fingerprint"].iloc[0] == out["fingerprint"].iloc[1]
+    assert out["fingerprint"].iloc[0] != out["fingerprint"].iloc[2]
+    h1 = text.rolling_hashes(b"hello world, hello world", 8)
+    h2 = text.rolling_hashes(b"hello world, hello world", 8)
+    assert (h1 == h2).all() and len(h1) == 24 - 8 + 1
+    # identical windows hash identically ("hello wo" appears at 0 and 13)
+    assert h1[0] == h1[13]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_pipeline_plumbing():
+    tbl = multimodal.synthesize_media_table(20, payload_bytes=1024)
+    ds = rd.from_arrow(tbl)
+    out = multimodal.media_feature_pipeline(ds, out_size=8, target=4,
+                                            batch_size=8, concurrency=2)
+    rows = out.take_all()
+    assert len(rows) == 20
+    assert all(len(r["feature"]) == 4 for r in rows)
+    # deterministic: same payload → same feature
+    again = multimodal.media_feature_pipeline(
+        rd.from_arrow(tbl), out_size=8, target=4).take_all()
+    a = {r["media_id"]: r["feature"] for r in rows}
+    b = {r["media_id"]: r["feature"] for r in again}
+    assert a == b
+
+
+def test_decode_strict_raises_without_codec():
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; strict mode would not raise")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeImage(strict=True)
