@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_read": q.cdc_snapshot_read,
         "cdc_checker": q.cdc_checker,
         "cdc_schema_evolution": q.cdc_schema_evolution,
+        "cdc_time_window": q.cdc_time_window,
+        "cdc_sql_format": q.cdc_sql_format,
         "dedup_exact": q.dedup_exact,
         "dedup_minhash": q.dedup_minhash,
         "dedup_simhash": q.dedup_simhash,
@@ -88,6 +90,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_snapshot_read": """
             SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200
+        """,
+        "cdc_time_window": CHANGES_CTE + """
+            SELECT log_offset, conv_id, turn_idx, ts
+            FROM changes
+            WHERE op IN ('insert', 'update')
+              AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-20 00:00:00'
         """,
         "cdc_checker": CHANGES_CTE + "," + _LAST + """,
             src AS (

@@ -123,20 +123,31 @@ def revise(lake, src_ds, check_ds,
     bad = [r for r in bad if r["check_type"] in (CHECK_MISS, CHECK_DIFF)]
     if not bad:
         return 0
-    # broadcast the (small) defect key set; semi-join filter inside map_batches
-    keyset = {"\x00".join(str(r[c]) for c in key_cols) for r in bad}
+    # broadcast the (small) defect key set; semi-join filter inside map_batches.
+    # separator is \x1f (unit separator) — NUL would be silently truncated by
+    # numpy/pandas fixed-width string paths
+    keyset = {"\x1f".join(str(r[c]) for c in key_cols) for r in bad}
     kc = list(key_cols)
 
-    def pick(t: pa.Table) -> pa.Table:
+    def pick(t: pa.Table):      # generator UDF: empty matches yield nothing
+        if t.num_rows == 0 or kc[0] not in t.column_names:
+            return
         df = t.to_pandas()
         combined = df[kc[0]].astype(str)
         for c in kc[1:]:
-            combined = combined + "\x00" + df[c].astype(str)
-        return pa.Table.from_pandas(df[combined.isin(keyset)], preserve_index=False)
+            combined = combined + "\x1f" + df[c].astype(str)
+        picked = df[combined.isin(keyset)]
+        if not picked.empty:
+            yield pa.Table.from_pandas(picked, preserve_index=False)
 
     fixes = src_ds.map_batches(pick, batch_format="pyarrow")
     batches = list(fixes.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return 0
     fix_tbl = pa.concat_tables(batches)
+    engine_cols = [c for c in ("log_offset", "seq", "op", "_epoch", "part_id")
+                   if c in fix_tbl.column_names]
+    fix_tbl = fix_tbl.drop_columns(engine_cols)
     wm = lake.watermark()
     n = fix_tbl.num_rows
     ev = fix_tbl.append_column("log_offset", pa.array(

@@ -181,6 +181,29 @@ def cdc_schema_evolution(sf_dir: str) -> pa.Table:
     return lake.state_table()
 
 
+def cdc_time_window(sf_dir: str):
+    """start/end time-window filter (time_filter.rs:5-40 analog): only events
+    inside [2024-01-10, 2024-01-20) pass."""
+    from ape_dts_ray.stages.filter import EventFilter
+
+    lo = pa.scalar(np.datetime64("2024-01-10T00:00:00", "us"))
+    hi = pa.scalar(np.datetime64("2024-01-20T00:00:00", "us"))
+    f = EventFilter(do_events=("insert", "update"),
+                    where_expr=(pc.field("ts") >= lo) & (pc.field("ts") < hi))
+    return changes_dataset(sf_dir).map_batches(
+        f, batch_format="pyarrow").select_columns(
+        ["log_offset", "conv_id", "turn_idx", "ts"])
+
+
+def cdc_sql_format(sf_dir: str):
+    """SqlSinker analog: forward SQL per change event (rows-only check —
+    deterministic string assembly)."""
+    from ape_dts_ray.stages.sql_format import format_sql
+
+    return changes_dataset(sf_dir).map_batches(
+        format_sql, batch_format="pyarrow")
+
+
 # ---------- training-data ops over documents / embeddings ----------
 
 def dedup_exact(sf_dir: str):

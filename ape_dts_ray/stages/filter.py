@@ -72,15 +72,28 @@ class EventFilter:
     snapshot ``where_condition`` (base_extractor.rs:190-205) and should also be
     handed to ``read_parquet(filter=...)`` for row-group pushdown.
     ``ignore_cols`` mirrors per-table ignore_cols (projection).
+    ``exclude_origins`` is the DataMarker cyclic-replication breaker
+    (dt-connector/src/data_marker.rs; base_extractor.rs:84-111): in a two-way
+    topology the sink stamps every applied event with its node id in an
+    ``origin`` column, and the extractor side drops events whose origin is
+    itself — the marker-transaction check flattened to a per-event column.
     """
 
     do_events: tuple[str, ...] = ("insert", "update", "delete")
     where_expr: "pc.Expression | None" = None
     ignore_cols: tuple[str, ...] = ()
+    exclude_origins: tuple[str, ...] = ()
+    origin_col: str = "origin"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch.column("op"), value_set=pa.array(self.do_events))
         batch = batch.filter(mask)
+        if self.exclude_origins and self.origin_col in batch.column_names:
+            keep = pc.invert(pc.is_in(batch.column(self.origin_col),
+                                      value_set=pa.array(self.exclude_origins)))
+            # NULL origin (locally originated) is always kept
+            keep = pc.or_kleene(keep, batch.column(self.origin_col).is_null())
+            batch = batch.filter(keep)
         if self.where_expr is not None:
             batch = batch.filter(self.where_expr)
         drop = [c for c in self.ignore_cols if c in batch.column_names]

@@ -56,9 +56,24 @@ class LakeTable:
     # ---------- lifecycle ----------
     @classmethod
     def create(cls, root: str, meta: TableMeta | None = None,
-               config: EngineConfig | None = None) -> "LakeTable":
+               config: EngineConfig | None = None,
+               if_exists: str = "error") -> "LakeTable":
+        """Structure-migration analog (struct sinkers' conflict policy,
+        mysql_struct_sinker.rs / struct/config ConflictPolicy ignore|interrupt):
+        ``if_exists`` = "error" (interrupt) | "ignore" (open existing) |
+        "overwrite"."""
         meta = meta or TableMeta()
         config = config or EngineConfig()
+        if os.path.exists(os.path.join(root, TABLE_FILE)):
+            if if_exists == "ignore":
+                return cls.open(root)
+            if if_exists == "overwrite":
+                import shutil
+                shutil.rmtree(root)
+            elif if_exists == "error":
+                raise FileExistsError(f"lake table already exists at {root}")
+            else:
+                raise ValueError(f"invalid if_exists: {if_exists!r}")
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, "base"), exist_ok=True)
         os.makedirs(os.path.join(root, "delta"), exist_ok=True)
@@ -172,9 +187,9 @@ class LakeTable:
         parts = [{"part_id": p} for p in range(self.config.num_partitions)]
         root, meta, cfg, sv = self.root, self.meta, self.config, self.schema_version
 
-        def fold(batch: pa.Table) -> pa.Table:
-            lake = LakeTable(root, meta, cfg, sv)
-            out = []
+        def fold(batch: pa.Table):   # generator UDF: empty partitions yield
+            lake = LakeTable(root, meta, cfg, sv)   # nothing (no null-schema
+            out = []                                 # blocks polluting unions)
             for pid in batch.column("part_id").to_pylist():
                 files = lake.partition_files(pid)
                 if not files:
@@ -182,9 +197,8 @@ class LakeTable:
                 t = lake._fold_files(files, columns=columns)
                 if t is not None and t.num_rows:
                     out.append(t)
-            if not out:
-                return pa.table({})
-            return pa.concat_tables(merge_mod.unify_tables(out))
+            if out:
+                yield pa.concat_tables(merge_mod.unify_tables(out))
 
         ds = rd.from_items(parts).map_batches(
             fold, batch_format="pyarrow", batch_size=1,

@@ -1,0 +1,201 @@
+"""Operator-family tests: snapshot load, check/revise, SQL formatter, origin
+marker (cyclic replication), time filter, struct conflict policy, processor
+hook — the scenario families of FIXTURES.md §3 / reference test dirs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from ape_dts_ray.fixtures import gen_events, oracle_replay
+from ape_dts_ray.meta import EngineConfig, TableMeta
+from ape_dts_ray.pipelines.checker import (CHECK_DIFF, CHECK_MISS,
+                                           check_datasets, revise,
+                                           write_check_logs)
+from ape_dts_ray.pipelines.replay import replay
+from ape_dts_ray.pipelines.snapshot import load_snapshot, snapshot_finished
+from ape_dts_ray.stages.filter import EventFilter
+from ape_dts_ray.stages.processor import ProcessorError, UserProcessor
+from ape_dts_ray.stages.sql_format import format_sql
+from ape_dts_ray.state.lake import LakeTable
+
+
+def _mk_lake(tmp_path, name="lake", **cfg):
+    defaults = dict(num_partitions=8, epoch_size=4000)
+    defaults.update(cfg)
+    return LakeTable.create(str(tmp_path / name), TableMeta(),
+                            EngineConfig(**defaults))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_then_cdc(tmp_path):
+    """Snapshot full-load, then CDC replay upserts over it — the
+    snapshot+cdc handoff (reference: snapshot task then cdc task)."""
+    events = gen_events(seed=12, n_convs=40, max_turns=8, n_events=3000,
+                        delete_frac=0.2)
+    # snapshot = oracle state of the insert-only prefix
+    n_ins = 40 * 8
+    snap_events = events.slice(0, n_ins)
+    snapshot = pa.Table.from_pandas(oracle_replay(snap_events),
+                                    preserve_index=False)
+    lake = _mk_lake(tmp_path)
+    marker = load_snapshot(lake, rd.from_arrow(snapshot))
+    assert snapshot_finished(lake)
+    assert marker["rows"] == snapshot.num_rows
+    assert lake.state_table().num_rows == snapshot.num_rows
+
+    # CDC tail on top (offsets n_ins..)
+    path = str(tmp_path / "tail.parquet")
+    pq.write_table(events.slice(n_ins), path)
+    replay(lake, events_path=path, min_offset=n_ins)
+    state = lake.state_table().to_pandas()
+    oracle = oracle_replay(events)
+    assert len(state) == len(oracle)
+    pd.testing.assert_series_equal(state["text"], oracle["text"],
+                                   check_dtype=False, check_names=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_check_revise_roundtrip(tmp_path):
+    """Corrupt lake state out-of-band → checker emits exactly the defect set →
+    revise re-applies source truth → re-check comes back clean (check/revise/
+    review lifecycle, docs/en/snapshot/{check,revise,review}.md)."""
+    events = gen_events(seed=15, n_convs=30, max_turns=6, n_events=2000,
+                        delete_frac=0.1)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+    src_lake = _mk_lake(tmp_path, "src")
+    replay(src_lake, events_path=path)
+
+    # corrupted copy: drop 3 rows (miss) + mangle 2 texts (diff)
+    state = src_lake.state_table()
+    n = state.num_rows
+    corrupted = state.to_pandas()
+    dropped = corrupted.iloc[:3][["conv_id", "turn_idx"]]
+    mangled = corrupted.iloc[5:7][["conv_id", "turn_idx"]]
+    corrupted = corrupted.iloc[3:].copy()
+    corrupted.iloc[2:4, corrupted.columns.get_loc("text")] = "CORRUPTED"
+    dst_lake = _mk_lake(tmp_path, "dst")
+    load_snapshot(dst_lake, rd.from_pandas(corrupted))
+
+    check = check_datasets(src_lake.state_dataset(), dst_lake.state_dataset(),
+                           num_partitions=8)
+    rows = check.take_all()
+    miss = {(r["conv_id"], r["turn_idx"]) for r in rows
+            if r["check_type"] == CHECK_MISS}
+    diff = {(r["conv_id"], r["turn_idx"]) for r in rows
+            if r["check_type"] == CHECK_DIFF}
+    assert miss == set(map(tuple, dropped.itertuples(index=False)))
+    assert diff == set(map(tuple, mangled.itertuples(index=False)))
+
+    counts = write_check_logs(check, str(tmp_path / "checklogs"))
+    assert counts == {"miss": 3, "diff": 2}
+    assert (tmp_path / "checklogs" / "miss.log").exists()
+
+    n_revised = revise(dst_lake, src_lake.state_dataset(), check)
+    assert n_revised == 5
+    recheck = check_datasets(src_lake.state_dataset(), dst_lake.state_dataset(),
+                             num_partitions=8)
+    assert recheck.count() == 0
+    assert dst_lake.state_table().num_rows == n
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sql_formatter():
+    t = pa.table({
+        "log_offset": pa.array([1, 2], pa.int64()),
+        "op": pa.array(["insert", "delete"]),
+        "conv_id": pa.array(["c'1", "c2"]),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": pa.array(["user", None]),
+        "text": pa.array(["hi", None]),
+        "tool": pa.array(["", None]),
+    })
+    fwd = format_sql(t)["sql"].to_pylist()
+    assert fwd[0].startswith("REPLACE INTO transcripts") and "c''1" in fwd[0]
+    assert fwd[1] == "DELETE FROM transcripts WHERE conv_id = 'c2' AND turn_idx = 1;"
+    rev = format_sql(t, reverse=True)["sql"].to_pylist()
+    assert rev[0].startswith("DELETE FROM")          # reverse(insert) = delete
+    assert rev[1].startswith("-- cannot reverse")    # needs before-image
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_origin_marker_filter(tmp_path):
+    """Two-way topology: events stamped with our own node id are dropped
+    before apply (DataMarker semantics, docs/en/cdc/two_way.md)."""
+    events = gen_events(seed=8, n_convs=10, max_turns=4, n_events=500,
+                        delete_frac=0.0)
+    origins = np.array([None, "node_a", "node_b"], dtype=object)[
+        np.arange(events.num_rows) % 3]
+    events = events.append_column("origin", pa.array(origins, pa.string()))
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+
+    lake = _mk_lake(tmp_path)
+    f = EventFilter(exclude_origins=("node_a",))
+    replay(lake, events_path=path, event_filter=f)
+    kept = events.filter(pc.or_kleene(
+        pc.not_equal(events.column("origin"), pa.scalar("node_a")),
+        events.column("origin").is_null()))
+    oracle = oracle_replay(kept.drop_columns(["origin"]))
+    state = lake.state_table().to_pandas()
+    assert len(state) == len(oracle)
+    pd.testing.assert_series_equal(state["text"], oracle["text"],
+                                   check_dtype=False, check_names=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_time_filter(tmp_path):
+    """start/end time window (time_filter.rs:5-40 analog): only events inside
+    the window apply."""
+    events = gen_events(seed=4, n_convs=10, max_turns=4, n_events=300,
+                        delete_frac=0.0)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+    ts = events.column("ts").to_pandas().dropna()
+    cut = ts.quantile(0.5)
+    f = EventFilter(where_expr=pc.field("ts") < pa.scalar(cut))
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path, event_filter=f)
+    kept = events.filter(pc.less(events.column("ts"), pa.scalar(cut)))
+    assert lake.state_table().num_rows == len(oracle_replay(kept))
+
+
+def test_struct_conflict_policy(tmp_path):
+    root = str(tmp_path / "t")
+    LakeTable.create(root)
+    with pytest.raises(FileExistsError):
+        LakeTable.create(root)                       # interrupt policy
+    t = LakeTable.create(root, if_exists="ignore")   # ignore policy
+    assert t.meta.name == "transcripts"
+    t2 = LakeTable.create(root, if_exists="overwrite",
+                          config=EngineConfig(num_partitions=4))
+    assert t2.config.num_partitions == 4
+
+
+def test_user_processor_guards():
+    t = pa.table({
+        "log_offset": pa.array([1], pa.int64()),
+        "seq": pa.array([0], pa.int32()),
+        "op": pa.array(["insert"]),
+        "conv_id": pa.array(["c1"]),
+        "turn_idx": pa.array([0], pa.int32()),
+        "text": pa.array(["hello"]),
+    })
+    # well-behaved processor: uppercase the text, drop nothing
+    p = UserProcessor(lambda b: b.set_column(
+        b.column_names.index("text"), "text",
+        pc.utf8_upper(b.column("text"))))
+    assert p(t).column("text").to_pylist() == ["HELLO"]
+    # dropping a required column is rejected
+    with pytest.raises(ProcessorError):
+        UserProcessor(lambda b: b.drop_columns(["op"]))(t)
+    # invalid op alphabet is rejected
+    bad = UserProcessor(lambda b: b.set_column(
+        b.column_names.index("op"), "op", pa.array(["nope"])))
+    with pytest.raises(ProcessorError):
+        bad(t)
