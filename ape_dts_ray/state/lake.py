@@ -226,12 +226,17 @@ class LakeTable:
         return out.take(idx)
 
     # ---------- compaction ----------
-    def compact(self, new_hot_keys: tuple[str, ...] | None = None) -> int:
+    def compact(self, new_hot_keys: tuple[str, ...] | None = None,
+                parallel: bool = True) -> int:
         """Fold committed deltas into base, then drop them. Returns #epochs
         folded. FoxlakeMerger analog (foxlake_merger.rs:82-104); runs offline
         relative to replay. Tombstones are dropped at compaction (a key fully
         deleted needs no base row; any later re-insert has a higher offset in a
-        newer epoch). Hot-key set may be rotated here only (partition.py)."""
+        newer epoch). Hot-key set may be rotated here only (partition.py).
+
+        ``parallel=True`` runs one Ray task per partition (the second, offline
+        shuffle of SURVEY §7 — partition-pure, so no data exchange at all);
+        ``False`` folds inline (tests / tiny lakes / no Ray session)."""
         epochs = self.committed_epochs()
         if not epochs:
             return 0
@@ -239,22 +244,34 @@ class LakeTable:
             # repartition-on-compact: fold full state then re-split by new salt
             raise NotImplementedError("hot-key rotation lands with repartitioning compaction")
         watermark = self.read_manifest(epochs[-1]).offset_max
-        for pid in range(self.config.num_partitions):
-            files = self.partition_files(pid)
+
+        root, meta, cfg, sv = self.root, self.meta, self.config, self.schema_version
+
+        def compact_partition(pid: int) -> None:
+            lake = LakeTable(root, meta, cfg, sv)
+            files = lake.partition_files(pid)
             if not files:
-                continue
-            folded = self._fold_files(files, keep_tombstones=False)
-            bp = self.base_path(pid)
+                return
+            folded = lake._fold_files(files, keep_tombstones=False)
+            bp = lake.base_path(pid)
             if folded is None or folded.num_rows == 0:
                 if os.path.exists(bp):
                     os.remove(bp)
-                continue
+                return
             # base rows rank below every future delta
             n = folded.num_rows
             i = folded.column_names.index(COL_EPOCH)
             folded = folded.set_column(
                 i, COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
             atomic_write_parquet(folded, bp, compression="zstd")
+
+        import ray
+        if parallel and ray.is_initialized():
+            task = ray.remote(num_cpus=1)(compact_partition)
+            ray.get([task.remote(p) for p in range(self.config.num_partitions)])
+        else:
+            for pid in range(self.config.num_partitions):
+                compact_partition(pid)
         # deltas + manifests are superseded; record watermark in table json
         for e in epochs:
             ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")

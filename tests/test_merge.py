@@ -109,3 +109,18 @@ def test_fold_state_epoch_order():
     # delta epoch 3 beats base even though base offset is higher (compacted rank)
     out = fold_state([base, d1])
     assert out.to_pylist()[0]["text"] == "newer"
+
+
+def test_table_filter_wildcards():
+    from ape_dts_ray.stages.filter import TableFilter, wildcard_to_regex
+
+    f = TableFilter(do_tables=("db1.*", "db2.tb_?"), ignore_tables=("db1.secret*",))
+    assert not f.filtered("db1.anything")
+    assert f.filtered("db1.secret_keys")     # deny wins over allow
+    assert not f.filtered("db2.tb_1")
+    assert f.filtered("db2.tb_10")           # ? matches exactly one char
+    assert f.filtered("db3.tb")              # not in allow list
+    assert TableFilter().filtered("x") is False   # empty allow = allow-all
+    # escaped wildcard matches literally (rdb_filter.rs escape semantics)
+    assert wildcard_to_regex(r"a\*b").match("a*b")
+    assert not wildcard_to_regex(r"a\*b").match("aXb")

@@ -199,3 +199,16 @@ def test_user_processor_guards():
         b.column_names.index("op"), "op", pa.array(["nope"])))
     with pytest.raises(ProcessorError):
         bad(t)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_key_detection(tmp_path):
+    from ape_dts_ray.stages.hotkeys import detect_hot_keys
+
+    events = gen_events(seed=2, n_convs=50, max_turns=5, n_events=5000,
+                        hot_frac=0.4)
+    hot = detect_hot_keys(rd.from_arrow(events), threshold=0.1)
+    assert hot == ("conv-000000",)
+    # a uniform stream has no hot keys at a 10% threshold
+    uniform = gen_events(seed=2, n_convs=50, max_turns=5, n_events=5000)
+    assert detect_hot_keys(rd.from_arrow(uniform), threshold=0.1) == ()
