@@ -107,6 +107,36 @@ def write_check_logs(check_ds, out_dir: str) -> dict[str, int]:
     return counts
 
 
+def review(src_ds, dst_ds, check_ds,
+           key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+           compare_cols: tuple[str, ...] = ("role", "text", "tool", "ts"),
+           num_partitions: int = 32):
+    """Re-check ONLY the keys named in a previous check result — the review
+    task (check-log extractor → check sinker, mysql_check_extractor.rs:52-106).
+    Both sides are pre-filtered to the logged keys (broadcast semi-join), then
+    compared with the normal checker; returns the remaining defects."""
+    bad = check_ds.take_all()
+    keyset = {"\x1f".join(str(r[c]) for c in key_cols) for r in bad}
+    kc = list(key_cols)
+
+    def pick(t: pa.Table):
+        if t.num_rows == 0 or kc[0] not in t.column_names:
+            return
+        df = t.to_pandas()
+        combined = df[kc[0]].astype(str)
+        for c in kc[1:]:
+            combined = combined + "\x1f" + df[c].astype(str)
+        picked = df[combined.isin(keyset)]
+        if not picked.empty:
+            yield pa.Table.from_pandas(picked, preserve_index=False)
+
+    return check_datasets(
+        src_ds.map_batches(pick, batch_format="pyarrow"),
+        dst_ds.map_batches(pick, batch_format="pyarrow"),
+        key_cols=key_cols, compare_cols=compare_cols,
+        num_partitions=num_partitions, include_extra=False)
+
+
 def revise(lake, src_ds, check_ds,
            key_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> int:
     """Re-apply source truth for every miss/diff key (revise task analog:

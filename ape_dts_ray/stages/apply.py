@@ -96,7 +96,10 @@ def make_apply_fn(lake_root: str, num_partitions: int, id_cols: tuple[str, ...])
         import pyarrow.parquet as pq
 
         from ape_dts_ray.state.manifest import atomic_write_parquet
-        atomic_write_parquet(merged, path, compression="zstd")
+        # lz4 for deltas: they are short-lived (folded into base at compaction,
+        # which re-writes zstd); cheaper codec = less CPU + memory traffic in
+        # the hot apply path
+        atomic_write_parquet(merged, path, compression="lz4")
 
         offs = events.column(COL_OFFSET)
         row = {

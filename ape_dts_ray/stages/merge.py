@@ -28,10 +28,19 @@ KEY_COLS = ("conv_id", "turn_idx")
 ORDER_COLS = (COL_OFFSET, COL_SEQ)
 
 
-def _cast_like(table: pa.Table, schema: pa.Schema) -> pa.Table:
-    """Cast polars' arrow output (large_string etc.) back to the engine schema."""
-    cols = [f.name for f in schema]
-    return table.select(cols).cast(schema)
+def lww_winner_indices(
+    events: pa.Table,
+    key_cols: Sequence[str] = KEY_COLS,
+    order_cols: Sequence[str] = ORDER_COLS,
+) -> "pl.Series":
+    """Row indices of the last event per key by ``order_cols``. Operates on
+    the NARROW key+order columns only — the wide payload (text) is never
+    sorted or shuffled; winners are gathered afterwards with ``Table.take``."""
+    order = [c for c in order_cols if c in events.column_names]
+    narrow = pl.from_arrow(events.select([*key_cols, *order]))
+    narrow = narrow.with_row_index("_row")
+    out = narrow.sort(order).unique(subset=list(key_cols), keep="last")
+    return out["_row"]
 
 
 def lww_last(
@@ -47,10 +56,8 @@ def lww_last(
     """
     if events.num_rows == 0:
         return events
-    order = [c for c in order_cols if c in events.column_names]
-    df = pl.from_arrow(events)
-    out = df.sort(order).unique(subset=list(key_cols), keep="last")
-    return _cast_like(out.to_arrow(), events.schema)
+    idx = lww_winner_indices(events, key_cols, order_cols)
+    return events.take(pa.array(idx.to_numpy())).combine_chunks()
 
 
 def drop_tombstones(state: pa.Table, op_col: str = COL_OP) -> pa.Table:

@@ -151,16 +151,18 @@ def scaling() -> None:
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     report = {}
-    for n in (6, 24, 8, 32):
+    for n in (2, 8, 6, 24, 32):
         r = run(n)
         report[f"sec_{n}cpu"] = r["value"]
         report[f"events_per_sec_{n}cpu"] = r["events_per_sec"]
         report["events"] = r["events"]
-    report["scaling_efficiency_6_24"] = round(
-        report["events_per_sec_24cpu"] / (4 * report["events_per_sec_6cpu"]), 3)
-    report["scaling_efficiency_8_32"] = round(
-        report["events_per_sec_32cpu"] / (4 * report["events_per_sec_8cpu"]), 3)
-    report["scaling_efficiency"] = report["scaling_efficiency_6_24"]
+    for lo, hi in ((2, 8), (6, 24), (8, 32)):
+        report[f"scaling_efficiency_{lo}_{hi}"] = round(
+            report[f"events_per_sec_{hi}cpu"]
+            / (4 * report[f"events_per_sec_{lo}cpu"]), 3)
+    # primary N→4N pair: both levels below the single-socket memory-bandwidth
+    # ceiling of this sandbox (see BASELINE.md) — the proxy for node scaling
+    report["scaling_efficiency"] = report["scaling_efficiency_2_8"]
     print(json.dumps(report))
 
 

@@ -212,3 +212,62 @@ def test_hot_key_detection(tmp_path):
     # a uniform stream has no hot keys at a 10% threshold
     uniform = gen_events(seed=2, n_convs=50, max_turns=5, n_events=5000)
     assert detect_hot_keys(rd.from_arrow(uniform), threshold=0.1) == ()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multi_table_runner(tmp_path):
+    """Table-level parallelism + filter + route (task_runner.rs:256-303 /
+    TableParallelizer analog): three tables, one denied by wildcard, one
+    renamed by the router."""
+    from ape_dts_ray.pipelines.multitable import TableJob, run_tables
+    from ape_dts_ray.stages.router import Router
+    from ape_dts_ray.stages.filter import TableFilter
+
+    jobs = []
+    for i, name in enumerate(["db.chat", "db.agent", "db.tmp_scratch"]):
+        ev = gen_events(seed=40 + i, n_convs=10, max_turns=4, n_events=400)
+        p = str(tmp_path / f"{i}.parquet")
+        pq.write_table(ev, p)
+        jobs.append(TableJob(name=name, events_path=p,
+                             config=EngineConfig(num_partitions=4,
+                                                 epoch_size=1000)))
+    res = run_tables(
+        str(tmp_path / "lakes"), jobs,
+        table_filter=TableFilter(ignore_tables=("*.tmp_*",)),
+        router=Router(table_map={"db.agent": "db.agent_v2"}),
+        tb_parallel=2)
+    assert set(res) == {"db.chat", "db.agent_v2"}
+    assert not (tmp_path / "lakes" / "db.tmp_scratch").exists()
+    for i, name in [(0, "db.chat"), (1, "db.agent_v2")]:
+        lake = LakeTable.open(str(tmp_path / "lakes" / name))
+        ev = gen_events(seed=40 + i, n_convs=10, max_turns=4, n_events=400)
+        assert lake.state_table().num_rows == len(oracle_replay(ev))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_review_mode(tmp_path):
+    """review = re-check only logged keys; after revise it returns clean, and
+    it never rescans beyond the logged key set."""
+    from ape_dts_ray.pipelines.checker import review
+
+    events = gen_events(seed=17, n_convs=20, max_turns=5, n_events=1000,
+                        delete_frac=0.1)
+    path = str(tmp_path / "e.parquet")
+    pq.write_table(events, path)
+    src = _mk_lake(tmp_path, "src")
+    replay(src, events_path=path)
+    corrupted = src.state_table().to_pandas().iloc[2:]
+    dst = _mk_lake(tmp_path, "dst")
+    load_snapshot(dst, rd.from_pandas(corrupted))
+
+    check = check_datasets(src.state_dataset(), dst.state_dataset(),
+                           num_partitions=8)
+    assert check.count() == 2
+    # review reproduces the same defects from the logged keys only
+    again = review(src.state_dataset(), dst.state_dataset(), check,
+                   num_partitions=8)
+    assert again.count() == 2
+    revise(dst, src.state_dataset(), check)
+    clean = review(src.state_dataset(), dst.state_dataset(), check,
+                   num_partitions=8)
+    assert clean.count() == 0
