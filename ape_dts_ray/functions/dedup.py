@@ -182,9 +182,15 @@ class SimHashStage:
                              "simhash": pd.array(sh, dtype="uint64")})
 
 
-def simhash_dedup(docs_ds, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_dedup(docs_ds, max_hamming: int = 3,
+                  max_bucket: int = 512) -> pd.DataFrame:
     """SimHash near-dup: 4×16-bit band LSH (a pair within Hamming ≤ 3 of 64
-    bits shares at least one of 4 bands) → verify exact Hamming distance."""
+    bits shares at least one of 4 bands) → verify exact Hamming distance.
+
+    Buckets larger than ``max_bucket`` are degenerate (a 16-bit chunk shared
+    by thousands of docs carries no signal and would cost O(m²)); they are
+    skipped — the standard LSH hot-bucket guard. Raise ``max_bucket`` for
+    corpora where huge clusters are expected."""
     sigs = docs_ds.map_batches(SimHashStage(), batch_format="pandas")
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -206,16 +212,15 @@ def simhash_dedup(docs_ds, max_hamming: int = 3) -> pd.DataFrame:
         out = []
         for _, grp in g.groupby(["band", "chunk"], sort=False):
             grp = grp.drop_duplicates("doc_id").sort_values("doc_id")
-            if len(grp) < 2:
+            if len(grp) < 2 or len(grp) > max_bucket:
                 continue
             ids = grp["doc_id"].to_numpy()
             hs = grp["simhash"].to_numpy().astype(np.uint64)
             i, j = np.triu_indices(len(ids), k=1)
             xor = hs[i] ^ hs[j]
-            ham = np.zeros(len(xor), dtype=np.int64)
-            for _ in range(64):                       # vectorized popcount
-                ham += (xor & np.uint64(1)).astype(np.int64)
-                xor >>= np.uint64(1)
+            # one-shot popcount: bytes view → unpackbits → row sums
+            ham = np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8),
+                                axis=1).sum(axis=1).astype(np.int64)
             ok = ham <= max_hamming
             if ok.any():
                 out.append(pd.DataFrame({"a": ids[i][ok], "b": ids[j][ok],
@@ -229,7 +234,12 @@ def simhash_dedup(docs_ds, max_hamming: int = 3) -> pd.DataFrame:
     pairs = (sigs.map_batches(explode, batch_format="pandas")
              .groupby("shard")
              .map_groups(shard_pairs, batch_format="pandas"))
-    df = pairs.to_pandas().drop_duplicates(["a", "b"]).reset_index(drop=True)
+    df = pairs.to_pandas()
+    if df.empty:     # an all-filtered Dataset loses its schema through pandas
+        return pd.DataFrame({"a": pd.array([], dtype="int64"),
+                             "b": pd.array([], dtype="int64"),
+                             "hamming": pd.array([], dtype="int64")})
+    df = df.drop_duplicates(["a", "b"])
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
@@ -283,5 +293,10 @@ def embedding_dedup(emb_ds, threshold: float = 0.95, n_planes: int = 8,
     pairs = (emb_ds.map_batches(bucketize, batch_format="pandas")
              .groupby("shard")
              .map_groups(shard_pairs, batch_format="pandas"))
-    df = pairs.to_pandas().drop_duplicates(["a", "b"])
+    df = pairs.to_pandas()
+    if df.empty:     # an all-filtered Dataset loses its schema through pandas
+        return pd.DataFrame({"a": pd.array([], dtype="int64"),
+                             "b": pd.array([], dtype="int64"),
+                             "cosine": pd.array([], dtype="float64")})
+    df = df.drop_duplicates(["a", "b"])
     return df.sort_values(["a", "b"]).reset_index(drop=True)

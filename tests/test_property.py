@@ -1,0 +1,89 @@
+"""Property-based tests: the vectorized LWW kernels against a brute-force
+reference on arbitrary event sequences (hypothesis). No Ray needed."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ape_dts_ray.fixtures import oracle_replay
+from ape_dts_ray.stages.merge import drop_tombstones, fold_state, lww_last
+
+OPS = ["insert", "update", "delete"]
+
+
+@st.composite
+def event_tables(draw, max_events=60, n_keys=6):
+    n = draw(st.integers(1, max_events))
+    convs = draw(st.lists(st.integers(0, 2), min_size=n, max_size=n))
+    turns = draw(st.lists(st.integers(0, n_keys - 1), min_size=n, max_size=n))
+    ops = draw(st.lists(st.sampled_from(OPS), min_size=n, max_size=n))
+    texts = draw(st.lists(st.one_of(st.none(), st.text(max_size=8)),
+                          min_size=n, max_size=n))
+    offsets = draw(st.permutations(range(n)))
+    return pa.table({
+        "log_offset": pa.array(list(offsets), pa.int64()),
+        "seq": pa.array([0] * n, pa.int32()),
+        "op": pa.array(ops, pa.string()),
+        "conv_id": pa.array([f"c{c}" for c in convs], pa.string()),
+        "turn_idx": pa.array(turns, pa.int32()),
+        "text": pa.array([t if o != "delete" else None
+                          for t, o in zip(texts, ops)], pa.string()),
+    })
+
+
+def brute_force_live(t: pa.Table) -> dict:
+    """Reference: replay events one by one in offset order."""
+    rows = sorted(t.to_pylist(), key=lambda r: (r["log_offset"], r["seq"]))
+    state = {}
+    for r in rows:
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = r["text"]
+    return state
+
+
+@given(event_tables())
+@settings(max_examples=200, deadline=None)
+def test_lww_last_matches_brute_force(t):
+    live = drop_tombstones(lww_last(t))
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in live.to_pylist()}
+    assert got == brute_force_live(t)
+
+
+@given(event_tables(), st.integers(1, 5))
+@settings(max_examples=100, deadline=None)
+def test_fold_state_equals_single_fold(t, n_splits):
+    """Splitting the log into epoch deltas and folding must equal folding the
+    whole log at once — the associativity the merge-on-read design relies on."""
+    n = t.num_rows
+    bounds = np.linspace(0, n, n_splits + 1).astype(int)
+    import pyarrow.compute as pc
+    pieces = []
+    for i in range(n_splits):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        mask = pc.and_(pc.greater_equal(t.column("log_offset"), pa.scalar(lo, pa.int64())),
+                       pc.less(t.column("log_offset"), pa.scalar(hi, pa.int64())))
+        piece = t.filter(mask)
+        if piece.num_rows == 0:
+            continue
+        piece = lww_last(piece)   # each delta is per-key-unique, like apply writes
+        pieces.append(piece.append_column(
+            "_epoch", pa.array(np.full(piece.num_rows, i, dtype=np.int64))))
+    folded = fold_state(pieces)
+    got = {} if folded is None else {
+        (r["conv_id"], r["turn_idx"]): r["text"] for r in folded.to_pylist()}
+    assert got == brute_force_live(t)
+
+
+@given(event_tables())
+@settings(max_examples=50, deadline=None)
+def test_oracle_replay_agrees_with_brute_force(t):
+    """The pandas oracle used by the e2e tests is itself validated here."""
+    df = oracle_replay(t)
+    got = dict(zip(zip(df["conv_id"], df["turn_idx"]), df["text"]))
+    expect = brute_force_live(t)
+    assert {k: (v if pd.notna(v) else None) for k, v in got.items()} == expect

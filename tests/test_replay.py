@@ -8,6 +8,7 @@ Per-turn text equality is the north-star invariant (BASELINE.json input_hint).
 import os
 
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -121,3 +122,64 @@ def test_lineage_counts(tmp_path):
     # per-partition delta files exist and are partition-pure
     for p in m.partitions:
         assert os.path.exists(os.path.join(lake.root, p.file))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_then_continue_cdc(tmp_path):
+    """Compaction mid-stream, then MORE events arrive: epoch ids derive from
+    global offsets so they never collide with compacted ones, and base rows
+    (_epoch=-1) lose to any later delta."""
+    events = gen_events(seed=22, n_convs=20, max_turns=6, n_events=4000,
+                        delete_frac=0.2)
+    half = events.num_rows // 2
+    p1, p2 = str(tmp_path / "e1.parquet"), str(tmp_path / "e2.parquet")
+    pq.write_table(events.slice(0, half), p1)
+    pq.write_table(events.slice(half), p2)
+
+    lake = _mk_lake(tmp_path, epoch_size=1000)
+    replay(lake, events_path=p1)
+    lake.compact(parallel=False)
+    assert lake.committed_epochs() == []
+    replay(LakeTable.open(lake.root), events_path=p2, min_offset=half)
+    _assert_state_matches(LakeTable.open(lake.root), events)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sparse_and_empty_windows(tmp_path):
+    """Event log with offset gaps: windows covering no events still commit
+    (empty manifests) and the watermark advances past them."""
+    events = gen_events(seed=23, n_convs=10, max_turns=4, n_events=500)
+    # keep only even offsets in [0, 400) plus a far tail at 2000+
+    import pyarrow.compute as pc
+    off = events.column("log_offset")
+    keep = pc.or_(pc.less(off, pa.scalar(400, pa.int64())),
+                  pc.greater_equal(off, pa.scalar(500, pa.int64())))
+    sparse = events.filter(keep)
+    # shift the tail out to create fully-empty windows
+    tail_mask = pc.greater_equal(sparse.column("log_offset"), pa.scalar(500, pa.int64()))
+    shifted = pc.if_else(tail_mask,
+                         pc.add(sparse.column("log_offset"), pa.scalar(1500, pa.int64())),
+                         sparse.column("log_offset"))
+    sparse = sparse.set_column(0, "log_offset", shifted)
+    path = str(tmp_path / "sparse.parquet")
+    pq.write_table(sparse, path)
+
+    lake = _mk_lake(tmp_path, epoch_size=300)
+    ms = replay(lake, events_path=path)
+    assert any(not m.partitions for m in ms)          # some windows were empty
+    assert lake.watermark() == int(pc.max(shifted).as_py())
+    oracle = oracle_replay(sparse)
+    assert lake.state_table().num_rows == len(oracle)
+    # resume after the sparse replay is still a no-op
+    assert replay(LakeTable.open(lake.root), events_path=path) == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_event_log(tmp_path):
+    events = gen_events(seed=1, n_convs=2, max_turns=2, n_events=10).slice(0, 0)
+    path = str(tmp_path / "empty.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    ms = replay(lake, events_path=path)
+    assert ms == []
+    assert lake.state_table().num_rows == 0
