@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_checker": q.cdc_checker,
         "cdc_schema_evolution": q.cdc_schema_evolution,
         "cdc_time_window": q.cdc_time_window,
+        "cdc_lineage_totals": q.cdc_lineage_totals,
         "cdc_sql_format": q.cdc_sql_format,
         "dedup_exact": q.dedup_exact,
         "dedup_minhash": q.dedup_minhash,
@@ -90,6 +91,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_snapshot_read": """
             SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200
+        """,
+        # epoch id = log_offset // 50000 must mirror the engine's epoch_size
+        # (pipelines/queries.py _fresh_lake); per-key-per-epoch last-op counts
+        # are partition-independent because a key's events never split across
+        # partitions
+        "cdc_lineage_totals": CHANGES_CTE + """,
+            per_epoch AS (
+              SELECT *, CAST(log_offset / 50000 AS BIGINT) AS ep,
+                     row_number() OVER (
+                       PARTITION BY conv_id, turn_idx,
+                                    CAST(log_offset / 50000 AS BIGINT)
+                       ORDER BY log_offset DESC) AS rn
+              FROM changes
+            )
+            SELECT
+              (SELECT COUNT(*) FROM changes) AS n_events,
+              CAST(COUNT(*) AS BIGINT) AS n_rows,
+              CAST(SUM(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_upserts,
+              CAST(SUM(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+              (SELECT MIN(log_offset) FROM changes) AS offset_min,
+              (SELECT MAX(log_offset) FROM changes) AS offset_max
+            FROM per_epoch WHERE rn = 1
         """,
         "cdc_time_window": CHANGES_CTE + """
             SELECT log_offset, conv_id, turn_idx, ts

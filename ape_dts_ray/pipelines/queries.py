@@ -181,6 +181,25 @@ def cdc_schema_evolution(sf_dir: str) -> pa.Table:
     return lake.state_table()
 
 
+def cdc_lineage_totals(sf_dir: str) -> pa.Table:
+    """End-to-end lineage audit: replay the stream, then answer ONLY from the
+    committed manifests (S3FileMeta / position.log analog). The oracle
+    recomputes the same totals from the raw stream in SQL — every event must
+    be accounted for in lineage, with post-LWW row/delete counts per
+    (key, epoch) matching exactly."""
+    lake = _replay_changes(sf_dir, "lineage")
+    lin = lake.lineage_table()
+    agg = pa.table({
+        "n_events": pa.array([pc.sum(lin.column("events")).as_py()], pa.int64()),
+        "n_rows": pa.array([pc.sum(lin.column("rows")).as_py()], pa.int64()),
+        "n_upserts": pa.array([pc.sum(lin.column("upserts")).as_py()], pa.int64()),
+        "n_deletes": pa.array([pc.sum(lin.column("deletes")).as_py()], pa.int64()),
+        "offset_min": pa.array([pc.min(lin.column("offset_min")).as_py()], pa.int64()),
+        "offset_max": pa.array([pc.max(lin.column("offset_max")).as_py()], pa.int64()),
+    })
+    return agg
+
+
 def cdc_time_window(sf_dir: str):
     """start/end time-window filter (time_filter.rs:5-40 analog): only events
     inside [2024-01-10, 2024-01-20) pass."""

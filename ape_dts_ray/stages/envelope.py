@@ -1,0 +1,68 @@
+"""Event-envelope serialization — the Kafka/Avro sink analog.
+
+The reference Avro-encodes each RowData into a record
+``{schema, tb, operation, fields, before, after, extra}`` with the order-col
+value as the message key and a per-table topic route
+(dt-common/src/meta/avro/avro_converter_schema.rs:5-60, avro_converter.rs:
+58-77, rdb_router.rs:79-89). Without a broker in this environment the
+transport is a Dataset of envelope rows (``ds.write_json`` / ``read_json``
+compatible): the same columns, with the payload JSON-encoded so heterogeneous
+schema versions ride in one stream. ``from_envelope`` inverts exactly.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ape_dts_ray.meta import COL_OFFSET, COL_OP
+
+ENVELOPE_COLS = ("topic", "key", "log_offset", "op", "payload")
+
+
+def make_to_envelope(table: str = "transcripts",
+                     topic_map: dict[str, str] | None = None,
+                     key_cols: tuple[str, ...] = ("conv_id", "turn_idx")):
+    """map_batches body: change events → envelope rows. Message key = joined
+    key-col values (avro_converter.rs:58-77 uses the order col); topic routed
+    per table (rdb_router.rs:79-89)."""
+    topic = (topic_map or {}).get(table, table)
+
+    def to_envelope(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        payload_cols = [c for c in batch.column_names
+                        if c not in (COL_OFFSET, COL_OP)]
+        records = batch.select(payload_cols).to_pylist()
+        payload = [json.dumps(r, default=str, sort_keys=True) for r in records]
+        keys = ["\x1f".join(str(r[c]) for c in key_cols) for r in records]
+        return pa.table({
+            "topic": pa.array([topic] * n, pa.string()),
+            "key": pa.array(keys, pa.string()),
+            "log_offset": batch.column(COL_OFFSET),
+            "op": batch.column(COL_OP),
+            "payload": pa.array(payload, pa.string()),
+        })
+
+    return to_envelope
+
+
+def from_envelope(batch: pa.Table, schema: pa.Schema | None = None) -> pa.Table:
+    """Inverse: envelope rows → change events (payload JSON re-expanded;
+    columns cast to ``schema`` types when given — timestamps ride as ISO
+    strings in the envelope and cast back)."""
+    records = [json.loads(p) for p in batch.column("payload").to_pylist()]
+    payload = pa.Table.from_pylist(records)
+    out = pa.table({
+        COL_OFFSET: batch.column("log_offset"),
+        COL_OP: batch.column("op"),
+    })
+    for name in payload.column_names:
+        col = payload.column(name)
+        if schema is not None and schema.field(name) is not None:
+            try:
+                col = col.cast(schema.field(name).type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                pass
+        out = out.append_column(name, col)
+    return out

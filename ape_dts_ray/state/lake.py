@@ -295,3 +295,25 @@ class LakeTable:
 
     def watermark(self) -> int:
         return max(self.committed_watermark(), self.compacted_watermark())
+
+    # ---------- lineage / metrics ----------
+    def lineage_table(self) -> pa.Table:
+        """Per-(epoch, partition) lineage from all committed manifests — the
+        metrics surface (counter windows / task_metrics.rs analog): applied
+        offset ranges + upsert/delete counts, queryable as a Dataset."""
+        rows = []
+        for e in self.committed_epochs():
+            m = self.read_manifest(e)
+            for p in m.partitions:
+                rows.append({
+                    "epoch": e, "part_id": p.part_id, "events": p.events,
+                    "rows": p.rows, "upserts": p.upserts, "deletes": p.deletes,
+                    "offset_min": p.offset_min, "offset_max": p.offset_max,
+                })
+        schema = pa.schema([
+            ("epoch", pa.int64()), ("part_id", pa.int32()),
+            ("events", pa.int64()), ("rows", pa.int64()),
+            ("upserts", pa.int64()), ("deletes", pa.int64()),
+            ("offset_min", pa.int64()), ("offset_max", pa.int64())])
+        return (pa.Table.from_pylist(rows, schema=schema)
+                if rows else schema.empty_table())

@@ -271,3 +271,52 @@ def test_review_mode(tmp_path):
     clean = review(src.state_dataset(), dst.state_dataset(), check,
                    num_partitions=8)
     assert clean.count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_envelope_roundtrip_and_replay(tmp_path):
+    """Kafka-sink analog: events → JSON envelopes (topic, key, payload) →
+    write_json → read back → from_envelope → replay produces the same state
+    as replaying the original log."""
+    import ray.data as rd
+    from ape_dts_ray.stages.envelope import from_envelope, make_to_envelope
+
+    events = gen_events(seed=33, n_convs=15, max_turns=5, n_events=800,
+                        delete_frac=0.2)
+    env = make_to_envelope("transcripts",
+                           topic_map={"transcripts": "cdc.transcripts"})(events)
+    assert env.column("topic")[0].as_py() == "cdc.transcripts"
+    assert env.num_rows == events.num_rows
+
+    out_dir = str(tmp_path / "envelopes")
+    rd.from_arrow(env).write_json(out_dir)
+    back = rd.read_json(out_dir).map_batches(
+        lambda t: from_envelope(t, schema=events.schema),
+        batch_format="pyarrow")
+
+    lake = _mk_lake(tmp_path, name="lake_env")
+    replay(lake, events_ds=back, max_offset=events.num_rows - 1)
+    oracle = oracle_replay(events)
+    state = lake.state_table().to_pandas()
+    assert len(state) == len(oracle)
+    pd.testing.assert_series_equal(state["text"], oracle["text"],
+                                   check_dtype=False, check_names=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lineage_table(tmp_path):
+    events = gen_events(seed=34, n_convs=10, max_turns=5, n_events=1000,
+                        delete_frac=0.25)
+    path = str(tmp_path / "e.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path, epoch_size=500)
+    replay(lake, events_path=path)
+    lin = lake.lineage_table()
+    assert lin.num_rows > 0
+    import pyarrow.compute as pc2
+    assert pc2.sum(lin.column("events")).as_py() == events.num_rows
+    n_del = events.filter(pc.equal(events.column("op"), pa.scalar("delete"))).num_rows
+    # per-partition LWW can collapse several deletes of one key into one
+    # tombstone row, but a delete-last key always yields exactly one
+    assert pc2.sum(lin.column("deletes")).as_py() <= n_del
+    assert pc2.max(lin.column("offset_max")).as_py() == events.num_rows - 1
