@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_route_rename": q.cdc_route_rename,
         "cdc_lineage_per_conv": q.cdc_lineage_per_conv,
         "cdc_snapshot_read": q.cdc_snapshot_read,
+        "cdc_snapshot_load": q.cdc_snapshot_load,
         "cdc_checker": q.cdc_checker,
         "cdc_schema_evolution": q.cdc_schema_evolution,
         "cdc_time_window": q.cdc_time_window,
@@ -113,6 +114,15 @@ def oracle_sql() -> dict[str, str]:
               (SELECT MIN(log_offset) FROM changes) AS offset_min,
               (SELECT MAX(log_offset) FROM changes) AS offset_max
             FROM per_epoch WHERE rn = 1
+        """,
+        "cdc_snapshot_load": CHANGES_CTE + """,
+            ins_ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY log_offset DESC) AS rn
+              FROM changes WHERE op = 'insert'
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM ins_ranked WHERE rn = 1
         """,
         "cdc_time_window": CHANGES_CTE + """
             SELECT log_offset, conv_id, turn_idx, ts

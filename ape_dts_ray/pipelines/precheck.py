@@ -1,0 +1,118 @@
+"""Precheck — the dt-precheck analog (dt-precheck/src/prechecker/
+mysql_prechecker.rs:40-256: connectivity / version / permission / structure
+checks run before a task starts; dt-main routes a precheck config to
+``do_precheck`` before ever building a task, main.rs:24-30).
+
+Our environment's equivalents: the event-log source is readable and carries
+the engine's required columns with sane types; offsets are unique (sampled);
+primary-key columns are non-null where required; the lake directory is
+writable and its persisted config is self-consistent. Each check returns a
+``CheckResult`` and ``precheck()`` aggregates them — callers abort before
+replay on any failed check, like the reference interrupts on precheck errors.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ape_dts_ray.meta import COL_OFFSET, COL_OP, OPS
+
+REQUIRED_EVENT_COLS = {
+    COL_OFFSET: (pa.int64(),),
+    COL_OP: (pa.string(), pa.large_string()),
+    "conv_id": (pa.string(), pa.large_string()),
+    "turn_idx": (pa.int32(), pa.int64()),
+}
+
+
+@dataclass
+class CheckResult:
+    name: str
+    ok: bool
+    detail: str = ""
+
+
+def check_event_source(paths: str | list[str],
+                       sample_rows: int = 100_000) -> list[CheckResult]:
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    out = []
+    try:
+        f = pq.ParquetFile(paths[0])
+        schema = f.schema_arrow
+        out.append(CheckResult("source_readable", True, paths[0]))
+    except Exception as e:  # noqa: BLE001 — precheck reports, never raises
+        return [CheckResult("source_readable", False, repr(e))]
+
+    for col, types in REQUIRED_EVENT_COLS.items():
+        idx = schema.get_field_index(col)
+        if idx < 0:
+            out.append(CheckResult(f"column:{col}", False, "missing"))
+        elif schema.field(idx).type not in types:
+            out.append(CheckResult(
+                f"column:{col}", False,
+                f"type {schema.field(idx).type} not in {types}"))
+        else:
+            out.append(CheckResult(f"column:{col}", True))
+
+    if all(r.ok for r in out):
+        sample = f.read_row_group(0).slice(0, sample_rows) \
+            if f.metadata.num_row_groups else schema.empty_table()
+        if sample.num_rows:
+            import pyarrow.compute as pc
+            offs = sample.column(COL_OFFSET)
+            uniq = pc.count_distinct(offs).as_py() == sample.num_rows
+            out.append(CheckResult("offsets_unique_sample", uniq,
+                                   "" if uniq else "duplicate offsets in sample"))
+            for col in ("conv_id", "turn_idx"):
+                nulls = sample.column(col).null_count
+                out.append(CheckResult(f"pk_non_null:{col}", nulls == 0,
+                                       f"{nulls} nulls" if nulls else ""))
+            badop = sample.filter(
+                pc.invert(pc.is_in(sample.column(COL_OP),
+                                   value_set=pa.array(OPS)))).num_rows
+            out.append(CheckResult("op_alphabet", badop == 0,
+                                   f"{badop} invalid ops" if badop else ""))
+    return out
+
+
+def check_lake(root: str) -> list[CheckResult]:
+    out = []
+    table_file = os.path.join(root, "_table.json")
+    if not os.path.exists(table_file):
+        return [CheckResult("lake_exists", False, f"no {table_file}")]
+    out.append(CheckResult("lake_exists", True))
+    try:
+        from ape_dts_ray.state.lake import LakeTable
+        lake = LakeTable.open(root)
+        out.append(CheckResult("lake_config", lake.config.num_partitions > 0,
+                               f"P={lake.config.num_partitions}"))
+        probe = os.path.join(root, "_manifests", ".precheck")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+        out.append(CheckResult("lake_writable", True))
+    except Exception as e:  # noqa: BLE001
+        out.append(CheckResult("lake_open", False, repr(e)))
+    return out
+
+
+def precheck(lake_root: str | None = None,
+             events_path: str | list[str] | None = None) -> list[CheckResult]:
+    out = []
+    if events_path is not None:
+        out += check_event_source(events_path)
+    if lake_root is not None:
+        out += check_lake(lake_root)
+    return out
+
+
+def assert_precheck(lake_root=None, events_path=None) -> None:
+    results = precheck(lake_root, events_path)
+    failed = [r for r in results if not r.ok]
+    if failed:
+        raise RuntimeError("precheck failed: " +
+                           "; ".join(f"{r.name} ({r.detail})" for r in failed))

@@ -131,6 +131,22 @@ def cdc_snapshot_read(sf_dir: str):
         filter=pads.field("n_chars") > 200)
 
 
+def cdc_snapshot_load(sf_dir: str) -> pa.Table:
+    """Snapshot full-load path (SnapshotParallelizer analog): the insert-only
+    LWW state is bulk-loaded via ``load_snapshot`` (hash-partitioned base
+    write + finished marker) and read back through merge-on-read."""
+    from ape_dts_ray.pipelines.snapshot import load_snapshot, snapshot_finished
+    from ape_dts_ray.stages.filter import EventFilter
+
+    src = _replay_changes(sf_dir, "snapload_src",
+                          event_filter=EventFilter(do_events=("insert",)))
+    lake = _fresh_lake("snapload_dst")
+    load_snapshot(lake, src.state_dataset(
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
+    assert snapshot_finished(lake)
+    return lake.state_table()
+
+
 def cdc_checker(sf_dir: str):
     """Checker analog (mysql_checker.rs:71-150): full replay state vs
     insert-only state; miss = keys whose first write wasn't an insert,

@@ -320,3 +320,41 @@ def test_lineage_table(tmp_path):
     # tombstone row, but a delete-last key always yields exactly one
     assert pc2.sum(lin.column("deletes")).as_py() <= n_del
     assert pc2.max(lin.column("offset_max")).as_py() == events.num_rows - 1
+
+
+def test_precheck(tmp_path):
+    """Precheck analog (dt-precheck): good source+lake pass; bad sources fail
+    with named checks, never exceptions."""
+    from ape_dts_ray.pipelines.precheck import assert_precheck, precheck
+
+    good = gen_events(seed=60, n_convs=5, max_turns=3, n_events=100)
+    gp = str(tmp_path / "good.parquet")
+    pq.write_table(good, gp)
+    lake = _mk_lake(tmp_path, name="pl")
+    results = precheck(lake.root, gp)
+    assert results and all(r.ok for r in results)
+    assert_precheck(lake.root, gp)   # no raise
+
+    # missing column
+    bad1 = str(tmp_path / "bad1.parquet")
+    pq.write_table(good.drop_columns(["op"]), bad1)
+    res = {r.name: r.ok for r in precheck(events_path=bad1)}
+    assert res["column:op"] is False
+
+    # duplicate offsets + null PK
+    import pyarrow.compute as pc
+    dup = good.set_column(0, "log_offset",
+                          pa.array([1] * good.num_rows, pa.int64()))
+    dup = dup.set_column(dup.column_names.index("conv_id"), "conv_id",
+                         pa.nulls(good.num_rows, pa.string()))
+    bad2 = str(tmp_path / "bad2.parquet")
+    pq.write_table(dup, bad2)
+    res = {r.name: r.ok for r in precheck(events_path=bad2)}
+    assert res["offsets_unique_sample"] is False
+    assert res["pk_non_null:conv_id"] is False
+    with pytest.raises(RuntimeError, match="precheck failed"):
+        assert_precheck(events_path=bad2)
+
+    # nonexistent lake
+    res = precheck(lake_root=str(tmp_path / "nope"))
+    assert not res[0].ok
