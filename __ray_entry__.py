@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lineage_per_conv": q.cdc_lineage_per_conv,
         "cdc_snapshot_read": q.cdc_snapshot_read,
         "cdc_snapshot_load": q.cdc_snapshot_load,
+        "cdc_snapshot_sample": q.cdc_snapshot_sample,
         "cdc_checker": q.cdc_checker,
         "cdc_schema_evolution": q.cdc_schema_evolution,
         "cdc_time_window": q.cdc_time_window,
@@ -114,6 +115,9 @@ def oracle_sql() -> dict[str, str]:
               (SELECT MIN(log_offset) FROM changes) AS offset_min,
               (SELECT MAX(log_offset) FROM changes) AS offset_max
             FROM per_epoch WHERE rn = 1
+        """,
+        "cdc_snapshot_sample": """
+            SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 0
         """,
         "cdc_snapshot_load": CHANGES_CTE + """,
             ins_ranked AS (

@@ -131,6 +131,21 @@ def cdc_snapshot_read(sf_dir: str):
         filter=pads.field("n_chars") > 200)
 
 
+def cdc_snapshot_sample(sf_dir: str):
+    """Snapshot row sampling (mysql_snapshot_extractor.rs:200-202
+    ``sample_interval``: emit every Nth row of the keyset scan) — here a
+    deterministic modulus on the order column, vectorized at the read."""
+    import ray.data as rd
+
+    def every_7th(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(doc % 7 == 0))
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return ds.map_batches(every_7th, batch_format="pyarrow")
+
+
 def cdc_snapshot_load(sf_dir: str) -> pa.Table:
     """Snapshot full-load path (SnapshotParallelizer analog): the insert-only
     LWW state is bulk-loaded via ``load_snapshot`` (hash-partitioned base
