@@ -16,6 +16,7 @@ here calls ray.init().
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import numpy as np
@@ -49,11 +50,21 @@ def _replay_changes(sf_dir: str, tag: str, event_filter=None) -> LakeTable:
 
 # ---------- CDC engine queries (SURVEY §2.1/2.2/2.4) ----------
 
+def _consume_lake(lake) -> pa.Table:
+    """Read the full state then remove the scratch lake (queries returning a
+    materialized table don't need the /tmp directory afterwards)."""
+    import shutil
+
+    t = lake.state_table()
+    shutil.rmtree(os.path.dirname(lake.root), ignore_errors=True)
+    return t
+
+
 def cdc_apply_lww(sf_dir: str) -> pa.Table:
     """Flagship: full CDC replay → committed lake → live state.
     Covers extractor→normalize→shuffle→LWW apply→manifest commit→merge-on-read."""
     lake = _replay_changes(sf_dir, "lww")
-    return lake.state_table()
+    return _consume_lake(lake)
 
 
 def cdc_merge_batch(sf_dir: str):
@@ -159,7 +170,8 @@ def cdc_snapshot_load(sf_dir: str) -> pa.Table:
     load_snapshot(lake, src.state_dataset(
         columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
     assert snapshot_finished(lake)
-    return lake.state_table()
+    _consume_lake(src)          # src lake no longer needed once loaded
+    return _consume_lake(lake)
 
 
 def cdc_checker(sf_dir: str):
@@ -209,7 +221,7 @@ def cdc_schema_evolution(sf_dir: str) -> pa.Table:
     replay(lake, events_ds=changes_dataset(sf_dir), barriers=[(cut, 1)],
            router_fn=with_channel)
     assert lake.schema_version == 1
-    return lake.state_table()
+    return _consume_lake(lake)
 
 
 def cdc_lineage_totals(sf_dir: str) -> pa.Table:
