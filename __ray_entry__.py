@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_schema_evolution": q.cdc_schema_evolution,
         "cdc_time_window": q.cdc_time_window,
         "cdc_lineage_totals": q.cdc_lineage_totals,
+        "cdc_pk_change": q.cdc_pk_change,
         "cdc_sql_format": q.cdc_sql_format,
         "dedup_exact": q.dedup_exact,
         "dedup_minhash": q.dedup_minhash,
@@ -93,6 +94,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cdc_snapshot_read": """
             SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200
+        """,
+        "cdc_pk_change": CHANGES_CTE + """,
+            aug AS (
+              SELECT *, CASE WHEN op = 'update' AND role = 'view'
+                             THEN turn_idx + 40 END AS new_turn_idx
+              FROM changes
+            ),
+            split AS (
+              SELECT log_offset, 0 AS seq, op, conv_id, turn_idx,
+                     role, text, tool, ts
+              FROM aug WHERE new_turn_idx IS NULL
+              UNION ALL
+              SELECT log_offset, 0, 'delete', conv_id, turn_idx,
+                     NULL, NULL, NULL, NULL
+              FROM aug WHERE new_turn_idx IS NOT NULL
+              UNION ALL
+              SELECT log_offset, 1, 'insert', conv_id,
+                     CAST(new_turn_idx AS INTEGER),
+                     role, text, tool, ts
+              FROM aug WHERE new_turn_idx IS NOT NULL
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY log_offset DESC, seq DESC) AS rn
+              FROM split
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
         # epoch id = log_offset // 50000 must mirror the engine's epoch_size
         # (pipelines/queries.py _fresh_lake); per-key-per-epoch last-op counts

@@ -224,6 +224,27 @@ def cdc_schema_evolution(sf_dir: str) -> pa.Table:
     return _consume_lake(lake)
 
 
+def cdc_pk_change(sf_dir: str) -> pa.Table:
+    """PK-change updates (uk_changed_test analog): 'view' updates renumber
+    turn_idx by +40; the engine splits each into delete(old)+insert(new)
+    (stages/normalize.py) instead of the reference's serial fallback. The SQL
+    oracle performs the same split explicitly."""
+    from ape_dts_ray.pipelines.replay import replay
+
+    def add_pk_change(t: pa.Table) -> pa.Table:
+        is_chg = pc.and_(pc.equal(t.column("op"), pa.scalar("update")),
+                         pc.equal(t.column("role"), pa.scalar("view")))
+        new_turn = pc.if_else(is_chg,
+                              pc.add(t.column("turn_idx"), pa.scalar(40, pa.int32())),
+                              pa.nulls(t.num_rows, pa.int32()))
+        return t.append_column("new_turn_idx", new_turn)
+
+    lake = _fresh_lake("pkchange")
+    ds = changes_dataset(sf_dir).map_batches(add_pk_change, batch_format="pyarrow")
+    replay(lake, events_ds=ds)
+    return _consume_lake(lake)
+
+
 def cdc_lineage_totals(sf_dir: str) -> pa.Table:
     """End-to-end lineage audit: replay the stream, then answer ONLY from the
     committed manifests (S3FileMeta / position.log analog). The oracle
