@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q.dedup_exact,
         "dedup_minhash": q.dedup_minhash,
         "dedup_simhash": q.dedup_simhash,
+        "dedup_embedding": q.dedup_embedding,
         "ann_topk": q.ann_topk,
         "ann_ivf": q.ann_ivf,
         "text_stats": q.text_stats,

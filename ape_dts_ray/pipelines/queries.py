@@ -370,6 +370,19 @@ def dedup_simhash(sf_dir: str):
     return simhash_dedup(ds, max_hamming=3)
 
 
+def dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs via sign-projection LSH buckets
+    (rows-only; deterministic seeded planes). Random embeddings rarely exceed
+    the threshold — the pipeline shape is what's exercised."""
+    import ray.data as rd
+
+    from ape_dts_ray.functions.dedup import embedding_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_dedup(ds, threshold=0.8)
+
+
 def ann_topk(sf_dir: str):
     """Brute-force cosine top-10 of the first 5 embeddings against the corpus
     — exact, so it carries a SQL oracle (list_cosine_similarity)."""
