@@ -90,4 +90,3 @@ class EngineConfig:
     epoch_size: int = 1_000_000         # events per epoch window (micro-batch analog)
     batch_size: int = 65_536            # map_batches batch size
     hot_keys: tuple[str, ...] = ()      # conv_ids salted across partitions (skew split)
-    apply_concurrency: int | None = None  # actor-pool size for the apply stage
