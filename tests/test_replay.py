@@ -183,3 +183,31 @@ def test_empty_event_log(tmp_path):
     ms = replay(lake, events_path=path)
     assert ms == []
     assert lake.state_table().num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unicode_and_odd_payloads(tmp_path):
+    """charset/json scenario analog: emoji, CJK, quotes, newlines, NULs and
+    JSON-looking payloads survive the full replay byte-exactly."""
+    texts = ["héllo wörld 🎉", "对话第一轮", 'quote"s\'n\\backslash',
+             "line1\nline2\ttab", "nul\x00byte", '{"json": [1, 2, {"k": "v"}]}',
+             "", "🙂" * 100]
+    n = len(texts)
+    events = pa.table({
+        "log_offset": pa.array(range(n), pa.int64()),
+        "op": pa.array(["insert"] * n),
+        "conv_id": pa.array([f"conv-ünïcode-{i % 2}" for i in range(n)]),
+        "turn_idx": pa.array(range(n), pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array(texts),
+        "tool": pa.array([""] * n),
+        "ts": pa.array([None] * n, pa.timestamp("us")),
+    })
+    path = str(tmp_path / "u.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path)
+    state = lake.state_table()
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in state.to_pylist()}
+    for i, t in enumerate(texts):
+        assert got[(f"conv-ünïcode-{i % 2}", i)] == t
