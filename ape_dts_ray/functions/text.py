@@ -81,13 +81,13 @@ class QualityScore:
         self.word_re = re.compile(r"[a-z]+")
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("").to_numpy()
+        s = batch["text"].fillna("")
+        texts = s.to_numpy()
         n = len(texts)
-        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
-        digits = np.fromiter((sum(c.isdigit() for c in t) for t in texts),
-                             dtype=np.int64, count=n)
+        lens = s.str.len().to_numpy(dtype=np.int64)
+        digits = s.str.count(r"[0-9]").to_numpy(dtype=np.int64)
         stop_ratio = np.empty(n)
-        for i, t in enumerate(texts):
+        for i, t in enumerate(texts):          # per-doc scalar reduction
             ws = self.word_re.findall(t.lower())
             stop_ratio[i] = (sum(w in self.stop for w in ws) / len(ws)) if ws else 0.0
         len_ok = np.clip((lens - 20) / 180.0, 0, 1)

@@ -95,6 +95,11 @@ def stream_factory(seed: int, total_events: int, block_size: int,
         b_lo = window.lo // block_size
         b_hi = window.hi // block_size
         assert window.lo == b_lo * block_size, "epoch_size must be a multiple of block_size"
+        # the generated stream is used window_prefiltered=True, so the last
+        # block must not leak offsets past window.hi (they'd be clamped into
+        # the final epoch and overstate its manifest range)
+        assert (window.hi + 1) % block_size == 0, \
+            "window.hi+1 must be a multiple of block_size (aligned windows)"
 
         def gen(batch: pa.Table) -> pa.Table:
             out = [gen_block(seed, int(b), block_size, n_convs, max_turns,

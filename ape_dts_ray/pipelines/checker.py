@@ -21,6 +21,13 @@ import pyarrow as pa
 
 from ape_dts_ray.partition import COL_PART, add_partition_column
 
+# Revise epochs live in their own id band so they can never collide with
+# offset-derived replay epoch ids (a later replay would silently skip the
+# colliding window). Rows in this band outrank every normal epoch in the LWW
+# fold, so revise is TERMINAL for the CDC stream: replay() refuses to run
+# while a revise epoch is committed; compact() folds it into base.
+REVISE_EPOCH_BASE = 1 << 40
+
 CHECK_MISS = "miss"     # in src, absent from dst
 CHECK_DIFF = "diff"     # in both, compared columns differ
 CHECK_EXTRA = "extra"   # in dst, absent from src (not emitted by the reference
@@ -94,28 +101,46 @@ def write_check_logs(check_ds, out_dir: str) -> dict[str, int]:
 
     os.makedirs(out_dir, exist_ok=True)
     counts: dict[str, int] = {}
-    rows = check_ds.take_all()   # check output is small by contract (defect list)
-    by_type: dict[str, list] = {}
-    for r in rows:
-        t = r.pop("check_type")
-        by_type.setdefault(t, []).append(r)
-    for t, rs in by_type.items():
-        with open(os.path.join(out_dir, f"{t}.log"), "w") as f:
-            for r in rs:
-                f.write(json.dumps(r, default=str, sort_keys=True) + "\n")
-        counts[t] = len(rs)
+    files: dict[str, object] = {}
+    try:
+        # streamed, not take_all(): a fully-diverged table makes the defect
+        # set as large as the table itself — never hold it on the driver
+        for batch in check_ds.iter_batches(batch_format="pandas"):
+            for t, grp in batch.groupby("check_type", sort=False):
+                if t not in files:
+                    files[t] = open(os.path.join(out_dir, f"{t}.log"), "w")
+                f = files[t]
+                for r in grp.drop(columns=["check_type"]).to_dict("records"):
+                    f.write(json.dumps(r, default=str, sort_keys=True) + "\n")
+                counts[t] = counts.get(t, 0) + len(grp)
+    finally:
+        for f in files.values():
+            f.close()
     return counts
+
+
+MAX_DEFECT_KEYS = 1_000_000   # review/revise broadcast the defect key set to
+                              # every task; a fully-diverged table would make
+                              # it the whole table — fail fast instead of
+                              # OOMing the driver (split the repair instead)
+
+
+def _defect_rows(check_ds, max_defects: int) -> list[dict]:
+    rows = check_ds.take_all(limit=max_defects)
+    return rows
 
 
 def review(src_ds, dst_ds, check_ds,
            key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
            compare_cols: tuple[str, ...] = ("role", "text", "tool", "ts"),
-           num_partitions: int = 32):
+           num_partitions: int = 32, max_defects: int = MAX_DEFECT_KEYS):
     """Re-check ONLY the keys named in a previous check result — the review
     task (check-log extractor → check sinker, mysql_check_extractor.rs:52-106).
     Both sides are pre-filtered to the logged keys (broadcast semi-join), then
-    compared with the normal checker; returns the remaining defects."""
-    bad = check_ds.take_all()
+    compared with the normal checker; returns the remaining defects.
+
+    Raises if the defect set exceeds ``max_defects`` (broadcast-size guard)."""
+    bad = _defect_rows(check_ds, max_defects)
     keyset = {"\x1f".join(str(r[c]) for c in key_cols) for r in bad}
     kc = list(key_cols)
 
@@ -138,18 +163,23 @@ def review(src_ds, dst_ds, check_ds,
 
 
 def revise(lake, src_ds, check_ds,
-           key_cols: tuple[str, ...] = ("conv_id", "turn_idx")) -> int:
+           key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+           max_defects: int = MAX_DEFECT_KEYS) -> int:
     """Re-apply source truth for every miss/diff key (revise task analog:
     check_log extractor → write sinker). Returns #keys revised.
 
     The fix is applied as a synthetic epoch of insert events above the current
-    watermark, so it flows through the normal exactly-once apply path."""
+    watermark, so it flows through the normal exactly-once apply path. The
+    epoch id comes from the reserved revise band (REVISE_EPOCH_BASE) — see the
+    band's comment: revise is terminal until the next compact().
+
+    Raises if the defect set exceeds ``max_defects`` (broadcast-size guard)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
     from ape_dts_ray.pipelines.replay import EpochWindow, replay_window
 
-    bad = check_ds.take_all()
+    bad = _defect_rows(check_ds, max_defects)
     bad = [r for r in bad if r["check_type"] in (CHECK_MISS, CHECK_DIFF)]
     if not bad:
         return 0
@@ -184,7 +214,8 @@ def revise(lake, src_ds, check_ds,
         np.arange(wm + 1, wm + 1 + n, dtype=np.int64)))
     ev = ev.append_column("op", pa.array(np.full(n, "insert", dtype=object),
                                          type=pa.string()))
-    epoch = (max(lake.committed_epochs()) + 1) if lake.committed_epochs() else 0
+    prior = [e for e in lake.committed_epochs() if e >= REVISE_EPOCH_BASE]
+    epoch = (max(prior) + 1) if prior else REVISE_EPOCH_BASE
     w = EpochWindow(epoch=epoch, lo=wm + 1, hi=wm + n, schema_version=lake.schema_version)
     m = replay_window(lake, w, events_ds=rd.from_arrow(ev))
     lake.commit_epoch(m)

@@ -334,7 +334,7 @@ def text_langid(sf_dir: str):
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=2)
+        LangId, batch_format="pandas", concurrency=(1, 8))
 
 
 def doc_fingerprint(sf_dir: str):
@@ -345,7 +345,7 @@ def doc_fingerprint(sf_dir: str):
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
-        Fingerprint, batch_format="pandas", concurrency=2)
+        Fingerprint, batch_format="pandas", concurrency=(1, 8))
 
 
 def dedup_minhash(sf_dir: str):

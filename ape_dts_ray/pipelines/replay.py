@@ -80,18 +80,22 @@ def suggest_epoch_config(avg_event_bytes: int, num_cpus: int = 32,
 
 def plan_epochs(max_offset: int, epoch_size: int,
                 barriers: list[tuple[int, int]] | None = None,
-                min_offset: int = 0) -> list[EpochWindow]:
+                min_offset: int = 0, base_epoch: int = 0) -> list[EpochWindow]:
     """Cut [min_offset, max_offset] into epoch windows of ≤ epoch_size events,
     additionally cutting at schema-change barriers.
 
     ``barriers`` = [(offset, new_schema_version)]: the window containing
     ``offset`` ends at offset-1; events from ``offset`` on carry the new
     version (base_extractor.rs:118-124 barrier semantics).
+
+    ``base_epoch``: first epoch id — used by ``replay`` when planning from a
+    non-zero ``min_offset`` so ids stay globally offset-derived and never
+    collide with previously committed epochs.
     """
     cuts = sorted(set(b[0] for b in (barriers or [])
                       if min_offset < b[0] <= max_offset))
     ver_at = sorted(barriers or [])
-    windows, epoch, lo = [], 0, min_offset
+    windows, epoch, lo = [], base_epoch, min_offset
     version = 0
     for boff, bver in ver_at:
         if boff <= min_offset:
@@ -226,8 +230,38 @@ def replay(
                         mx = max(mx, st.max)
             max_offset = mx
 
-    windows = plan_epochs(max_offset, lake.config.epoch_size, barriers, min_offset)
     committed = set(lake.committed_epochs())
+    from ape_dts_ray.pipelines.checker import REVISE_EPOCH_BASE
+    if any(e >= REVISE_EPOCH_BASE for e in committed):
+        raise RuntimeError(
+            "lake has committed revise epochs — revise is terminal for the "
+            "CDC stream (revise rows outrank every normal epoch); compact() "
+            "folds them into base and re-enables replay")
+    base_epoch = 0
+    if min_offset > 0 and committed:
+        # Epoch ids must not collide with committed epochs: planning from a
+        # non-zero min_offset numbers windows from 0, so on a lake with
+        # committed (uncompacted) epochs the new windows would reuse committed
+        # ids and be silently skipped. Derive the base id from the offset,
+        # which requires alignment and barrier-free history. (A fresh or
+        # fully-compacted lake has no committed ids to collide with.)
+        es = lake.config.epoch_size
+        if min_offset % es != 0:
+            raise ValueError(
+                f"min_offset={min_offset} must be a multiple of epoch_size="
+                f"{es} so epoch ids stay offset-derived (or use min_offset=0 "
+                "— committed epochs are skipped automatically)")
+        if barriers and any(b[0] <= min_offset for b in barriers):
+            raise ValueError("barriers at or below min_offset would have "
+                             "shifted earlier epoch numbering; replay from 0")
+        base_epoch = min_offset // es
+        if committed and base_epoch <= max(committed):
+            raise ValueError(
+                f"min_offset-derived base epoch {base_epoch} collides with "
+                f"committed epochs up to {max(committed)} (earlier replays "
+                "used different window boundaries); replay from 0 instead")
+    windows = plan_epochs(max_offset, lake.config.epoch_size, barriers,
+                          min_offset, base_epoch)
     pending = [w for w in windows
                if w.epoch not in committed and w.hi > lake.compacted_watermark()]
     if stop_after_epoch is not None:

@@ -69,8 +69,11 @@ def derive_changes(batch: pa.Table) -> pa.Table:
     text = pc.binary_join_element_wise(
         pa.array(np.full(len(eid), "msg", dtype=object), type=pa.string()),
         idstr, batch.column("props"), " ")
-    tool = pc.if_else(pc.greater(batch.column("value"), pa.scalar(100.0)),
-                      pa.scalar("search"), pa.scalar(""))
+    # fill_null(False): SQL `value > 100` is NULL for NULL value and the CTE's
+    # CASE falls through to ELSE '' — the Arrow side must agree on NULL inputs
+    tool = pc.if_else(
+        pc.fill_null(pc.greater(batch.column("value"), pa.scalar(100.0)), False),
+        pa.scalar("search"), pa.scalar(""))
 
     def nulled(arr, typ):
         return pc.if_else(is_del, pa.nulls(len(eid), typ), arr)

@@ -272,18 +272,20 @@ class LakeTable:
         else:
             for pid in range(self.config.num_partitions):
                 compact_partition(pid)
-        # deltas + manifests are superseded; record watermark in table json
+        # Publish the compacted watermark BEFORE dropping deltas/manifests:
+        # a crash inside the cleanup window must never regress watermark() —
+        # folding committed deltas over a base that already contains them is
+        # idempotent (same LWW winners), so the transient overlap is safe,
+        # while a regressed watermark would re-apply the entire log.
+        m = EpochManifest(epoch=epochs[-1], offset_min=-1, offset_max=watermark,
+                          schema_version=self.schema_version, partitions=[])
+        atomic_write_text(os.path.join(self.root, MANIFEST_DIR, "compacted.json"),
+                          m.to_json())
         for e in epochs:
             ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
             if os.path.isdir(ddir):
                 shutil.rmtree(ddir)
             os.remove(self.manifest_path(e))
-        # keep the watermark: write a synthetic "compacted" manifest so
-        # committed_watermark() survives compaction (resume correctness)
-        m = EpochManifest(epoch=epochs[-1], offset_min=-1, offset_max=watermark,
-                          schema_version=self.schema_version, partitions=[])
-        atomic_write_text(os.path.join(self.root, MANIFEST_DIR, "compacted.json"),
-                          m.to_json())
         return len(epochs)
 
     def compacted_watermark(self) -> int:

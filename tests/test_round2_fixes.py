@@ -1,0 +1,162 @@
+"""Round-2 hardening tests (VERDICT/ADVICE items): min_offset epoch-id
+derivation, revise epoch band terminality, compact() watermark ordering,
+NULL-value derivation parity, checker defect-set caps."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from ape_dts_ray.fixtures import gen_events, oracle_replay
+from ape_dts_ray.meta import EngineConfig, TableMeta
+from ape_dts_ray.pipelines.checker import (REVISE_EPOCH_BASE, check_datasets,
+                                           revise)
+from ape_dts_ray.pipelines.replay import replay
+from ape_dts_ray.pipelines.snapshot import load_snapshot
+from ape_dts_ray.state.lake import LakeTable
+
+
+def _mk_lake(tmp_path, name="lake", **cfg):
+    defaults = dict(num_partitions=8, epoch_size=2000)
+    defaults.update(cfg)
+    return LakeTable.create(str(tmp_path / name), TableMeta(),
+                            EngineConfig(**defaults))
+
+
+def _assert_matches(lake, events):
+    state = lake.state_table().to_pandas()
+    oracle = oracle_replay(events)
+    assert len(state) == len(oracle), (len(state), len(oracle))
+    pd.testing.assert_series_equal(state["text"], oracle["text"],
+                                   check_dtype=False, check_names=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_min_offset_continuation_on_committed_lake(tmp_path):
+    """ADVICE replay.py:231 repro: replay a prefix, then continue with an
+    aligned min_offset on the same (uncompacted) lake — epoch ids must stay
+    offset-derived so the continuation actually applies."""
+    events = gen_events(seed=21, n_convs=40, max_turns=8, n_events=6000,
+                        delete_frac=0.15)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+
+    replay(lake, events_path=path, max_offset=3999)      # epochs 0, 1
+    assert lake.committed_epochs() == [0, 1]
+    replay(lake, events_path=path, min_offset=4000)      # epochs 2, 3 — no collision
+    assert lake.committed_epochs() == [0, 1, 2, 3]
+    _assert_matches(lake, events)
+
+    # misaligned min_offset on a lake with committed epochs → explicit error
+    with pytest.raises(ValueError, match="multiple of epoch_size"):
+        replay(lake, events_path=path, min_offset=4100)
+    # min_offset whose derived epoch collides with committed ids → error
+    with pytest.raises(ValueError, match="collides"):
+        replay(lake, events_path=path, min_offset=2000)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_revise_band_is_terminal_until_compact(tmp_path):
+    events = gen_events(seed=22, n_convs=20, max_turns=6, n_events=2000,
+                        delete_frac=0.1)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+    src = _mk_lake(tmp_path, "src")
+    replay(src, events_path=path)
+
+    corrupted = src.state_table().to_pandas().iloc[2:]
+    dst = _mk_lake(tmp_path, "dst")
+    load_snapshot(dst, rd.from_pandas(corrupted))
+    check = check_datasets(src.state_dataset(), dst.state_dataset(),
+                           num_partitions=8)
+    assert revise(dst, src.state_dataset(), check) == 2
+    revs = [e for e in dst.committed_epochs() if e >= REVISE_EPOCH_BASE]
+    assert len(revs) == 1                       # reserved band, not max+1
+
+    with pytest.raises(RuntimeError, match="revise"):
+        replay(dst, events_path=path)           # revise is terminal…
+    dst.compact(parallel=False)
+    replay(dst, events_path=path)               # …until compaction folds it
+    _assert_matches(dst, events)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_crash_window_never_regresses_watermark(tmp_path, monkeypatch):
+    """ADVICE lake.py:276: crash between base rewrite and manifest cleanup
+    must keep watermark() at its pre-compact value (no full re-apply)."""
+    events = gen_events(seed=23, n_convs=25, max_turns=6, n_events=4000,
+                        delete_frac=0.1)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path)
+    wm = lake.watermark()
+    before = lake.state_table().to_pandas()
+
+    import ape_dts_ray.state.lake as lake_mod
+
+    orig_rmtree = lake_mod.shutil.rmtree
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash during compact cleanup")
+
+    monkeypatch.setattr(lake_mod.shutil, "rmtree", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        lake.compact(parallel=False)
+    monkeypatch.setattr(lake_mod.shutil, "rmtree", orig_rmtree)
+
+    crashed = LakeTable.open(lake.root)
+    assert crashed.watermark() == wm            # never regressed
+    after = crashed.state_table().to_pandas()   # overlap fold is idempotent
+    pd.testing.assert_frame_equal(before, after)
+
+    crashed.compact(parallel=False)             # cleanup completes on retry
+    assert crashed.watermark() == wm
+    pd.testing.assert_frame_equal(before, crashed.state_table().to_pandas())
+
+
+def test_derive_null_value_matches_cte():
+    """ADVICE derive.py:72: NULL `value` must produce tool='' on both sides."""
+    import duckdb
+
+    from ape_dts_ray.sources.derive import CHANGES_CTE, derive_changes
+
+    batch = pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array([np.datetime64("2024-01-01", "us")] * 3,
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "event_type": pa.array(["signup", "click", "error"]),
+        "value": pa.array([None, None, None], pa.float64()),
+        "props": pa.array(["p0", "p1", "p2"]),
+    })
+    got = derive_changes(batch).to_pandas()
+    con = duckdb.connect()
+    con.register("events", batch)
+    want = con.sql(CHANGES_CTE + "SELECT * FROM changes").df()
+    con.close()
+    pd.testing.assert_series_equal(got["tool"], want["tool"],
+                                   check_dtype=False, check_names=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checker_defect_cap(tmp_path):
+    """A fully-diverged table must fail the broadcast path fast, not OOM."""
+    events = gen_events(seed=24, n_convs=20, max_turns=6, n_events=1500,
+                        delete_frac=0.0)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+    src = _mk_lake(tmp_path, "src")
+    replay(src, events_path=path)
+    dst = _mk_lake(tmp_path, "dst")    # empty → every key is a miss
+    mangled = src.state_table().to_pandas().copy()
+    mangled["text"] = "X"
+    load_snapshot(dst, rd.from_pandas(mangled))
+    check = check_datasets(src.state_dataset(), dst.state_dataset(),
+                           num_partitions=8)
+    with pytest.raises(ValueError):
+        revise(dst, src.state_dataset(), check, max_defects=5)
