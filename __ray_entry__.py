@@ -17,6 +17,20 @@ from typing import Any
 
 from ape_dts_ray.sources.derive import CHANGES_CTE
 
+
+def _stopword_values() -> str:
+    """VALUES list for the langid oracle, generated from the SAME stopword
+    tables the Ray stage uses (ape_dts_ray/functions/text.py STOPWORDS)."""
+    from ape_dts_ray.functions.text import STOPWORDS
+
+    rows = [f"('{lang}', '{w}')"
+            for lang in sorted(STOPWORDS) for w in sorted(STOPWORDS[lang])]
+    return ", ".join(rows)
+
+
+# must equal LangId.word_re (functions/text.py) — applied to lower() text
+_LANGID_WORD_RE = "[a-zäöüßáéíóúñàâçèêîôû]+"
+
 _LAST = """
 ranked AS (
   SELECT *, row_number() OVER (
@@ -254,7 +268,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 10
         """,
-        # dedup_minhash / dedup_simhash / ann_ivf / text_langid /
-        # doc_fingerprint: deterministic but not reasonably SQL-expressible
-        # (LSH banding, signature hashing, heuristic voting) → rows-only check.
+        # SqlSinker string assembly, mirrored from stages/sql_format.py
+        # (REPLACE upsert / keyed DELETE, '' escaping, NULL for null payloads)
+        "cdc_sql_format": CHANGES_CTE + """
+            SELECT log_offset,
+              CASE WHEN op = 'delete'
+                THEN 'DELETE FROM transcripts WHERE conv_id = '''
+                     || replace(conv_id, '''', '''''')
+                     || ''' AND turn_idx = ' || CAST(turn_idx AS VARCHAR) || ';'
+                ELSE 'REPLACE INTO transcripts (conv_id, turn_idx, role, text, tool) VALUES ('''
+                     || replace(conv_id, '''', '''''') || ''', '
+                     || CAST(turn_idx AS VARCHAR) || ', '
+                     || COALESCE('''' || replace(role, '''', '''''') || '''', 'NULL') || ', '
+                     || COALESCE('''' || replace(text, '''', '''''') || '''', 'NULL') || ', '
+                     || COALESCE('''' || replace(tool, '''', '''''') || '''', 'NULL') || ');'
+              END AS "sql"
+            FROM changes
+        """,
+        # Stopword-vote language id, mirrored from functions/text.py::LangId
+        # (count stopword OCCURRENCES per language; winner = max count with
+        # lang-code-ascending tie-break; 'und' when no stopword hits)
+        "text_langid": f"""
+            WITH words AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{_LANGID_WORD_RE}')) AS w
+              FROM documents
+            ),
+            sw(lang, w) AS (VALUES {_stopword_values()}),
+            cnt AS (
+              SELECT doc_id, lang, count(*) AS n
+              FROM words JOIN sw USING (w) GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY doc_id ORDER BY n DESC, lang) AS rn
+              FROM cnt WHERE n > 0
+            )
+            SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+            FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+        """,
+        # Exact all-pairs cosine near-dup (CAST to DOUBLE[] so both sides
+        # compute in float64; τ=0.3 sits in smooth density — no boundary mass)
+        "dedup_embedding": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.3
+        """,
+        # True-Jaccard near-dup pairs over 5-word shingle SETS — the exact
+        # semantics the MinHash pipeline approximates; banding recall ≈ 1 on
+        # this corpus (all dup pairs J ≥ 0.87), so LSH+verify equals exact.
+        # Shingle rule mirrors functions/dedup.py::_shingles (k=5, whole text
+        # when fewer than 5 words; Jaccard over unique shingles).
+        "dedup_minhash": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sh AS (SELECT doc_id,
+                     CASE WHEN len(ws) < 5 THEN list_value(array_to_string(ws, ' '))
+                          ELSE list_transform(range(1, len(ws) - 3),
+                                 i -> array_to_string(list_slice(ws, i, i + 4), ' '))
+                     END AS sets FROM w),
+            u AS (SELECT DISTINCT doc_id, unnest(sets) AS sg FROM sh),
+            cnt AS (SELECT doc_id, count(*) AS n FROM u GROUP BY 1),
+            inter AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS i
+                      FROM u x JOIN u y USING (sg)
+                      WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+            SELECT ia AS a, ib AS b
+            FROM inter
+            JOIN cnt ca ON ca.doc_id = ia
+            JOIN cnt cb ON cb.doc_id = ib
+            WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.6
+        """,
+        # dedup_simhash / ann_ivf / doc_fingerprint: see below — added as
+        # their pipelines are restructured for oracle parity.
     }

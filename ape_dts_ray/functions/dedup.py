@@ -98,17 +98,16 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(a & b) / max(1, len(a | b))
 
 
-def minhash_dedup(docs_ds, threshold: float = 0.8, bands: int = 16,
-                  shingle_k: int = 5) -> pd.DataFrame:
-    """Full MinHash-LSH near-dup pipeline → DataFrame (doc_id, dup_of) for
-    every document that is a near-duplicate of a lower-id keeper.
+_EMPTY_PAIRS = {"a": pd.array([], dtype="int64"),
+                "b": pd.array([], dtype="int64")}
 
-    Candidate verification re-reads the two texts (broadcast of the doc→text
-    map is fine while the candidate set is small; at 100 TB scale this becomes
-    a keyed join of candidate pairs against the corpus — documented
-    partitioning assumption: pairs ≪ corpus)."""
-    import ray.data as rd  # noqa: F401  (docs_ds is a Dataset)
 
+def minhash_candidate_pairs(docs_ds, bands: int = 32, shingle_k: int = 5):
+    """LSH candidate pairs as a Dataset (a, b), a < b, globally deduplicated.
+
+    Two bounded shuffles: (band, band_hash) buckets sharded to ≤ N_SHARDS
+    groups (pair generation), then pair-hash shards (cross-band dedup). Only
+    (doc_id, band, hash) descriptor rows move — never document payload."""
     bands_ds = docs_ds.map_batches(MinHashBands(bands, shingle_k),
                                    batch_format="pandas")
 
@@ -122,28 +121,138 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, bands: int = 16,
             out_a.append(ids[i])
             out_b.append(ids[j])
         if not out_a:
-            return pd.DataFrame({"a": pd.array([], dtype="int64"),
-                                 "b": pd.array([], dtype="int64")})
+            return pd.DataFrame(_EMPTY_PAIRS)
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)})
 
     pairs = bands_ds.groupby("shard").map_groups(shard_pairs,
                                                  batch_format="pandas")
-    pairs_df = pairs.to_pandas().drop_duplicates()
-    if pairs_df.empty:
-        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                             "dup_of": pd.array([], dtype="int64")})
 
-    texts = dict(zip(*[docs_ds.select_columns(["doc_id", "text"])
-                       .to_pandas()[c] for c in ("doc_id", "text")]))
-    keep = []
-    for a, b in zip(pairs_df["a"], pairs_df["b"]):
-        if jaccard(texts.get(a, ""), texts.get(b, ""), shingle_k) >= threshold:
-            keep.append((int(a), int(b)))
-    if not keep:
+    def add_pair_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        h = pd.util.hash_array(a * np.int64(1_000_003) + b)
+        batch = batch.copy()
+        batch["_pk"] = (h % np.uint64(N_SHARDS)).astype(np.int64)
+        return batch
+
+    def dedup_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    return (pairs.map_batches(add_pair_shard, batch_format="pandas")
+            .groupby("_pk").map_groups(dedup_shard, batch_format="pandas"))
+
+
+def join_pair_texts(pairs_ds, docs_ds, num_partitions: int = 64):
+    """Attach both texts to every (a, b) pair with TWO keyed shuffle joins
+    (hash-partition pairs and docs by doc id, vectorized pandas merge inside
+    each partition) — the distributed replacement for a driver-side
+    doc_id→text map. Nothing ever materializes on the driver; the corpus
+    text flows through two partition-pure shuffles."""
+    P = num_partitions
+
+    def _key(ids: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(ids.astype(np.int64))
+                % np.uint64(P)).astype(np.int64)
+
+    def tag_pairs_a(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_jk": _key(batch["a"].to_numpy()), "_kind": "p",
+            "a": batch["a"].astype("int64"), "b": batch["b"].astype("int64"),
+            "txt": pd.array([None] * len(batch), dtype="string")})
+
+    def tag_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "_jk": _key(ids), "_kind": "d",
+            "a": batch["doc_id"].astype("int64"),
+            "b": np.full(len(batch), -1, dtype=np.int64),
+            "txt": batch["text"].astype("string")})
+
+    def merge_a(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["_kind"] == "d"][["a", "txt"]].rename(columns={"txt": "text_a"})
+        p = g[g["_kind"] == "p"][["a", "b"]]
+        return p.merge(d, on="a", how="inner")
+
+    stage_a = (docs_ds.map_batches(tag_docs, batch_format="pandas")
+               .union(pairs_ds.map_batches(tag_pairs_a, batch_format="pandas"))
+               .groupby("_jk").map_groups(merge_a, batch_format="pandas"))
+
+    def tag_pairs_b(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_jk": _key(batch["b"].to_numpy()), "_kind": "p",
+            "a": batch["a"].astype("int64"), "b": batch["b"].astype("int64"),
+            "text_a": batch["text_a"].astype("string"),
+            "txt": pd.array([None] * len(batch), dtype="string")})
+
+    def tag_docs_b(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "_jk": _key(ids), "_kind": "d",
+            "a": np.full(len(batch), -1, dtype=np.int64),
+            "b": batch["doc_id"].astype("int64"),
+            "text_a": pd.array([None] * len(batch), dtype="string"),
+            "txt": batch["text"].astype("string")})
+
+    def merge_b(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["_kind"] == "d"][["b", "txt"]].rename(columns={"txt": "text_b"})
+        p = g[g["_kind"] == "p"][["a", "b", "text_a"]]
+        return p.merge(d, on="b", how="inner")
+
+    return (docs_ds.map_batches(tag_docs_b, batch_format="pandas")
+            .union(stage_a.map_batches(tag_pairs_b, batch_format="pandas"))
+            .groupby("_jk").map_groups(merge_b, batch_format="pandas"))
+
+
+def verify_pairs_jaccard(joined_ds, threshold: float, shingle_k: int = 5):
+    """(a, b, text_a, text_b) → (a, b) where true Jaccard ≥ threshold.
+    Per-pair scalar reduction over the batch (the shingle sets are per-pair
+    state; candidates are a tiny fraction of the corpus by LSH construction)."""
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        ok = np.fromiter(
+            (jaccard(ta or "", tb or "", shingle_k) >= threshold
+             for ta, tb in zip(batch["text_a"], batch["text_b"])),
+            dtype=bool, count=len(batch))
+        out = batch.loc[ok, ["a", "b"]]
+        if out.empty:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return out.astype("int64")
+
+    return joined_ds.map_batches(verify, batch_format="pandas")
+
+
+def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, bands: int = 32,
+                        shingle_k: int = 5,
+                        num_partitions: int = 64) -> pd.DataFrame:
+    """MinHash-LSH near-dup PAIRS, end-to-end distributed: banding → sharded
+    candidate generation → keyed text joins → in-partition Jaccard verify.
+    Equals the exact set {(a, b): J(a, b) ≥ τ} whenever banding recall ≈ 1
+    (bands=32/r=4 at τ=0.6 misses a τ-boundary pair with p < 2e-2 and a
+    j ≥ 0.85 pair with p < 1e-7 — pick bands for the target τ)."""
+    pairs = minhash_candidate_pairs(docs_ds, bands, shingle_k)
+    docs = docs_ds.select_columns(["doc_id", "text"])
+    verified = verify_pairs_jaccard(
+        join_pair_texts(pairs, docs, num_partitions), threshold, shingle_k)
+    df = verified.to_pandas()          # verified near-dup pairs: small output
+    if df.empty:
+        return pd.DataFrame(_EMPTY_PAIRS)
+    return (df.drop_duplicates(["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+def minhash_dedup(docs_ds, threshold: float = 0.8, bands: int = 32,
+                  shingle_k: int = 5) -> pd.DataFrame:
+    """(doc_id, dup_of) for every document that is a near-duplicate of a
+    lower-id keeper: verified pairs (distributed, see minhash_dedup_pairs)
+    → min-label union-find over the pair set. Partitioning assumption
+    (documented): VERIFIED duplicate pairs ≪ corpus, so clustering the pair
+    list on the driver is bounded; the corpus itself never leaves the
+    cluster."""
+    keep = minhash_dedup_pairs(docs_ds, threshold, bands, shingle_k)
+    if keep.empty:
         return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                              "dup_of": pd.array([], dtype="int64")})
-    # union-find on the (small) verified pair set → min-id cluster labels
     parent: dict[int, int] = {}
 
     def find(x):
@@ -153,8 +262,8 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, bands: int = 16,
             x = parent[x]
         return x
 
-    for a, b in keep:
-        ra, rb = find(a), find(b)
+    for a, b in zip(keep["a"], keep["b"]):
+        ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     rows = sorted((x, find(x)) for x in parent)
@@ -244,6 +353,77 @@ def simhash_dedup(docs_ds, max_hamming: int = 3,
 
 
 # --- embedding near-dup ---
+
+def cosine_pairs(emb_path: str, threshold: float, id_col: str = "vec_id",
+                 vec_col: str = "embedding", block_rows: int = 1024):
+    """EXACT all-pairs cosine ≥ τ as a Dataset of (a, b) id pairs, a < b.
+
+    Scale shape: the id space is cut into contiguous blocks (row-group-prunable
+    range filters); one task per block PAIR reads its two blocks straight from
+    storage and emits qualifying pairs from a float64 matmul. The driver holds
+    only O(B²) descriptors; no corpus materialization anywhere. Read
+    amplification is B per block — the inherent cost of exact all-pairs; use
+    ``embedding_dedup`` (sign-LSH buckets) when approximate recall is
+    acceptable at scale."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    f = pq.ParquetFile(emb_path)
+    ci = f.schema_arrow.get_field_index(id_col)
+    mn, mx = None, None
+    for rg in range(f.metadata.num_row_groups):   # footer stats only
+        st = f.metadata.row_group(rg).column(ci).statistics
+        if st is not None and st.min is not None:
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+    if mn is None:
+        return rd.from_items([]).map_batches(
+            lambda t: pd.DataFrame({"a": pd.array([], dtype="int64"),
+                                    "b": pd.array([], dtype="int64")}),
+            batch_format="pandas")
+    bounds = list(range(mn, mx + 1, block_rows))
+    blocks = [(lo, min(lo + block_rows - 1, mx)) for lo in bounds]
+    descs = [{"alo": blocks[i][0], "ahi": blocks[i][1],
+              "blo": blocks[j][0], "bhi": blocks[j][1], "diag": i == j}
+             for i in range(len(blocks)) for j in range(i, len(blocks))]
+
+    def _read_block(lo: int, hi: int):
+        t = pq.read_table(emb_path, columns=[id_col, vec_col],
+                          filters=[(id_col, ">=", lo), (id_col, "<=", hi)])
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        V = np.stack(t.column(vec_col).to_numpy(zero_copy_only=False)
+                     ).astype(np.float64)
+        V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return ids, V
+
+    def pair_block(batch: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for r in batch.itertuples():              # one descriptor per task
+            ida, Va = _read_block(int(r.alo), int(r.ahi))
+            if r.diag:
+                idb, Vb = ida, Va
+            else:
+                idb, Vb = _read_block(int(r.blo), int(r.bhi))
+            if len(ida) == 0 or len(idb) == 0:
+                continue
+            sims = Va @ Vb.T
+            if r.diag:
+                i, j = np.triu_indices(len(ida), k=1)
+                ok = sims[i, j] >= threshold
+                out_a.append(ida[i][ok])
+                out_b.append(idb[j][ok])
+            else:
+                i, j = np.nonzero(sims >= threshold)
+                out_a.append(ida[i])
+                out_b.append(idb[j])
+        if not out_a:
+            return pd.DataFrame({"a": pd.array([], dtype="int64"),
+                                 "b": pd.array([], dtype="int64")})
+        return pd.DataFrame({"a": np.concatenate(out_a).astype(np.int64),
+                             "b": np.concatenate(out_b).astype(np.int64)})
+
+    return rd.from_items(descs).map_batches(pair_block, batch_format="pandas",
+                                            batch_size=1)
 
 def embedding_dedup(emb_ds, threshold: float = 0.95, n_planes: int = 8,
                     seed: int = 7) -> pd.DataFrame:

@@ -349,14 +349,18 @@ def doc_fingerprint(sf_dir: str):
 
 
 def dedup_minhash(sf_dir: str):
-    """MinHash-LSH near-dup pairs over documents (rows-only; deterministic)."""
+    """MinHash-LSH near-dup pairs over documents, fully distributed (banding →
+    sharded candidates → keyed text joins → in-partition Jaccard verify; no
+    driver-side corpus map). Banding recall ≈ 1 at the sf corpus (planted
+    dup pairs all have J ≥ 0.87), so the output equals the exact true-Jaccard
+    pair set and carries a shingle-join SQL oracle."""
     import ray.data as rd
 
-    from ape_dts_ray.functions.dedup import minhash_dedup
+    from ape_dts_ray.functions.dedup import minhash_dedup_pairs
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    return minhash_dedup(ds, threshold=0.6, bands=32)
+    return minhash_dedup_pairs(ds, threshold=0.6, bands=32)
 
 
 def dedup_simhash(sf_dir: str):
@@ -371,16 +375,16 @@ def dedup_simhash(sf_dir: str):
 
 
 def dedup_embedding(sf_dir: str):
-    """Embedding-cosine near-dup pairs via sign-projection LSH buckets
-    (rows-only; deterministic seeded planes). Random embeddings rarely exceed
-    the threshold — the pipeline shape is what's exercised."""
-    import ray.data as rd
+    """Embedding-cosine near-dup pairs, EXACT (block-pair all-pairs matmul —
+    functions/dedup.py::cosine_pairs) so it carries a SQL oracle
+    (list_cosine_similarity over a self-join). τ=0.3 is calibrated to the sf
+    corpus (max pair cosine ≈ 0.51) so the result is non-trivial. The
+    approximate scale path (sign-LSH buckets, ``embedding_dedup``) is covered
+    by unit tests with planted duplicates."""
+    from ape_dts_ray.functions.dedup import cosine_pairs
 
-    from ape_dts_ray.functions.dedup import embedding_dedup
-
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    return embedding_dedup(ds, threshold=0.8)
+    out = cosine_pairs(f"{sf_dir}/embeddings.parquet", threshold=0.3)
+    return out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def ann_topk(sf_dir: str):
