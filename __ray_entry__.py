@@ -31,6 +31,21 @@ def _stopword_values() -> str:
 # must equal LangId.word_re (functions/text.py) — applied to lower() text
 _LANGID_WORD_RE = "[a-zäöüßáéíóúñàâçèêîôû]+"
 
+
+def _fingerprint_window_sql(window: int = 16) -> str:
+    """The per-window Rabin-Karp hash as a SQL expression over an ASCII text
+    column (the sf corpus is pure ASCII, so char position == byte position).
+    Powers come from the SAME constants as functions/text.py::rolling_hashes."""
+    from ape_dts_ray.functions.text import BASE, MOD
+
+    pows = [1] * window
+    for i in range(1, window):
+        pows[i] = (pows[i - 1] * int(BASE)) % int(MOD)
+    terms = " + ".join(
+        f"ascii(substr(text, i + {j}, 1))::BIGINT * {pows[window - 1 - j]}"
+        for j in range(window))
+    return f"({terms}) % {int(MOD)}"
+
 _LAST = """
 ranked AS (
   SELECT *, row_number() OVER (
@@ -338,6 +353,68 @@ def oracle_sql() -> dict[str, str]:
             JOIN cnt cb ON cb.doc_id = ib
             WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.6
         """,
-        # dedup_simhash / ann_ivf / doc_fingerprint: see below — added as
-        # their pipelines are restructured for oracle parity.
+        # SimHash signature recomputed in SQL (md5-derived 64-bit word hash,
+        # per-bit majority vote over word OCCURRENCES — mirrors
+        # functions/dedup.py::simhash64) → all-pairs Hamming ≤ 3 via
+        # bit_count(xor) on the two 32-bit signature halves.
+        "dedup_simhash": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+            ),
+            wh AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h
+              FROM words
+            ),
+            bits AS (
+              SELECT doc_id, b,
+                     sum(CAST((h >> b) & 1 AS BIGINT)) AS ones, count(*) AS n
+              FROM wh CROSS JOIN (SELECT unnest(range(64)) AS b)
+              GROUP BY 1, 2
+            ),
+            sbit AS (
+              SELECT doc_id, b,
+                     CASE WHEN ones * 2 > n THEN 1 ELSE 0 END AS bit
+              FROM bits
+            ),
+            sig AS (
+              SELECT doc_id,
+                sum(CASE WHEN b < 32 THEN bit * (1::BIGINT << b) ELSE 0 END) AS lo,
+                sum(CASE WHEN b >= 32 THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END) AS hi
+              FROM sbit GROUP BY 1
+            ),
+            ham AS (
+              SELECT x.doc_id AS a, y.doc_id AS b,
+                     CAST(bit_count(xor(x.lo, y.lo))
+                        + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+              FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+            )
+            SELECT a, b, hamming FROM ham WHERE hamming <= 3
+        """,
+        # Winnowing fingerprint recomputed in SQL: every 16-byte Rabin-Karp
+        # window hash (ASCII ⇒ ascii(substr) == byte), min + 016x digest of
+        # the 8 smallest — mirrors functions/text.py::Fingerprint.
+        "doc_fingerprint": f"""
+            WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+            win AS (
+              SELECT doc_id, text, unnest(range(1, n - 14)) AS i
+              FROM docs WHERE n >= 16
+            ),
+            h AS (SELECT doc_id, {_fingerprint_window_sql()} AS hv FROM win),
+            ranked AS (
+              SELECT doc_id, hv, row_number() OVER (
+                PARTITION BY doc_id ORDER BY hv) AS rn
+              FROM h
+            ),
+            agg AS (
+              SELECT doc_id, min(hv) AS mh, sum(hv) AS s
+              FROM ranked WHERE rn <= 8 GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.mh, 0) AS min_hash,
+                   COALESCE(printf('%016x', a.s::BIGINT), '0000000000000000') AS fingerprint
+            FROM docs d LEFT JOIN agg a USING (doc_id)
+        """,
+        # ann_ivf: approximate by construction (recall < 1) → rows-only check,
+        # with recall@k measured against the exact ann_topk in the pipeline.
     }

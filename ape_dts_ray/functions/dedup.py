@@ -272,21 +272,62 @@ def minhash_dedup(docs_ds, threshold: float = 0.8, bands: int = 32,
 
 
 # --- SimHash ---
+#
+# The word hash is md5-derived (first 8 bytes, big-endian) — chosen over
+# pd.util.hash_array so the signature is reproducible in ANY engine with an
+# md5() primitive; the DuckDB oracle recomputes the identical signature
+# (__ray_entry__.oracle_sql "dedup_simhash", kept in lockstep with this).
+
+def _md5_hash64(uniq_words, cache: dict | None = None) -> np.ndarray:
+    import hashlib
+
+    out = np.empty(len(uniq_words), dtype=np.uint64)
+    for i, w in enumerate(uniq_words):
+        v = cache.get(w) if cache is not None else None
+        if v is None:
+            v = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+            if cache is not None:
+                cache[w] = v
+        out[i] = v
+    return out
+
+
+def _simhash_from_hashes(hs: np.ndarray) -> int:
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+    # int64: a uint64 `sum*2 - n` underflows when ones are the minority,
+    # flipping every minority bit to 1 (caught by the SQL oracle)
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
+    return int(((votes > 0).astype(np.uint64) <<
+                np.arange(64, dtype=np.uint64)).sum())
+
 
 def simhash64(text: str) -> int:
     words = text.split()
     if not words:
         return 0
-    hs = pd.util.hash_array(np.array(words, dtype=object))
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-    votes = bits.sum(axis=0) * 2 - len(hs)
-    return int(((votes > 0).astype(np.uint64) <<
-                np.arange(64, dtype=np.uint64)).sum())
+    arr = np.array(words, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    return _simhash_from_hashes(_md5_hash64(uniq)[inv])
 
 
 class SimHashStage:
+    """Stateful map_batches body (actor pool): the word→hash64 vocabulary
+    cache persists across batches, so each distinct word is md5-hashed once
+    per actor, not once per occurrence."""
+
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sh = [simhash64(t) for t in batch["text"].fillna("")]
+        texts = batch["text"].fillna("").to_numpy()
+        sh = np.zeros(len(texts), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            words = t.split()
+            if not words:
+                continue
+            arr = np.array(words, dtype=object)
+            uniq, inv = np.unique(arr, return_inverse=True)
+            sh[i] = _simhash_from_hashes(_md5_hash64(uniq, self.cache)[inv])
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "simhash": pd.array(sh, dtype="uint64")})
 
@@ -299,8 +340,10 @@ def simhash_dedup(docs_ds, max_hamming: int = 3,
     Buckets larger than ``max_bucket`` are degenerate (a 16-bit chunk shared
     by thousands of docs carries no signal and would cost O(m²)); they are
     skipped — the standard LSH hot-bucket guard. Raise ``max_bucket`` for
-    corpora where huge clusters are expected."""
-    sigs = docs_ds.map_batches(SimHashStage(), batch_format="pandas")
+    corpora where huge clusters are expected (with it disabled the 4-band
+    scheme is EXACT for Hamming ≤ 3: pigeonhole guarantees a shared band)."""
+    sigs = docs_ds.map_batches(SimHashStage, batch_format="pandas",
+                               concurrency=(1, 8))
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch["simhash"].to_numpy().astype(np.uint64)

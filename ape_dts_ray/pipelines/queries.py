@@ -364,14 +364,17 @@ def dedup_minhash(sf_dir: str):
 
 
 def dedup_simhash(sf_dir: str):
-    """SimHash near-dup pairs over documents (rows-only; deterministic)."""
+    """SimHash near-dup pairs over documents. With the hot-bucket guard
+    disabled, 4×16-bit banding is EXACT for Hamming ≤ 3 (pigeonhole), and the
+    md5-derived word hash is reproducible in SQL — so the output equals the
+    all-pairs Hamming join and carries a DuckDB oracle (bit_count ∘ xor)."""
     import ray.data as rd
 
     from ape_dts_ray.functions.dedup import simhash_dedup
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    return simhash_dedup(ds, max_hamming=3)
+    return simhash_dedup(ds, max_hamming=3, max_bucket=1_000_000_000)
 
 
 def dedup_embedding(sf_dir: str):
