@@ -50,15 +50,17 @@ class BruteForceTopK:
 
 
 def brute_force_topk(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
-                     concurrency: int | None = None) -> pd.DataFrame:
+                     concurrency=None) -> pd.DataFrame:
     """Global cosine top-k for every query: partial top-k per batch →
     groupby(query_id) final reduce. Returns (query_id, vec_id, rank, cosine)."""
     import ray
 
     if concurrency is None:
-        # leave slots for the downstream shuffle: an actor pool that reserves
-        # every CPU starves the groupby stage and the pipeline deadlocks
-        concurrency = max(1, int(ray.cluster_resources().get("CPU", 4)) - 2)
+        # autoscaling pool (1, cpus-2): sized by demand, so a tiny corpus
+        # doesn't pay ~30 actor startups for a handful of batches, while the
+        # cap leaves slots for the downstream shuffle (a pool reserving every
+        # CPU starves the groupby and the pipeline deadlocks)
+        concurrency = (1, max(1, int(ray.cluster_resources().get("CPU", 4)) - 2))
     ref = ray.put(queries)
     partials = emb_ds.map_batches(
         BruteForceTopK, fn_constructor_args=(ref, k),
@@ -77,51 +79,88 @@ def brute_force_topk(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
 
 # --- IVF (inverted-file) variant: the 100 TB scale path ---
 
-def make_centroids(dim: int, n_centroids: int, seed: int = 11) -> np.ndarray:
+def train_centroids(emb_ds, n_centroids: int, sample_size: int = 65_536,
+                    iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Sample-trained spherical k-means centroids: a bounded sample streams to
+    the driver (``limit`` — stops the read early, never the full corpus),
+    Lloyd iterations run in numpy. Deterministic (seeded init, fixed sample).
+    At 100 TB the sample is a fixed-size fraction; training cost is O(sample ×
+    iters), independent of corpus size."""
+    df = emb_ds.limit(sample_size).to_pandas()
+    V = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
-    return _normalize(rng.standard_normal((n_centroids, dim)))
+    k = min(n_centroids, len(V))
+    C = V[rng.choice(len(V), size=k, replace=False)]
+    for _ in range(iters):
+        assign = (V @ C.T).argmax(axis=1)
+        for c in range(k):
+            members = V[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
 
 
 class IVFAssign:
-    """Index-time bucket assignment: vec → nearest centroid id (pure function
-    of (vector, seed) — reproducible, shardable)."""
+    """Index-time bucket assignment: vec → (nearest centroid, id-hash shard).
+    The shuffle key ``_gkey = centroid * n_shards + shard`` keeps bucket-search
+    parallelism at C × S tasks (not capped at n_centroids) and bounds each
+    group to ~corpus/(C·S) rows — a pure function of (vector, centroids),
+    reproducible and shardable."""
 
-    def __init__(self, centroids: np.ndarray):
+    def __init__(self, centroids: np.ndarray, n_shards: int, spill: int = 1):
         self.C = centroids
+        self.S = n_shards
+        self.spill = spill   # index-time multi-assignment: store each vector
+                             # in its `spill` nearest buckets — boundary
+                             # vectors stay findable (recall ↑) at spill×
+                             # index size, the standard IVF spill trade-off
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         V = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-        cid = (V @ self.C.T).argmax(axis=1).astype(np.int32)
-        out = batch[["vec_id", "embedding"]].copy()
-        out["centroid"] = cid
-        return out
+        sims = V @ self.C.T
+        ids = batch["vec_id"].to_numpy().astype(np.int64)
+        shard = (pd.util.hash_array(ids) % np.uint64(self.S)).astype(np.int64)
+        near = np.argsort(-sims, axis=1)[:, :self.spill].astype(np.int64)
+        outs = []
+        for s in range(near.shape[1]):
+            out = batch[["vec_id", "embedding"]].copy()
+            out["_gkey"] = near[:, s] * self.S + shard
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True)
 
 
 def ivf_topk(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
-             n_centroids: int = 16, n_probe: int = 4,
-             seed: int = 11) -> pd.DataFrame:
-    """Approximate top-k: probe only the n_probe nearest centroid buckets per
-    query. Recall < 1 by construction; deterministic given the seed."""
+             n_centroids: int = 64, n_probe: int = 16, n_shards: int = 4,
+             spill: int = 1, seed: int = 11,
+             centroids: np.ndarray | None = None) -> pd.DataFrame:
+    """Approximate top-k: probe only the ``n_probe`` nearest (sample-trained)
+    centroid buckets per query. Recall < 1 by construction — measure it with
+    ``recall_at_k`` against ``brute_force_topk``; deterministic given the
+    seed. Scans ~n_probe/n_centroids of the corpus per query."""
     import ray
 
     qids = sorted(queries.keys())
-    dim = len(next(iter(queries.values())))
-    C = make_centroids(dim, n_centroids, seed)
+    C = centroids if centroids is not None else train_centroids(
+        emb_ds, n_centroids, seed=seed)
+    n_centroids = len(C)
     Q = _normalize(np.stack([queries[i] for i in qids]).astype(np.float64))
     probes = np.argsort(-(Q @ C.T), axis=1)[:, :n_probe]   # (nq, n_probe)
-    # query set per bucket (small — broadcast in closure)
+    # query list per centroid (small — broadcast in closure)
     bucket_queries: dict[int, list[int]] = {}
     for qi, row in enumerate(probes):
         for c in row:
             bucket_queries.setdefault(int(c), []).append(qi)
 
-    import ray as _ray
-    pool = max(1, int(_ray.cluster_resources().get("CPU", 4)) - 2)
-    assigned = emb_ds.map_batches(IVFAssign, fn_constructor_args=(C,),
+    pool = (1, max(1, int(ray.cluster_resources().get("CPU", 4)) - 2))
+    assigned = emb_ds.map_batches(IVFAssign,
+                                  fn_constructor_args=(C, n_shards, spill),
                                   batch_format="pandas", concurrency=pool)
 
+    S = n_shards
+
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        c = int(g["centroid"].iloc[0])
+        c = int(g["_gkey"].iloc[0]) // S
         qis = bucket_queries.get(c, [])
         if not qis:
             return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
@@ -130,22 +169,35 @@ def ivf_topk(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
         V = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
         ids = g["vec_id"].to_numpy()
         sims = Q[qis] @ V.T
+        kk = min(k, len(ids))
         out = []
         for row, qi in enumerate(qis):
-            order = np.lexsort((ids, -sims[row]))[:k]
+            order = np.lexsort((ids, -sims[row]))[:kk]
             out.append(pd.DataFrame({"query_id": qids[qi], "vec_id": ids[order],
                                      "cosine": sims[row][order]}))
         return pd.concat(out, ignore_index=True)
 
-    partials = assigned.groupby("centroid").map_groups(
+    partials = assigned.groupby("_gkey").map_groups(
         bucket_topk, batch_format="pandas")
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True])
+        g = g.drop_duplicates("vec_id").head(k)    # spilled vectors can reach
+        g = g.reset_index(drop=True)               # a query via several buckets
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         g["cosine"] = np.round(g["cosine"], 6)
         return g[["query_id", "vec_id", "rank", "cosine"]]
 
     out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
     return out.to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def recall_at_k(approx: pd.DataFrame, exact: pd.DataFrame) -> pd.DataFrame:
+    """Per-query recall@k of an approximate top-k result against the exact
+    one: |approx ∩ exact| / |exact| over vec_id sets."""
+    rows = []
+    for qid, ex in exact.groupby("query_id"):
+        ap = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        rows.append({"query_id": int(qid),
+                     "recall": len(ap & set(ex["vec_id"])) / max(1, len(ex))})
+    return pd.DataFrame(rows)

@@ -79,6 +79,27 @@ def test_embedding_dedup_and_topk():
     assert ivf[(ivf["query_id"] == 0) & (ivf["rank"] == 1)]["vec_id"].iloc[0] == 3
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_ivf_recall_vs_exact_sf001():
+    """The driver config (C=32/P=16/spill=2) must hold recall@10 ≥ 0.9 per
+    query against the exact brute-force result on the sf corpus."""
+    import pyarrow.dataset as pads
+
+    sf = "/root/testdata/sf0.01"
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qdf = rd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filter=pads.field("vec_id") < 5).to_pandas()
+    queries = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+               for r in qdf.itertuples()}
+    exact = similarity.brute_force_topk(ds, queries, k=10)
+    approx = similarity.ivf_topk(ds, queries, k=10, n_centroids=32,
+                                 n_probe=16, n_shards=4, spill=2)
+    rec = similarity.recall_at_k(approx, exact)["recall"]
+    assert rec.min() >= 0.9 and rec.mean() >= 0.9, rec.tolist()
+
+
 def test_langid_and_quality():
     df = pd.DataFrame({
         "doc_id": [1, 2, 3, 4],
