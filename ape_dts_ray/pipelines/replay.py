@@ -35,6 +35,7 @@ import threading
 from dataclasses import dataclass
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
@@ -123,9 +124,18 @@ def apply_windows(
     router_fn=None,
     batch_size: int | None = None,
     read_columns: list[str] | None = None,
+    narrow_shuffle: bool = False,
 ) -> list[EpochManifest]:
     """Apply a contiguous run of epoch windows in one pipeline execution;
-    returns their (uncommitted) manifests in epoch order."""
+    returns their (uncommitted) manifests in epoch order.
+
+    ``narrow_shuffle=True`` runs the SURVEY §7 two-pass apply: pass 1 moves
+    only (id cols, offset, seq, op) through the shuffle and picks LWW winner
+    offsets per (epoch, partition); pass 2 filters the (materialized, group-
+    bounded) events to winners — typically a small fraction of an
+    update-heavy stream — and shuffles just their payload to the delta
+    writers. Shuffle traffic drops from full payload × events to narrow ×
+    events + payload × winners."""
     import ray.data as rd
 
     cfg: EngineConfig = lake.config
@@ -162,8 +172,12 @@ def apply_windows(
         batch_format="pyarrow", batch_size=bs)
 
     apply_fn = make_apply_fn(lake.root, nparts, lake.meta.id_cols)
-    lineage_ds = ds.groupby(COL_SHARD).map_groups(apply_fn, batch_format="pyarrow")
-    lineage_rows = lineage_ds.take_all()   # ≤ windows × partitions rows — small
+    if narrow_shuffle:
+        lineage_rows = _narrow_apply(lake, ds, apply_fn)
+    else:
+        lineage_ds = ds.groupby(COL_SHARD).map_groups(apply_fn,
+                                                      batch_format="pyarrow")
+        lineage_rows = lineage_ds.take_all()  # ≤ windows × partitions — small
 
     by_epoch: dict[int, list[dict]] = {}
     for r in lineage_rows:
@@ -177,6 +191,64 @@ def apply_windows(
             partitions=[PartitionLineage(**{k: v for k, v in r.items()
                                             if k != "epoch"}) for r in rows]))
     return manifests
+
+
+def _narrow_apply(lake: LakeTable, ds_sharded, apply_fn) -> list[dict]:
+    """Two-pass narrow-shuffle apply over an already-sharded event Dataset.
+
+    The chunk is materialized once (bounded by the group-size rule,
+    suggest_epoch_config ≈ 1 GiB) so both passes read it from the object
+    store instead of re-executing the upstream. The winner-offset array is
+    bounded by the chunk's event count (≤ group events × 8 B) and broadcast
+    once via ``ray.put``; pass 2 re-runs LWW on the filtered superset (rows
+    sharing an offset with a winner — PK-change splits share offsets), which
+    contains every true winner by construction."""
+    import ray
+
+    from ape_dts_ray.meta import COL_OP, COL_SEQ
+    from ape_dts_ray.stages.apply import make_winner_fn
+
+    ds_sharded = ds_sharded.materialize()
+    id_cols = lake.meta.id_cols
+    narrow_cols = [*id_cols, COL_OFFSET, COL_SEQ, COL_OP, COL_SHARD]
+
+    def select_narrow(t):
+        return t.select([c for c in narrow_cols if c in t.column_names])
+
+    winner_fn = make_winner_fn(lake.root, lake.config.num_partitions, id_cols)
+    win_rows = (ds_sharded.map_batches(select_narrow, batch_format="pyarrow")
+                .groupby(COL_SHARD)
+                .map_groups(winner_fn, batch_format="pyarrow")
+                .take_all())   # one row per (epoch, partition) + winner lists
+
+    if win_rows:
+        winners = np.sort(np.concatenate(
+            [np.asarray(r["winners"], dtype=np.int64) for r in win_rows]))
+    else:
+        winners = np.zeros(0, dtype=np.int64)
+    wref = ray.put(winners)
+
+    def keep_winners(t):
+        w = ray.get(wref)    # zero-copy from local plasma after first fetch
+        if len(w) == 0 or t.num_rows == 0:
+            return t.slice(0, 0)
+        off = t.column(COL_OFFSET).to_numpy(zero_copy_only=False)
+        idx = np.minimum(np.searchsorted(w, off), len(w) - 1)
+        return t.filter(pa.array(w[idx] == off))
+
+    lineage2 = (ds_sharded.map_batches(keep_winners, batch_format="pyarrow")
+                .groupby(COL_SHARD)
+                .map_groups(apply_fn, batch_format="pyarrow")
+                .take_all())
+    rows2 = {(r["epoch"], r["part_id"]): r["rows"] for r in lineage2}
+    out = []
+    for r in win_rows:
+        got = rows2.get((r["epoch"], r["part_id"]), 0)
+        assert got == r["rows"], (
+            f"narrow apply wrote {got} rows for epoch {r['epoch']} part "
+            f"{r['part_id']}, winner pass expected {r['rows']}")
+        out.append({k: v for k, v in r.items() if k != "winners"})
+    return out
 
 
 def replay_window(lake: LakeTable, window: EpochWindow, **kw) -> EpochManifest:
@@ -197,6 +269,7 @@ def replay(
     stop_after_epoch: int | None = None,
     group_epochs: int = 4,
     pipeline_depth: int = 2,
+    narrow_shuffle: bool = False,
 ) -> list[EpochManifest]:
     """Full replay driver: plan windows, skip committed epochs (resume), apply
     + commit the rest in order, ``group_epochs`` windows per pipeline
@@ -272,10 +345,12 @@ def replay(
             span = EpochWindow(chunk[0].epoch, chunk[0].lo, chunk[-1].hi)
             return apply_windows(lake, chunk, events_ds=events_factory(span),
                                  window_prefiltered=True,
-                                 event_filter=event_filter, router_fn=router_fn)
+                                 event_filter=event_filter, router_fn=router_fn,
+                                 narrow_shuffle=narrow_shuffle)
         return apply_windows(lake, chunk, events_path=events_path,
                              events_ds=events_ds,
-                             event_filter=event_filter, router_fn=router_fn)
+                             event_filter=event_filter, router_fn=router_fn,
+                             narrow_shuffle=narrow_shuffle)
 
     g = max(1, group_epochs)
     chunks = [pending[i:i + g] for i in range(0, len(pending), g)]

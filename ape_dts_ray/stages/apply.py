@@ -69,6 +69,47 @@ def add_shard_column(batch: pa.Table, epoch_los: np.ndarray, epoch_ids: np.ndarr
     return batch.append_column(COL_SHARD, pa.array(shard))
 
 
+WINNER_SCHEMA = pa.schema([
+    ("epoch", pa.int64()), ("part_id", pa.int32()), ("file", pa.string()),
+    ("rows", pa.int64()), ("events", pa.int64()), ("upserts", pa.int64()),
+    ("deletes", pa.int64()), ("offset_min", pa.int64()), ("offset_max", pa.int64()),
+    ("winners", pa.list_(pa.int64())),
+])
+
+
+def make_winner_fn(lake_root: str, num_partitions: int, id_cols: tuple[str, ...]):
+    """Pass 1 of the narrow-shuffle apply: the ``map_groups`` body over the
+    NARROW projection (id cols + offset + seq + op) — computes per-group LWW
+    winner offsets and the full lineage row, without ever moving the payload
+    through the shuffle. SURVEY §7's 'project keys through the shuffle,
+    rejoin payload by winner indices' plan."""
+
+    def winner_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return WINNER_SCHEMA.empty_table()
+        shard = int(group.column(COL_SHARD)[0].as_py())
+        epoch, part_id = divmod(shard, num_partitions)
+        events = group.drop_columns([COL_SHARD])
+        win = lww_last(events, key_cols=id_cols)
+        deletes = int(pc.sum(pc.equal(win.column(COL_OP),
+                                      pa.scalar(OP_DELETE))).as_py() or 0)
+        offs = events.column(COL_OFFSET)
+        path = os.path.join(
+            lake_root, "delta", f"epoch-{epoch:08d}", f"part-{part_id:05d}.parquet")
+        row = {
+            "epoch": epoch, "part_id": part_id,
+            "file": os.path.relpath(path, lake_root),
+            "rows": win.num_rows, "events": events.num_rows,
+            "upserts": win.num_rows - deletes, "deletes": deletes,
+            "offset_min": int(pc.min(offs).as_py()),
+            "offset_max": int(pc.max(offs).as_py()),
+            "winners": win.column(COL_OFFSET).to_pylist(),
+        }
+        return pa.Table.from_pylist([row], schema=WINNER_SCHEMA)
+
+    return winner_group
+
+
 def make_apply_fn(lake_root: str, num_partitions: int, id_cols: tuple[str, ...]):
     """Build the ``map_groups`` body. Captures only plain strings/ints (cheap
     to ship to tasks; no driver state)."""
@@ -80,6 +121,11 @@ def make_apply_fn(lake_root: str, num_partitions: int, id_cols: tuple[str, ...])
         epoch, part_id = divmod(shard, num_partitions)
         events = group.drop_columns([COL_SHARD])
         merged = lww_last(events, key_cols=id_cols)
+        # canonical row order: (offset, seq) is unique per group, so sorting
+        # makes the delta file bytes independent of shuffle arrival order
+        merged = merged.sort_by([(COL_OFFSET, "ascending"), ("seq", "ascending")]
+                                if "seq" in merged.column_names
+                                else [(COL_OFFSET, "ascending")])
         n = merged.num_rows
         is_del = pc.equal(merged.column(COL_OP), pa.scalar(OP_DELETE))
         deletes = int(pc.sum(is_del).as_py() or 0)

@@ -39,9 +39,14 @@ N_EVENTS = int(os.environ.get("BENCH_EVENTS", str(8_000_000)))
 # levels still get 32 concurrent gen/apply tasks
 BLOCK = 125_000
 EPOCH = 1_000_000
-N_CONVS = 200_000
+N_CONVS = int(os.environ.get("BENCH_CONVS", "200000"))
 MAX_TURNS = 40
 SEED = 42
+# BENCH_NARROW=1 switches the apply to the two-pass narrow shuffle (keys
+# through the sort, payload rejoined by winner offsets) — the SURVEY §7
+# experiment; BENCH_TEXT_LEN grows the payload to model fat-row streams
+NARROW = os.environ.get("BENCH_NARROW") == "1"
+TEXT_LEN = int(os.environ.get("BENCH_TEXT_LEN", "80"))
 
 
 def run_replay_bench() -> dict:
@@ -54,7 +59,8 @@ def run_replay_bench() -> dict:
 
     n_events = (N_EVENTS // EPOCH) * EPOCH or EPOCH
     factory = stream_factory(SEED, n_events, BLOCK, N_CONVS, MAX_TURNS,
-                             delete_frac=0.1, hot_frac=0.05)
+                             delete_frac=0.1, hot_frac=0.05,
+                             text_len=TEXT_LEN)
 
     root = tempfile.mkdtemp(prefix="ape_dts_bench_")
     try:
@@ -67,7 +73,7 @@ def run_replay_bench() -> dict:
                 EngineConfig(num_partitions=64, epoch_size=EPOCH,
                              hot_keys=("conv-0000000",)))
             replay(warm, events_factory=factory, max_offset=n_events - 1,
-                   group_epochs=4, pipeline_depth=2)
+                   group_epochs=4, pipeline_depth=2, narrow_shuffle=NARROW)
             shutil.rmtree(f"{root}/warm{wi}", ignore_errors=True)
 
         best, manifests = None, None
@@ -80,7 +86,8 @@ def run_replay_bench() -> dict:
             t0 = time.perf_counter()
             manifests = replay(lake, events_factory=factory,
                                max_offset=n_events - 1,
-                               group_epochs=4, pipeline_depth=2)
+                               group_epochs=4, pipeline_depth=2,
+                               narrow_shuffle=NARROW)
             dt = time.perf_counter() - t0
             applied = sum(p.events for m in manifests for p in m.partitions)
             assert applied == n_events, (applied, n_events)

@@ -144,6 +144,34 @@ def test_derive_null_value_matches_cte():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_narrow_shuffle_apply_matches_wide(tmp_path):
+    """SURVEY §7 two-pass apply: project keys through the shuffle, rejoin
+    payload by winner offsets — final state must equal the wide path (and the
+    oracle), including PK-change splits (shared offsets) and deletes."""
+    events = gen_events(seed=31, n_convs=30, max_turns=8, n_events=5000,
+                        delete_frac=0.2, pk_change_frac=0.1, hot_frac=0.2)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+
+    wide = _mk_lake(tmp_path, "wide", hot_keys=("conv-000000",))
+    replay(wide, events_path=path)
+    narrow = _mk_lake(tmp_path, "narrow", hot_keys=("conv-000000",))
+    ms = replay(narrow, events_path=path, narrow_shuffle=True)
+
+    _assert_matches(narrow, events)
+    sw = wide.state_table().to_pandas()
+    sn = narrow.state_table().to_pandas()
+    pd.testing.assert_frame_equal(sw, sn)
+    # manifests carry identical lineage (events counted in the narrow pass)
+    for m in ms:
+        wm = wide.read_manifest(m.epoch)
+        assert sum(p.events for p in m.partitions) == \
+               sum(p.events for p in wm.partitions)
+        assert sum(p.rows for p in m.partitions) == \
+               sum(p.rows for p in wm.partitions)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_checker_defect_cap(tmp_path):
     """A fully-diverged table must fail the broadcast path fast, not OOM."""
     events = gen_events(seed=24, n_convs=20, max_turns=6, n_events=1500,
