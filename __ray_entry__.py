@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_snapshot_sample": q.cdc_snapshot_sample,
         "cdc_checker": q.cdc_checker,
         "cdc_schema_evolution": q.cdc_schema_evolution,
+        "cdc_schema_nonadditive": q.cdc_schema_nonadditive,
         "cdc_time_window": q.cdc_time_window,
         "cdc_lineage_totals": q.cdc_lineage_totals,
         "cdc_pk_change": q.cdc_pk_change,
@@ -242,6 +243,13 @@ def oracle_sql() -> dict[str, str]:
               FROM aug
             )
             SELECT conv_id, turn_idx, role, text, tool, ts, channel
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # rename tool->tool_name + drop role + widen turn_idx: the final
+        # state is the plain LWW winners with the mapped target schema
+        "cdc_schema_nonadditive": CHANGES_CTE + "," + _LAST + """
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text,
+                   tool AS tool_name, ts
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
         "dedup_exact": """

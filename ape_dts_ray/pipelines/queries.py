@@ -224,6 +224,46 @@ def cdc_schema_evolution(sf_dir: str) -> pa.Table:
     return _consume_lake(lake)
 
 
+def cdc_schema_nonadditive(sf_dir: str) -> pa.Table:
+    """NON-additive schema evolution (ddl_type.rs rename/drop/alter family):
+    at the median offset the stream renames ``tool``→``tool_name`` (post-cut
+    events carry the new column), the target drops ``role``, and ``turn_idx``
+    widens int32→int64. Old-era delta files are mapped at merge-on-read by
+    the lake's persisted schema ops (stages/merge.py::apply_schema_ops) —
+    pre-cut winners surface their tool value under ``tool_name``."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.pipelines.replay import replay
+
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    cut = n // 2
+
+    def rename_tool(t: pa.Table) -> pa.Table:
+        # post-cut rows emit tool_name (new source schema); a batch may mix
+        # eras under grouped-epoch execution, so the split is row-level
+        if t.num_rows == 0 or pc.max(t.column("log_offset")).as_py() < cut:
+            return t
+        is_v1 = pc.greater_equal(t.column("log_offset"), pa.scalar(cut, pa.int64()))
+        nulls = pa.nulls(t.num_rows, pa.string())
+        tool_name = pc.if_else(is_v1, t.column("tool"), nulls)
+        old_tool = pc.if_else(is_v1, nulls, t.column("tool"))
+        t = t.set_column(t.column_names.index("tool"), "tool", old_tool)
+        return t.append_column("tool_name", tool_name)
+
+    lake = _fresh_lake("schemanonadd")
+    lake.set_schema_ops([
+        {"op": "rename", "from": "tool", "to": "tool_name"},
+        {"op": "drop", "col": "role"},
+        {"op": "widen", "col": "turn_idx", "type": "int64"},
+    ])
+    replay(lake, events_ds=changes_dataset(sf_dir), barriers=[(cut, 1)],
+           router_fn=rename_tool)
+    assert lake.schema_version == 1
+    out = _consume_lake(lake)
+    assert "role" not in out.column_names and "tool" not in out.column_names
+    return out
+
+
 def cdc_pk_change(sf_dir: str) -> pa.Table:
     """PK-change updates (uk_changed_test analog): 'view' updates renumber
     turn_idx by +40; the engine splits each into delete(old)+insert(new)

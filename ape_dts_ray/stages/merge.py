@@ -68,6 +68,54 @@ def drop_tombstones(state: pa.Table, op_col: str = COL_OP) -> pa.Table:
     return state.filter(pc.not_equal(state.column(op_col), pa.scalar(OP_DELETE)))
 
 
+def apply_schema_ops(t: pa.Table, ops: Sequence[dict]) -> pa.Table:
+    """Non-additive schema evolution at merge-on-read — the DDL family the
+    reference parses from the source (dt-common/src/meta/ddl_meta/
+    ddl_type.rs:7-36 RenameTable/AlterTable/DropColumn...; the sinker drops
+    its cached meta on DDL, mysql_sinker.rs:123-128). Here each op is a pure
+    table transform applied to every piece (base/delta of any era) before the
+    LWW fold, so files written under the old schema read back under the new:
+
+    - {"op": "rename", "from": a, "to": b} — rename; if a piece carries BOTH
+      (a mixed-era delta), per-row coalesce(b, a): a post-barrier row never
+      holds the old column non-null, so new wins row-wise.
+    - {"op": "drop", "col": c} — column removed from the table.
+    - {"op": "widen", "col": c, "type": alias} — cast to a wider type
+      (int32→int64, float32→float64, ...).
+
+    Renaming/dropping an id col is rejected at registration
+    (LakeTable.set_schema_ops) — the LWW key must stay stable. Ops are
+    applied in list order, so chained renames (a→b, then b→c) compose.
+    """
+    import pyarrow.compute as pc
+
+    for op in ops:
+        kind = op["op"]
+        if kind == "rename":
+            src, dst = op["from"], op["to"]
+            has_src, has_dst = src in t.column_names, dst in t.column_names
+            if has_src and has_dst:
+                dst_type = t.schema.field(dst).type
+                merged = pc.coalesce(t.column(dst), t.column(src).cast(dst_type))
+                t = t.set_column(t.column_names.index(dst), dst, merged)
+                t = t.drop_columns([src])
+            elif has_src:
+                t = t.rename_columns(
+                    [dst if c == src else c for c in t.column_names])
+        elif kind == "drop":
+            if op["col"] in t.column_names:
+                t = t.drop_columns([op["col"]])
+        elif kind == "widen":
+            c = op["col"]
+            if c in t.column_names:
+                typ = pa.type_for_alias(op["type"])
+                t = t.set_column(t.column_names.index(c), c,
+                                 t.column(c).cast(typ))
+        else:
+            raise ValueError(f"unknown schema op: {kind!r}")
+    return t
+
+
 def unify_tables(tables: list[pa.Table]) -> list[pa.Table]:
     """Additive schema evolution: align tables to the unified schema,
     null-backfilling missing columns (ape-dts column-mapping rule — columns

@@ -47,11 +47,15 @@ TABLE_FILE = "_table.json"
 
 class LakeTable:
     def __init__(self, root: str, meta: TableMeta, config: EngineConfig,
-                 schema_version: int = 0):
+                 schema_version: int = 0,
+                 schema_ops: list[dict] | None = None):
         self.root = root
         self.meta = meta
         self.config = config
         self.schema_version = schema_version
+        # non-additive evolution ops (stages/merge.py::apply_schema_ops) —
+        # persisted so merge-on-read maps old-era files after a restart
+        self.schema_ops: list[dict] = list(schema_ops or [])
 
     # ---------- lifecycle ----------
     @classmethod
@@ -93,7 +97,8 @@ class LakeTable:
                            epoch_size=d.get("epoch_size", EngineConfig.epoch_size),
                            batch_size=d.get("batch_size", EngineConfig.batch_size),
                            hot_keys=tuple(d.get("hot_keys", ())))
-        return cls(root, meta, cfg, schema_version=d.get("schema_version", 0))
+        return cls(root, meta, cfg, schema_version=d.get("schema_version", 0),
+                   schema_ops=d.get("schema_ops", []))
 
     def _save_table_json(self) -> None:
         d = {
@@ -108,6 +113,7 @@ class LakeTable:
             "batch_size": self.config.batch_size,
             "hot_keys": list(self.config.hot_keys),
             "schema_version": self.schema_version,
+            "schema_ops": self.schema_ops,
         }
         atomic_write_text(os.path.join(self.root, TABLE_FILE),
                           json.dumps(d, indent=1, sort_keys=True))
@@ -167,9 +173,24 @@ class LakeTable:
                 files.append(dp)
         return files
 
+    def set_schema_ops(self, ops: list[dict]) -> None:
+        """Register (and persist) non-additive schema-evolution ops — the DDL
+        execution point (ddl_type.rs rename/drop/alter analog). Renaming or
+        dropping an id col is rejected: the LWW key must stay stable."""
+        for op in ops:
+            touched = op.get("from") or op.get("col")
+            if op["op"] in ("rename", "drop") and touched in self.meta.id_cols:
+                raise ValueError(f"schema op {op} touches id col {touched!r}; "
+                                 "the LWW key must remain stable")
+        self.schema_ops = list(ops)
+        self._save_table_json()
+
     def _fold_files(self, files: list[str], keep_tombstones: bool = False,
                     columns: list[str] | None = None) -> pa.Table | None:
         pieces = [pq.read_table(f) for f in files]
+        if self.schema_ops:
+            pieces = [merge_mod.apply_schema_ops(p, self.schema_ops)
+                      for p in pieces]
         folded = merge_mod.fold_state(
             pieces, key_cols=self.meta.id_cols, keep_tombstones=keep_tombstones)
         if folded is not None and columns:
@@ -186,9 +207,10 @@ class LakeTable:
 
         parts = [{"part_id": p} for p in range(self.config.num_partitions)]
         root, meta, cfg, sv = self.root, self.meta, self.config, self.schema_version
+        ops = self.schema_ops
 
         def fold(batch: pa.Table):   # generator UDF: empty partitions yield
-            lake = LakeTable(root, meta, cfg, sv)   # nothing (no null-schema
+            lake = LakeTable(root, meta, cfg, sv, ops)  # nothing (no null-schema
             out = []                                 # blocks polluting unions)
             for pid in batch.column("part_id").to_pylist():
                 files = lake.partition_files(pid)
@@ -246,9 +268,10 @@ class LakeTable:
         watermark = self.read_manifest(epochs[-1]).offset_max
 
         root, meta, cfg, sv = self.root, self.meta, self.config, self.schema_version
+        ops = self.schema_ops
 
         def compact_partition(pid: int) -> None:
-            lake = LakeTable(root, meta, cfg, sv)
+            lake = LakeTable(root, meta, cfg, sv, ops)
             files = lake.partition_files(pid)
             if not files:
                 return

@@ -172,6 +172,73 @@ def test_narrow_shuffle_apply_matches_wide(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_nonadditive_schema_evolution_resume_and_compact(tmp_path):
+    """Rename/drop/widen ops survive a crash before the barrier (persisted in
+    _table.json), the resumed replay crosses the rename barrier, and
+    compaction materializes the evolved schema with identical state."""
+    import pyarrow.compute as pc
+
+    events = gen_events(seed=41, n_convs=25, max_turns=8, n_events=4000,
+                        delete_frac=0.15)
+    n = events.num_rows
+    cut = (n // 2 // 2000) * 2000          # barrier on an epoch boundary ±
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+
+    ops = [{"op": "rename", "from": "tool", "to": "tool_name"},
+           {"op": "drop", "col": "role"},
+           {"op": "widen", "col": "turn_idx", "type": "int64"}]
+
+    def rename_tool(t):
+        if t.num_rows == 0 or pc.max(t.column("log_offset")).as_py() < cut:
+            return t
+        is_v1 = pc.greater_equal(t.column("log_offset"),
+                                 pa.scalar(cut, pa.int64()))
+        nulls = pa.nulls(t.num_rows, pa.string())
+        t = t.append_column("tool_name",
+                            pc.if_else(is_v1, t.column("tool"), nulls))
+        return t.set_column(t.column_names.index("tool"), "tool",
+                            pc.if_else(is_v1, nulls, t.column("tool")))
+
+    def run(lake, **kw):
+        replay(lake, events_path=path, barriers=[(cut, 1)],
+               router_fn=rename_tool, **kw)
+
+    # uninterrupted reference
+    ref = _mk_lake(tmp_path, "ref")
+    ref.set_schema_ops(ops)
+    run(ref)
+    want = ref.state_table().to_pandas()
+    assert "tool_name" in want.columns and "tool" not in want.columns
+    assert "role" not in want.columns
+    assert want["turn_idx"].dtype == "int64"
+    # pre-cut winners surface their value under the NEW name
+    oracle = oracle_replay(events)
+    assert len(want) == len(oracle)
+    pd.testing.assert_series_equal(want["tool_name"], oracle["tool"],
+                                   check_dtype=False, check_names=False)
+
+    # crash before the barrier → reopen (ops restored from disk) → resume
+    crash = _mk_lake(tmp_path, "crash")
+    crash.set_schema_ops(ops)
+    run(crash, stop_after_epoch=0)
+    resumed = LakeTable.open(crash.root)
+    assert resumed.schema_ops == ops
+    run(resumed)
+
+    def canon(df):   # column order is unify-dependent; contract is by name
+        return df[sorted(df.columns)].reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        canon(want), canon(resumed.state_table().to_pandas()))
+
+    # compaction folds old-era files through the ops; state identical
+    resumed.compact(parallel=False)
+    pd.testing.assert_frame_equal(
+        canon(want), canon(LakeTable.open(crash.root).state_table().to_pandas()))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_checker_defect_cap(tmp_path):
     """A fully-diverged table must fail the broadcast path fast, not OOM."""
     events = gen_events(seed=24, n_convs=20, max_turns=6, n_events=1500,
