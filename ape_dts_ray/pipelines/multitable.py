@@ -14,10 +14,15 @@ are skipped on resume — each table's own watermark handles that.
 
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
-from ape_dts_ray.meta import EngineConfig, TableMeta
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ape_dts_ray.meta import COL_EPOCH, COL_OFFSET, COL_OP, EngineConfig, OP_DELETE, TableMeta
 from ape_dts_ray.stages.filter import TableFilter
 from ape_dts_ray.stages.router import Router
 from ape_dts_ray.state.lake import LakeTable
@@ -64,4 +69,183 @@ def run_tables(
     with ThreadPoolExecutor(max_workers=max(1, tb_parallel)) as pool:
         for target, ms in pool.map(run_one, allowed):
             results[target] = ms
+    return results
+
+
+def replay_mixed(
+    lake_root: str,
+    tables: list[str],
+    events_path: str | list[str] | None = None,
+    events_ds=None,
+    table_col: str = "table",
+    meta: TableMeta | None = None,
+    config: EngineConfig | None = None,
+    table_filter: TableFilter | None = None,
+    router: Router | None = None,
+    group_epochs: int = 4,
+) -> dict[str, list]:
+    """ONE interleaved event log carrying a ``table`` column → N lakes, in a
+    single pass — the TableParallelizer batch fan-out
+    (dt-parallelizer/src/table_parallelizer.rs:86-114: one merged batch is
+    split per table and sunk concurrently), Ray-Data-first: the table index
+    joins the shuffle key (``_shard = epoch·T·P + table·P + part``), so one
+    sort routes every (epoch, table, partition) group to its own delta
+    writer. No per-table re-read of the log.
+
+    All tables share epoch geometry (the log's offsets are global), so each
+    table's watermark is the same committed global offset — exactly the
+    reference's single-binlog position shared by all tables. Resume re-runs
+    any epoch missing from ANY table; per-table re-commits of already
+    committed epochs are deterministic no-op overwrites. Unknown or filtered
+    table names are dropped in the shard stage (TableFilter wildcards via
+    ``table_filter``; renames via ``router``)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ape_dts_ray.partition import partition_ids
+    from ape_dts_ray.pipelines.replay import _DS_BUILD_LOCK, plan_epochs
+    from ape_dts_ray.stages.apply import LINEAGE_SCHEMA
+    from ape_dts_ray.stages.merge import lww_last
+    from ape_dts_ray.stages.normalize import normalize_batch
+    from ape_dts_ray.state.manifest import (EpochManifest, PartitionLineage,
+                                            atomic_write_parquet)
+
+    table_filter = table_filter or TableFilter()
+    router = router or Router()
+    meta = meta or TableMeta()
+    config = config or EngineConfig()
+    src_tables = sorted(t for t in tables if not table_filter.filtered(t))
+    targets = {t: router.route_table(t) for t in src_tables}
+    lakes = {t: LakeTable.create(os.path.join(lake_root, targets[t]),
+                                 TableMeta(name=targets[t],
+                                           id_cols=meta.id_cols,
+                                           partition_col=meta.partition_col,
+                                           order_cols=meta.order_cols,
+                                           payload_cols=meta.payload_cols),
+                                 config, if_exists="ignore")
+             for t in src_tables}
+    tidx = {t: i for i, t in enumerate(src_tables)}
+    T, P = len(src_tables), config.num_partitions
+
+    paths = None
+    if events_path is not None and events_ds is None:
+        paths = [events_path] if isinstance(events_path, str) else events_path
+        mx = -1
+        for p in paths:                        # footer statistics only
+            f = pq.ParquetFile(p)
+            ci = f.schema_arrow.get_field_index(COL_OFFSET)
+            for rg in range(f.metadata.num_row_groups):
+                st = f.metadata.row_group(rg).column(ci).statistics
+                if st is not None and st.max is not None:
+                    mx = max(mx, st.max)
+        max_offset = mx
+    else:
+        max_offset = events_ds.max(COL_OFFSET)
+
+    windows = plan_epochs(max_offset, config.epoch_size)
+    done_everywhere = set.intersection(
+        *(set(lk.committed_epochs()) for lk in lakes.values())) if lakes else set()
+    pending = [w for w in windows if w.epoch not in done_everywhere]
+    if not pending:
+        return {targets[t]: [] for t in src_tables}
+
+    hot = frozenset(config.hot_keys) if config.hot_keys else None
+    id_cols = meta.id_cols
+    roots = [lakes[t].root for t in src_tables]
+    name_to_idx = dict(tidx)
+
+    def make_shard_fn(chunk):
+        epoch_los = np.array([w.lo for w in chunk], dtype=np.int64)
+        epoch_ids = np.array([w.epoch for w in chunk], dtype=np.int64)
+        lo, hi = chunk[0].lo, chunk[-1].hi
+
+        def add_mixed_shard(t: pa.Table) -> pa.Table:
+            keep = pc.and_(pc.greater_equal(t.column(COL_OFFSET), lo),
+                           pc.less_equal(t.column(COL_OFFSET), hi))
+            t = t.filter(keep)
+            if t.num_rows == 0:
+                return t.drop_columns([table_col]).append_column(
+                    "_shard", pa.array([], pa.int64()))
+            names = t.column(table_col).to_pylist()
+            ti = np.array([name_to_idx.get(n, -1) for n in names], dtype=np.int64)
+            t = t.filter(pa.array(ti >= 0))
+            ti = ti[ti >= 0]
+            off = t.column(COL_OFFSET).to_numpy(zero_copy_only=False)
+            widx = np.searchsorted(epoch_los, off, side="right") - 1
+            epochs = epoch_ids[widx]
+            conv = t.column(meta.partition_col).to_numpy(zero_copy_only=False)
+            turn = t.column(id_cols[1]).to_numpy(zero_copy_only=False)
+            pid = partition_ids(conv, turn, P, hot)
+            shard = (epochs * T + ti) * P + pid
+            return t.drop_columns([table_col]).append_column(
+                "_shard", pa.array(shard))
+
+        return add_mixed_shard
+
+    def apply_group(group: pa.Table) -> pa.Table:
+        # mirrors stages/apply.py::apply_group with the table axis decoded
+        # from the shard key and per-table delta roots
+        if group.num_rows == 0:
+            return LINEAGE_SCHEMA.empty_table()
+        shard = int(group.column("_shard")[0].as_py())
+        et, part_id = divmod(shard, P)
+        epoch, ti = divmod(et, T)
+        events = group.drop_columns(["_shard"])
+        merged = lww_last(events, key_cols=id_cols)
+        merged = merged.sort_by([(COL_OFFSET, "ascending"), ("seq", "ascending")])
+        n = merged.num_rows
+        deletes = int(pc.sum(pc.equal(merged.column(COL_OP),
+                                      pa.scalar(OP_DELETE))).as_py() or 0)
+        merged = merged.append_column(
+            COL_EPOCH, pa.array(np.full(n, epoch, dtype=np.int64)))
+        root = roots[ti]
+        path = os.path.join(root, "delta", f"epoch-{epoch:08d}",
+                            f"part-{part_id:05d}.parquet")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        atomic_write_parquet(merged, path, compression="lz4")
+        offs = events.column(COL_OFFSET)
+        row = {"epoch": epoch * T + ti,   # (epoch, table) packed for routing
+               "part_id": part_id, "file": os.path.relpath(path, root),
+               "rows": n, "events": events.num_rows, "upserts": n - deletes,
+               "deletes": deletes,
+               "offset_min": int(pc.min(offs).as_py()),
+               "offset_max": int(pc.max(offs).as_py())}
+        return pa.Table.from_pylist([row], schema=LINEAGE_SCHEMA)
+
+    import pyarrow.dataset as pads
+
+    g = max(1, group_epochs)
+    chunks = [pending[i:i + g] for i in range(0, len(pending), g)]
+    results: dict[str, list] = {targets[t]: [] for t in src_tables}
+    by_te: dict[tuple[int, int], list[dict]] = {}
+    for chunk in chunks:    # group-size memory rule, same as replay()
+        if paths is not None:
+            expr = ((pads.field(COL_OFFSET) >= chunk[0].lo)
+                    & (pads.field(COL_OFFSET) <= chunk[-1].hi))
+            with _DS_BUILD_LOCK:
+                src = rd.read_parquet(paths, filter=expr)
+        else:
+            src = events_ds
+        ds = (src.map_batches(normalize_batch, batch_format="pyarrow")
+              .map_batches(make_shard_fn(chunk), batch_format="pyarrow"))
+        lineage = ds.groupby("_shard").map_groups(
+            apply_group, batch_format="pyarrow").take_all()
+        for r in lineage:
+            epoch, ti = divmod(r["epoch"], T)
+            by_te.setdefault((epoch, ti), []).append({**r, "epoch": epoch})
+        # commit this chunk's windows (checkpoint granularity = chunk, like
+        # replay()); a crash re-runs at most one chunk, re-commits are no-ops
+        for w in chunk:
+            for t in src_tables:
+                ti = tidx[t]
+                rows = sorted(by_te.get((w.epoch, ti), []),
+                              key=lambda r: r["part_id"])
+                m = EpochManifest(
+                    epoch=w.epoch, offset_min=w.lo, offset_max=w.hi,
+                    schema_version=w.schema_version,
+                    partitions=[PartitionLineage(
+                        **{k: v for k, v in r.items() if k != "epoch"})
+                        for r in rows])
+                lakes[t].commit_epoch(m)
+                results[targets[t]].append(m)
     return results

@@ -81,7 +81,8 @@ def suggest_epoch_config(avg_event_bytes: int, num_cpus: int = 32,
 
 def plan_epochs(max_offset: int, epoch_size: int,
                 barriers: list[tuple[int, int]] | None = None,
-                min_offset: int = 0, base_epoch: int = 0) -> list[EpochWindow]:
+                min_offset: int = 0, base_epoch: int = 0,
+                commit_offsets=None) -> list[EpochWindow]:
     """Cut [min_offset, max_offset] into epoch windows of ≤ epoch_size events,
     additionally cutting at schema-change barriers.
 
@@ -92,10 +93,28 @@ def plan_epochs(max_offset: int, epoch_size: int,
     ``base_epoch``: first epoch id — used by ``replay`` when planning from a
     non-zero ``min_offset`` so ids stay globally offset-derived and never
     collide with previously committed epochs.
-    """
+
+    ``commit_offsets``: sorted offsets of transaction COMMIT events (each is
+    the last event of a source transaction). When given, every window end is
+    SNAPPED to a commit offset — down to the largest commit ≤ the size
+    target, or (for a transaction longer than an epoch) up to the next
+    commit — so no epoch boundary, and therefore no resume point, ever
+    splits a transaction. This is the reference's Begin/Commit-aligned
+    checkpointing (dt-pipeline/src/base_pipeline.rs:239-268: positions are
+    recorded only when a full transaction has been sunk). Schema barriers
+    must themselves be transaction-aligned (offset-1 a commit)."""
     cuts = sorted(set(b[0] for b in (barriers or [])
                       if min_offset < b[0] <= max_offset))
     ver_at = sorted(barriers or [])
+    co = None
+    if commit_offsets is not None:
+        co = np.asarray(sorted(set(int(c) for c in commit_offsets)),
+                        dtype=np.int64)
+        for c in cuts:
+            if len(co) and not np.any(co == c - 1):
+                raise ValueError(
+                    f"schema barrier at {c} is not transaction-aligned "
+                    f"(offset {c - 1} is not a commit)")
     windows, epoch, lo = [], base_epoch, min_offset
     version = 0
     for boff, bver in ver_at:
@@ -105,6 +124,16 @@ def plan_epochs(max_offset: int, epoch_size: int,
     for bound in bounds:
         while lo < bound:
             hi = min(lo + epoch_size - 1, bound - 1)
+            if co is not None and hi < bound - 1:
+                i = np.searchsorted(co, hi, side="right") - 1
+                if i >= 0 and co[i] >= lo:
+                    hi = int(co[i])            # snap down to the last commit
+                else:
+                    j = np.searchsorted(co, hi, side="right")
+                    if j < len(co) and co[j] < bound - 1:
+                        hi = int(co[j])        # oversized txn: extend to its end
+                    else:
+                        hi = bound - 1
             windows.append(EpochWindow(epoch, lo, hi, version))
             epoch += 1
             lo = hi + 1
@@ -270,6 +299,7 @@ def replay(
     group_epochs: int = 4,
     pipeline_depth: int = 2,
     narrow_shuffle: bool = False,
+    commit_offsets=None,
 ) -> list[EpochManifest]:
     """Full replay driver: plan windows, skip committed epochs (resume), apply
     + commit the rest in order, ``group_epochs`` windows per pipeline
@@ -311,6 +341,10 @@ def replay(
             "CDC stream (revise rows outrank every normal epoch); compact() "
             "folds them into base and re-enables replay")
     base_epoch = 0
+    if commit_offsets is not None and min_offset > 0 and committed:
+        raise ValueError("commit-aligned windows are not offset-derivable; "
+                         "resume with min_offset=0 (committed epochs are "
+                         "skipped automatically)")
     if min_offset > 0 and committed:
         # Epoch ids must not collide with committed epochs: planning from a
         # non-zero min_offset numbers windows from 0, so on a lake with
@@ -334,7 +368,7 @@ def replay(
                 f"committed epochs up to {max(committed)} (earlier replays "
                 "used different window boundaries); replay from 0 instead")
     windows = plan_epochs(max_offset, lake.config.epoch_size, barriers,
-                          min_offset, base_epoch)
+                          min_offset, base_epoch, commit_offsets)
     pending = [w for w in windows
                if w.epoch not in committed and w.hi > lake.compacted_watermark()]
     if stop_after_epoch is not None:

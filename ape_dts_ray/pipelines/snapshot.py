@@ -27,14 +27,57 @@ from ape_dts_ray.state.lake import MANIFEST_DIR, LakeTable
 from ape_dts_ray.state.manifest import atomic_write_parquet, atomic_write_text
 
 
-def load_snapshot(lake: LakeTable, snapshot_ds, batch_size: int | None = None) -> dict:
+SNAP_PART_DIR = "snapshot_parts"
+
+
+def _snap_part_dir(lake: LakeTable) -> str:
+    return os.path.join(lake.root, MANIFEST_DIR, SNAP_PART_DIR)
+
+
+def snapshot_done_partitions(lake: LakeTable) -> dict[int, int]:
+    """{part_id: rows} for partitions whose base file is complete — the
+    per-partition progress the resumer skips (snapshot_resumer.rs:29-174
+    keeps a keyset cursor; the Ray-idiomatic unit of progress is the hash
+    partition, whose base write is atomic)."""
+    import json
+
+    d = _snap_part_dir(lake)
+    out: dict[int, int] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        if f.startswith("part-") and f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                m = json.load(fh)
+            out[int(m["part_id"])] = int(m["rows"])
+    return out
+
+
+def load_snapshot(lake: LakeTable, snapshot_ds, batch_size: int | None = None,
+                  fail_after_parts: int | None = None) -> dict:
     """Bulk-load a snapshot Dataset as the lake's base state. Returns the
-    per-partition row counts (lineage)."""
+    per-partition row counts (lineage).
+
+    RESUMABLE: each partition's base write is atomic and followed by a
+    progress marker; a killed load re-runs with the finished partitions'
+    ROWS FILTERED OUT AT THE SOURCE (their part id is a pure function of the
+    key), so only unfinished partitions are re-read, re-shuffled and
+    re-written — a crashed 100-TB load does not restart from zero. A marker
+    without its base write cannot exist (write order), and a base write
+    without a marker is simply redone (idempotent deterministic content).
+
+    ``fail_after_parts`` is a test-only fault-injection hook: writer tasks
+    raise once that many partitions are marked done (stop_after_epoch
+    analog)."""
     import json
 
     cfg = lake.config
     hot = frozenset(cfg.hot_keys) if cfg.hot_keys else None
     nparts = cfg.num_partitions
+    root = lake.root
+    pdir = _snap_part_dir(lake)
+    os.makedirs(pdir, exist_ok=True)
+    done = snapshot_done_partitions(lake)
 
     def to_events(t: pa.Table) -> pa.Table:
         n = t.num_rows
@@ -43,28 +86,40 @@ def load_snapshot(lake: LakeTable, snapshot_ds, batch_size: int | None = None) -
         t = t.append_column(COL_OP, pa.array(np.full(n, OP_INSERT, dtype=object),
                                              type=pa.string()))
         t = t.append_column(COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
-        return add_partition_column(t, nparts, hot)
+        t = add_partition_column(t, nparts, hot)
+        if done:   # resume: drop rows of finished partitions at the source
+            pid = t.column(COL_PART).to_numpy(zero_copy_only=False)
+            mask = ~np.isin(pid, np.fromiter(done, dtype=np.int64))
+            t = t.filter(pa.array(mask))
+        return t
 
     ds = snapshot_ds.map_batches(to_events, batch_format="pyarrow",
                                  batch_size=batch_size)
-    root = lake.root
 
     def write_base(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.table({"part_id": pa.array([], pa.int32()),
                              "rows": pa.array([], pa.int64())})
+        if fail_after_parts is not None and \
+                len(os.listdir(pdir)) >= fail_after_parts:
+            raise RuntimeError("injected snapshot-load crash")
         pid = int(group.column(COL_PART)[0].as_py())
         out = group.drop_columns([COL_PART])
+        # canonical key order: base bytes independent of shuffle arrival
+        out = out.sort_by([(c, "ascending") for c in lake.meta.id_cols])
         path = os.path.join(root, "base", f"part-{pid:05d}.parquet")
         os.makedirs(os.path.dirname(path), exist_ok=True)
         atomic_write_parquet(out, path, compression="zstd")
+        atomic_write_text(os.path.join(pdir, f"part-{pid:05d}.json"),
+                          json.dumps({"part_id": pid, "rows": group.num_rows}))
         return pa.table({"part_id": pa.array([pid], pa.int32()),
                          "rows": pa.array([group.num_rows], pa.int64())})
 
     lineage = ds.groupby(COL_PART).map_groups(write_base, batch_format="pyarrow")
-    rows = lineage.take_all()
-    marker = {"rows": int(sum(r["rows"] for r in rows)),
-              "partitions": sorted(int(r["part_id"]) for r in rows)}
+    lineage.take_all()
+    final = snapshot_done_partitions(lake)   # markers incl. resumed runs
+    marker = {"rows": int(sum(final.values())),
+              "partitions": sorted(final)}
     atomic_write_text(os.path.join(root, MANIFEST_DIR, "snapshot.json"),
                       json.dumps(marker, indent=1))
     return marker

@@ -2,6 +2,8 @@
 derivation, revise epoch band terminality, compact() watermark ordering,
 NULL-value derivation parity, checker defect-set caps."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -236,6 +238,150 @@ def test_nonadditive_schema_evolution_resume_and_compact(tmp_path):
     resumed.compact(parallel=False)
     pd.testing.assert_frame_equal(
         canon(want), canon(LakeTable.open(crash.root).state_table().to_pandas()))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixed_stream_multi_table_replay(tmp_path):
+    """One interleaved log carrying a `table` column → two lakes in a single
+    pass (TableParallelizer fan-out); both states oracle-exact, shared global
+    watermark, resume is a no-op, unknown tables dropped."""
+    import pyarrow.compute as pc
+
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+
+    ev_a = gen_events(seed=51, n_convs=20, max_turns=6, n_events=2000,
+                      delete_frac=0.15)
+    ev_b = gen_events(seed=52, n_convs=15, max_turns=5, n_events=1500,
+                      delete_frac=0.1)
+
+    def renumber(t, start, step, name):
+        n = t.num_rows
+        t = t.set_column(t.column_names.index("log_offset"), "log_offset",
+                         pa.array(start + step * np.arange(n, dtype=np.int64)))
+        return t.append_column("table", pa.array([name] * n))
+
+    a = renumber(ev_a, 0, 3, "alpha")
+    b = renumber(ev_b, 1, 3, "beta")
+    junk = renumber(ev_b.slice(0, 50), 2, 3, "unknown")   # dropped
+    log = pa.concat_tables([a, b, junk]).sort_by("log_offset")
+    path = str(tmp_path / "mixed.parquet")
+    pq.write_table(log, path)
+
+    from ape_dts_ray.meta import EngineConfig
+    res = replay_mixed(str(tmp_path / "lakes"), ["alpha", "beta"],
+                       events_path=path,
+                       config=EngineConfig(num_partitions=8, epoch_size=4000),
+                       group_epochs=2)
+    assert set(res) == {"alpha", "beta"}
+
+    for name, ev in (("alpha", ev_a), ("beta", ev_b)):
+        lake = LakeTable.open(str(tmp_path / "lakes" / name))
+        state = lake.state_table().to_pandas()
+        oracle = oracle_replay(ev)
+        assert len(state) == len(oracle), (name, len(state), len(oracle))
+        pd.testing.assert_series_equal(state["text"], oracle["text"],
+                                       check_dtype=False, check_names=False)
+        # shared global watermark — the single-binlog position
+        assert lake.watermark() == int(pc.max(log.column("log_offset")).as_py())
+
+    # resume: everything committed in both lakes → nothing pending
+    res2 = replay_mixed(str(tmp_path / "lakes"), ["alpha", "beta"],
+                        events_path=path,
+                        config=EngineConfig(num_partitions=8, epoch_size=4000))
+    assert res2 == {"alpha": [], "beta": []}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partial_snapshot_resume(tmp_path):
+    """A snapshot load killed mid-way resumes from per-partition markers:
+    finished partitions are filtered out at the source, and the final base
+    files are byte-identical to an uninterrupted load."""
+    import hashlib
+
+    from ape_dts_ray.pipelines.snapshot import (load_snapshot,
+                                                snapshot_done_partitions,
+                                                snapshot_finished)
+
+    events = gen_events(seed=61, n_convs=40, max_turns=8, n_events=0)
+    snap = pa.Table.from_pandas(oracle_replay(events), preserve_index=False)
+
+    def base_hashes(lake):
+        out = {}
+        bdir = f"{lake.root}/base"
+        for f in sorted(os.listdir(bdir)):
+            with open(f"{bdir}/{f}", "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    clean = _mk_lake(tmp_path, "clean")
+    m0 = load_snapshot(clean, rd.from_arrow(snap))
+    assert m0["rows"] == snap.num_rows
+
+    crash = _mk_lake(tmp_path, "crash")
+    with pytest.raises(Exception, match="injected snapshot-load crash"):
+        load_snapshot(crash, rd.from_arrow(snap), fail_after_parts=3)
+    partial = snapshot_done_partitions(crash)
+    assert 0 < len(partial) < 8          # some but not all partitions done
+    assert not snapshot_finished(crash)
+
+    m1 = load_snapshot(crash, rd.from_arrow(snap))   # resume
+    assert snapshot_finished(crash)
+    assert m1["rows"] == snap.num_rows
+    assert base_hashes(crash) == base_hashes(clean)  # byte-identical
+    assert crash.state_table().num_rows == snap.num_rows
+
+
+def test_plan_epochs_commit_aligned():
+    """No window boundary may split a transaction; oversized transactions
+    extend their window to the next commit."""
+    from ape_dts_ray.pipelines.replay import plan_epochs
+
+    commits = [6, 13, 20, 27, 34, 41, 48, 55]      # txns of 7 events
+    ws = plan_epochs(59, epoch_size=10, commit_offsets=commits)
+    his = [w.hi for w in ws]
+    assert his[-1] == 59                            # log end always allowed
+    assert all(h in commits for h in his[:-1])      # every cut is a commit
+    assert ws[0].lo == 0
+    for a, b in zip(ws, ws[1:]):
+        assert b.lo == a.hi + 1                     # contiguous cover
+    # a transaction longer than the epoch extends its window
+    ws2 = plan_epochs(59, epoch_size=10, commit_offsets=[25, 55])
+    assert [w.hi for w in ws2] == [25, 55, 59]
+    # barriers must themselves be transaction-aligned
+    with pytest.raises(ValueError, match="transaction-aligned"):
+        plan_epochs(59, 10, barriers=[(10, 1)], commit_offsets=commits)
+    ws3 = plan_epochs(59, 10, barriers=[(14, 1)], commit_offsets=commits)
+    assert any(w.hi == 13 for w in ws3)
+    assert {w.schema_version for w in ws3} == {0, 1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_commit_aligned_replay_crash_keeps_whole_transactions(tmp_path):
+    """A crash/resume boundary under commit_offsets is always a whole number
+    of transactions: the committed watermark lands exactly on a commit, and
+    the committed state equals the oracle over the complete prefix."""
+    events = gen_events(seed=71, n_convs=20, max_turns=6, n_events=3000,
+                        delete_frac=0.1)
+    n = events.num_rows
+    commits = list(range(6, n, 7)) + [n - 1]        # txn = 7 events
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+
+    lake = _mk_lake(tmp_path, epoch_size=1000)
+    replay(lake, events_path=path, commit_offsets=commits,
+           stop_after_epoch=1)                      # crash after 2 windows
+    wm = lake.watermark()
+    assert wm in commits                            # checkpoint on a commit
+    prefix = events.slice(0, wm + 1)
+    state = lake.state_table().to_pandas()
+    oracle = oracle_replay(prefix)
+    assert len(state) == len(oracle)
+    pd.testing.assert_series_equal(state["text"], oracle["text"],
+                                   check_dtype=False, check_names=False)
+
+    lake2 = LakeTable.open(lake.root)               # resume to completion
+    replay(lake2, events_path=path, commit_offsets=commits)
+    _assert_matches(lake2, events)
 
 
 @pytest.mark.usefixtures("ray_session")
