@@ -7,19 +7,120 @@ stages: codec/model setup happens once per actor in ``__init__``; batches stay
 small because each row can carry megabytes (size ``batch_size`` so
 batch_bytes × concurrency fits the worker heap — the memory-aware rule).
 
-The image/audio libraries are not installed in this container, so the codec
-call is STUBBED: ``DecodeImage`` tries PIL at actor init and, when absent,
-either raises NotImplementedError (strict mode) or produces a deterministic
-fake decode (seeded by the payload hash) so the Ray-side plumbing — schema,
-actor signature, batch sizing, output layout — is real and tested end-to-end.
+Codec: PIL when available; otherwise a PURE-numpy+zlib PNG codec implemented
+from the public PNG spec (RFC 2083: chunk layout, zlib IDAT, filter types
+0–4) — so ``DecodeImage(strict=True)`` genuinely decodes real PNG payloads
+in this container. Non-PNG formats without PIL raise in strict mode; the
+deterministic fake decode remains for non-strict plumbing tests.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
+
+# --- minimal PNG codec (public spec, RFC 2083; 8-bit gray/RGB/RGBA,
+#     no interlace, no palette) ---
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (h, w) or (h, w, ch). Supports bit depth 8,
+    color types 0/2/6, all five scanline filters, no interlacing."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, hdr = 8, [], None
+    while pos < len(data):
+        ln, typ = struct.unpack(">I4s", data[pos:pos + 8])
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or ctype not in _CHANNELS or interlace:
+        raise NotImplementedError(
+            f"PNG variant unsupported (depth={depth}, color={ctype}, "
+            f"interlace={interlace})")
+    ch = _CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=y * (stride + 1) + 1).copy()
+        if f == 0:
+            cur = line
+        elif f == 2:                                   # up
+            cur = line + prev
+        elif f in (1, 3, 4):                           # sub/average/paeth:
+            cur = line                                 # sequential in x
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 1:
+                    cur[x] = (int(line[x]) + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                    cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter {f} invalid")
+        out[y] = cur
+        prev = out[y]
+    img = out.reshape(h, w, ch)
+    return img[:, :, 0] if ch == 1 else img
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 array (h, w) / (h, w, 3) / (h, w, 4) → PNG bytes (filter 0)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        ctype, ch = 0, 1
+        a = a[:, :, None]
+    elif a.shape[2] == 3:
+        ctype, ch = 2, 3
+    elif a.shape[2] == 4:
+        ctype, ch = 6, 4
+    else:
+        raise ValueError("expected gray / RGB / RGBA uint8 array")
+    h, w = a.shape[:2]
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload +
+                struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (gray or multi-channel uint8/float)."""
+    h, w = img.shape[:2]
+    yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[yi][:, xi]
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -30,41 +131,40 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def synthesize_media_table(n: int, seed: int = 13,
-                           payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media corpus for tests/benchmarks (binary payloads
-    of realistic size; no external data)."""
+def synthesize_media_table(n: int, seed: int = 13, side: int = 64) -> pa.Table:
+    """Deterministic media corpus for tests/benchmarks: REAL encoded PNG
+    payloads (seeded pixel noise through encode_png; no external data)."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes()
+    payloads = [encode_png(rng.integers(0, 256, size=(side, side),
+                                        dtype=np.uint8))
                 for _ in range(n)]
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
-        "media_type": pa.array(["image/png" if i % 2 == 0 else "image/jpeg"
-                                for i in range(n)]),
+        "media_type": pa.array(["image/png"] * n),
         "payload": pa.array(payloads, type=pa.binary()),
-        "width": pa.array(np.full(n, 64, dtype=np.int32)),
-        "height": pa.array(np.full(n, 64, dtype=np.int32)),
+        "width": pa.array(np.full(n, side, dtype=np.int32)),
+        "height": pa.array(np.full(n, side, dtype=np.int32)),
     })
 
 
 class DecodeImage:
     """Actor-pool stage: binary payload → fixed-size float feature row.
 
-    ``strict=True`` raises NotImplementedError when no codec library exists
-    (the honest production behavior); ``strict=False`` substitutes a
-    deterministic fake decode so downstream stages can be exercised.
+    Codec resolution at actor init (once per actor): PIL when installed, else
+    the module's pure PNG codec for ``image/png`` payloads. ``strict=True``
+    raises on payloads no available codec can decode (honest production
+    behavior); ``strict=False`` falls back to a deterministic fake decode so
+    downstream plumbing can be exercised with any payload.
     """
 
     def __init__(self, out_size: int = 8, strict: bool = False):
         self.out_size = out_size
+        self.strict = strict
         try:
-            from PIL import Image  # noqa: F401
+            from PIL import Image
             self._pil = Image
         except ImportError:
             self._pil = None
-            if strict:
-                raise NotImplementedError(
-                    "image codec (PIL) not available in this environment")
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
         # deterministic pseudo-pixels seeded by the payload digest
@@ -72,17 +172,28 @@ class DecodeImage:
         rng = np.random.default_rng(seed)
         return rng.random((self.out_size, self.out_size), dtype=np.float64)
 
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self._pil is not None:
+            import io
+            img = self._pil.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((self.out_size, self.out_size))
+            return np.asarray(img, dtype=np.float64) / 255.0
+        if payload[:8] == _PNG_SIG:
+            img = decode_png(payload)
+            if img.ndim == 3:                       # luma from RGB(A)
+                img = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                       + 0.114 * img[:, :, 2])
+            img = resize_nearest(img.astype(np.float64),
+                                 self.out_size, self.out_size)
+            return img / 255.0
+        if self.strict:
+            raise NotImplementedError(
+                "no codec for this payload (PIL absent; not a PNG)")
+        return self._fake_decode(payload)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
-        for payload in batch.column("payload").to_pylist():
-            if self._pil is not None:
-                import io
-                img = self._pil.open(io.BytesIO(payload)).convert("L")
-                img = img.resize((self.out_size, self.out_size))
-                arr = np.asarray(img, dtype=np.float64) / 255.0
-            else:
-                arr = self._fake_decode(payload)
-            feats.append(arr.mean(axis=0))         # column-mean feature vector
+        feats = [self._decode(p).mean(axis=0)      # column-mean feature vector
+                 for p in batch.column("payload").to_pylist()]
         return pa.table({
             "media_id": batch.column("media_id"),
             "feature": pa.array([f.tolist() for f in feats],

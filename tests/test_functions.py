@@ -137,7 +137,7 @@ def test_fingerprint_rolling_hash():
 
 @pytest.mark.usefixtures("ray_session")
 def test_multimodal_pipeline_plumbing():
-    tbl = multimodal.synthesize_media_table(20, payload_bytes=1024)
+    tbl = multimodal.synthesize_media_table(20, side=32)
     ds = rd.from_arrow(tbl)
     out = multimodal.media_feature_pipeline(ds, out_size=8, target=4,
                                             batch_size=8, concurrency=2)
@@ -152,11 +152,80 @@ def test_multimodal_pipeline_plumbing():
     assert a == b
 
 
-def test_decode_strict_raises_without_codec():
-    try:
-        import PIL  # noqa: F401
-        pytest.skip("PIL present; strict mode would not raise")
-    except ImportError:
-        pass
+def test_png_codec_roundtrip_and_filters():
+    """encode→decode roundtrip for gray/RGB/RGBA, plus decode of every PNG
+    scanline filter type (1–4) from a hand-filtered IDAT."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    for shape in ((13, 7), (9, 5, 3), (6, 4, 4)):
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        back = multimodal.decode_png(multimodal.encode_png(img))
+        assert back.shape == img.shape
+        assert (back == img).all()
+
+    # hand-build an image whose rows use filters 1..4 (reference filtering
+    # per RFC 2083, then assert decode recovers the original pixels)
+    img = rng.integers(0, 256, size=(5, 6), dtype=np.uint8)
+    h, w, ch = 5, 6, 1
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y].astype(np.int64)
+        line = np.empty(w, dtype=np.int64)
+        for x in range(w):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+            line[x] = (cur[x] - pred) % 256
+        raw += bytes([f]) + bytes(line.astype(np.uint8))
+        prev = cur
+
+    def chunk(typ, payload):
+        return (struct.pack(">I", len(payload)) + typ + payload +
+                struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert (multimodal.decode_png(png) == img).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decode_strict_real_png_end_to_end():
+    """strict=True decodes REAL PNG payloads via the pure codec (no PIL in
+    this container) — the round-1 'codec is a stub' gap closed."""
+    tbl = multimodal.synthesize_media_table(8, side=16)
+    out = rd.from_arrow(tbl).map_batches(
+        multimodal.DecodeImage, fn_constructor_args=(8, True),
+        batch_format="pyarrow", batch_size=4, concurrency=2).take_all()
+    assert len(out) == 8
+    # features are true pixel means: recompute one locally from the payload
+    img = multimodal.decode_png(tbl.column("payload")[0].as_py())
+    want = (multimodal.resize_nearest(img.astype(np.float64), 8, 8) / 255.0
+            ).mean(axis=0)
+    got = np.array(out[0]["feature"] if out[0]["media_id"] == 0 else
+                   [r for r in out if r["media_id"] == 0][0]["feature"])
+    assert np.allclose(got, want)
+
+
+def test_decode_strict_raises_on_unknown_format():
+    dec = multimodal.DecodeImage(out_size=4, strict=True)
+    if dec._pil is not None:
+        pytest.skip("PIL present; it may handle arbitrary formats")
     with pytest.raises(NotImplementedError):
-        multimodal.DecodeImage(strict=True)
+        dec._decode(b"\xff\xd8\xff not actually jpeg")
