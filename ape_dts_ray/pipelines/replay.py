@@ -300,6 +300,8 @@ def replay(
     pipeline_depth: int = 2,
     narrow_shuffle: bool = False,
     commit_offsets=None,
+    max_rps: float | None = None,
+    heartbeat: bool = True,
 ) -> list[EpochManifest]:
     """Full replay driver: plan windows, skip committed epochs (resume), apply
     + commit the rest in order, ``group_epochs`` windows per pipeline
@@ -389,11 +391,32 @@ def replay(
     g = max(1, group_epochs)
     chunks = [pending[i:i + g] for i in range(0, len(pending), g)]
     done: list[EpochManifest] = []
-    if pipeline_depth <= 1 or len(chunks) <= 1:
+
+    # max_rps: driver-side token pacing at chunk granularity (the reference's
+    # rps limiter counts records before pushing them to sinkers,
+    # dt-task/src/task_runner.rs:615-624 + base_parallelizer.rs:65-92).
+    # Pacing requires serialized chunk execution, so it forces depth 1.
+    import time as _time
+    t_start = _time.monotonic()
+    applied_events = 0
+
+    def after_commit(ms: list[EpochManifest]) -> None:
+        nonlocal applied_events
+        if heartbeat:
+            lake.write_heartbeat()
+        if max_rps is not None:
+            applied_events += sum(p.events for m in ms for p in m.partitions)
+            min_elapsed = applied_events / max_rps
+            wait = min_elapsed - (_time.monotonic() - t_start)
+            if wait > 0:
+                _time.sleep(wait)
+
+    if pipeline_depth <= 1 or len(chunks) <= 1 or max_rps is not None:
         for chunk in chunks:
             ms = run_chunk(chunk)
             for m in ms:   # commit in epoch order — the watermark only advances
                 lake.commit_epoch(m, schema_version=m.schema_version)
+            after_commit(ms)
             done.extend(ms)
         return done
 
@@ -404,5 +427,6 @@ def replay(
             ms = fut.result()
             for m in ms:
                 lake.commit_epoch(m, schema_version=m.schema_version)
+            after_commit(ms)
             done.extend(ms)
     return done

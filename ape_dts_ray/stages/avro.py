@@ -1,0 +1,194 @@
+"""Avro binary envelope — the RdkafkaSinker/AvroConverter analog with REAL
+Avro wire bytes (the round-1 JSON stand-in kept interop-incompatible
+consumers out; this closes it without an avro library).
+
+Implements the public Avro 1.11 spec subset the change-event record needs:
+zigzag-varint longs/ints, length-prefixed strings, ``["null", T]`` unions,
+records, and the SINGLE-OBJECT ENCODING framing (marker ``C3 01`` + 8-byte
+little-endian CRC-64-AVRO schema fingerprint + body) so any standard Avro
+consumer can resolve the writer schema by fingerprint. Reference semantics:
+dt-common/src/meta/avro/avro_converter.rs:58-77 (row → Avro record keyed by
+the order col) and avro_converter_schema.rs:5-60 (the record layout).
+
+Encoding loops per row — inherent to a row-framed wire format; this is a
+serialization SINK stage, not the apply hot path.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from ape_dts_ray.meta import COL_OFFSET, COL_OP, COL_SEQ
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "ChangeEvent",
+    "namespace": "ape_dts_ray",
+    "fields": [
+        {"name": "log_offset", "type": "long"},
+        {"name": "seq", "type": "int"},
+        {"name": "op", "type": "string"},
+        {"name": "conv_id", "type": "string"},
+        {"name": "turn_idx", "type": "int"},
+        {"name": "role", "type": ["null", "string"], "default": None},
+        {"name": "text", "type": ["null", "string"], "default": None},
+        {"name": "tool", "type": ["null", "string"], "default": None},
+        {"name": "ts",
+         "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}],
+         "default": None},
+    ],
+}
+AVRO_SCHEMA_JSON = json.dumps(AVRO_SCHEMA, separators=(",", ":"))
+
+_NULLABLE = ("role", "text", "tool")
+
+# --- CRC-64-AVRO schema fingerprint (Avro spec "Schema Fingerprints") ---
+_EMPTY64 = 0xC15D213AA4D7A795
+
+
+def _crc64_table():
+    table = []
+    for i in range(256):
+        fp = i
+        for _ in range(8):
+            fp = (fp >> 1) ^ (_EMPTY64 & -(fp & 1))
+        table.append(fp)
+    return table
+
+
+_TABLE = _crc64_table()
+
+
+def schema_fingerprint(schema_json: str = AVRO_SCHEMA_JSON) -> bytes:
+    fp = _EMPTY64
+    for b in schema_json.encode():
+        fp = (fp >> 8) ^ _TABLE[(fp ^ b) & 0xFF]
+    return fp.to_bytes(8, "little")
+
+
+_MARKER = b"\xc3\x01"
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _varint(buf: bytearray, n: int) -> None:
+    n = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
+    shift, acc = 0, 0
+    while True:
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _put_str(buf: bytearray, s: str) -> None:
+    raw = s.encode()
+    _varint(buf, len(raw))
+    buf += raw
+
+
+def encode_event(row: dict) -> bytes:
+    """One change event → Avro single-object bytes."""
+    buf = bytearray(_MARKER + schema_fingerprint())
+    _varint(buf, int(row[COL_OFFSET]))
+    _varint(buf, int(row.get(COL_SEQ, 0)))
+    _put_str(buf, row[COL_OP])
+    _put_str(buf, row["conv_id"])
+    _varint(buf, int(row["turn_idx"]))
+    for c in _NULLABLE:
+        v = row.get(c)
+        if v is None:
+            _varint(buf, 0)          # union branch: null
+        else:
+            _varint(buf, 1)
+            _put_str(buf, v)
+    ts = row.get("ts")
+    if ts is None:
+        _varint(buf, 0)
+    else:
+        _varint(buf, 1)
+        _varint(buf, int(ts))        # timestamp-micros
+    return bytes(buf)
+
+
+def decode_event(data: bytes) -> dict:
+    if data[:2] != _MARKER:
+        raise ValueError("not Avro single-object encoding")
+    if data[2:10] != schema_fingerprint():
+        raise ValueError("unknown writer schema fingerprint")
+    pos = 10
+
+    def rd_str(p):
+        ln, p = _read_varint(data, p)
+        return data[p:p + ln].decode(), p + ln
+
+    row = {}
+    row[COL_OFFSET], pos = _read_varint(data, pos)
+    row[COL_SEQ], pos = _read_varint(data, pos)
+    row[COL_OP], pos = rd_str(pos)
+    row["conv_id"], pos = rd_str(pos)
+    row["turn_idx"], pos = _read_varint(data, pos)
+    for c in _NULLABLE:
+        branch, pos = _read_varint(data, pos)
+        if branch == 0:
+            row[c] = None
+        else:
+            row[c], pos = rd_str(pos)
+    branch, pos = _read_varint(data, pos)
+    if branch == 0:
+        row["ts"] = None
+    else:
+        row["ts"], pos = _read_varint(data, pos)
+    return row
+
+
+def avro_encode(batch: pa.Table, key_cols=("conv_id", "turn_idx")) -> pa.Table:
+    """map_batches body: change events → (key, log_offset, value) envelope
+    rows with Avro single-object payloads."""
+    rows = batch.to_pylist()
+    values, keys = [], []
+    for r in rows:
+        ts = r.get("ts")
+        if ts is not None and not isinstance(ts, (int, np.integer)):
+            # pandas/py datetime → micros since epoch
+            ts64 = np.datetime64(ts, "us").astype(np.int64)
+            r = {**r, "ts": int(ts64)}
+        values.append(encode_event(r))
+        keys.append("\x1f".join(str(r[c]) for c in key_cols))
+    return pa.table({
+        "key": pa.array(keys, pa.string()),
+        "log_offset": batch.column(COL_OFFSET),
+        "value": pa.array(values, pa.binary()),
+    })
+
+
+def avro_decode(batch: pa.Table) -> pa.Table:
+    """Inverse: Avro envelope rows → normalized change events."""
+    rows = [decode_event(v) for v in batch.column("value").to_pylist()]
+    out = pa.Table.from_pylist(rows)
+    ts = out.column("ts").cast(pa.int64()).cast(pa.timestamp("us"))
+    out = out.set_column(out.column_names.index("ts"), "ts", ts)
+    casts = {COL_OFFSET: pa.int64(), COL_SEQ: pa.int32(), "turn_idx": pa.int32()}
+    for name, typ in casts.items():
+        i = out.column_names.index(name)
+        out = out.set_column(i, name, out.column(name).cast(typ))
+    return out

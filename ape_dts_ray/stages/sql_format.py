@@ -2,9 +2,12 @@
 basic/sql_sinker.rs:22-50): instead of applying events, print the SQL each
 would execute. ``reverse=True`` emits undo SQL (``row_data.reverse()``,
 row_data.rs:54-69): an insert reverses to a keyed DELETE; an update/delete
-reverses to a REPLACE of the before-image — since this engine carries only
-after-images plus keys (LWW lake model), reversing a delete emits a comment
-placeholder exactly where the reference would need the before-image.
+reverses to a REPLACE of the before-image. ``format_sql(reverse=True)``
+alone has no before-image (events carry after-images only) and emits a
+comment placeholder for deletes; ``reverse_sql_with_before`` closes that gap
+by joining the before-image from the LAKE STATE — valid when the state is
+from BEFORE the batch was applied (the undo-preview use of the reference's
+reverse mode).
 
 Vectorized string assembly per batch (no Python row loop for the common
 single-quote escaping path).
@@ -52,3 +55,67 @@ def format_sql(batch: pa.Table, table: str = "transcripts",
         "sql": pa.array(sql.astype(object), type=pa.string()),
     })
     return out
+
+
+def reverse_sql_with_before(events_ds, state_ds, table: str = "transcripts",
+                            key_cols=("conv_id", "turn_idx"),
+                            payload_cols=("role", "text", "tool"),
+                            num_partitions: int = 32):
+    """Undo SQL per event with the BEFORE-IMAGE joined from the lake state
+    (row_data.reverse(), row_data.rs:54-69 — the reference reads before from
+    the event; the lake model reconstructs it from state-as-of-before-apply):
+
+    - insert              → keyed DELETE (remove the inserted row)
+    - update/delete, key in state → REPLACE INTO with the before-image row
+    - update with no prior row    → keyed DELETE (the upsert created it)
+
+    One partitioned union-join (checker shape): both sides hash-partitioned
+    by key, vectorized pandas merge per partition. Returns a Dataset of
+    (log_offset, sql); apply in descending log_offset order to undo."""
+    import numpy as np
+
+    from ape_dts_ray.partition import COL_PART, add_partition_column
+
+    kc, pcl = list(key_cols), list(payload_cols)
+
+    def tag(side, cols):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = [c for c in cols if c in t.column_names]
+            t = t.select(keep)
+            for c in cols:            # align schemas for the union
+                if c not in t.column_names:
+                    typ = pa.int64() if c == "log_offset" else pa.string()
+                    t = t.append_column(c, pa.nulls(t.num_rows, typ))
+            t = t.append_column("_side", pa.array(
+                np.full(t.num_rows, side, dtype=object), type=pa.string()))
+            return add_partition_column(t, num_partitions)
+        return fn
+
+    cols = [*kc, "log_offset", "op", *pcl]
+    ev = events_ds.map_batches(tag("e", cols), batch_format="pyarrow")
+    st = state_ds.map_batches(tag("s", cols), batch_format="pyarrow")
+
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        e = group[group["_side"] == "e"]
+        if e.empty:      # typed empty keeps the union schema stable
+            return pd.DataFrame({"log_offset": pd.array([], dtype="int64"),
+                                 "sql": pd.array([], dtype="string")})
+        s = group[group["_side"] == "s"][[*kc, *pcl]]
+        m = e[[*kc, "log_offset", "op"]].merge(
+            s, on=kc, how="left", indicator=True)
+        where = ("conv_id = " + _sql_str(m["conv_id"]) +
+                 " AND turn_idx = " + m["turn_idx"].astype(str))
+        delete_sql = f"DELETE FROM {table} WHERE " + where + ";"
+        values = (_sql_str(m["conv_id"]) + ", " + m["turn_idx"].astype(str))
+        for c in pcl:
+            values = values + ", " + _sql_str(m[c]).fillna("NULL")
+        replace_sql = (f"REPLACE INTO {table} (" + ", ".join([*kc, *pcl]) +
+                       ") VALUES (" + values + ");")
+        has_before = m["_merge"].eq("both")
+        is_ins = m["op"].eq("insert")
+        sql = np.where(is_ins | ~has_before, delete_sql, replace_sql)
+        return pd.DataFrame({"log_offset": m["log_offset"].astype("int64"),
+                             "sql": sql.astype(object)})
+
+    return (ev.union(st).groupby(COL_PART)
+            .map_groups(emit, batch_format="pandas"))

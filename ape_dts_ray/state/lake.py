@@ -321,6 +321,29 @@ class LakeTable:
     def watermark(self) -> int:
         return max(self.committed_watermark(), self.compacted_watermark())
 
+    # ---------- heartbeat / liveness ----------
+    def write_heartbeat(self) -> dict:
+        """Progress write-back (mysql_cdc_extractor.rs:425-533 heartbeat
+        analog: the reference periodically UPDATEs a heartbeat table with the
+        current position so operators can monitor lag). Written after each
+        committed chunk; monitoring reads it without touching manifests."""
+        import time
+
+        hb = {"time_unix": time.time(),
+              "watermark": self.watermark(),
+              "committed_epochs": len(self.committed_epochs()),
+              "schema_version": self.schema_version}
+        atomic_write_text(os.path.join(self.root, MANIFEST_DIR, "heartbeat.json"),
+                          json.dumps(hb, indent=1))
+        return hb
+
+    def heartbeat(self) -> dict | None:
+        p = os.path.join(self.root, MANIFEST_DIR, "heartbeat.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
     # ---------- lineage / metrics ----------
     def lineage_table(self) -> pa.Table:
         """Per-(epoch, partition) lineage from all committed manifests — the

@@ -385,6 +385,92 @@ def test_commit_aligned_replay_crash_keeps_whole_transactions(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_avro_envelope_roundtrip_and_replay(tmp_path):
+    """Avro single-object envelope: encode → decode is exact (incl. nullable
+    delete rows and timestamps), the framing carries the spec marker + schema
+    fingerprint, and a replay from the decoded stream matches the direct
+    replay."""
+    from ape_dts_ray.stages import avro
+
+    events = gen_events(seed=81, n_convs=15, max_turns=5, n_events=1200,
+                        delete_frac=0.2)
+    enc = avro_encode_table = avro.avro_encode(events)
+    assert enc.column("value")[0].as_py()[:2] == b"\xc3\x01"
+    assert enc.column("value")[0].as_py()[2:10] == avro.schema_fingerprint()
+
+    dec = avro.avro_decode(avro_encode_table)
+    got = dec.select(["log_offset", "op", "conv_id", "turn_idx",
+                      "role", "text", "tool", "ts"]).to_pandas()
+    want = events.select(["log_offset", "op", "conv_id", "turn_idx",
+                          "role", "text", "tool", "ts"]).to_pandas()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    direct = _mk_lake(tmp_path, "direct")
+    replay(direct, events_ds=rd.from_arrow(events))
+    via = _mk_lake(tmp_path, "via_avro")
+    replay(via, events_ds=rd.from_arrow(enc).map_batches(
+        avro.avro_decode, batch_format="pyarrow"))
+    pd.testing.assert_frame_equal(direct.state_table().to_pandas(),
+                                  via.state_table().to_pandas())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rate_limit_and_heartbeat(tmp_path):
+    """max_rps paces chunk commits (wall ≥ events/max_rps) and the heartbeat
+    file tracks the committed watermark."""
+    import time
+
+    events = gen_events(seed=82, n_convs=10, max_turns=5, n_events=1950)
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path, epoch_size=500)
+    t0 = time.monotonic()
+    replay(lake, events_path=path, max_rps=2000, group_epochs=1)
+    assert time.monotonic() - t0 >= events.num_rows / 2000
+    hb = lake.heartbeat()
+    assert hb is not None and hb["watermark"] == lake.watermark()
+    assert hb["committed_epochs"] == len(lake.committed_epochs())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reverse_sql_with_before_image(tmp_path):
+    """Undo SQL joins the before-image from pre-apply lake state: delete →
+    REPLACE carrying the old row, insert → keyed DELETE, update of an
+    unknown key → keyed DELETE (the upsert created it)."""
+    from ape_dts_ray.stages.sql_format import reverse_sql_with_before
+
+    events = gen_events(seed=91, n_convs=10, max_turns=4, n_events=500,
+                        delete_frac=0.0)
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path)
+    state = lake.state_table().to_pandas()
+    k0 = state.iloc[0]                      # existing key → delete it
+    tail = pa.table({
+        "log_offset": pa.array([10_000, 10_001, 10_002], pa.int64()),
+        "op": pa.array(["delete", "insert", "update"]),
+        "conv_id": pa.array([k0["conv_id"], "conv-zz", "conv-new"]),
+        "turn_idx": pa.array([int(k0["turn_idx"]), 1, 2], pa.int32()),
+        "role": pa.array([None, "user", "user"]),
+        "text": pa.array([None, "hello", "edit"]),
+        "tool": pa.array([None, "", ""]),
+    })
+    out = reverse_sql_with_before(rd.from_arrow(tail), lake.state_dataset(),
+                                  num_partitions=8)
+    rows = {r["log_offset"]: r["sql"] for r in out.take_all()}
+    assert len(rows) == 3
+    # delete of an existing key → REPLACE with its before-image text
+    assert rows[10_000].startswith("REPLACE INTO transcripts")
+    assert k0["text"].replace("'", "''") in rows[10_000]
+    # insert → keyed DELETE
+    assert rows[10_001] == ("DELETE FROM transcripts WHERE conv_id = "
+                            "'conv-zz' AND turn_idx = 1;")
+    # update with no prior row → keyed DELETE
+    assert rows[10_002].startswith("DELETE FROM transcripts")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_checker_defect_cap(tmp_path):
     """A fully-diverged table must fail the broadcast path fast, not OOM."""
     events = gen_events(seed=24, n_convs=20, max_turns=6, n_events=1500,
