@@ -102,12 +102,15 @@ _EMPTY_PAIRS = {"a": pd.array([], dtype="int64"),
                 "b": pd.array([], dtype="int64")}
 
 
-def minhash_candidate_pairs(docs_ds, bands: int = 32, shingle_k: int = 5):
-    """LSH candidate pairs as a Dataset (a, b), a < b, globally deduplicated.
+def minhash_candidate_pairs(docs_ds, bands: int = 32, shingle_k: int = 5,
+                            dedup: bool = True):
+    """LSH candidate pairs as a Dataset (a, b), a < b.
 
-    Two bounded shuffles: (band, band_hash) buckets sharded to ≤ N_SHARDS
-    groups (pair generation), then pair-hash shards (cross-band dedup). Only
-    (doc_id, band, hash) descriptor rows move — never document payload."""
+    Bounded shuffles: (band, band_hash) buckets sharded to ≤ N_SHARDS groups
+    (pair generation), then — when ``dedup`` — pair-hash shards (cross-band
+    dedup). Only (doc_id, band, hash) descriptor rows move — never document
+    payload. Callers that land the pair list somewhere cheap to dedup (e.g.
+    the broadcast semi-join path) pass dedup=False and skip that shuffle."""
     bands_ds = docs_ds.map_batches(MinHashBands(bands, shingle_k),
                                    batch_format="pandas")
 
@@ -127,6 +130,8 @@ def minhash_candidate_pairs(docs_ds, bands: int = 32, shingle_k: int = 5):
 
     pairs = bands_ds.groupby("shard").map_groups(shard_pairs,
                                                  batch_format="pandas")
+    if not dedup:
+        return pairs
 
     def add_pair_shard(batch: pd.DataFrame) -> pd.DataFrame:
         a = batch["a"].to_numpy().astype(np.int64)
@@ -222,18 +227,54 @@ def verify_pairs_jaccard(joined_ds, threshold: float, shingle_k: int = 5):
     return joined_ds.map_batches(verify, batch_format="pandas")
 
 
+MAX_BROADCAST_PAIRS = 5_000_000
+
+
 def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, bands: int = 32,
-                        shingle_k: int = 5,
-                        num_partitions: int = 64) -> pd.DataFrame:
+                        shingle_k: int = 5, num_partitions: int = 32,
+                        broadcast_candidates: bool = True) -> pd.DataFrame:
     """MinHash-LSH near-dup PAIRS, end-to-end distributed: banding → sharded
     candidate generation → keyed text joins → in-partition Jaccard verify.
     Equals the exact set {(a, b): J(a, b) ≥ τ} whenever banding recall ≈ 1
     (bands=32/r=4 at τ=0.6 misses a τ-boundary pair with p < 2e-2 and a
-    j ≥ 0.85 pair with p < 1e-7 — pick bands for the target τ)."""
-    pairs = minhash_candidate_pairs(docs_ds, bands, shingle_k)
+    j ≥ 0.85 pair with p < 1e-7 — pick bands for the target τ).
+
+    ``broadcast_candidates=True`` (default) semi-joins first: the candidate
+    ID array (ints only — never text) is broadcast via ``ray.put`` and docs
+    are filtered to candidates BEFORE the keyed joins, so the two join
+    shuffles move only candidate texts instead of the whole corpus. Falls
+    back to the full streaming join when candidates exceed
+    MAX_BROADCAST_PAIRS (then the corpus flows through the shuffles, still
+    never through the driver)."""
+    import ray
+    import ray.data as rd
+
+    pairs = minhash_candidate_pairs(docs_ds, bands, shingle_k,
+                                    dedup=not broadcast_candidates)
     docs = docs_ds.select_columns(["doc_id", "text"])
+
+    pairs_ds = pairs
+    if broadcast_candidates:
+        pdf = pairs.to_pandas()        # candidate PAIRS ≪ corpus by LSH
+        pdf = pdf.drop_duplicates(["a", "b"])   # cross-band dedup, in memory
+        if pdf.empty:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        if len(pdf) <= MAX_BROADCAST_PAIRS:
+            ids = np.unique(np.concatenate(
+                [pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)]))
+            ref = ray.put(ids)
+
+            def keep_candidates(t: pd.DataFrame) -> pd.DataFrame:
+                w = ray.get(ref)
+                d = t["doc_id"].to_numpy().astype(np.int64)
+                idx = np.minimum(np.searchsorted(w, d), len(w) - 1)
+                return t[w[idx] == d]
+
+            docs = docs.map_batches(keep_candidates, batch_format="pandas")
+            pairs_ds = rd.from_pandas(pdf)
+
     verified = verify_pairs_jaccard(
-        join_pair_texts(pairs, docs, num_partitions), threshold, shingle_k)
+        join_pair_texts(pairs_ds, docs, num_partitions), threshold, shingle_k)
     df = verified.to_pandas()          # verified near-dup pairs: small output
     if df.empty:
         return pd.DataFrame(_EMPTY_PAIRS)
@@ -342,8 +383,7 @@ def simhash_dedup(docs_ds, max_hamming: int = 3,
     skipped — the standard LSH hot-bucket guard. Raise ``max_bucket`` for
     corpora where huge clusters are expected (with it disabled the 4-band
     scheme is EXACT for Hamming ≤ 3: pigeonhole guarantees a shared band)."""
-    sigs = docs_ds.map_batches(SimHashStage, batch_format="pandas",
-                               concurrency=(1, 8))
+    sigs = docs_ds.map_batches(SimHashStage(), batch_format="pandas")
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
         h = batch["simhash"].to_numpy().astype(np.uint64)

@@ -55,16 +55,18 @@ def brute_force_topk(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
     groupby(query_id) final reduce. Returns (query_id, vec_id, rank, cosine)."""
     import ray
 
-    if concurrency is None:
-        # autoscaling pool (1, cpus-2): sized by demand, so a tiny corpus
-        # doesn't pay ~30 actor startups for a handful of batches, while the
-        # cap leaves slots for the downstream shuffle (a pool reserving every
-        # CPU starves the groupby and the pipeline deadlocks)
-        concurrency = (1, max(1, int(ray.cluster_resources().get("CPU", 4)) - 2))
     ref = ray.put(queries)
-    partials = emb_ds.map_batches(
-        BruteForceTopK, fn_constructor_args=(ref, k),
-        batch_format="pandas", concurrency=concurrency)
+    if concurrency is None:
+        # task pool by default: the stage's only state is the (tiny) query
+        # matrix, so shipping a prebuilt instance per task beats paying actor
+        # startups; pass an explicit concurrency for an autoscaling actor
+        # pool when the query set is large enough to amortize
+        partials = emb_ds.map_batches(BruteForceTopK(ref, k),
+                                      batch_format="pandas")
+    else:
+        partials = emb_ds.map_batches(
+            BruteForceTopK, fn_constructor_args=(ref, k),
+            batch_format="pandas", concurrency=concurrency)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
@@ -152,33 +154,45 @@ def ivf_topk(emb_ds, queries: dict[int, np.ndarray], k: int = 10,
         for c in row:
             bucket_queries.setdefault(int(c), []).append(qi)
 
-    pool = (1, max(1, int(ray.cluster_resources().get("CPU", 4)) - 2))
-    assigned = emb_ds.map_batches(IVFAssign,
-                                  fn_constructor_args=(C, n_shards, spill),
-                                  batch_format="pandas", concurrency=pool)
+    # IVFAssign init is one small matrix capture — plain task pool
+    assigned = emb_ds.map_batches(IVFAssign(C, n_shards, spill),
+                                  batch_format="pandas")
 
     S = n_shards
+    NSH = 64   # bounded Ray-group cardinality: one Ray group holds many
+               # (centroid, shard) buckets, split by a vectorized pandas
+               # groupby inside — per-Ray-group overhead would dominate with
+               # C×S tiny groups (the N_SHARDS pattern from dedup.py)
 
-    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
-        c = int(g["_gkey"].iloc[0]) // S
-        qis = bucket_queries.get(c, [])
-        if not qis:
-            return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
-                                 "vec_id": pd.array([], dtype="int64"),
-                                 "cosine": pd.array([], dtype="float64")})
-        V = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
-        ids = g["vec_id"].to_numpy()
-        sims = Q[qis] @ V.T
-        kk = min(k, len(ids))
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for row, qi in enumerate(qis):
-            order = np.lexsort((ids, -sims[row]))[:kk]
-            out.append(pd.DataFrame({"query_id": qids[qi], "vec_id": ids[order],
-                                     "cosine": sims[row][order]}))
-        return pd.concat(out, ignore_index=True)
+        empty = pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                              "vec_id": pd.array([], dtype="int64"),
+                              "cosine": pd.array([], dtype="float64")})
+        for gkey, grp in g.groupby("_gkey", sort=False):
+            c = int(gkey) // S
+            qis = bucket_queries.get(c, [])
+            if not qis:
+                continue
+            V = _normalize(np.stack(grp["embedding"].to_numpy()
+                                    ).astype(np.float64))
+            ids = grp["vec_id"].to_numpy()
+            sims = Q[qis] @ V.T
+            kk = min(k, len(ids))
+            for row, qi in enumerate(qis):
+                order = np.lexsort((ids, -sims[row]))[:kk]
+                out.append(pd.DataFrame({"query_id": qids[qi],
+                                         "vec_id": ids[order],
+                                         "cosine": sims[row][order]}))
+        return pd.concat(out, ignore_index=True) if out else empty
 
-    partials = assigned.groupby("_gkey").map_groups(
-        bucket_topk, batch_format="pandas")
+    def add_ray_shard(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_rs"] = (batch["_gkey"] % NSH).astype(np.int64)
+        return batch
+
+    partials = (assigned.map_batches(add_ray_shard, batch_format="pandas")
+                .groupby("_rs").map_groups(shard_topk, batch_format="pandas"))
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True])

@@ -329,6 +329,16 @@ def cdc_sql_format(sf_dir: str):
 
 # ---------- training-data ops over documents / embeddings ----------
 
+def _docs_ds(sf_dir: str, columns: list[str], nblocks: int = 32):
+    """documents read for per-doc compute stages. The sf file is ONE row
+    group, so Ray gets a single block and every downstream map runs in one
+    task; repartition splits it (tiny shuffle locally — at real scale files
+    carry many row groups and this is a no-op choice)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return ds.repartition(nblocks)
+
 def dedup_exact(sf_dir: str):
     """Exact dedup: hash-partition by content, keep smallest doc_id per text
     (groupby + per-group first — the guide's canonical exact-dedup shape)."""
@@ -372,9 +382,10 @@ def text_langid(sf_dir: str):
 
     from ape_dts_ray.functions.text import LangId
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", concurrency=(1, 8))
+    # task pool, not actors: LangId's init is a regex compile — actor-pool
+    # spin-up would dominate; tasks scale instantly with the block count
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId(), batch_format="pandas")
 
 
 def doc_fingerprint(sf_dir: str):
@@ -383,9 +394,8 @@ def doc_fingerprint(sf_dir: str):
 
     from ape_dts_ray.functions.text import Fingerprint
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]).map_batches(
-        Fingerprint, batch_format="pandas", concurrency=(1, 8))
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
+        Fingerprint(), batch_format="pandas")
 
 
 def dedup_minhash(sf_dir: str):
@@ -398,9 +408,8 @@ def dedup_minhash(sf_dir: str):
 
     from ape_dts_ray.functions.dedup import minhash_dedup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    return minhash_dedup_pairs(ds, threshold=0.6, bands=32)
+    return minhash_dedup_pairs(_docs_ds(sf_dir, ["doc_id", "text"]),
+                               threshold=0.6, bands=32)
 
 
 def dedup_simhash(sf_dir: str):
@@ -412,9 +421,8 @@ def dedup_simhash(sf_dir: str):
 
     from ape_dts_ray.functions.dedup import simhash_dedup
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-    return simhash_dedup(ds, max_hamming=3, max_bucket=1_000_000_000)
+    return simhash_dedup(_docs_ds(sf_dir, ["doc_id", "text"]),
+                         max_hamming=3, max_bucket=1_000_000_000)
 
 
 def dedup_embedding(sf_dir: str):
@@ -438,7 +446,7 @@ def ann_topk(sf_dir: str):
     from ape_dts_ray.functions.similarity import brute_force_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"]).repartition(16)
     qdf = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"],
                           filter=pads.field("vec_id") < 5).to_pandas()
@@ -459,7 +467,7 @@ def ann_ivf(sf_dir: str):
     from ape_dts_ray.functions.similarity import ivf_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
+                         columns=["vec_id", "embedding"]).repartition(16)
     qdf = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                           columns=["vec_id", "embedding"],
                           filter=pads.field("vec_id") < 5).to_pandas()
