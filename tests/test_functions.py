@@ -35,6 +35,51 @@ def test_minhash_dedup_finds_planted_neardups(corpus):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_minhash_streaming_join_path_no_driver_corpus(corpus, monkeypatch):
+    """broadcast_candidates=False: the fully streaming keyed-join verify must
+    produce the same pairs, and the ONLY to_pandas() in the pipeline is the
+    final (small) verified-pair result — the corpus never lands on the
+    driver."""
+    import ray.data
+
+    calls = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        df = orig(self, *a, **k)
+        calls.append(list(df.columns))
+        return df
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    ds = rd.from_pandas(corpus)
+    out = dedup.minhash_dedup_pairs(ds, threshold=0.6, bands=32,
+                                    broadcast_candidates=False)
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", orig)
+    assert len(calls) == 1 and "text" not in calls[0]   # pairs only
+    got = set(zip(out["a"], out["b"]))
+    want = dedup.minhash_dedup_pairs(rd.from_pandas(corpus), threshold=0.6,
+                                     bands=32)
+    assert got == set(zip(want["a"], want["b"]))
+    assert (100, 101) in got and (100, 102) in got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_skewed_giant_cluster():
+    """Hot-bucket skew: one cluster of 120 identical documents must complete
+    with bounded groups and yield exactly the full clique collapsed to the
+    min-id keeper."""
+    docs = [(i, "totally unique text number %d %s" % (i, "q r s t u v w x"))
+            for i in range(30)]
+    docs += [(1000 + i, "the exact same duplicated document body " * 6)
+             for i in range(120)]
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+    out = dedup.minhash_dedup(rd.from_pandas(df), threshold=0.8, bands=32)
+    dup = dict(zip(out["doc_id"], out["dup_of"]))
+    assert set(dup) == {1000 + i for i in range(1, 120)}
+    assert set(dup.values()) == {1000}
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_simhash_dedup(corpus):
     ds = rd.from_pandas(corpus)
     out = dedup.simhash_dedup(ds, max_hamming=3)
