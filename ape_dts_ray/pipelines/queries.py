@@ -350,7 +350,9 @@ def dedup_exact(sf_dir: str):
     def hash_col(t: pa.Table) -> pa.Table:
         import pandas as pd
         h = pd.util.hash_array(t.column("text").to_numpy(zero_copy_only=False))
-        return t.append_column("_h", pa.array(h.astype(np.int64)))
+        # shard, not raw hash: bounded groupby cardinality (256 Ray groups),
+        # exact-match dedup runs vectorized inside each shard
+        return t.append_column("_h", pa.array((h % np.uint64(256)).astype(np.int64)))
 
     ds = ds.map_batches(hash_col, batch_format="pyarrow")
 

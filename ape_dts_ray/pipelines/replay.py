@@ -311,6 +311,13 @@ def replay(
     span's events (already offset-bounded) — used by bench/generated streams
     so each group synthesizes only its own slice; requires ``max_offset``.
 
+    SCALE NOTE on the three source kinds: ``events_path`` (row-group-pruned
+    read per chunk) and ``events_factory`` (per-chunk synthesis) are the
+    scale paths. A plain ``events_ds`` re-executes its upstream once per
+    chunk and filters to the window — fine when the log fits a few chunks,
+    O(chunks × full-scan) on a 10^10-event Dataset; persist such a source to
+    Parquet and pass ``events_path`` instead.
+
     ``pipeline_depth`` > 1 overlaps up to that many group executions (driver
     threads; Ray schedules their tasks jointly) while manifests still commit
     strictly in epoch order — the ape-dts extractor/pipeline overlap
