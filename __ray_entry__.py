@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_checker": q.cdc_checker,
         "cdc_schema_evolution": q.cdc_schema_evolution,
         "cdc_schema_nonadditive": q.cdc_schema_nonadditive,
+        "cdc_multitable": q.cdc_multitable,
         "cdc_time_window": q.cdc_time_window,
         "cdc_lineage_totals": q.cdc_lineage_totals,
         "cdc_pk_change": q.cdc_pk_change,
@@ -243,6 +244,22 @@ def oracle_sql() -> dict[str, str]:
               FROM aug
             )
             SELECT conv_id, turn_idx, role, text, tool, ts, channel
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # one interleaved stream split per table (conv parity); winners per
+        # table — conv_id determines the table, so ranking per key suffices
+        "cdc_multitable": CHANGES_CTE + """,
+            aug AS (
+              SELECT *, CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 2 = 0
+                             THEN 'tbl_even' ELSE 'tbl_odd' END AS tbl
+              FROM changes
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY log_offset DESC) AS rn
+              FROM aug
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts, tbl
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
         # rename tool->tool_name + drop role + widen turn_idx: the final

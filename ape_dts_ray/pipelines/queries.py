@@ -264,6 +264,38 @@ def cdc_schema_nonadditive(sf_dir: str) -> pa.Table:
     return out
 
 
+def cdc_multitable(sf_dir: str) -> pa.Table:
+    """Mixed-stream multi-table fan-out (TableParallelizer,
+    table_parallelizer.rs:86-114): ONE interleaved change stream carries a
+    ``table`` column (conv parity); ``replay_mixed`` splits it into two lakes
+    in a single pass; the result is both lakes' states unioned back with the
+    table name — oracle = ranked winners per table in SQL."""
+    import shutil
+
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+
+    def add_table(t: pa.Table) -> pa.Table:
+        uid = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 99),
+                      pa.int64())
+        tbl = pc.if_else(pc.equal(pc.bit_wise_and(uid, pa.scalar(1, pa.int64())),
+                                  pa.scalar(0, pa.int64())),
+                         pa.scalar("tbl_even"), pa.scalar("tbl_odd"))
+        return t.append_column("table", tbl)
+
+    root = tempfile.mkdtemp(prefix="ape_dts_ray_multitable_")
+    ds = changes_dataset(sf_dir).map_batches(add_table, batch_format="pyarrow")
+    replay_mixed(root, ["tbl_even", "tbl_odd"], events_ds=ds,
+                 config=EngineConfig(num_partitions=QUERY_PARTITIONS,
+                                     epoch_size=50_000))
+    pieces = []
+    for name in ("tbl_even", "tbl_odd"):
+        t = LakeTable.open(os.path.join(root, name)).state_table()
+        pieces.append(t.append_column(
+            "tbl", pa.array([name] * t.num_rows, pa.string())))
+    shutil.rmtree(root, ignore_errors=True)
+    return pa.concat_tables(pieces)
+
+
 def cdc_pk_change(sf_dir: str) -> pa.Table:
     """PK-change updates (uk_changed_test analog): 'view' updates renumber
     turn_idx by +40; the engine splits each into delete(old)+insert(new)

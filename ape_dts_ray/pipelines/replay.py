@@ -342,6 +342,10 @@ def replay(
                         mx = max(mx, st.max)
             max_offset = mx
 
+    if lake.rotation_in_progress():
+        raise RuntimeError(
+            "hot-key rotation in progress (rotation.json present) — re-run "
+            "compact(new_hot_keys=...) to finish it before replaying")
     committed = set(lake.committed_epochs())
     from ape_dts_ray.pipelines.checker import REVISE_EPOCH_BASE
     if any(e >= REVISE_EPOCH_BASE for e in committed):

@@ -259,12 +259,12 @@ class LakeTable:
         ``parallel=True`` runs one Ray task per partition (the second, offline
         shuffle of SURVEY §7 — partition-pure, so no data exchange at all);
         ``False`` folds inline (tests / tiny lakes / no Ray session)."""
+        if new_hot_keys is not None:
+            # repartition-on-compact: fold full state, re-split by new salt
+            return self._compact_rotate(tuple(new_hot_keys))
         epochs = self.committed_epochs()
         if not epochs:
             return 0
-        if new_hot_keys is not None:
-            # repartition-on-compact: fold full state then re-split by new salt
-            raise NotImplementedError("hot-key rotation lands with repartitioning compaction")
         watermark = self.read_manifest(epochs[-1]).offset_max
 
         root, meta, cfg, sv = self.root, self.meta, self.config, self.schema_version
@@ -309,6 +309,85 @@ class LakeTable:
             if os.path.isdir(ddir):
                 shutil.rmtree(ddir)
             os.remove(self.manifest_path(e))
+        return len(epochs)
+
+    def rotation_in_progress(self) -> bool:
+        return os.path.exists(os.path.join(self.root, MANIFEST_DIR,
+                                           "rotation.json"))
+
+    def _compact_rotate(self, new_hot_keys: tuple[str, ...]) -> int:
+        """Repartitioning compaction — the ONLY point where the hot-key salt
+        set may change (partition.py contract: placement must stay stable
+        between rotations). Fold the full live state, re-split every row by
+        the NEW salt (one offline shuffle — SURVEY §7's second shuffle), and
+        atomically swap the base directory.
+
+        Crash safety: a ``rotation.json`` marker brackets the whole
+        operation; replay() refuses to run while it exists, and re-running
+        ``compact(new_hot_keys=...)`` restarts the (idempotent,
+        deterministic) rotation. The watermark is published before any
+        cleanup, so it never regresses."""
+        import ray.data as rd  # requires a Ray session (offline op)
+
+        from ape_dts_ray.partition import COL_PART, add_partition_column
+
+        marker = os.path.join(self.root, MANIFEST_DIR, "rotation.json")
+        atomic_write_text(marker, json.dumps({"hot_keys": list(new_hot_keys)}))
+        epochs = self.committed_epochs()
+        watermark = self.watermark()
+        nparts = self.config.num_partitions
+        hot = frozenset(new_hot_keys) if new_hot_keys else None
+        next_dir = os.path.join(self.root, "base_next")
+        shutil.rmtree(next_dir, ignore_errors=True)
+        os.makedirs(next_dir)
+
+        ds = self.state_dataset()          # folded rows incl. engine columns
+
+        def repart(t: pa.Table) -> pa.Table:
+            n = t.num_rows                 # base rows rank below all deltas
+            if COL_EPOCH in t.column_names:
+                t = t.set_column(t.column_names.index(COL_EPOCH), COL_EPOCH,
+                                 pa.array(np.full(n, -1, dtype=np.int64)))
+            return add_partition_column(t, nparts, hot)
+
+        meta = self.meta
+
+        def write_next(group: pa.Table) -> pa.Table:
+            if group.num_rows == 0:
+                return pa.table({"part_id": pa.array([], pa.int32())})
+            pid = int(group.column(COL_PART)[0].as_py())
+            out = group.drop_columns([COL_PART])
+            out = out.sort_by([(c, "ascending") for c in meta.id_cols])
+            atomic_write_parquet(
+                out, os.path.join(next_dir, f"part-{pid:05d}.parquet"),
+                compression="zstd")
+            return pa.table({"part_id": pa.array([pid], pa.int32())})
+
+        (ds.map_batches(repart, batch_format="pyarrow")
+         .groupby(COL_PART)
+         .map_groups(write_next, batch_format="pyarrow")
+         .take_all())
+
+        # publish watermark, then config, then swap, then cleanup
+        ep = epochs[-1] if epochs else 0
+        m = EpochManifest(epoch=ep, offset_min=-1, offset_max=watermark,
+                          schema_version=self.schema_version, partitions=[])
+        atomic_write_text(os.path.join(self.root, MANIFEST_DIR, "compacted.json"),
+                          m.to_json())
+        self.config.hot_keys = tuple(new_hot_keys)
+        self._save_table_json()
+        base = os.path.join(self.root, "base")
+        old = os.path.join(self.root, "base_old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(base, old)
+        os.rename(next_dir, base)
+        shutil.rmtree(old, ignore_errors=True)
+        for e in epochs:
+            ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
+            if os.path.isdir(ddir):
+                shutil.rmtree(ddir)
+            os.remove(self.manifest_path(e))
+        os.remove(marker)
         return len(epochs)
 
     def compacted_watermark(self) -> int:

@@ -471,6 +471,40 @@ def test_reverse_sql_with_before_image(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_hot_key_rotation_compaction(tmp_path):
+    """compact(new_hot_keys=...) re-salts the whole base: state identical,
+    watermark preserved, hot key's rows actually spread across partitions,
+    and a continued replay with the new salt stays oracle-exact."""
+    events = gen_events(seed=95, n_convs=15, max_turns=8, n_events=4000,
+                        hot_frac=0.6, delete_frac=0.1)
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)                       # unsalted
+    replay(lake, events_path=path, max_offset=3999)
+    wm = lake.watermark()
+    before = lake.state_table().to_pandas()
+
+    n = lake.compact(new_hot_keys=("conv-000000",))  # rotate salt in
+    assert n == 2 and not lake.rotation_in_progress()
+    rotated = LakeTable.open(lake.root)
+    assert rotated.config.hot_keys == ("conv-000000",)
+    assert rotated.watermark() == wm
+    pd.testing.assert_frame_equal(before, rotated.state_table().to_pandas())
+    # the hot conversation's rows now span several base partitions
+    import pyarrow.parquet as pqq
+    parts_with_hot = sum(
+        1 for f in sorted(os.listdir(f"{lake.root}/base"))
+        if "conv-000000" in set(
+            pqq.read_table(f"{lake.root}/base/{f}", columns=["conv_id"])
+            .column("conv_id").to_pylist()))
+    assert parts_with_hot > 1
+
+    # CDC continues under the new salt; final state matches the full oracle
+    replay(rotated, events_path=path)
+    _assert_matches(rotated, events)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_checker_defect_cap(tmp_path):
     """A fully-diverged table must fail the broadcast path fast, not OOM."""
     events = gen_events(seed=24, n_convs=20, max_turns=6, n_events=1500,
