@@ -87,3 +87,57 @@ def test_oracle_replay_agrees_with_brute_force(t):
     got = dict(zip(zip(df["conv_id"], df["turn_idx"]), df["text"]))
     expect = brute_force_live(t)
     assert {k: (v if pd.notna(v) else None) for k, v in got.items()} == expect
+
+
+# --- Avro single-object codec: roundtrip identity on arbitrary payloads ---
+
+@st.composite
+def avro_rows(draw):
+    return {
+        "log_offset": draw(st.integers(0, 2**62)),
+        "seq": draw(st.integers(0, 3)),
+        "op": draw(st.sampled_from(OPS)),
+        "conv_id": draw(st.text(min_size=1, max_size=20)),
+        "turn_idx": draw(st.integers(0, 10_000)),
+        "role": draw(st.one_of(st.none(), st.text(max_size=12))),
+        "text": draw(st.one_of(st.none(), st.text(max_size=64))),
+        "tool": draw(st.one_of(st.none(), st.text(max_size=8))),
+        "ts": draw(st.one_of(st.none(), st.integers(0, 2**52))),
+    }
+
+
+@given(avro_rows())
+@settings(max_examples=300, deadline=None)
+def test_avro_event_roundtrip_identity(row):
+    from ape_dts_ray.stages.avro import decode_event, encode_event
+
+    assert decode_event(encode_event(row)) == row
+
+
+# --- schema ops: composition and idempotence ---
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=6)),
+                min_size=1, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_schema_ops_rename_chain_and_widen(vals):
+    from ape_dts_ray.stages.merge import apply_schema_ops
+
+    t = pa.table({"x": pa.array(vals, pa.string()),
+                  "n": pa.array(list(range(len(vals))), pa.int32())})
+    ops = [{"op": "rename", "from": "x", "to": "y"},
+           {"op": "rename", "from": "y", "to": "z"},
+           {"op": "widen", "col": "n", "type": "int64"}]
+    out = apply_schema_ops(t, ops)
+    assert out.column_names == ["z", "n"]
+    assert out.column("z").to_pylist() == vals
+    assert out.schema.field("n").type == pa.int64()
+    # idempotent on an already-evolved table
+    again = apply_schema_ops(out, ops)
+    assert again.equals(out)
+    # mixed-era coalesce: old column only fills rows where new is null
+    mixed = pa.table({
+        "x": pa.array(vals, pa.string()),
+        "z": pa.array([None] * len(vals), pa.string()),
+        "n": pa.array(list(range(len(vals))), pa.int64())})
+    m = apply_schema_ops(mixed, ops[1:2] + ops[:1])  # order-insensitive here
+    assert "x" not in m.column_names
