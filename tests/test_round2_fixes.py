@@ -2,6 +2,7 @@
 derivation, revise epoch band terminality, compact() watermark ordering,
 NULL-value derivation parity, checker defect-set caps."""
 
+import json
 import os
 
 import numpy as np
@@ -502,6 +503,66 @@ def test_hot_key_rotation_compaction(tmp_path):
     # CDC continues under the new salt; final state matches the full oracle
     replay(rotated, events_path=path)
     _assert_matches(rotated, events)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_http_pull_server_pipeline(tmp_path):
+    """HttpServerPipeline analog: consumer pulls Avro batches over HTTP,
+    acks advance the checkpoint, an unacked batch is re-served verbatim
+    (fetch_old), and the acked position survives a server restart. The
+    pulled stream replays to the oracle-exact state."""
+    import urllib.request
+
+    from ape_dts_ray.pipelines.pull_server import PullServer, unframe_records
+    from ape_dts_ray.stages import avro
+
+    events = gen_events(seed=97, n_convs=10, max_turns=5, n_events=800,
+                        delete_frac=0.15)
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(events, path)
+    srv = PullServer(path, str(tmp_path / "pull_state.json")).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def get(p):
+        with urllib.request.urlopen(base + p) as r:
+            return r.read()
+
+    info = json.loads(get("/info"))
+    assert info == {"acked": -1, "max_offset": events.num_rows - 1,
+                    "inflight_hi": -1}
+
+    pulled = []
+    b1 = get("/fetch_new?batch_size=300")
+    # consumer "crash" before ack: double fetch_new conflicts, old re-serves
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError):
+        get("/fetch_new?batch_size=300")
+    assert get("/fetch_old") == b1
+    while True:
+        if not b1:
+            break
+        rows = [avro.decode_event(v) for v in unframe_records(b1)]
+        pulled.extend(rows)
+        get(f"/ack?offset={rows[-1]['log_offset']}")
+        b1 = get("/fetch_new?batch_size=300")
+    assert len(pulled) == events.num_rows
+
+    # acked position persists across server restart
+    srv.stop()
+    srv2 = PullServer(path, str(tmp_path / "pull_state.json")).start()
+    assert json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{srv2.port}/info").read())["acked"] == \
+        events.num_rows - 1
+    assert urllib.request.urlopen(
+        f"http://127.0.0.1:{srv2.port}/fetch_new?batch_size=10").read() == b""
+    srv2.stop()
+
+    # the pulled stream replays to the same state as the direct log
+    dec = avro.avro_decode(pa.table({"value": pa.array(
+        [avro.encode_event({**r}) for r in pulled], pa.binary())}))
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_ds=rd.from_arrow(dec))
+    _assert_matches(lake, events)
 
 
 @pytest.mark.usefixtures("ray_session")
