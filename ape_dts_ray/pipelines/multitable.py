@@ -191,8 +191,7 @@ def replay_mixed(
         et, part_id = divmod(shard, P)
         epoch, ti = divmod(et, T)
         events = group.drop_columns(["_shard"])
-        merged = lww_last(events, key_cols=id_cols)
-        merged = merged.sort_by([(COL_OFFSET, "ascending"), ("seq", "ascending")])
+        merged = lww_last(events, key_cols=id_cols)   # canonical order (lww)
         n = merged.num_rows
         deletes = int(pc.sum(pc.equal(merged.column(COL_OP),
                                       pa.scalar(OP_DELETE))).as_py() or 0)

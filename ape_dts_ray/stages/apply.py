@@ -120,12 +120,10 @@ def make_apply_fn(lake_root: str, num_partitions: int, id_cols: tuple[str, ...])
         shard = int(group.column(COL_SHARD)[0].as_py())
         epoch, part_id = divmod(shard, num_partitions)
         events = group.drop_columns([COL_SHARD])
+        # lww_last emits winners in canonical (offset, seq) order
+        # (lww_winner_indices maintain_order) — delta bytes are independent
+        # of shuffle arrival order without an extra payload sort pass
         merged = lww_last(events, key_cols=id_cols)
-        # canonical row order: (offset, seq) is unique per group, so sorting
-        # makes the delta file bytes independent of shuffle arrival order
-        merged = merged.sort_by([(COL_OFFSET, "ascending"), ("seq", "ascending")]
-                                if "seq" in merged.column_names
-                                else [(COL_OFFSET, "ascending")])
         n = merged.num_rows
         is_del = pc.equal(merged.column(COL_OP), pa.scalar(OP_DELETE))
         deletes = int(pc.sum(is_del).as_py() or 0)

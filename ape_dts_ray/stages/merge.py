@@ -39,7 +39,11 @@ def lww_winner_indices(
     order = [c for c in order_cols if c in events.column_names]
     narrow = pl.from_arrow(events.select([*key_cols, *order]))
     narrow = narrow.with_row_index("_row")
-    out = narrow.sort(order).unique(subset=list(key_cols), keep="last")
+    # maintain_order: winners come out in (order_cols) order, so the single
+    # downstream Table.take already yields canonical rows — no extra
+    # full-payload sort pass needed for byte-deterministic delta files
+    out = narrow.sort(order).unique(subset=list(key_cols), keep="last",
+                                    maintain_order=True)
     return out["_row"]
 
 
