@@ -351,8 +351,8 @@ def cdc_time_window(sf_dir: str):
 
 
 def cdc_sql_format(sf_dir: str):
-    """SqlSinker analog: forward SQL per change event (rows-only check —
-    deterministic string assembly)."""
+    """SqlSinker analog: forward SQL per change event — oracle-backed (the
+    string assembly is mirrored in DuckDB concat/replace)."""
     from ape_dts_ray.stages.sql_format import format_sql
 
     return changes_dataset(sf_dir).map_batches(
@@ -411,7 +411,8 @@ def text_quality_counts(sf_dir: str):
 
 
 def text_langid(sf_dir: str):
-    """Stopword-vote language ID (deterministic heuristic; rows-only check)."""
+    """Stopword-vote language ID — oracle-backed (the vote is mirrored in
+    SQL over a generated stopword VALUES table)."""
     import ray.data as rd
 
     from ape_dts_ray.functions.text import LangId
@@ -423,7 +424,8 @@ def text_langid(sf_dir: str):
 
 
 def doc_fingerprint(sf_dir: str):
-    """Winnowing-style rolling-hash fingerprints (rows-only check)."""
+    """Winnowing-style rolling-hash fingerprints — oracle-backed (window
+    hashes recomputed in SQL over the ASCII corpus)."""
     import ray.data as rd
 
     from ape_dts_ray.functions.text import Fingerprint
