@@ -174,7 +174,8 @@ def replay_mixed(
             widx = np.searchsorted(epoch_los, off, side="right") - 1
             epochs = epoch_ids[widx]
             conv = t.column(meta.partition_col).to_numpy(zero_copy_only=False)
-            turn = t.column(id_cols[1]).to_numpy(zero_copy_only=False)
+            salt = id_cols[-1] if len(id_cols) > 1 else id_cols[0]
+            turn = t.column(salt).to_numpy(zero_copy_only=False)
             pid = partition_ids(conv, turn, P, hot)
             shard = (epochs * T + ti) * P + pid
             return t.drop_columns([table_col]).append_column(

@@ -186,7 +186,9 @@ def apply_windows(
                 pc.less_equal(t.column(COL_OFFSET), hi))),
             batch_format="pyarrow", batch_size=bs)
 
-    ds = events_ds.map_batches(normalize_batch, batch_format="pyarrow", batch_size=bs)
+    key_cols = lake.meta.id_cols
+    ds = events_ds.map_batches(lambda t: normalize_batch(t, key_cols),
+                               batch_format="pyarrow", batch_size=bs)
     if event_filter is not None:
         ds = ds.map_batches(event_filter, batch_format="pyarrow", batch_size=bs)
     if router_fn is not None:
@@ -194,10 +196,13 @@ def apply_windows(
 
     hot = frozenset(cfg.hot_keys) if cfg.hot_keys else None
     nparts = cfg.num_partitions
+    part_col = lake.meta.partition_col
+    salt_col = key_cols[-1] if len(key_cols) > 1 else key_cols[0]
     epoch_los = np.array([w.lo for w in windows], dtype=np.int64)
     epoch_ids = np.array([w.epoch for w in windows], dtype=np.int64)
     ds = ds.map_batches(
-        lambda t: add_shard_column(t, epoch_los, epoch_ids, nparts, hot),
+        lambda t: add_shard_column(t, epoch_los, epoch_ids, nparts, hot,
+                                   part_col, salt_col),
         batch_format="pyarrow", batch_size=bs)
 
     apply_fn = make_apply_fn(lake.root, nparts, lake.meta.id_cols)

@@ -51,19 +51,23 @@ def _lineage_table(rows: list[dict]) -> pa.Table:
 
 
 def add_shard_column(batch: pa.Table, epoch_los: np.ndarray, epoch_ids: np.ndarray,
-                     num_partitions: int, hot_keys=None) -> pa.Table:
+                     num_partitions: int, hot_keys=None,
+                     part_col: str = "conv_id",
+                     salt_col: str = "turn_idx") -> pa.Table:
     """Append ``_shard`` = epoch_index * P + part_id (vectorized).
 
     ``epoch_los``: ascending window lower bounds; ``epoch_ids``: the epoch
     number of each window (epoch = ids[searchsorted(los, offset, 'right')-1]).
+    ``part_col``/``salt_col`` come from TableMeta (partition_col + the id col
+    used to spread hot keys) — any PK shape works, not just transcripts.
     """
     from ape_dts_ray.partition import partition_ids
 
     off = batch.column(COL_OFFSET).to_numpy(zero_copy_only=False)
     idx = np.searchsorted(epoch_los, off, side="right") - 1
     epochs = epoch_ids[idx]
-    conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
-    turn = batch.column("turn_idx").to_numpy(zero_copy_only=False)
+    conv = batch.column(part_col).to_numpy(zero_copy_only=False)
+    turn = batch.column(salt_col).to_numpy(zero_copy_only=False)
     pid = partition_ids(conv, turn, num_partitions, hot_keys)
     shard = epochs.astype(np.int64) * num_partitions + pid
     return batch.append_column(COL_SHARD, pa.array(shard))

@@ -47,6 +47,7 @@ def split_pk_change(
     batch: pa.Table,
     new_key_col: str = "new_turn_idx",
     key_col: str = "turn_idx",
+    key_cols=("conv_id", "turn_idx"),
 ) -> pa.Table:
     """Split PK-change updates (non-null ``new_key_col``) into
     delete(old key, seq=0) + insert(new key, seq=1); drop the helper column.
@@ -73,7 +74,7 @@ def split_pk_change(
         del_half.column_names.index(COL_OP), COL_OP,
         pa.array([OP_DELETE] * n, type=pa.string()))
     for col in del_half.column_names:
-        if col in (COL_OFFSET, COL_SEQ, COL_OP) or col in ("conv_id", key_col):
+        if col in (COL_OFFSET, COL_SEQ, COL_OP) or col in key_cols or col == key_col:
             continue
         idx = del_half.column_names.index(col)
         del_half = del_half.set_column(idx, col, pa.nulls(n, type=del_half.column(col).type))
@@ -93,5 +94,5 @@ def split_pk_change(
 
 def normalize_batch(batch: pa.Table, key_cols=("conv_id", "turn_idx")) -> pa.Table:
     batch = ensure_seq(batch)
-    batch = split_pk_change(batch)
+    batch = split_pk_change(batch, key_cols=key_cols)
     return validate_events(batch, key_cols)

@@ -566,6 +566,53 @@ def test_http_pull_server_pipeline(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_generic_primary_key_table(tmp_path):
+    """The apply path is generic over TableMeta: a (doc_id, rev) PK table
+    with a `body` payload replays, resumes, and compacts correctly — no
+    transcripts-shaped column names anywhere in the stream."""
+    rng = np.random.default_rng(7)
+    n = 3000
+    docs = rng.integers(0, 80, size=n)
+    revs = rng.integers(0, 6, size=n).astype(np.int32)
+    ops = np.where(rng.random(n) < 0.15, "delete", "update").astype(object)
+    ops[:480] = "insert"
+    events = pa.table({
+        "log_offset": pa.array(np.arange(n, dtype=np.int64)),
+        "op": pa.array(ops, pa.string()),
+        "doc_id": pa.array([f"doc-{d:04d}" for d in docs], pa.string()),
+        "rev": pa.array(revs),
+        "body": pa.array([None if o == "delete" else f"b{i}"
+                          for i, o in enumerate(ops)], pa.string()),
+    })
+    path = str(tmp_path / "docs_ev.parquet")
+    pq.write_table(events, path)
+
+    meta = TableMeta(name="docs", id_cols=("doc_id", "rev"),
+                     partition_col="doc_id", order_cols=("doc_id", "rev"),
+                     payload_cols=("body",))
+    lake = LakeTable.create(str(tmp_path / "doclake"), meta,
+                            EngineConfig(num_partitions=8, epoch_size=1000))
+    replay(lake, events_path=path, stop_after_epoch=0)   # crash + resume
+    lake2 = LakeTable.open(lake.root)
+    replay(lake2, events_path=path)
+
+    # brute-force oracle
+    state = {}
+    for r in events.to_pylist():
+        k = (r["doc_id"], r["rev"])
+        if r["op"] == "delete":
+            state.pop(k, None)
+        else:
+            state[k] = r["body"]
+    got = lake2.state_table().to_pandas()
+    assert len(got) == len(state)
+    for r in got.itertuples():
+        assert state[(r.doc_id, r.rev)] == r.body
+    lake2.compact(parallel=False)
+    assert LakeTable.open(lake.root).state_table().num_rows == len(state)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_checker_defect_cap(tmp_path):
     """A fully-diverged table must fail the broadcast path fast, not OOM."""
     events = gen_events(seed=24, n_convs=20, max_turns=6, n_events=1500,
