@@ -162,10 +162,11 @@ def oracle_sql() -> dict[str, str]:
         # partitions
         "cdc_lineage_totals": CHANGES_CTE + """,
             per_epoch AS (
-              SELECT *, CAST(log_offset / 50000 AS BIGINT) AS ep,
+              -- // is floor division: CAST(x/50000 AS BIGINT) would ROUND
+              -- and split keys mid-epoch (caught by the sf0.1 sweep)
+              SELECT *, log_offset // 50000 AS ep,
                      row_number() OVER (
-                       PARTITION BY conv_id, turn_idx,
-                                    CAST(log_offset / 50000 AS BIGINT)
+                       PARTITION BY conv_id, turn_idx, log_offset // 50000
                        ORDER BY log_offset DESC) AS rn
               FROM changes
             )

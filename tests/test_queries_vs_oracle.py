@@ -33,6 +33,43 @@ def con():
 
 NAMES = sorted(entrymod.queries().keys())
 
+# scale-sensitive queries re-checked at sf0.1: multi-epoch windows
+# (lineage), multi-block pair joins (embedding), LSH recall at corpus size
+# (minhash), and the flagship replay. Caught a real oracle bug once:
+# DuckDB CAST(x/50000 AS BIGINT) ROUNDS — it split keys mid-epoch only
+# when offsets exceeded one epoch.
+SF01_NAMES = ["cdc_apply_lww", "cdc_lineage_totals", "dedup_embedding",
+              "dedup_minhash"]
+
+
+@pytest.fixture(scope="module")
+def con01():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+              f"'/root/testdata/sf0.1/{t}.parquet'")
+    return c
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("name", SF01_NAMES)
+def test_query_matches_oracle_sf01(name, con01):
+    res = _to_arrow(entrymod.queries()[name]("/root/testdata/sf0.1"))
+    ora = con01.sql(entrymod.oracle_sql()[name]).arrow()
+    assert res.num_rows == ora.num_rows, (res.num_rows, ora.num_rows)
+    cols = ", ".join(f'"{c}"' for c in sorted(res.column_names))
+    con01.register("res_tbl", res)
+    con01.register("ora_tbl", ora)
+    extra = con01.sql(
+        f"SELECT {cols} FROM res_tbl EXCEPT ALL SELECT {cols} FROM ora_tbl"
+    ).fetchmany(3)
+    missing = con01.sql(
+        f"SELECT {cols} FROM ora_tbl EXCEPT ALL SELECT {cols} FROM res_tbl"
+    ).fetchmany(3)
+    assert not extra and not missing, {"extra": extra, "missing": missing}
+    con01.unregister("res_tbl")
+    con01.unregister("ora_tbl")
+
 
 @pytest.mark.usefixtures("ray_session")
 @pytest.mark.parametrize("name", NAMES)
