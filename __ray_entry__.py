@@ -233,7 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_evolution": CHANGES_CTE + """,
             aug AS (
               SELECT *, CASE
-                WHEN log_offset >= (SELECT CAST(COUNT(*) / 2 AS BIGINT) FROM events)
+                WHEN log_offset >= (SELECT COUNT(*) // 2 FROM events)
                      AND op <> 'delete'
                 THEN CASE WHEN tool = 'search' THEN 'web' ELSE 'chat' END
               END AS channel

@@ -613,6 +613,27 @@ def test_generic_primary_key_table(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_multi_file_event_log(tmp_path):
+    """A log split across several Parquet files (the 100-TB shape: one file
+    per source segment) replays identically — footer-stats max-offset scan
+    and pruned reads handle file lists."""
+    events = gen_events(seed=99, n_convs=25, max_turns=6, n_events=4500,
+                        delete_frac=0.15)
+    n = events.num_rows
+    paths = []
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3),
+                                  (2 * n // 3, n)]):
+        p = str(tmp_path / f"seg-{i}.parquet")
+        pq.write_table(events.slice(lo, hi - lo), p)
+        paths.append(p)
+
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=paths)
+    _assert_matches(lake, events)
+    assert replay(LakeTable.open(lake.root), events_path=paths) == []
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_checker_defect_cap(tmp_path):
     """A fully-diverged table must fail the broadcast path fast, not OOM."""
     events = gen_events(seed=24, n_convs=20, max_turns=6, n_events=1500,
