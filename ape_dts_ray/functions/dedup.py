@@ -255,11 +255,15 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, bands: int = 32,
 
     pairs_ds = pairs
     if broadcast_candidates:
-        pdf = pairs.to_pandas()        # candidate PAIRS ≪ corpus by LSH
-        pdf = pdf.drop_duplicates(["a", "b"])   # cross-band dedup, in memory
-        if pdf.empty:
+        try:   # limit= guards the driver BEFORE materializing a pathological
+            pdf = pairs.to_pandas(limit=MAX_BROADCAST_PAIRS)  # candidate blowup
+        except ValueError:
+            pdf = None                 # too many candidates → streaming joins
+        if pdf is not None:
+            pdf = pdf.drop_duplicates(["a", "b"])  # cross-band dedup, in mem
+        if pdf is not None and pdf.empty:
             return pd.DataFrame(_EMPTY_PAIRS)
-        if len(pdf) <= MAX_BROADCAST_PAIRS:
+        if pdf is not None:
             ids = np.unique(np.concatenate(
                 [pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)]))
             ref = ray.put(ids)
