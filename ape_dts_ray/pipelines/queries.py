@@ -112,21 +112,35 @@ def cdc_lineage_per_conv(sf_dir: str):
     """Lineage/metrics counters (counter_type.rs analog): per conversation,
     event counts by class + applied offset range. Partial-aggregates inside
     map_batches, then a small groupby — the pre-aggregation pattern."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ray.data.aggregate import Max, Min, Sum
 
-    def flags(t: pa.Table) -> pa.Table:
-        is_del = pc.equal(t.column("op"), pa.scalar("delete"))
-        t = t.append_column("is_delete", pc.cast(is_del, pa.int64()))
-        t = t.append_column("is_upsert", pc.cast(pc.invert(is_del), pa.int64()))
-        return t.select(["conv_id", "log_offset", "is_delete", "is_upsert"])
+    def partial(t: pa.Table) -> pa.Table:
+        # combiner: collapse each batch to one row per conv BEFORE the
+        # shuffle — the groupby then moves ≤ convs × blocks partial rows
+        # instead of every event
+        import pandas as pd
 
-    ds = changes_dataset(sf_dir).map_batches(flags, batch_format="pyarrow")
+        df = pd.DataFrame({
+            "conv_id": t.column("conv_id").to_pandas(),
+            "log_offset": t.column("log_offset").to_numpy(zero_copy_only=False),
+            "is_delete": pc.cast(pc.equal(t.column("op"), pa.scalar("delete")),
+                                 pa.int64()).to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("conv_id", sort=False)
+        out = g.agg(n_events=("log_offset", "size"),
+                    n_deletes=("is_delete", "sum"),
+                    offset_min=("log_offset", "min"),
+                    offset_max=("log_offset", "max")).reset_index()
+        out["n_upserts"] = out["n_events"] - out["n_deletes"]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    ds = changes_dataset(sf_dir).map_batches(partial, batch_format="pyarrow")
     return ds.groupby("conv_id").aggregate(
-        Count(alias_name="n_events"),
-        Sum("is_upsert", alias_name="n_upserts"),
-        Sum("is_delete", alias_name="n_deletes"),
-        Min("log_offset", alias_name="offset_min"),
-        Max("log_offset", alias_name="offset_max"),
+        Sum("n_events", alias_name="n_events"),
+        Sum("n_upserts", alias_name="n_upserts"),
+        Sum("n_deletes", alias_name="n_deletes"),
+        Min("offset_min", alias_name="offset_min"),
+        Max("offset_max", alias_name="offset_max"),
     )
 
 
