@@ -147,6 +147,101 @@ def synthesize_media_table(n: int, seed: int = 13, side: int = 64) -> pa.Table:
     })
 
 
+# --- minimal WAV (RIFF PCM) codec — stdlib struct only ---
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float64 samples in [-1, 1] shaped (n, channels), rate).
+    Supports PCM 8/16/32-bit — the RIFF/WAVE layout is public spec."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid, ln = data[pos:pos + 4], struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, channels, rate, _bps, _align, bits = fmt
+    if audio_fmt != 1:
+        raise NotImplementedError(f"WAV format {audio_fmt} unsupported (PCM only)")
+    if bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit WAV unsupported")
+    n = len(x) // channels
+    return x[:n * channels].reshape(n, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """float samples in [-1, 1] (n,) or (n, ch) → 16-bit PCM WAV bytes."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    pcm = np.round(np.clip(s * 32767.0, -32768, 32767)).astype("<i2").tobytes()
+    ch, bits = s.shape[1], 16
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                   rate * ch * bits // 8, ch * bits // 8, bits)
+           + b"data" + struct.pack("<I", len(pcm)))
+    return hdr + pcm
+
+
+def audio_features(samples: np.ndarray, rate: int,
+                   n_frames: int = 8) -> np.ndarray:
+    """Per-frame RMS energy + zero-crossing rate over ``n_frames`` equal
+    windows (mono mixdown) — the classic cheap audio descriptors, vectorized."""
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    if n == 0:
+        return np.zeros(2 * n_frames)
+    edges = np.linspace(0, n, n_frames + 1, dtype=np.int64)
+    rms = np.empty(n_frames)
+    zcr = np.empty(n_frames)
+    signs = np.signbit(mono)
+    flips = np.concatenate([[False], signs[1:] != signs[:-1]])
+    for i in range(n_frames):               # n_frames is tiny (fixed output)
+        lo, hi = edges[i], max(edges[i + 1], edges[i] + 1)
+        seg = mono[lo:hi]
+        rms[i] = np.sqrt(np.mean(seg * seg))
+        zcr[i] = flips[lo:hi].mean()
+    return np.concatenate([rms, zcr])
+
+
+class DecodeAudio:
+    """Actor-pool stage: WAV payload → fixed-size feature row (RMS + ZCR per
+    frame). ``strict=True`` raises on undecodable payloads; otherwise a
+    deterministic fake (payload-digest-seeded) keeps plumbing testable."""
+
+    def __init__(self, n_frames: int = 8, strict: bool = False):
+        self.n_frames = n_frames
+        self.strict = strict
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:4] == b"RIFF":
+            samples, rate = decode_wav(payload)
+            return audio_features(samples, rate, self.n_frames)
+        if self.strict:
+            raise NotImplementedError("no codec for this payload (not WAV)")
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+        return np.random.default_rng(seed).random(2 * self.n_frames)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._decode(p).tolist()
+                 for p in batch.column("payload").to_pylist()]
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "feature": pa.array(feats, type=pa.list_(pa.float64())),
+        })
+
+
 class DecodeImage:
     """Actor-pool stage: binary payload → fixed-size float feature row.
 

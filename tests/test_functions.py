@@ -268,6 +268,38 @@ def test_decode_strict_real_png_end_to_end():
     assert np.allclose(got, want)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_wav_codec_roundtrip_and_audio_features():
+    """WAV PCM roundtrip (16-bit mono/stereo) and strict end-to-end audio
+    decode through the actor-pool stage with features recomputed locally."""
+    rng = np.random.default_rng(11)
+    mono = rng.uniform(-0.9, 0.9, size=4000)
+    back, rate = multimodal.decode_wav(multimodal.encode_wav(mono, 8000))
+    assert rate == 8000 and back.shape == (4000, 1)
+    assert np.allclose(back[:, 0], mono, atol=1 / 16000)   # 16-bit quantization
+    stereo = rng.uniform(-0.5, 0.5, size=(2000, 2))
+    back2, _ = multimodal.decode_wav(multimodal.encode_wav(stereo))
+    assert back2.shape == (2000, 2)
+
+    payloads = [multimodal.encode_wav(
+        np.sin(np.linspace(0, 40 + i, 3000)) * 0.7) for i in range(6)]
+    tbl = pa.table({
+        "media_id": pa.array(np.arange(6, dtype=np.int64)),
+        "media_type": pa.array(["audio/wav"] * 6),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(np.full(6, -1, dtype=np.int32)),
+        "height": pa.array(np.full(6, -1, dtype=np.int32)),
+    })
+    out = rd.from_arrow(tbl).map_batches(
+        multimodal.DecodeAudio, fn_constructor_args=(8, True),
+        batch_format="pyarrow", batch_size=3, concurrency=2).take_all()
+    assert len(out) == 6 and all(len(r["feature"]) == 16 for r in out)
+    s, r = multimodal.decode_wav(payloads[0])
+    want = multimodal.audio_features(s, r, 8)
+    got = np.array([x for x in out if x["media_id"] == 0][0]["feature"])
+    assert np.allclose(got, want)
+
+
 def test_decode_strict_raises_on_unknown_format():
     dec = multimodal.DecodeImage(out_size=4, strict=True)
     if dec._pil is not None:
