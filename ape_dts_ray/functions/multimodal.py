@@ -296,6 +296,44 @@ class DecodeImage:
         })
 
 
+class SampleFrames:
+    """Actor-pool stage: video payload → ``n_frames`` evenly spaced frame
+    features. No video codec is expressible with the stdlib, so the decode
+    is an HONEST stub: ``strict=True`` raises NotImplementedError; otherwise
+    the payload is split into ``n_frames`` even byte spans whose digests
+    seed deterministic frame features — the Ray-side plumbing (even-spacing
+    frame selection, per-frame feature rows, batch sizing for fat payloads)
+    is real and tested."""
+
+    def __init__(self, n_frames: int = 4, feat_size: int = 8,
+                 strict: bool = False):
+        self.n_frames = n_frames
+        self.feat_size = feat_size
+        if strict:
+            raise NotImplementedError(
+                "video codec not available in this environment")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, feats = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            edges = np.linspace(0, len(payload), self.n_frames + 1,
+                                dtype=np.int64)
+            for fi in range(self.n_frames):     # one output row per frame
+                span = payload[edges[fi]:max(edges[fi + 1], edges[fi] + 1)]
+                seed = int.from_bytes(hashlib.sha256(span).digest()[:8],
+                                      "little")
+                ids.append(mid)
+                frames.append(fi)
+                feats.append(np.random.default_rng(seed)
+                             .random(self.feat_size).tolist())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frames, pa.int32()),
+            "feature": pa.array(feats, type=pa.list_(pa.float64())),
+        })
+
+
 class ResizeStage:
     """Actor-pool stage operating on decoded features (here: truncate/pad the
     feature vector — stands in for a resize/crop kernel with identical

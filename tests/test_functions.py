@@ -300,6 +300,30 @@ def test_wav_codec_roundtrip_and_audio_features():
     assert np.allclose(got, want)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_video_frame_sampling_plumbing():
+    """Frame-sample stage: one row per (media, frame), deterministic, and
+    strict mode raises (honest stub — no stdlib video codec)."""
+    rng = np.random.default_rng(3)
+    tbl = pa.table({
+        "media_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([rng.bytes(10_000), rng.bytes(8_000)],
+                            type=pa.binary()),
+    })
+    out = rd.from_arrow(tbl).map_batches(
+        multimodal.SampleFrames, fn_constructor_args=(4, 8),
+        batch_format="pyarrow", batch_size=1, concurrency=2).take_all()
+    assert len(out) == 8
+    assert {(r["media_id"], r["frame_idx"]) for r in out} == \
+        {(m, f) for m in (0, 1) for f in range(4)}
+    again = rd.from_arrow(tbl).map_batches(
+        multimodal.SampleFrames(4, 8),
+        batch_format="pyarrow", batch_size=1).take_all()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+    with pytest.raises(NotImplementedError):
+        multimodal.SampleFrames(strict=True)
+
+
 def test_decode_strict_raises_on_unknown_format():
     dec = multimodal.DecodeImage(out_size=4, strict=True)
     if dec._pil is not None:
