@@ -123,6 +123,10 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # NOTE: ShuffleStrategy.HASH_SHUFFLE was evaluated as an alternative to
+    # the default sort shuffle (our groups don't need sorted order) but a
+    # trivial groupby().map_groups hangs under it in this Ray build — the
+    # engine stays on SORT_SHUFFLE_PULL_BASED (details in BASELINE.md).
 
     replay_res = run_replay_bench()
     queries = {} if os.environ.get("BENCH_QUERIES") == "0" else run_query_bench()
