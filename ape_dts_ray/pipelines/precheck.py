@@ -100,11 +100,61 @@ def check_lake(root: str) -> list[CheckResult]:
     return out
 
 
+def estimate_events(paths: str | list[str]) -> dict:
+    """Planning metric from footer metadata only (the reference's
+    ``estimate_record_count``, dt-task/src/task_runner.rs:183-188): event
+    count, offset span, and average event bytes — the inputs
+    ``suggest_epoch_config`` sizes windows from, without reading any data."""
+    paths = [paths] if isinstance(paths, str) else list(paths)
+    rows, bytes_, mn, mx = 0, 0, None, None
+    for p in paths:
+        f = pq.ParquetFile(p)
+        md = f.metadata
+        rows += md.num_rows
+        ci = f.schema_arrow.get_field_index(COL_OFFSET)
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            bytes_ += g.total_byte_size
+            st = g.column(ci).statistics
+            if st is not None and st.min is not None:
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+    return {"events": rows, "offset_min": mn, "offset_max": mx,
+            "avg_event_bytes": (bytes_ // rows) if rows else 0}
+
+
+def check_plan(paths: str | list[str], epoch_size: int) -> list[CheckResult]:
+    """Window-plan sanity from the planning estimate: the offset span must be
+    dense enough that epochs aren't mostly empty, and the epoch byte volume
+    should respect the group-size memory rule (suggest_epoch_config)."""
+    from ape_dts_ray.pipelines.replay import suggest_epoch_config
+
+    est = estimate_events(paths)
+    if not est["events"]:
+        return [CheckResult("plan_nonempty", False, "no events")]
+    span = est["offset_max"] - est["offset_min"] + 1
+    density = est["events"] / span
+    sug = suggest_epoch_config(est["avg_event_bytes"])
+    epoch_bytes = epoch_size * est["avg_event_bytes"]
+    return [
+        CheckResult("plan_offset_density", density >= 0.01,
+                    f"{est['events']} events over span {span} "
+                    f"(density {density:.3f})"),
+        CheckResult("plan_epoch_bytes", epoch_bytes <= (1 << 31),
+                    f"epoch {epoch_size} × {est['avg_event_bytes']}B ≈ "
+                    f"{epoch_bytes >> 20}MiB (suggested epoch_size="
+                    f"{sug['epoch_size']})"),
+    ]
+
+
 def precheck(lake_root: str | None = None,
-             events_path: str | list[str] | None = None) -> list[CheckResult]:
+             events_path: str | list[str] | None = None,
+             epoch_size: int | None = None) -> list[CheckResult]:
     out = []
     if events_path is not None:
         out += check_event_source(events_path)
+        if epoch_size is not None:
+            out += check_plan(events_path, epoch_size)
     if lake_root is not None:
         out += check_lake(lake_root)
     return out

@@ -331,9 +331,20 @@ def test_precheck(tmp_path):
     gp = str(tmp_path / "good.parquet")
     pq.write_table(good, gp)
     lake = _mk_lake(tmp_path, name="pl")
-    results = precheck(lake.root, gp)
+    results = precheck(lake.root, gp, epoch_size=4000)
     assert results and all(r.ok for r in results)
     assert_precheck(lake.root, gp)   # no raise
+
+    # planning estimate (estimate_record_count analog): exact from footers
+    from ape_dts_ray.pipelines.precheck import estimate_events
+    est = estimate_events(gp)
+    assert est["events"] == good.num_rows
+    assert est["offset_min"] == 0 and est["offset_max"] == good.num_rows - 1
+    assert est["avg_event_bytes"] > 0
+    # absurd epoch sizing is flagged, not raised
+    res = {r.name: r.ok for r in precheck(events_path=gp,
+                                          epoch_size=1_000_000_000)}
+    assert res["plan_epoch_bytes"] is False
 
     # missing column
     bad1 = str(tmp_path / "bad1.parquet")
