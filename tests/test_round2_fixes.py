@@ -678,6 +678,42 @@ def test_resumable_partitioned_export(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_single_key_mongo_shaped_table(tmp_path):
+    """Mongo-shaped stream: a SINGLE id col (_id) with a JSON-ish doc
+    payload — the MongoMerger LWW semantics (mongo_merger.rs:17-100) ride
+    the generic path (partition salt falls back to the id col itself)."""
+    rng = np.random.default_rng(17)
+    n = 2000
+    ids = rng.integers(0, 150, size=n)
+    ops = np.where(rng.random(n) < 0.2, "delete", "update").astype(object)
+    ops[:150] = "insert"
+    events = pa.table({
+        "log_offset": pa.array(np.arange(n, dtype=np.int64)),
+        "op": pa.array(ops, pa.string()),
+        "_id": pa.array([f"oid-{d:06d}" for d in ids], pa.string()),
+        "doc": pa.array([None if o == "delete" else '{"v": %d}' % i
+                         for i, o in enumerate(ops)], pa.string()),
+    })
+    path = str(tmp_path / "mongo_ev.parquet")
+    pq.write_table(events, path)
+    meta = TableMeta(name="docs", id_cols=("_id",), partition_col="_id",
+                     order_cols=("_id",), payload_cols=("doc",))
+    lake = LakeTable.create(str(tmp_path / "mongolake"), meta,
+                            EngineConfig(num_partitions=8, epoch_size=600))
+    replay(lake, events_path=path)
+
+    state = {}
+    for r in events.to_pylist():
+        if r["op"] == "delete":
+            state.pop(r["_id"], None)
+        else:
+            state[r["_id"]] = r["doc"]
+    got = lake.state_table().to_pandas()
+    assert len(got) == len(state)
+    assert dict(zip(got["_id"], got["doc"])) == state
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_checker_defect_cap(tmp_path):
     """A fully-diverged table must fail the broadcast path fast, not OOM."""
     events = gen_events(seed=24, n_convs=20, max_turns=6, n_events=1500,
