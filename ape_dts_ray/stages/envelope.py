@@ -33,12 +33,18 @@ def make_to_envelope(table: str = "transcripts",
         n = batch.num_rows
         payload_cols = [c for c in batch.column_names
                         if c not in (COL_OFFSET, COL_OP)]
-        records = batch.select(payload_cols).to_pylist()
-        payload = [json.dumps(r, default=str, sort_keys=True) for r in records]
-        keys = ["\x1f".join(str(r[c]) for c in key_cols) for r in records]
+        df = batch.select(payload_cols).to_pandas()
+        # vectorized row serialization (pandas' C JSON writer) — ISO µs
+        # timestamps ride as strings and cast back in from_envelope
+        payload = df.to_json(orient="records", lines=True, date_format="iso",
+                             date_unit="us").splitlines()
+        key_parts = [df[c].astype(str) for c in key_cols]
+        keys = key_parts[0]
+        for p in key_parts[1:]:
+            keys = keys + "\x1f" + p
         return pa.table({
             "topic": pa.array([topic] * n, pa.string()),
-            "key": pa.array(keys, pa.string()),
+            "key": pa.array(keys.to_numpy(dtype=object), pa.string()),
             "log_offset": batch.column(COL_OFFSET),
             "op": batch.column(COL_OP),
             "payload": pa.array(payload, pa.string()),
