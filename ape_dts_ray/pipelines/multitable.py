@@ -152,7 +152,7 @@ def replay_mixed(
     hot = frozenset(config.hot_keys) if config.hot_keys else None
     id_cols = meta.id_cols
     roots = [lakes[t].root for t in src_tables]
-    name_to_idx = dict(tidx)
+    table_names = pa.array(src_tables, pa.string())  # index == tidx value
 
     def make_shard_fn(chunk):
         epoch_los = np.array([w.lo for w in chunk], dtype=np.int64)
@@ -166,10 +166,12 @@ def replay_mixed(
             if t.num_rows == 0:
                 return t.drop_columns([table_col]).append_column(
                     "_shard", pa.array([], pa.int64()))
-            names = t.column(table_col).to_pylist()
-            ti = np.array([name_to_idx.get(n, -1) for n in names], dtype=np.int64)
-            t = t.filter(pa.array(ti >= 0))
-            ti = ti[ti >= 0]
+            # vectorized name → table-index: index_in against the sorted
+            # table list (whose positions ARE the tidx codes); unknown or
+            # filtered names come back null and are dropped
+            ti_arr = pc.index_in(t.column(table_col), value_set=table_names)
+            t = t.filter(pc.is_valid(ti_arr))
+            ti = ti_arr.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
             off = t.column(COL_OFFSET).to_numpy(zero_copy_only=False)
             widx = np.searchsorted(epoch_los, off, side="right") - 1
             epochs = epoch_ids[widx]
@@ -226,7 +228,8 @@ def replay_mixed(
                 src = rd.read_parquet(paths, filter=expr)
         else:
             src = events_ds
-        ds = (src.map_batches(normalize_batch, batch_format="pyarrow")
+        ds = (src.map_batches(lambda t: normalize_batch(t, id_cols),
+                              batch_format="pyarrow")
               .map_batches(make_shard_fn(chunk), batch_format="pyarrow"))
         lineage = ds.groupby("_shard").map_groups(
             apply_group, batch_format="pyarrow").take_all()

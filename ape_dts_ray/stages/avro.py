@@ -45,6 +45,62 @@ AVRO_SCHEMA_JSON = json.dumps(AVRO_SCHEMA, separators=(",", ":"))
 
 _NULLABLE = ("role", "text", "tool")
 
+# --- Parsing Canonical Form (Avro spec "Transforming into Parsing Canonical
+# Form"): primitives unwrapped to bare strings, namespaces folded into full
+# names, only parsing-relevant attributes kept, in the spec's fixed order,
+# minimal JSON. Fingerprinting the PCF (not the raw writer JSON) is what lets
+# any standard Avro consumer resolve the writer schema by fingerprint. ---
+
+_PRIMITIVES = frozenset(
+    ("null", "boolean", "int", "long", "float", "double", "bytes", "string"))
+_CANON_ORDER = ("name", "type", "fields", "symbols", "items", "values", "size")
+
+
+def _canon(schema, namespace: str | None = None) -> str:
+    if isinstance(schema, str):
+        if schema in _PRIMITIVES or "." in schema or namespace is None:
+            return json.dumps(schema)
+        return json.dumps(f"{namespace}.{schema}")   # named-type reference
+    if isinstance(schema, list):                     # union
+        return "[" + ",".join(_canon(s, namespace) for s in schema) + "]"
+    t = schema["type"]
+    if t in _PRIMITIVES and set(schema) <= {"type", "logicalType", "doc"}:
+        return json.dumps(t)                         # unwrap {"type": "int"}
+    parts: list[str] = []
+    if t in ("record", "enum", "fixed"):
+        name = schema["name"]
+        ns = namespace if "." in name else schema.get("namespace", namespace)
+        full = name if "." in name else (f"{ns}.{name}" if ns else name)
+        namespace = full.rsplit(".", 1)[0] if "." in full else None
+        parts.append('"name":' + json.dumps(full))
+    for attr in _CANON_ORDER:
+        if attr == "name" or attr not in schema:
+            continue
+        if attr == "type":
+            v = json.dumps(t) if isinstance(t, str) and (
+                t in _PRIMITIVES or t in ("record", "enum", "fixed", "array",
+                                          "map")) else _canon(t, namespace)
+            parts.append('"type":' + v)
+        elif attr == "fields":
+            fs = ",".join(
+                '{"name":' + json.dumps(f["name"]) +
+                ',"type":' + _canon(f["type"], namespace) + "}"
+                for f in schema["fields"])
+            parts.append('"fields":[' + fs + "]")
+        elif attr == "symbols":
+            parts.append('"symbols":[' +
+                         ",".join(json.dumps(s) for s in schema["symbols"]) + "]")
+        elif attr in ("items", "values"):
+            parts.append(f'"{attr}":' + _canon(schema[attr], namespace))
+        elif attr == "size":
+            parts.append('"size":' + str(int(schema["size"])))
+    return "{" + ",".join(parts) + "}"
+
+
+def parsing_canonical_form(schema: dict | list | str = AVRO_SCHEMA) -> str:
+    return _canon(schema)
+
+
 # --- CRC-64-AVRO schema fingerprint (Avro spec "Schema Fingerprints") ---
 _EMPTY64 = 0xC15D213AA4D7A795
 
@@ -62,9 +118,12 @@ def _crc64_table():
 _TABLE = _crc64_table()
 
 
-def schema_fingerprint(schema_json: str = AVRO_SCHEMA_JSON) -> bytes:
+def schema_fingerprint(schema: dict | list | str = AVRO_SCHEMA) -> bytes:
+    """CRC-64-AVRO over the schema's Parsing Canonical Form, little-endian —
+    the exact 8 bytes a standard Avro single-object-encoding reader expects
+    after the C3 01 marker."""
     fp = _EMPTY64
-    for b in schema_json.encode():
+    for b in parsing_canonical_form(schema).encode():
         fp = (fp >> 8) ^ _TABLE[(fp ^ b) & 0xFF]
     return fp.to_bytes(8, "little")
 

@@ -30,10 +30,20 @@ def make_to_envelope(table: str = "transcripts",
     topic = (topic_map or {}).get(table, table)
 
     def to_envelope(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         n = batch.num_rows
         payload_cols = [c for c in batch.column_names
                         if c not in (COL_OFFSET, COL_OP)]
-        df = batch.select(payload_cols).to_pandas()
+        sel = batch.select(payload_cols)
+        # Arrow→pandas would turn nullable int columns into float64 (3 → 3.0
+        # in JSON, precision loss above 2^53): map integer Arrow types to
+        # pandas' nullable Int dtypes AT conversion so values stay integral
+        _int_map = {pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+                    pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+                    pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+                    pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype()}
+        df = sel.to_pandas(types_mapper=_int_map.get)
         # vectorized row serialization (pandas' C JSON writer) — ISO µs
         # timestamps ride as strings and cast back in from_envelope
         payload = df.to_json(orient="records", lines=True, date_format="iso",

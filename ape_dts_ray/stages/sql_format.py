@@ -24,17 +24,38 @@ def _sql_str(s: pd.Series) -> pd.Series:
     return "'" + s.astype("string").str.replace("'", "''", regex=False) + "'"
 
 
+def _sql_val(s: pd.Series) -> pd.Series:
+    """SQL literal per dtype: numerics bare, everything else quoted+escaped."""
+    if pd.api.types.is_numeric_dtype(s):
+        return s.astype(str)
+    return _sql_str(s)
+
+
+def _where_clause(df: pd.DataFrame, key_cols) -> pd.Series:
+    parts = [c + " = " + _sql_val(df[c]) for c in key_cols]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + " AND " + p
+    return out
+
+
+def _key_values(df: pd.DataFrame, key_cols) -> pd.Series:
+    out = _sql_val(df[key_cols[0]])
+    for c in key_cols[1:]:
+        out = out + ", " + _sql_val(df[c])
+    return out
+
+
 def format_sql(batch: pa.Table, table: str = "transcripts",
                key_cols=("conv_id", "turn_idx"),
                payload_cols=("role", "text", "tool"),
                reverse: bool = False) -> pa.Table:
     df = batch.to_pandas()
-    where = ("conv_id = " + _sql_str(df["conv_id"]) +
-             " AND turn_idx = " + df["turn_idx"].astype(str))
+    where = _where_clause(df, key_cols)
     cols = [*key_cols, *payload_cols]
-    values = (_sql_str(df["conv_id"]) + ", " + df["turn_idx"].astype(str))
+    values = _key_values(df, key_cols)
     for c in payload_cols:
-        v = _sql_str(df[c])
+        v = _sql_val(df[c])
         values = values + ", " + v.fillna("NULL")
     insert_sql = (f"REPLACE INTO {table} (" + ", ".join(cols) + ") VALUES (" +
                   values + ");")
@@ -88,7 +109,8 @@ def reverse_sql_with_before(events_ds, state_ds, table: str = "transcripts",
                     t = t.append_column(c, pa.nulls(t.num_rows, typ))
             t = t.append_column("_side", pa.array(
                 np.full(t.num_rows, side, dtype=object), type=pa.string()))
-            return add_partition_column(t, num_partitions)
+            return add_partition_column(t, num_partitions,
+                                        conv_col=kc[0], turn_col=kc[-1])
         return fn
 
     cols = [*kc, "log_offset", "op", *pcl]
@@ -103,12 +125,11 @@ def reverse_sql_with_before(events_ds, state_ds, table: str = "transcripts",
         s = group[group["_side"] == "s"][[*kc, *pcl]]
         m = e[[*kc, "log_offset", "op"]].merge(
             s, on=kc, how="left", indicator=True)
-        where = ("conv_id = " + _sql_str(m["conv_id"]) +
-                 " AND turn_idx = " + m["turn_idx"].astype(str))
+        where = _where_clause(m, kc)
         delete_sql = f"DELETE FROM {table} WHERE " + where + ";"
-        values = (_sql_str(m["conv_id"]) + ", " + m["turn_idx"].astype(str))
+        values = _key_values(m, kc)
         for c in pcl:
-            values = values + ", " + _sql_str(m[c]).fillna("NULL")
+            values = values + ", " + _sql_val(m[c]).fillna("NULL")
         replace_sql = (f"REPLACE INTO {table} (" + ", ".join([*kc, *pcl]) +
                        ") VALUES (" + values + ");")
         has_before = m["_merge"].eq("both")

@@ -315,6 +315,57 @@ class LakeTable:
         return os.path.exists(os.path.join(self.root, MANIFEST_DIR,
                                            "rotation.json"))
 
+    def _recover_rotation(self) -> None:
+        """Bring a lake crashed mid-rotation back to a consistent state.
+
+        The rotation protocol has exactly one commit point: the
+        ``rotation_swap.json`` marker, written only after ``base_next/`` is
+        COMPLETE. Every on-disk state is therefore recoverable:
+
+        - no swap marker → any ``base_next/`` is partial (discarded by the
+          rebuild); if ``base/`` is missing, ``base_old/`` is the pre-rotation
+          base from an interrupted swap of a PREVIOUS protocol — restore it.
+        - swap marker + ``base_next/`` present → the swap may or may not have
+          started; ``base/``+``base_next/`` both existing means base is still
+          pre-rotation (the swap renames next away before base reappears), so
+          finish the swap: base→base_old, base_next→base, drop base_old.
+        - swap marker, no ``base_next/`` → the swap completed through
+          ``rename(next, base)``; drop any leftover ``base_old/`` and finish
+          the delta/manifest cleanup the crashed run never reached.
+
+        ``base_old/`` is only ever deleted AFTER a verified ``base/`` exists.
+        """
+        base = os.path.join(self.root, "base")
+        old = os.path.join(self.root, "base_old")
+        next_dir = os.path.join(self.root, "base_next")
+        swap_marker = os.path.join(self.root, MANIFEST_DIR, "rotation_swap.json")
+        if not os.path.exists(swap_marker):
+            if not os.path.isdir(base) and os.path.isdir(old):
+                os.rename(old, base)       # interrupted swap: restore
+            return
+        with open(swap_marker) as f:
+            keys = tuple(json.load(f)["hot_keys"])
+        if os.path.isdir(next_dir):        # complete the committed swap
+            if os.path.isdir(base):
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(base, old)
+            os.rename(next_dir, base)
+        elif not os.path.isdir(base) and os.path.isdir(old):
+            os.rename(old, base)           # defensive: next vanished
+        if not os.path.isdir(base):
+            raise RuntimeError(
+                f"rotation recovery: no base/, base_next/ or base_old/ under "
+                f"{self.root} — lake state is unrecoverable")
+        shutil.rmtree(old, ignore_errors=True)
+        self.config.hot_keys = keys
+        self._save_table_json()
+        for e in self.committed_epochs():  # cleanup the crashed run skipped
+            ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
+            if os.path.isdir(ddir):
+                shutil.rmtree(ddir)
+            os.remove(self.manifest_path(e))
+        os.remove(swap_marker)
+
     def _compact_rotate(self, new_hot_keys: tuple[str, ...]) -> int:
         """Repartitioning compaction — the ONLY point where the hot-key salt
         set may change (partition.py contract: placement must stay stable
@@ -324,13 +375,16 @@ class LakeTable:
 
         Crash safety: a ``rotation.json`` marker brackets the whole
         operation; replay() refuses to run while it exists, and re-running
-        ``compact(new_hot_keys=...)`` restarts the (idempotent,
-        deterministic) rotation. The watermark is published before any
-        cleanup, so it never regresses."""
+        ``compact(new_hot_keys=...)`` restarts the rotation —
+        ``_recover_rotation`` first repairs any half-done directory swap
+        (the ``rotation_swap.json`` marker is the commit point; base_old/ is
+        never deleted until a verified base/ is in place). The watermark is
+        published before any cleanup, so it never regresses."""
         import ray.data as rd  # requires a Ray session (offline op)
 
         from ape_dts_ray.partition import COL_PART, add_partition_column
 
+        self._recover_rotation()
         marker = os.path.join(self.root, MANIFEST_DIR, "rotation.json")
         atomic_write_text(marker, json.dumps({"hot_keys": list(new_hot_keys)}))
         epochs = self.committed_epochs()
@@ -368,7 +422,9 @@ class LakeTable:
          .map_groups(write_next, batch_format="pyarrow")
          .take_all())
 
-        # publish watermark, then config, then swap, then cleanup
+        # publish watermark, then config, then the swap commit point, then
+        # the swap itself, then cleanup — every crash window between these
+        # steps is repaired by _recover_rotation (see its docstring)
         ep = epochs[-1] if epochs else 0
         m = EpochManifest(epoch=ep, offset_min=-1, offset_max=watermark,
                           schema_version=self.schema_version, partitions=[])
@@ -378,15 +434,22 @@ class LakeTable:
         self._save_table_json()
         base = os.path.join(self.root, "base")
         old = os.path.join(self.root, "base_old")
-        shutil.rmtree(old, ignore_errors=True)
+        swap_marker = os.path.join(self.root, MANIFEST_DIR, "rotation_swap.json")
+        # COMMIT POINT: base_next/ is complete from here on
+        atomic_write_text(swap_marker,
+                          json.dumps({"hot_keys": list(new_hot_keys)}))
+        shutil.rmtree(old, ignore_errors=True)   # stale from older rotations
         os.rename(base, old)
         os.rename(next_dir, base)
-        shutil.rmtree(old, ignore_errors=True)
+        if not os.path.isdir(base):              # paranoia before destruction
+            raise RuntimeError("rotation swap failed to produce base/")
+        shutil.rmtree(old)
         for e in epochs:
             ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
             if os.path.isdir(ddir):
                 shutil.rmtree(ddir)
             os.remove(self.manifest_path(e))
+        os.remove(swap_marker)
         os.remove(marker)
         return len(epochs)
 

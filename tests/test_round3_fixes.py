@@ -1,0 +1,287 @@
+"""Round-3 hardening tests (ADVICE items): rotation swap crash-safety, generic
+key-cols through replay_mixed / sql formatting, Avro Parsing-Canonical-Form
+fingerprints, envelope integer fidelity."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from ape_dts_ray.fixtures import gen_events, oracle_replay
+from ape_dts_ray.meta import EngineConfig, TableMeta
+from ape_dts_ray.pipelines.replay import replay
+from ape_dts_ray.state.lake import LakeTable
+
+
+def _mk_lake(tmp_path, name="lake", **cfg):
+    defaults = dict(num_partitions=8, epoch_size=2000)
+    defaults.update(cfg)
+    return LakeTable.create(str(tmp_path / name), TableMeta(),
+                            EngineConfig(**defaults))
+
+
+def _rotation_fixture(tmp_path):
+    """Lake with a compacted base AND uncompacted deltas — the state the
+    ADVICE data-loss scenario needs (base rows not covered by deltas)."""
+    events = gen_events(seed=131, n_convs=25, max_turns=8, n_events=6000,
+                        hot_frac=0.5, delete_frac=0.1)
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path, max_offset=3999)
+    lake.compact(parallel=False)              # base now holds epochs 0-1
+    replay(lake, events_path=path)            # epochs 2 on ride as deltas
+    return lake, events
+
+
+def _expect(lake):
+    return lake.state_table().to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rotation_crash_between_renames_recovers(tmp_path, monkeypatch):
+    """ADVICE lake.py:382 repro: crash between rename(base, old) and
+    rename(next, base) leaves no base/. Re-running compact(new_hot_keys=...)
+    must restore every row (the old code silently dropped all base rows and
+    then destroyed base_old)."""
+    lake, events = _rotation_fixture(tmp_path)
+    wm = lake.watermark()
+    before = _expect(lake)
+    assert len(before) > 0
+
+    real_rename = os.rename
+
+    def crashing(src, dst):
+        real_rename(src, dst)
+        if str(dst).endswith("base_old"):
+            raise RuntimeError("injected crash mid-swap")
+
+    monkeypatch.setattr(os, "rename", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        lake.compact(new_hot_keys=("conv-000000",))
+    monkeypatch.setattr(os, "rename", real_rename)
+
+    assert not os.path.isdir(os.path.join(lake.root, "base"))   # the bad state
+    assert lake.rotation_in_progress()
+    lake2 = LakeTable.open(lake.root)
+    with pytest.raises(RuntimeError, match="rotation in progress"):
+        replay(lake2, events_path=str(tmp_path / "ev.parquet"))
+    lake2.compact(new_hot_keys=("conv-000000",))                # recovery
+    assert not lake2.rotation_in_progress()
+    assert lake2.watermark() == wm
+    after = LakeTable.open(lake.root).state_table().to_pandas()
+    pd.testing.assert_frame_equal(before, after)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rotation_crash_after_swap_before_cleanup(tmp_path, monkeypatch):
+    """Crash after rename(next, base) but before base_old/delta cleanup:
+    recovery must finish the cleanup without rebuilding from the mixed
+    (new-salt base + old-salt delta) layout."""
+    lake, events = _rotation_fixture(tmp_path)
+    wm = lake.watermark()
+    before = _expect(lake)
+
+    real_rmtree = shutil.rmtree
+
+    def crashing(path, *a, **kw):
+        if str(path).endswith("base_old") and os.path.isdir(path) \
+                and not kw.get("ignore_errors"):
+            raise RuntimeError("injected crash post-swap")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", crashing)
+    monkeypatch.setattr("ape_dts_ray.state.lake.shutil.rmtree", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        lake.compact(new_hot_keys=("conv-000000",))
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    monkeypatch.setattr("ape_dts_ray.state.lake.shutil.rmtree", real_rmtree)
+
+    assert os.path.isdir(os.path.join(lake.root, "base_old"))
+    lake2 = LakeTable.open(lake.root)
+    lake2.compact(new_hot_keys=("conv-000000",))
+    assert not os.path.isdir(os.path.join(lake.root, "base_old"))
+    assert not lake2.rotation_in_progress()
+    assert lake2.watermark() == wm
+    after = LakeTable.open(lake.root).state_table().to_pandas()
+    pd.testing.assert_frame_equal(before, after)
+    # and CDC can continue: replay is a no-op (everything compacted)
+    assert replay(LakeTable.open(lake.root),
+                  events_path=str(tmp_path / "ev.parquet")) == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rotation_crash_during_build_restarts_clean(tmp_path, monkeypatch):
+    """Crash while base_next/ is half-built (before the swap commit point):
+    base/ is untouched, and a re-run rebuilds from scratch."""
+    lake, events = _rotation_fixture(tmp_path)
+    before = _expect(lake)
+
+    # leave a half-built next dir + rotation marker, as a build crash would
+    next_dir = os.path.join(lake.root, "base_next")
+    os.makedirs(next_dir, exist_ok=True)
+    with open(os.path.join(next_dir, "part-00000.parquet"), "wb") as f:
+        f.write(b"partial garbage")
+    from ape_dts_ray.state.manifest import atomic_write_text
+    atomic_write_text(os.path.join(lake.root, "_manifests", "rotation.json"),
+                      json.dumps({"hot_keys": ["conv-000000"]}))
+
+    lake2 = LakeTable.open(lake.root)
+    assert lake2.rotation_in_progress()
+    lake2.compact(new_hot_keys=("conv-000000",))
+    after = LakeTable.open(lake.root).state_table().to_pandas()
+    pd.testing.assert_frame_equal(before, after)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replay_mixed_generic_id_cols(tmp_path):
+    """ADVICE multitable.py:229 repro: replay_mixed with a non-transcript
+    TableMeta must honor meta.id_cols in normalization (the old code passed
+    the transcript defaults and KeyError'd on conv_id)."""
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+
+    rng = np.random.default_rng(41)
+    n = 3000
+    docs = rng.integers(0, 60, size=n)
+    revs = rng.integers(0, 5, size=n).astype(np.int32)
+    ops = np.where(rng.random(n) < 0.15, "delete", "update").astype(object)
+    ops[:300] = "insert"
+    tables = np.where(rng.random(n) < 0.5, "left", "right").astype(object)
+    events = pa.table({
+        "log_offset": pa.array(np.arange(n, dtype=np.int64)),
+        "op": pa.array(ops, pa.string()),
+        "doc_id": pa.array([f"doc-{d:04d}" for d in docs], pa.string()),
+        "rev": pa.array(revs),
+        "body": pa.array([None if o == "delete" else f"b{i}"
+                          for i, o in enumerate(ops)], pa.string()),
+        "table": pa.array(tables, pa.string()),
+    })
+    path = str(tmp_path / "mixed_docs.parquet")
+    pq.write_table(events, path)
+
+    meta = TableMeta(name="docs", id_cols=("doc_id", "rev"),
+                     partition_col="doc_id", order_cols=("doc_id", "rev"),
+                     payload_cols=("body",))
+    res = replay_mixed(str(tmp_path / "lakes"), ["left", "right"],
+                       events_path=path, meta=meta,
+                       config=EngineConfig(num_partitions=8, epoch_size=1500),
+                       group_epochs=2)
+    assert set(res) == {"left", "right"}
+
+    for name in ("left", "right"):
+        want = {}
+        for r in events.filter(
+                pa.compute.equal(events.column("table"), name)).to_pylist():
+            k = (r["doc_id"], r["rev"])
+            if r["op"] == "delete":
+                want.pop(k, None)
+            else:
+                want[k] = r["body"]
+        got = LakeTable.open(str(tmp_path / "lakes" / name)).state_table() \
+                       .to_pandas()
+        assert len(got) == len(want), name
+        for r in got.itertuples():
+            assert want[(r.doc_id, r.rev)] == r.body
+
+
+def test_avro_parsing_canonical_form():
+    """ADVICE avro.py:65: fingerprints are over Parsing Canonical Form —
+    defaults/logicalTypes/doc stripped, namespace folded into the full name,
+    attributes in spec order — so a standard Avro reader derives the same
+    8 bytes from the writer schema."""
+    from ape_dts_ray.stages.avro import (AVRO_SCHEMA, parsing_canonical_form,
+                                         schema_fingerprint)
+
+    pcf = parsing_canonical_form(AVRO_SCHEMA)
+    assert '"default"' not in pcf and "logicalType" not in pcf
+    assert '"namespace"' not in pcf
+    assert '"name":"ape_dts_ray.ChangeEvent"' in pcf
+    assert pcf.index('"name"') < pcf.index('"type"') < pcf.index('"fields"')
+    # spec transforms on toy schemas
+    assert parsing_canonical_form("int") == '"int"'
+    assert parsing_canonical_form({"type": "string", "doc": "x"}) == '"string"'
+    assert parsing_canonical_form(
+        {"type": "long", "logicalType": "timestamp-micros"}) == '"long"'
+    assert parsing_canonical_form(
+        {"type": "record", "name": "R", "namespace": "ns", "doc": "d",
+         "fields": [{"name": "f", "type": "long", "default": 0}]}
+    ) == '{"name":"ns.R","type":"record","fields":[{"name":"f","type":"long"}]}'
+    # equal schemas modulo stripped attributes → equal fingerprints
+    stripped = json.loads(json.dumps(AVRO_SCHEMA))
+    for f in stripped["fields"]:
+        f.pop("default", None)
+    assert schema_fingerprint(stripped) == schema_fingerprint(AVRO_SCHEMA)
+
+
+def test_format_sql_generic_key_cols():
+    """ADVICE sql_format.py:106: WHERE/VALUES built from the actual key_cols
+    (string keys quoted, numeric keys bare)."""
+    from ape_dts_ray.stages.sql_format import format_sql
+
+    batch = pa.table({
+        "log_offset": pa.array([1, 2], pa.int64()),
+        "op": pa.array(["insert", "delete"]),
+        "doc_id": pa.array(["d'1", "d2"]),
+        "rev": pa.array([3, 4], pa.int32()),
+        "body": pa.array(["x", None]),
+    })
+    out = format_sql(batch, table="docs", key_cols=("doc_id", "rev"),
+                     payload_cols=("body",))
+    sqls = out.column("sql").to_pylist()
+    assert sqls[0] == ("REPLACE INTO docs (doc_id, rev, body) "
+                       "VALUES ('d''1', 3, 'x');")
+    assert sqls[1] == "DELETE FROM docs WHERE doc_id = 'd2' AND rev = 4;"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reverse_sql_generic_key_cols(tmp_path):
+    from ape_dts_ray.stages.sql_format import reverse_sql_with_before
+
+    state = pa.table({
+        "doc_id": pa.array(["d1", "d2"]),
+        "rev": pa.array([1, 2], pa.int32()),
+        "body": pa.array(["old1", "old2"]),
+    })
+    events = pa.table({
+        "log_offset": pa.array([10, 11], pa.int64()),
+        "op": pa.array(["delete", "insert"]),
+        "doc_id": pa.array(["d1", "d9"]),
+        "rev": pa.array([1, 9], pa.int32()),
+        "body": pa.array([None, "new"]),
+    })
+    out = reverse_sql_with_before(
+        rd.from_arrow(events), rd.from_arrow(state), table="docs",
+        key_cols=("doc_id", "rev"), payload_cols=("body",), num_partitions=4)
+    rows = {r["log_offset"]: r["sql"] for r in out.take_all()}
+    assert rows[10] == ("REPLACE INTO docs (doc_id, rev, body) "
+                        "VALUES ('d1', 1, 'old1');")
+    assert rows[11] == "DELETE FROM docs WHERE doc_id = 'd9' AND rev = 9;"
+
+
+def test_envelope_preserves_nullable_ints():
+    """ADVICE envelope.py:36: nullable int payloads must serialize as exact
+    integers (not 3.0 / 2^53-rounded floats)."""
+    from ape_dts_ray.stages.envelope import from_envelope, make_to_envelope
+
+    big = 9_007_199_254_740_993            # 2^53 + 1 — float64 cannot hold it
+    batch = pa.table({
+        "log_offset": pa.array([1, 2, 3], pa.int64()),
+        "op": pa.array(["insert"] * 3),
+        "conv_id": pa.array(["a", "b", "c"]),
+        "turn_idx": pa.array([3, None, big], pa.int64()),
+    })
+    env = make_to_envelope()(batch)
+    payloads = [json.loads(p) for p in env.column("payload").to_pylist()]
+    assert payloads[0]["turn_idx"] == 3
+    assert payloads[1]["turn_idx"] is None
+    assert payloads[2]["turn_idx"] == big
+    assert env.column("key").to_pylist()[0] == "a\x1f3"      # not "3.0"
+    back = from_envelope(env, schema=batch.schema)
+    assert back.column("turn_idx").to_pylist() == [3, None, big]
