@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from ape_dts_ray.sources.derive import CHANGES_CTE
+from ape_dts_ray.sources.derive import CHANGES_CTE, WIDE_CTE
 
 
 def _stopword_values() -> str:
@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lineage_totals": q.cdc_lineage_totals,
         "cdc_pk_change": q.cdc_pk_change,
         "cdc_sql_format": q.cdc_sql_format,
+        "cdc_wide_types": q.cdc_wide_types,
         "dedup_exact": q.dedup_exact,
         "dedup_minhash": q.dedup_minhash,
         "dedup_simhash": q.dedup_simhash,
@@ -268,6 +269,20 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_nonadditive": CHANGES_CTE + "," + _LAST + """
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text,
                    tool AS tool_name, ts
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # Wide-type LWW winners (decimal/binary/enum/json payload) with the
+        # target-side schema ops applied: payload_bin→payload rename, qty
+        # widened to BIGINT, note dropped — derivation in lockstep with
+        # sources/derive.py::derive_wide_changes (WIDE_CTE)
+        "cdc_wide_types": WIDE_CTE + """,
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY log_offset DESC) AS rn
+              FROM wide
+            )
+            SELECT conv_id, turn_idx, amount, payload_bin AS payload, tier,
+                   meta_json, CAST(qty AS BIGINT) AS qty
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
         "dedup_exact": """

@@ -373,6 +373,47 @@ def cdc_sql_format(sf_dir: str):
         format_sql, batch_format="pyarrow")
 
 
+def cdc_wide_types(sf_dir: str) -> pa.Table:
+    """Column-type breadth through the FULL apply path (ColValue span,
+    col_value.rs:15-46: Decimal/Blob/Enum/Json + a narrow int): the wide
+    stream (sources/derive.py::derive_wide_changes — decimal128(18,4),
+    binary, dict-encoded tier, JSON string, int16) replays through
+    normalize → shuffle → LWW apply with THREE schema ops registered
+    (rename payload_bin→payload, widen qty int16→int64, drop note), takes a
+    mid-replay crash + resume, then COMPACTS — so every wide value crosses
+    delta write, manifest commit, merge-on-read mapping and the base
+    rewrite before being read back."""
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.sources.derive import wide_changes_dataset
+
+    meta = TableMeta(name="wide",
+                     payload_cols=("amount", "payload_bin", "tier",
+                                   "meta_json", "qty", "note"))
+    root = tempfile.mkdtemp(prefix="ape_dts_ray_widetypes_")
+    lake = LakeTable.create(root + "/lake", meta,
+                            EngineConfig(num_partitions=QUERY_PARTITIONS,
+                                         epoch_size=4000))
+    lake.set_schema_ops([
+        {"op": "rename", "from": "payload_bin", "to": "payload"},
+        {"op": "widen", "col": "qty", "type": "int64"},
+        {"op": "drop", "col": "note"},
+    ])
+    ds = wide_changes_dataset(sf_dir)
+    replay(lake, events_ds=ds, stop_after_epoch=0)      # crash after epoch 0
+    lake = LakeTable.open(lake.root)                    # fresh-process resume
+    replay(lake, events_ds=ds)
+    lake.compact()                                      # base rewrite incl. ops
+    assert lake.committed_epochs() == []                # deltas folded away
+    out = _consume_lake(lake)
+    assert out.schema.field("amount").type == pa.decimal128(18, 4)
+    assert out.schema.field("payload").type == pa.binary()
+    assert out.schema.field("qty").type == pa.int64()
+    assert "note" not in out.column_names
+    # the Enum analog rides dict-encoded in flight; present as plain string
+    i = out.column_names.index("tier")
+    return out.set_column(i, "tier", out.column("tier").cast(pa.string()))
+
+
 # ---------- training-data ops over documents / embeddings ----------
 
 def _docs_ds(sf_dir: str, columns: list[str], nblocks: int = 32):

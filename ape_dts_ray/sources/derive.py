@@ -97,3 +97,118 @@ def changes_dataset(sf_dir: str, batch_size: int = 65_536):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet")
     return ds.map_batches(derive_changes, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Wide-type change stream — the reference's ColValue breadth through the
+# engine (dt-common/src/meta/col_value.rs:15-46: Decimal(String),
+# Blob(Vec<u8>), Set/Enum, Json, exercised by the 29-col one_pk_multi_uk
+# fixtures, SURVEY §5). Same key shape as transcripts; payload carries
+#   amount      decimal128(18,4)  (exact: built from integer 1/10000ths)
+#   payload_bin binary            (Blob analog)
+#   tier        dictionary<string> (Enum analog; dict-encoded in flight)
+#   meta_json   string (JSON doc)  (Json analog)
+#   qty         int16             (widened to int64 by a schema op)
+#   note        string            (dropped by a schema op)
+# Deletes carry no after-image (keys only), like the transcript stream.
+# WIDE_CTE is the lockstep DuckDB derivation used by the oracle.
+# ---------------------------------------------------------------------------
+
+WIDE_CTE = f"""
+WITH wide AS (
+  SELECT
+    event_id AS log_offset,
+    CASE WHEN event_type = 'error' THEN 'delete'
+         WHEN event_type IN ('click', 'view') THEN 'update'
+         ELSE 'insert' END AS op,
+    'conv-' || CAST(user_id AS VARCHAR) AS conv_id,
+    CAST(event_id % {TURN_MOD} AS INTEGER) AS turn_idx,
+    CASE WHEN event_type = 'error' THEN NULL ELSE
+      CAST(CAST((event_id * 10007 + user_id) // 10000 AS VARCHAR) || '.' ||
+           lpad(CAST((event_id * 10007 + user_id) % 10000 AS VARCHAR), 4, '0')
+           AS DECIMAL(18,4))
+    END AS amount,
+    CASE WHEN event_type = 'error' THEN NULL ELSE encode(props) END AS payload_bin,
+    CASE WHEN event_type = 'error' THEN NULL
+         WHEN value > 300 THEN 'gold'
+         WHEN value > 100 THEN 'silver' ELSE 'bronze' END AS tier,
+    CASE WHEN event_type = 'error' THEN NULL
+         ELSE '{{"et":"' || event_type || '","uid":' ||
+              CAST(user_id AS VARCHAR) || '}}' END AS meta_json,
+    CASE WHEN event_type = 'error' THEN NULL
+         ELSE CAST(user_id % 1000 AS SMALLINT) END AS qty,
+    CASE WHEN event_type = 'error' THEN NULL ELSE props END AS note
+  FROM events
+)
+"""
+
+
+def derive_wide_changes(batch: pa.Table) -> pa.Table:
+    """Arrow map_batches body — must match WIDE_CTE row for row."""
+    import pandas as pd
+
+    et = batch.column("event_type")
+    is_del = pc.equal(et, pa.scalar("error"))
+    is_upd = pc.is_in(et, value_set=pa.array(["click", "view"]))
+    op = pc.if_else(is_del, pa.scalar("delete"),
+                    pc.if_else(is_upd, pa.scalar("update"), pa.scalar("insert")))
+
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    n = len(eid)
+    conv = pc.binary_join_element_wise(
+        pa.array(np.full(n, "conv-", dtype=object), type=pa.string()),
+        pc.cast(batch.column("user_id"), pa.string()), "")
+    turn = pa.array((eid % TURN_MOD).astype(np.int32))
+
+    # decimal built from an exact integer count of 1/10000ths — no float
+    # rounding on either side of the oracle pair
+    unscaled = eid * 10007 + uid
+    amt_str = (pd.Series(unscaled // 10000).astype(str) + "." +
+               pd.Series(unscaled % 10000).astype(str).str.zfill(4))
+    amount = pa.array(amt_str.to_numpy(dtype=object)).cast(pa.decimal128(18, 4))
+
+    payload_bin = batch.column("props").cast(pa.binary())
+    val = batch.column("value")
+    gt300 = pc.fill_null(pc.greater(val, pa.scalar(300.0)), False)
+    gt100 = pc.fill_null(pc.greater(val, pa.scalar(100.0)), False)
+    tier = pc.if_else(is_del, pa.nulls(n, pa.string()),
+                      pc.if_else(gt300, pa.scalar("gold"),
+                                 pc.if_else(gt100, pa.scalar("silver"),
+                                            pa.scalar("bronze"))))
+    if isinstance(tier, pa.ChunkedArray):
+        tier = tier.combine_chunks()
+    tier = pc.dictionary_encode(tier)        # Enum analog: dict-encoded in flight
+    meta_json = pc.binary_join_element_wise(
+        pa.array(np.full(n, '{"et":"', dtype=object), type=pa.string()), et,
+        pa.array(np.full(n, '","uid":', dtype=object), type=pa.string()),
+        pc.cast(batch.column("user_id"), pa.string()),
+        pa.array(np.full(n, "}", dtype=object), type=pa.string()), "")
+    qty = pa.array((uid % 1000).astype(np.int16))
+
+    def nulled(arr, typ):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return pc.if_else(is_del, pa.nulls(n, typ), arr)
+
+    return pa.table({
+        "log_offset": batch.column("event_id").cast(pa.int64()),
+        "op": op,
+        "conv_id": conv,
+        "turn_idx": turn,
+        "amount": nulled(amount, pa.decimal128(18, 4)),
+        "payload_bin": nulled(payload_bin.cast(pa.binary()), pa.binary()),
+        "tier": tier,                        # nulls already applied pre-encode
+        "meta_json": nulled(meta_json, pa.string()),
+        "qty": nulled(qty, pa.int16()),
+        "note": nulled(batch.column("props"), pa.string()),
+    })
+
+
+def wide_changes_dataset(sf_dir: str, batch_size: int = 65_536):
+    """events.parquet → wide-typed change-event Dataset."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+    return ds.map_batches(derive_wide_changes, batch_format="pyarrow",
+                          batch_size=batch_size)

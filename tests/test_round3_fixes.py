@@ -265,6 +265,54 @@ def test_reverse_sql_generic_key_cols(tmp_path):
     assert rows[11] == "DELETE FROM docs WHERE doc_id = 'd9' AND rev = 9;"
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_non_utf8_binary_payload_through_replay_and_compact(tmp_path):
+    """Blob fidelity (ColValue::Blob analog): binary payloads with NUL /
+    0xFF / arbitrary bytes survive LWW apply, crash-resume, and compaction
+    byte-for-byte (not SQL-expressible — DuckDB views can't carry these
+    bytes through the CTE derivation, so this rides pytest only)."""
+    rng = np.random.default_rng(53)
+    n = 2000
+    convs = [f"conv-{i % 60:04d}" for i in range(n)]
+    turns = (np.arange(n) % 12).astype(np.int32)
+    ops = np.where(rng.random(n) < 0.1, "delete", "update").astype(object)
+    ops[:200] = "insert"
+    blobs = [None if o == "delete"
+             else bytes([0, 255, i % 256, (i * 7) % 256]) + f"|{i}".encode()
+             for i, o in enumerate(ops)]
+    events = pa.table({
+        "log_offset": pa.array(np.arange(n, dtype=np.int64)),
+        "op": pa.array(ops, pa.string()),
+        "conv_id": pa.array(convs, pa.string()),
+        "turn_idx": pa.array(turns),
+        "blob": pa.array(blobs, pa.binary()),
+    })
+    path = str(tmp_path / "blob_ev.parquet")
+    pq.write_table(events, path)
+
+    meta = TableMeta(name="blobs", payload_cols=("blob",))
+    lake = LakeTable.create(str(tmp_path / "bloblake"), meta,
+                            EngineConfig(num_partitions=8, epoch_size=500))
+    replay(lake, events_path=path, stop_after_epoch=1)   # crash + resume
+    replay(LakeTable.open(lake.root), events_path=path)
+    lake = LakeTable.open(lake.root)
+    lake.compact(parallel=False)
+
+    want = {}
+    for r in events.to_pylist():
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "delete":
+            want.pop(k, None)
+        else:
+            want[k] = r["blob"]
+    got = lake.state_table()
+    assert got.schema.field("blob").type == pa.binary()
+    rows = got.to_pylist()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert want[(r["conv_id"], r["turn_idx"])] == r["blob"]
+
+
 def test_envelope_preserves_nullable_ints():
     """ADVICE envelope.py:36: nullable int payloads must serialize as exact
     integers (not 3.0 / 2^53-rounded floats)."""
