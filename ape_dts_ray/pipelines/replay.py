@@ -169,10 +169,17 @@ def apply_windows(
 
     cfg: EngineConfig = lake.config
     lo, hi = windows[0].lo, windows[-1].hi
+    # a TRUNCATE consumed everything at or below its floor — clamp the read
+    # so a window straddling it cannot resurrect pre-truncate history
+    lo = max(lo, lake.truncate_offset + 1)
     bs = batch_size
 
     if window_prefiltered:
-        pass
+        if lo > windows[0].lo:     # truncate floor inside a prefiltered span
+            events_ds = events_ds.map_batches(
+                lambda t: t.filter(pc.greater_equal(
+                    t.column(COL_OFFSET), pa.scalar(lo, pa.int64()))),
+                batch_format="pyarrow", batch_size=bs)
     elif events_ds is None:
         # row-group pushdown on the offset range — prune at the read
         expr = (pads.field(COL_OFFSET) >= lo) & (pads.field(COL_OFFSET) <= hi)
@@ -351,6 +358,10 @@ def replay(
         raise RuntimeError(
             "hot-key rotation in progress (rotation.json present) — re-run "
             "compact(new_hot_keys=...) to finish it before replaying")
+    if lake.truncate_in_progress():
+        raise RuntimeError(
+            "truncate in progress (truncate.json present) — re-run "
+            "lake.truncate() to finish it before replaying")
     committed = set(lake.committed_epochs())
     from ape_dts_ray.pipelines.checker import REVISE_EPOCH_BASE
     if any(e >= REVISE_EPOCH_BASE for e in committed):

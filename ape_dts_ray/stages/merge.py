@@ -72,6 +72,18 @@ def drop_tombstones(state: pa.Table, op_col: str = COL_OP) -> pa.Table:
     return state.filter(pc.not_equal(state.column(op_col), pa.scalar(OP_DELETE)))
 
 
+def _alias_type(alias: str) -> pa.DataType:
+    """Arrow type from a string alias, extended with decimal128(p,s) which
+    ``pa.type_for_alias`` does not parse (needed by widen ops fed from the
+    DDL-text adapter's DECIMAL/NUMERIC mapping)."""
+    import re
+
+    m = re.match(r"^decimal128\((\d+),\s*(\d+)\)$", alias)
+    if m:
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    return pa.type_for_alias(alias)
+
+
 def apply_schema_ops(t: pa.Table, ops: Sequence[dict]) -> pa.Table:
     """Non-additive schema evolution at merge-on-read — the DDL family the
     reference parses from the source (dt-common/src/meta/ddl_meta/
@@ -112,9 +124,8 @@ def apply_schema_ops(t: pa.Table, ops: Sequence[dict]) -> pa.Table:
         elif kind == "widen":
             c = op["col"]
             if c in t.column_names:
-                typ = pa.type_for_alias(op["type"])
                 t = t.set_column(t.column_names.index(c), c,
-                                 t.column(c).cast(typ))
+                                 t.column(c).cast(_alias_type(op["type"])))
         else:
             raise ValueError(f"unknown schema op: {kind!r}")
     return t

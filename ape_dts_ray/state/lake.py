@@ -56,6 +56,10 @@ class LakeTable:
         # non-additive evolution ops (stages/merge.py::apply_schema_ops) —
         # persisted so merge-on-read maps old-era files after a restart
         self.schema_ops: list[dict] = list(schema_ops or [])
+        # highest offset consumed by a TRUNCATE (-1 = never truncated):
+        # replay permanently drops events at or below it — without this, a
+        # straddling epoch window would resurrect pre-truncate history
+        self.truncate_offset: int = -1
 
     # ---------- lifecycle ----------
     @classmethod
@@ -97,8 +101,10 @@ class LakeTable:
                            epoch_size=d.get("epoch_size", EngineConfig.epoch_size),
                            batch_size=d.get("batch_size", EngineConfig.batch_size),
                            hot_keys=tuple(d.get("hot_keys", ())))
-        return cls(root, meta, cfg, schema_version=d.get("schema_version", 0),
-                   schema_ops=d.get("schema_ops", []))
+        t = cls(root, meta, cfg, schema_version=d.get("schema_version", 0),
+                schema_ops=d.get("schema_ops", []))
+        t.truncate_offset = d.get("truncate_offset", -1)
+        return t
 
     def _save_table_json(self) -> None:
         d = {
@@ -114,6 +120,7 @@ class LakeTable:
             "hot_keys": list(self.config.hot_keys),
             "schema_version": self.schema_version,
             "schema_ops": self.schema_ops,
+            "truncate_offset": self.truncate_offset,
         }
         atomic_write_text(os.path.join(self.root, TABLE_FILE),
                           json.dumps(d, indent=1, sort_keys=True))
@@ -314,6 +321,43 @@ class LakeTable:
     def rotation_in_progress(self) -> bool:
         return os.path.exists(os.path.join(self.root, MANIFEST_DIR,
                                            "rotation.json"))
+
+    # ---------- truncate (DDL) ----------
+    def truncate_in_progress(self) -> bool:
+        return os.path.exists(os.path.join(self.root, MANIFEST_DIR,
+                                           "truncate.json"))
+
+    def truncate(self) -> None:
+        """TRUNCATE TABLE analog (ddl_type.rs Truncate): drop every live row
+        while PRESERVING the committed watermark — the log up to it stays
+        consumed, so a subsequent replay resumes after the truncate point
+        instead of resurrecting history. Crash-safe via the same
+        marker-refusal pattern as rotation: ``truncate.json`` brackets the
+        deletes, replay() refuses while it exists, and re-running
+        ``truncate()`` (idempotent) finishes the job."""
+        marker = os.path.join(self.root, MANIFEST_DIR, "truncate.json")
+        wm = self.watermark()
+        atomic_write_text(marker, json.dumps({"watermark": wm}))
+        # persist the floor FIRST: events ≤ wm are gone even if the replay
+        # log later extends past them inside the same epoch window
+        self.truncate_offset = max(self.truncate_offset, wm)
+        self._save_table_json()
+        epochs = self.committed_epochs()
+        m = EpochManifest(epoch=epochs[-1] if epochs else 0, offset_min=-1,
+                          offset_max=wm, schema_version=self.schema_version,
+                          partitions=[])
+        atomic_write_text(os.path.join(self.root, MANIFEST_DIR,
+                                       "compacted.json"), m.to_json())
+        for pid in range(self.config.num_partitions):
+            bp = self.base_path(pid)
+            if os.path.exists(bp):
+                os.remove(bp)
+        for e in epochs:
+            ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
+            if os.path.isdir(ddir):
+                shutil.rmtree(ddir)
+            os.remove(self.manifest_path(e))
+        os.remove(marker)
 
     def _recover_rotation(self) -> None:
         """Bring a lake crashed mid-rotation back to a consistent state.

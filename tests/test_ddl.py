@@ -1,0 +1,193 @@
+"""DDL-text adapter tests: parsing the alter-family subset, mid-stream
+equivalence with structured schema_ops, TRUNCATE semantics + crash marker,
+id-col protection."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from ape_dts_ray.fixtures import gen_events, oracle_replay
+from ape_dts_ray.meta import EngineConfig, TableMeta
+from ape_dts_ray.pipelines.replay import replay
+from ape_dts_ray.stages.ddl import (DdlError, UnsupportedDdlError, apply_ddl,
+                                    parse_ddl)
+from ape_dts_ray.state.lake import LakeTable
+
+
+def _mk_lake(tmp_path, name="lake", **cfg):
+    defaults = dict(num_partitions=8, epoch_size=2000)
+    defaults.update(cfg)
+    return LakeTable.create(str(tmp_path / name), TableMeta(),
+                            EngineConfig(**defaults))
+
+
+# ---------- parsing ----------
+
+def test_parse_alter_family():
+    p = parse_ddl("ALTER TABLE db1.transcripts RENAME COLUMN tool TO tool_name")
+    assert p.kind == "rename" and p.schema_op == {
+        "op": "rename", "from": "tool", "to": "tool_name"}
+    p = parse_ddl("alter table `transcripts` drop column `role`;")
+    assert p.kind == "drop" and p.schema_op == {"op": "drop", "col": "role"}
+    p = parse_ddl('ALTER TABLE "transcripts" ADD COLUMN channel VARCHAR(32) NULL')
+    assert p.kind == "add" and p.schema_op is None
+    assert p.extra == {"col": "channel", "type": "string"}
+    p = parse_ddl("ALTER TABLE t MODIFY COLUMN turn_idx BIGINT NOT NULL")
+    assert p.schema_op == {"op": "widen", "col": "turn_idx", "type": "int64"}
+    p = parse_ddl("ALTER TABLE t ALTER COLUMN amount SET DATA TYPE DECIMAL(38, 4)")
+    assert p.schema_op == {"op": "widen", "col": "amount",
+                           "type": "decimal128(38,4)"}
+    p = parse_ddl("ALTER TABLE t ALTER qty TYPE DOUBLE PRECISION")
+    assert p.schema_op == {"op": "widen", "col": "qty", "type": "float64"}
+    p = parse_ddl("TRUNCATE TABLE transcripts")
+    assert p.kind == "truncate" and p.table == "transcripts"
+    assert parse_ddl("truncate transcripts;").kind == "truncate"
+
+
+def test_parse_rejects_out_of_scope():
+    for sql in ("CREATE TABLE t (a INT)", "DROP TABLE t",
+                "CREATE INDEX i ON t(a)",
+                "ALTER TABLE t ADD CONSTRAINT c UNIQUE (a)",
+                "ALTER TABLE t ADD COLUMN c SOMEWEIRDTYPE"):
+        with pytest.raises(UnsupportedDdlError):
+            parse_ddl(sql)
+
+
+def test_apply_ddl_protects_id_cols(tmp_path):
+    lake = _mk_lake(tmp_path)
+    with pytest.raises(ValueError, match="id col"):
+        apply_ddl(lake, "ALTER TABLE transcripts DROP COLUMN conv_id")
+    with pytest.raises(ValueError, match="id col"):
+        apply_ddl(lake, "ALTER TABLE transcripts RENAME COLUMN turn_idx TO t2")
+    with pytest.raises(DdlError, match="collides"):
+        apply_ddl(lake, "ALTER TABLE transcripts ADD COLUMN conv_id TEXT")
+    assert lake.schema_ops == []            # nothing persisted on rejection
+
+
+# ---------- mid-stream equivalence with structured ops ----------
+
+@pytest.mark.usefixtures("ray_session")
+def test_ddl_text_mid_stream_equals_structured_ops(tmp_path):
+    """Feeding DDL strings between two replay legs produces the identical
+    lake state as registering the structured schema_ops up front (the
+    ddl_parser.rs → ddl_type.rs path collapsed onto apply_schema_ops)."""
+    events = gen_events(seed=71, n_convs=25, max_turns=8, n_events=4000,
+                        delete_frac=0.15)
+    cut = 2000                              # epoch boundary
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+
+    def rename_tool(t):
+        if t.num_rows == 0 or pc.max(t.column("log_offset")).as_py() < cut:
+            return t
+        is_v1 = pc.greater_equal(t.column("log_offset"),
+                                 pa.scalar(cut, pa.int64()))
+        nulls = pa.nulls(t.num_rows, pa.string())
+        t = t.append_column("tool_name",
+                            pc.if_else(is_v1, t.column("tool"), nulls))
+        return t.set_column(t.column_names.index("tool"), "tool",
+                            pc.if_else(is_v1, nulls, t.column("tool")))
+
+    ref = _mk_lake(tmp_path, "ref")
+    ref.set_schema_ops([{"op": "rename", "from": "tool", "to": "tool_name"},
+                        {"op": "drop", "col": "role"},
+                        {"op": "widen", "col": "turn_idx", "type": "int64"}])
+    replay(ref, events_path=path, barriers=[(cut, 1)], router_fn=rename_tool)
+    want = ref.state_table().to_pandas()
+
+    ddl = _mk_lake(tmp_path, "ddl")
+    replay(ddl, events_path=path, max_offset=cut - 1)       # pre-DDL leg
+    for sql in ("ALTER TABLE transcripts RENAME COLUMN tool TO tool_name",
+                "ALTER TABLE transcripts DROP COLUMN role",
+                "ALTER TABLE transcripts MODIFY COLUMN turn_idx BIGINT"):
+        apply_ddl(ddl, sql)
+    ddl = LakeTable.open(ddl.root)                          # ops persisted
+    assert len(ddl.schema_ops) == 3
+    replay(ddl, events_path=path, barriers=[(cut, 1)], router_fn=rename_tool)
+
+    def canon(df):
+        return df[sorted(df.columns)].reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(want),
+                                  canon(ddl.state_table().to_pandas()))
+    # and through compaction
+    ddl.compact(parallel=False)
+    pd.testing.assert_frame_equal(
+        canon(want), canon(LakeTable.open(ddl.root).state_table().to_pandas()))
+
+
+# ---------- TRUNCATE ----------
+
+@pytest.mark.usefixtures("ray_session")
+def test_truncate_preserves_watermark_and_accepts_new_tail(tmp_path):
+    events = gen_events(seed=72, n_convs=20, max_turns=6, n_events=3000,
+                        delete_frac=0.1)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path)
+    wm = lake.watermark()
+    assert lake.state_table().num_rows > 0
+
+    apply_ddl(lake, "TRUNCATE TABLE transcripts")
+    assert lake.state_table().num_rows == 0
+    assert lake.watermark() == wm
+    # consumed history is NOT re-applied
+    assert replay(LakeTable.open(lake.root), events_path=path) == []
+
+    # a post-truncate tail (offsets past the watermark) applies normally
+    tail = pa.table({
+        "log_offset": pa.array([wm + 1, wm + 2], pa.int64()),
+        "op": pa.array(["insert", "insert"]),
+        "conv_id": pa.array(["conv-new", "conv-new"]),
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": pa.array(["user", "assistant"]),
+        "text": pa.array(["hello", "world"]),
+        "tool": pa.array(["", ""]),
+        "ts": pa.array([None, None], pa.timestamp("us")),
+    })
+    tail_path = str(tmp_path / "tail.parquet")
+    pq.write_table(tail, tail_path)
+    lake2 = LakeTable.open(lake.root)
+    replay(lake2, events_path=[path, tail_path])
+    got = lake2.state_table().to_pandas()
+    assert sorted(got["text"]) == ["hello", "world"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_truncate_crash_marker_blocks_replay_and_rerun_finishes(tmp_path,
+                                                                monkeypatch):
+    import os
+
+    events = gen_events(seed=73, n_convs=15, max_turns=5, n_events=2000,
+                        delete_frac=0.1)
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path)
+    wm = lake.watermark()
+
+    real_remove = os.remove
+
+    # crash mid-delete: after the marker is written, before manifest cleanup
+    def crash_on_manifest(p):
+        if str(p).endswith(".json") and "epoch-" in str(p):
+            raise RuntimeError("injected truncate crash")
+        real_remove(p)
+
+    monkeypatch.setattr(os, "remove", crash_on_manifest)
+    with pytest.raises(RuntimeError, match="injected truncate crash"):
+        lake.truncate()
+    monkeypatch.setattr(os, "remove", real_remove)
+
+    lake2 = LakeTable.open(lake.root)
+    assert lake2.truncate_in_progress()
+    with pytest.raises(RuntimeError, match="truncate in progress"):
+        replay(lake2, events_path=path)
+    lake2.truncate()                         # idempotent re-run finishes
+    assert not lake2.truncate_in_progress()
+    assert lake2.state_table().num_rows == 0
+    assert lake2.watermark() == wm
