@@ -1,7 +1,8 @@
 """Deduplication for large-scale training-data pipelines.
 
-Pipelines follow the canonical Ray Data shapes (see /opt/skills/guides/
-ray_guide.md "Aggregation at scale"):
+Pipelines follow the canonical Ray Data aggregation-at-scale shapes
+(pre-aggregate inside map_batches, shuffle only bounded descriptor rows,
+shard LSH buckets so groupby cardinality stays fixed):
 
 - exact:   content-hash in map_batches → groupby(hash) → first per content
            (pipelines/queries.py::dedup_exact)
@@ -54,6 +55,45 @@ def minhash_signature(text: str, k: int = 5) -> np.ndarray:
     return prod.min(axis=1)
 
 
+def minhash_signatures_batch(texts, k: int = 5,
+                             perm_chunk: int = 16) -> np.ndarray:
+    """(n_docs, N_PERM) signatures with ONE ``pd.util.hash_array`` call for
+    the whole batch's shingles and segmented mins per permutation —
+    ``hash_array`` pays fixed setup per call, so per-doc calls dominated the
+    old loop. Permutations run in chunks to bound the (chunk × shingles)
+    product matrix."""
+    shingle_lists = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = t.split()
+        if len(words) < k:
+            sh = [" ".join(words)] if words else []
+        else:
+            sh = [" ".join(words[j:j + k]) for j in range(len(words) - k + 1)]
+        shingle_lists.append(sh)
+        counts[i] = len(sh)
+    n = len(texts)
+    sigs = np.zeros((n, N_PERM), dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return sigs
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for sh in shingle_lists:
+        flat[pos:pos + len(sh)] = sh
+        pos += len(sh)
+    h = pd.util.hash_array(flat)                      # the one hashing pass
+    nz = counts > 0
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+    for c0 in range(0, N_PERM, perm_chunk):
+        A = _A[c0:c0 + perm_chunk, None]
+        B = _B[c0:c0 + perm_chunk, None]
+        prod = h[None, :] * A + B                     # (chunk, total) mod 2^64
+        sigs[nz, c0:c0 + perm_chunk] = \
+            np.minimum.reduceat(prod, starts, axis=1).T
+    return sigs
+
+
 N_SHARDS = 256   # LSH buckets are sharded to bounded groupby cardinality:
                  # groupby(shard) with a vectorized pandas groupby inside the
                  # group fn, instead of one Ray group per (band, hash) bucket
@@ -74,7 +114,7 @@ class MinHashBands:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"].fillna("").to_numpy()
-        sigs = np.stack([minhash_signature(t, self.k) for t in texts])  # (n, 128)
+        sigs = minhash_signatures_batch(texts, self.k)          # (n, 128)
         n = len(texts)
         weighted = sigs * _BAND_W[None, :]            # uint64 wrap = mod 2^64
         out = []
@@ -115,14 +155,33 @@ def minhash_candidate_pairs(docs_ds, bands: int = 32, shingle_k: int = 5,
                                    batch_format="pandas")
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized bucket → pairs: sort once, find bucket bounds,
+        # then emit pairs per bucket-SIZE class (one triu broadcast per
+        # distinct size) — no per-bucket pandas iteration (a shard holds
+        # thousands of mostly-size-1 buckets; iterating them dominated the
+        # whole minhash pipeline)
+        g = (g.drop_duplicates(["band", "band_hash", "doc_id"])
+             .sort_values(["band", "band_hash", "doc_id"]))
+        band = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, n))
         out_a, out_b = [], []
-        for _, grp in g.groupby(["band", "band_hash"], sort=False):
-            ids = np.sort(grp["doc_id"].unique())
-            if len(ids) < 2:
+        for m in np.unique(sizes):
+            if m < 2:
                 continue
-            i, j = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[i])
-            out_b.append(ids[j])
+            sel = starts[sizes == m]
+            M = ids[sel[:, None] + np.arange(m)[None, :]]   # (buckets, m)
+            i, j = np.triu_indices(m, k=1)
+            out_a.append(M[:, i].ravel())                   # a < b: sorted
+            out_b.append(M[:, j].ravel())                   # within bucket
         if not out_a:
             return pd.DataFrame(_EMPTY_PAIRS)
         return pd.DataFrame({"a": np.concatenate(out_a),
@@ -228,6 +287,7 @@ def verify_pairs_jaccard(joined_ds, threshold: float, shingle_k: int = 5):
 
 
 MAX_BROADCAST_PAIRS = 5_000_000
+MAX_BROADCAST_TEXT_BYTES = 256 << 20    # candidate-docs broadcast-join cap
 
 
 def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, bands: int = 32,
@@ -274,7 +334,42 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, bands: int = 32,
                 idx = np.minimum(np.searchsorted(w, d), len(w) - 1)
                 return t[w[idx] == d]
 
-            docs = docs.map_batches(keep_candidates, batch_format="pandas")
+            # materialize the FILTERED docs (candidate texts only — bounded
+            # by 2×MAX_BROADCAST_PAIRS ids, not the corpus): both keyed join
+            # legs then read it from the object store instead of re-running
+            # the corpus read+filter once per leg
+            docs = docs.map_batches(keep_candidates,
+                                    batch_format="pandas").materialize()
+            if docs.size_bytes() <= MAX_BROADCAST_TEXT_BYTES:
+                # candidate texts fit the broadcast-join budget: ray.put the
+                # small side ONCE and verify in a single shuffle-free map
+                # stage over pair chunks — two keyed-join groupbys avoided.
+                # Over budget → fall through to the streaming joins.
+                cdf = docs.to_pandas()
+                dref = ray.put(cdf)
+                chunks = max(1, min(32, len(pdf) // 64 + 1))
+                parts = np.array_split(pdf, chunks)
+
+                def attach_verify(batch: pd.DataFrame) -> pd.DataFrame:
+                    d = ray.get(dref)   # zero-copy plasma after first fetch
+                    da = d.rename(columns={"doc_id": "a", "text": "text_a"})
+                    db = d.rename(columns={"doc_id": "b", "text": "text_b"})
+                    m = batch.merge(da, on="a").merge(db, on="b")
+                    ok = np.fromiter(
+                        (jaccard(ta or "", tb or "", shingle_k) >= threshold
+                         for ta, tb in zip(m["text_a"], m["text_b"])),
+                        dtype=bool, count=len(m))
+                    out = m.loc[ok, ["a", "b"]]
+                    return (pd.DataFrame(_EMPTY_PAIRS) if out.empty
+                            else out.astype("int64"))
+
+                verified = rd.from_pandas(parts).map_batches(
+                    attach_verify, batch_format="pandas")
+                df = verified.to_pandas()
+                if df.empty:
+                    return pd.DataFrame(_EMPTY_PAIRS)
+                return (df.drop_duplicates(["a", "b"])
+                        .sort_values(["a", "b"]).reset_index(drop=True))
             pairs_ds = rd.from_pandas(pdf)
 
     verified = verify_pairs_jaccard(

@@ -63,26 +63,40 @@ def decode_png(data: bytes) -> np.ndarray:
     for y in range(h):
         f = raw[y * (stride + 1)]
         line = np.frombuffer(raw, dtype=np.uint8,
-                             count=stride, offset=y * (stride + 1) + 1).copy()
+                             count=stride, offset=y * (stride + 1) + 1)
         if f == 0:
-            cur = line
-        elif f == 2:                                   # up
+            cur = line.copy()
+        elif f == 1:                                   # sub: cumsum per channel
+            # cur[x] = line[x] + cur[x-ch] (mod 256) — addition mod 256 is
+            # associative, so the recurrence IS a prefix sum per channel
+            px = line.reshape(w, ch).astype(np.int64)
+            cur = (np.cumsum(px, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+        elif f == 2:                                   # up (uint8 wraps mod 256)
             cur = line + prev
-        elif f in (1, 3, 4):                           # sub/average/paeth:
-            cur = line                                 # sequential in x
-            for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
-                b = int(prev[x])
-                if f == 1:
-                    cur[x] = (int(line[x]) + a) & 0xFF
-                elif f == 3:
-                    cur[x] = (int(line[x]) + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = int(prev[x - ch]) if x >= ch else 0
+        elif f in (3, 4):                              # average/paeth: true
+            # serial dependence in x (pred needs the DECODED left pixel), so
+            # loop per PIXEL with channels vectorized — ch× fewer interpreter
+            # ops; PIL remains the production codec for these filters
+            px = line.reshape(w, ch).astype(np.int32)
+            pv = prev.reshape(w, ch).astype(np.int32)
+            dec = np.empty((w, ch), np.int32)
+            a = np.zeros(ch, np.int32)
+            if f == 3:
+                for x in range(w):
+                    a = (px[x] + ((a + pv[x]) >> 1)) & 0xFF
+                    dec[x] = a
+            else:
+                c = np.zeros(ch, np.int32)
+                for x in range(w):
+                    b = pv[x]
                     p = a + b - c
-                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
-                    cur[x] = (int(line[x]) + pred) & 0xFF
+                    da, db, dc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where((da <= db) & (da <= dc), a,
+                                    np.where(db <= dc, b, c))
+                    a = (px[x] + pred) & 0xFF
+                    dec[x] = a
+                    c = b
+            cur = dec.astype(np.uint8).reshape(stride)
         else:
             raise ValueError(f"PNG filter {f} invalid")
         out[y] = cur
@@ -91,8 +105,14 @@ def decode_png(data: bytes) -> np.ndarray:
     return img[:, :, 0] if ch == 1 else img
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """uint8 array (h, w) / (h, w, 3) / (h, w, 4) → PNG bytes (filter 0)."""
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 array (h, w) / (h, w, 3) / (h, w, 4) → PNG bytes.
+
+    ``filter_type`` 0 (none, the fast path), 1 (sub), 2 (up) or 4 (paeth) is
+    applied to every scanline — residuals are computed vectorized over the
+    whole image (the encoder sees all original pixels, so even paeth needs no
+    recurrence). Non-zero filters exist mainly to exercise the decoder's
+    unfilter paths against externally-produced PNGs."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         ctype, ch = 0, 1
@@ -104,7 +124,30 @@ def encode_png(arr: np.ndarray) -> bytes:
     else:
         raise ValueError("expected gray / RGB / RGBA uint8 array")
     h, w = a.shape[:2]
-    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    img = a.astype(np.int32)
+    left = np.zeros_like(img)
+    left[:, 1:] = img[:, :-1]                  # a: pixel to the left
+    up = np.zeros_like(img)
+    up[1:] = img[:-1]                          # b: pixel above
+    upleft = np.zeros_like(img)
+    upleft[1:, 1:] = img[:-1, :-1]             # c: pixel above-left
+    if filter_type == 0:
+        res = img
+    elif filter_type == 1:
+        res = (img - left) & 0xFF
+    elif filter_type == 2:
+        res = (img - up) & 0xFF
+    elif filter_type == 4:
+        p = left + up - upleft
+        da, db, dc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        pred = np.where((da <= db) & (da <= dc), left,
+                        np.where(db <= dc, up, upleft))
+        res = (img - pred) & 0xFF
+    else:
+        raise ValueError(f"unsupported encode filter {filter_type}")
+    res = res.astype(np.uint8).reshape(h, w * ch)
+    ftag = bytes([filter_type])
+    raw = b"".join(ftag + res[y].tobytes() for y in range(h))
 
     def chunk(typ: bytes, payload: bytes) -> bytes:
         return (struct.pack(">I", len(payload)) + typ + payload +
@@ -296,37 +339,130 @@ class DecodeImage:
         })
 
 
+# --- minimal Y4M (YUV4MPEG2) container — pure stdlib/numpy. The format is
+#     a public plain-text header + uncompressed planar frames, so a real
+#     video decode IS expressible here (unlike compressed codecs). ---
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+_Y4M_PLANES = {           # luma+chroma bytes per pixel numerator/denominator
+    "420": (3, 2), "420jpeg": (3, 2), "420mpeg2": (3, 2), "420paldv": (3, 2),
+    "422": (2, 1), "444": (3, 1), "mono": (1, 1),
+}
+
+
+def y4m_info(data: bytes) -> dict:
+    """Parse the stream header: width, height, colourspace, frame geometry."""
+    if not data.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    w = h = None
+    cs = "420jpeg"                       # spec default when C is absent
+    for tok in data[len(_Y4M_MAGIC):nl].split(b" "):
+        tok = tok.decode("ascii", "replace")
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            cs = tok[1:]
+    if w is None or h is None or cs not in _Y4M_PLANES:
+        raise NotImplementedError(f"unsupported Y4M header (C{cs})")
+    num, den = _Y4M_PLANES[cs]
+    frame_bytes = w * h * num // den
+    return {"width": w, "height": h, "colourspace": cs,
+            "header_end": nl + 1, "frame_bytes": frame_bytes}
+
+
+def y4m_frame_offsets(data: bytes, info: dict) -> list[int]:
+    """Byte offsets of each frame's pixel data (after its FRAME line).
+    Walks only FRAME headers — O(frames), no pixel decode."""
+    offs, pos, n = [], info["header_end"], len(data)
+    fb = info["frame_bytes"]
+    while pos < n:
+        if data[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"Y4M: expected FRAME marker at byte {pos}")
+        nl = data.index(b"\n", pos)
+        offs.append(nl + 1)
+        pos = nl + 1 + fb
+    return offs
+
+
+def decode_y4m_frame(data: bytes, info: dict, offset: int) -> np.ndarray:
+    """Luma plane of one frame as a uint8 (h, w) array (zero-copy view)."""
+    w, h = info["width"], info["height"]
+    return np.frombuffer(data, dtype=np.uint8, count=w * h,
+                         offset=offset).reshape(h, w)
+
+
+def encode_y4m(frames: np.ndarray, colourspace: str = "mono") -> bytes:
+    """uint8 (n, h, w) luma frames → Y4M bytes. ``mono`` writes luma only;
+    ``420jpeg`` pads neutral (128) chroma planes."""
+    f = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    hdr = f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{colourspace}\n".encode()
+    if colourspace == "mono":
+        chroma = b""
+    elif colourspace in ("420", "420jpeg"):
+        chroma = bytes([128]) * (w // 2 * (h // 2) * 2)
+    else:
+        raise NotImplementedError(f"encode for C{colourspace} not implemented")
+    return hdr + b"".join(b"FRAME\n" + f[i].tobytes() + chroma
+                          for i in range(n))
+
+
 class SampleFrames:
     """Actor-pool stage: video payload → ``n_frames`` evenly spaced frame
-    features. No video codec is expressible with the stdlib, so the decode
-    is an HONEST stub: ``strict=True`` raises NotImplementedError; otherwise
-    the payload is split into ``n_frames`` even byte spans whose digests
-    seed deterministic frame features — the Ray-side plumbing (even-spacing
-    frame selection, per-frame feature rows, batch sizing for fat payloads)
-    is real and tested."""
+    features. Y4M (YUV4MPEG2) payloads are REALLY decoded — header parse,
+    frame-offset walk (no full-stream decode), luma extraction, nearest
+    resize, column-mean feature — so ``strict=True`` works end-to-end on
+    uncompressed video. Compressed codecs (H.264 &c.) are not expressible
+    with the stdlib: strict mode raises for them; otherwise the payload is
+    split into even byte spans whose digests seed deterministic fake frame
+    features, keeping the plumbing (even spacing, per-frame rows, batch
+    sizing) testable with any payload."""
 
     def __init__(self, n_frames: int = 4, feat_size: int = 8,
                  strict: bool = False):
         self.n_frames = n_frames
         self.feat_size = feat_size
-        if strict:
+        self.strict = strict
+
+    def _frame_rows(self, payload: bytes):
+        if payload.startswith(_Y4M_MAGIC):
+            info = y4m_info(payload)
+            offs = y4m_frame_offsets(payload, info)
+            if not offs:
+                return []
+            # evenly spaced frame indices across the clip (dedup keeps order)
+            pick = np.unique(np.linspace(0, len(offs) - 1, self.n_frames,
+                                         dtype=np.int64))
+            out = []
+            for fi, idx in enumerate(pick):
+                luma = decode_y4m_frame(payload, info, offs[idx])
+                small = resize_nearest(luma.astype(np.float64),
+                                       self.feat_size, self.feat_size)
+                out.append((fi, (small.mean(axis=0) / 255.0).tolist()))
+            return out
+        if self.strict:
             raise NotImplementedError(
-                "video codec not available in this environment")
+                "no codec for this payload (strict mode decodes Y4M only)")
+        edges = np.linspace(0, len(payload), self.n_frames + 1, dtype=np.int64)
+        out = []
+        for fi in range(self.n_frames):
+            span = payload[edges[fi]:max(edges[fi + 1], edges[fi] + 1)]
+            seed = int.from_bytes(hashlib.sha256(span).digest()[:8], "little")
+            out.append((fi, np.random.default_rng(seed)
+                        .random(self.feat_size).tolist()))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, feats = [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
-            edges = np.linspace(0, len(payload), self.n_frames + 1,
-                                dtype=np.int64)
-            for fi in range(self.n_frames):     # one output row per frame
-                span = payload[edges[fi]:max(edges[fi + 1], edges[fi] + 1)]
-                seed = int.from_bytes(hashlib.sha256(span).digest()[:8],
-                                      "little")
+            for fi, feat in self._frame_rows(payload):
                 ids.append(mid)
                 frames.append(fi)
-                feats.append(np.random.default_rng(seed)
-                             .random(self.feat_size).tolist())
+                feats.append(feat)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "frame_idx": pa.array(frames, pa.int32()),

@@ -33,24 +33,44 @@ STOPWORDS = {
 }
 
 
+def _flatten_words(texts, word_re) -> tuple[pd.Series, np.ndarray]:
+    """All regex words of a batch as one flat Series + per-doc counts —
+    the per-doc regex scan is inherent (C-level per document), but every
+    downstream membership test then runs vectorized over the flat array."""
+    lists = [word_re.findall((t or "").lower()) for t in texts]
+    counts = np.fromiter((len(w) for w in lists), dtype=np.int64,
+                         count=len(lists))
+    total = int(counts.sum())
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for w in lists:
+        flat[pos:pos + len(w)] = w
+        pos += len(w)
+    return pd.Series(flat, dtype=object), counts
+
+
 class LangId:
     """Stopword-vote language classifier; 'und' (undetermined) when no
-    stopword hits. Deterministic; ties broken by language-code order."""
+    stopword hits. Deterministic; ties broken by language-code order.
+    Vectorized: one flat word array per batch, ``isin`` per language,
+    ``bincount`` votes — no per-word Python membership loop."""
 
     def __init__(self):
         self.word_re = re.compile(r"[a-zA-ZäöüßáéíóúñàâçèêîôûÄÖÜ]+")
         self.tables = sorted(STOPWORDS.items())  # deterministic tie-break
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        preds = []
-        for text in batch["text"].to_numpy():
-            words = self.word_re.findall((text or "").lower())
-            best, best_n = "und", 0
-            for lang, sw in self.tables:
-                n = sum(w in sw for w in words)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
+        texts = batch["text"].to_numpy()
+        n = len(texts)
+        flat, counts = _flatten_words(texts, self.word_re)
+        doc_idx = np.repeat(np.arange(n), counts)
+        votes = np.zeros((n, len(self.tables)), dtype=np.int64)
+        for li, (_lang, sw) in enumerate(self.tables):
+            hit = flat.isin(sw).to_numpy()
+            votes[:, li] = np.bincount(doc_idx[hit], minlength=n)
+        langs = np.array([lang for lang, _ in self.tables], dtype=object)
+        best = votes.argmax(axis=1)       # ties → lowest index = lang order
+        preds = np.where(votes.max(axis=1) > 0, langs[best], "und")
         return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": preds})
 
 
@@ -86,10 +106,11 @@ class QualityScore:
         n = len(texts)
         lens = s.str.len().to_numpy(dtype=np.int64)
         digits = s.str.count(r"[0-9]").to_numpy(dtype=np.int64)
-        stop_ratio = np.empty(n)
-        for i, t in enumerate(texts):          # per-doc scalar reduction
-            ws = self.word_re.findall(t.lower())
-            stop_ratio[i] = (sum(w in self.stop for w in ws) / len(ws)) if ws else 0.0
+        flat, counts = _flatten_words(texts, self.word_re)
+        doc_idx = np.repeat(np.arange(n), counts)
+        hits = np.bincount(doc_idx[flat.isin(self.stop).to_numpy()],
+                           minlength=n)
+        stop_ratio = np.where(counts > 0, hits / np.maximum(counts, 1), 0.0)
         len_ok = np.clip((lens - 20) / 180.0, 0, 1)
         digit_pen = 1.0 - np.clip(digits / np.maximum(lens, 1) * 5, 0, 1)
         score = 0.4 * len_ok + 0.3 * digit_pen + 0.3 * np.clip(stop_ratio * 5, 0, 1)
