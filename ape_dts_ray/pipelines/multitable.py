@@ -145,6 +145,15 @@ def replay_mixed(
     windows = plan_epochs(max_offset, config.epoch_size)
     done_everywhere = set.intersection(
         *(set(lk.committed_epochs()) for lk in lakes.values())) if lakes else set()
+    # growing-log resume (see replay.py): a tail epoch committed while the
+    # log was shorter must re-run when the window has since extended
+    if done_everywhere:
+        last = max(done_everywhere)
+        w_last = next((w for w in windows if w.epoch == last), None)
+        if w_last is not None and any(
+                lk.read_manifest(last).offset_max < w_last.hi
+                for lk in lakes.values()):
+            done_everywhere.discard(last)
     pending = [w for w in windows if w.epoch not in done_everywhere]
     if not pending:
         return {targets[t]: [] for t in src_tables}

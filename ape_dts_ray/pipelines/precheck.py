@@ -147,6 +147,65 @@ def check_plan(paths: str | list[str], epoch_size: int) -> list[CheckResult]:
     ]
 
 
+def check_constraints(lake_root: str, events_path: str | list[str],
+                      sample_rows: int = 100_000) -> list[CheckResult]:
+    """Sampled source validation of the lake's persisted constraint
+    descriptors (structure_type.rs NOT-NULL/UNIQUE subset): non-delete
+    events must satisfy NOT-NULL columns; declared unique col-sets must not
+    repeat within the sample. Sampled (first row group) — the hard
+    enforcement point is load_snapshot; this catches misdeclared sources
+    before a task starts, like the reference's structure prechecks."""
+    import pyarrow.compute as pc
+
+    from ape_dts_ray.state.lake import LakeTable
+
+    lake = LakeTable.open(lake_root)
+    if not lake.constraints:
+        return [CheckResult("constraints", True, "none declared")]
+    paths = [events_path] if isinstance(events_path, str) else list(events_path)
+    f = pq.ParquetFile(paths[0])
+    sample = (f.read_row_group(0).slice(0, sample_rows)
+              if f.metadata.num_row_groups else f.schema_arrow.empty_table())
+    if COL_OP in sample.column_names:    # deletes carry no after-image
+        sample = sample.filter(
+            pc.not_equal(sample.column(COL_OP), pa.scalar("delete")))
+    out = []
+    for c in lake.constraints:
+        if c["type"] == "not_null":
+            col = c["col"]
+            if col not in sample.column_names:
+                out.append(CheckResult(f"not_null:{col}", False,
+                                       "column missing from source"))
+                continue
+            nulls = sample.column(col).null_count
+            out.append(CheckResult(f"not_null:{col}", nulls == 0,
+                                   f"{nulls} nulls in sample" if nulls else ""))
+        else:
+            cols = [x for x in c["cols"] if x in sample.column_names]
+            label = f"unique:{','.join(c['cols'])}"
+            if len(cols) != len(c["cols"]):
+                out.append(CheckResult(label, False,
+                                       "column missing from source"))
+                continue
+            # last-writer state is what the constraint governs — count
+            # distinct FINAL keys vs distinct constraint tuples among the
+            # latest event per PK in the sample
+            latest = sample
+            if COL_OFFSET in sample.column_names:
+                import polars as pl
+                latest = (pl.from_arrow(sample)
+                          .sort(COL_OFFSET)
+                          .unique(subset=list(lake.meta.id_cols), keep="last")
+                          .to_arrow())
+            grp = latest.select(cols).group_by(cols).aggregate([([], "count_all")])
+            dups = pc.sum(pc.greater(grp.column("count_all"),
+                                     pa.scalar(1))).as_py() or 0
+            out.append(CheckResult(label, dups == 0,
+                                   f"{dups} duplicated tuples in sample"
+                                   if dups else ""))
+    return out
+
+
 def precheck(lake_root: str | None = None,
              events_path: str | list[str] | None = None,
              epoch_size: int | None = None) -> list[CheckResult]:
@@ -157,6 +216,11 @@ def precheck(lake_root: str | None = None,
             out += check_plan(events_path, epoch_size)
     if lake_root is not None:
         out += check_lake(lake_root)
+        if events_path is not None:
+            try:
+                out += check_constraints(lake_root, events_path)
+            except Exception as e:  # noqa: BLE001 — precheck reports
+                out.append(CheckResult("constraints", False, repr(e)))
     return out
 
 

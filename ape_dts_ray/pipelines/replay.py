@@ -398,6 +398,20 @@ def replay(
                 "used different window boundaries); replay from 0 instead")
     windows = plan_epochs(max_offset, lake.config.epoch_size, barriers,
                           min_offset, base_epoch, commit_offsets)
+    # GROWING-LOG resume: the tail epoch may have been committed while the
+    # log was shorter (its manifest ends before the window's planned end).
+    # Events appended into that window since would be silently skipped by
+    # the epoch-id filter — re-run the whole window instead; deterministic
+    # delta names + manifest overwrite keep it exactly-once. Only the
+    # highest committed epoch can be partial (earlier windows were full
+    # when later ones committed; window boundaries are offset-derived and
+    # stable as the log grows).
+    if committed:
+        last = max(committed)
+        w_last = next((w for w in windows if w.epoch == last), None)
+        if w_last is not None and \
+                lake.read_manifest(last).offset_max < w_last.hi:
+            committed.discard(last)
     pending = [w for w in windows
                if w.epoch not in committed and w.hi > lake.compacted_watermark()]
     if stop_after_epoch is not None:

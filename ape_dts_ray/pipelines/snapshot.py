@@ -78,8 +78,18 @@ def load_snapshot(lake: LakeTable, snapshot_ds, batch_size: int | None = None,
     pdir = _snap_part_dir(lake)
     os.makedirs(pdir, exist_ok=True)
     done = snapshot_done_partitions(lake)
+    not_null_cols = tuple(c["col"] for c in lake.constraints
+                          if c["type"] == "not_null")
+    unique_sets = tuple(tuple(c["cols"]) for c in lake.constraints
+                        if c["type"] == "unique")
 
     def to_events(t: pa.Table) -> pa.Table:
+        for c in not_null_cols:          # constraint enforcement (hard):
+            if c in t.column_names:      # structure_type.rs NOT-NULL analog
+                nulls = t.column(c).null_count
+                if nulls:
+                    raise ValueError(
+                        f"snapshot violates NOT NULL({c}): {nulls} null rows")
         n = t.num_rows
         t = t.append_column(COL_OFFSET, pa.array(np.full(n, -1, dtype=np.int64)))
         t = t.append_column(COL_SEQ, pa.array(np.zeros(n, dtype=np.int32)))
@@ -107,6 +117,21 @@ def load_snapshot(lake: LakeTable, snapshot_ds, batch_size: int | None = None,
         out = group.drop_columns([COL_PART])
         # canonical key order: base bytes independent of shuffle arrival
         out = out.sort_by([(c, "ascending") for c in lake.meta.id_cols])
+        # UNIQUE enforcement within the partition (sound globally for sets
+        # the placement hash is a function of — the id cols; others are
+        # additionally sample-checked by precheck)
+        for cols in ((lake.meta.id_cols,) + unique_sets):
+            keep = [c for c in cols if c in out.column_names]
+            if not keep:
+                continue
+            import pyarrow.compute as pc
+            grp = out.group_by(keep).aggregate([([], "count_all")])
+            dups = pc.sum(pc.greater(grp.column("count_all"),
+                                     pa.scalar(1))).as_py() or 0
+            if dups:
+                raise ValueError(
+                    f"snapshot violates UNIQUE({', '.join(keep)}): "
+                    f"{dups} duplicated key tuples in partition {pid}")
         path = os.path.join(root, "base", f"part-{pid:05d}.parquet")
         os.makedirs(os.path.dirname(path), exist_ok=True)
         atomic_write_parquet(out, path, compression="zstd")

@@ -60,6 +60,12 @@ class LakeTable:
         # replay permanently drops events at or below it — without this, a
         # straddling epoch window would resurrect pre-truncate history
         self.truncate_offset: int = -1
+        # constraint descriptors (structure_type.rs:5-24 subset — the
+        # reference migrates constraints/indexes as structures; a Parquet
+        # lake has no indexes, but NOT-NULL/UNIQUE descriptors feed
+        # precheck and snapshot-load validation): list of
+        # {"type": "not_null", "col": c} | {"type": "unique", "cols": [...]}
+        self.constraints: list[dict] = []
 
     # ---------- lifecycle ----------
     @classmethod
@@ -104,6 +110,7 @@ class LakeTable:
         t = cls(root, meta, cfg, schema_version=d.get("schema_version", 0),
                 schema_ops=d.get("schema_ops", []))
         t.truncate_offset = d.get("truncate_offset", -1)
+        t.constraints = d.get("constraints", [])
         return t
 
     def _save_table_json(self) -> None:
@@ -121,6 +128,7 @@ class LakeTable:
             "schema_version": self.schema_version,
             "schema_ops": self.schema_ops,
             "truncate_offset": self.truncate_offset,
+            "constraints": self.constraints,
         }
         atomic_write_text(os.path.join(self.root, TABLE_FILE),
                           json.dumps(d, indent=1, sort_keys=True))
@@ -179,6 +187,26 @@ class LakeTable:
             if os.path.exists(dp):
                 files.append(dp)
         return files
+
+    def set_constraints(self, constraints: list[dict]) -> None:
+        """Register (and persist) constraint descriptors. Validated here;
+        ENFORCED by precheck (sampled source check) and load_snapshot
+        (hard check: not-null per batch, unique per partition — sound for
+        the id cols because partition placement is a pure function of them;
+        other unique sets are checked within-partition and sampled globally
+        by precheck)."""
+        for c in constraints:
+            t = c.get("type")
+            if t == "not_null":
+                if "col" not in c:
+                    raise ValueError(f"not_null constraint needs 'col': {c}")
+            elif t == "unique":
+                if not c.get("cols"):
+                    raise ValueError(f"unique constraint needs 'cols': {c}")
+            else:
+                raise ValueError(f"unknown constraint type: {c}")
+        self.constraints = list(constraints)
+        self._save_table_json()
 
     def set_schema_ops(self, ops: list[dict]) -> None:
         """Register (and persist) non-additive schema-evolution ops — the DDL

@@ -313,6 +313,38 @@ def test_non_utf8_binary_payload_through_replay_and_compact(tmp_path):
         assert want[(r["conv_id"], r["turn_idx"])] == r["blob"]
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_growing_log_reruns_partial_tail_epoch(tmp_path):
+    """A replay of a then-shorter log commits a PARTIAL tail epoch (its
+    manifest ends mid-window). When the log grows inside that window, the
+    resume must re-run the window — the old epoch-id filter silently
+    dropped every event appended into it (found by the two-way cycle
+    test; the reference never hits this because binlog positions, not
+    epoch ids, drive its resume)."""
+    events = gen_events(seed=141, n_convs=20, max_turns=8, n_events=5000,
+                        delete_frac=0.15)
+    n = events.num_rows
+    cut = 3000                                  # inside epoch 1 ([2000,3999])
+    short = str(tmp_path / "short.parquet")
+    full = str(tmp_path / "full.parquet")
+    pq.write_table(events.slice(0, cut), short)
+    pq.write_table(events, full)
+
+    lake = _mk_lake(tmp_path, "grow")
+    replay(lake, events_path=short)             # tail epoch 1 = [2000, 2999]
+    assert lake.watermark() == cut - 1
+    replay(lake, events_path=full)              # log grew inside epoch 1
+    want = oracle_replay(events)
+    got = lake.state_table().to_pandas()
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(got["text"], want["text"],
+                                   check_dtype=False, check_names=False)
+
+    # idempotence: replaying the full log again is a no-op (tail epoch now
+    # covers its full window, so the manifest check passes)
+    assert replay(LakeTable.open(lake.root), events_path=full) == []
+
+
 def test_envelope_preserves_nullable_ints():
     """ADVICE envelope.py:36: nullable int payloads must serialize as exact
     integers (not 3.0 / 2^53-rounded floats)."""

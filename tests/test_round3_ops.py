@@ -1,0 +1,267 @@
+"""Round-3 operator tests: scrapeable metrics endpoint, constraint
+descriptors through precheck/load_snapshot, and the two-way replication
+cycle (DataMarker origin-breaker convergence, the cycle_basic scenario)."""
+
+import json
+import urllib.request
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from ape_dts_ray.fixtures import gen_events, oracle_replay
+from ape_dts_ray.meta import EngineConfig, TableMeta
+from ape_dts_ray.pipelines.replay import replay
+from ape_dts_ray.state.lake import LakeTable
+
+
+def _mk_lake(tmp_path, name="lake", **cfg):
+    defaults = dict(num_partitions=8, epoch_size=2000)
+    defaults.update(cfg)
+    return LakeTable.create(str(tmp_path / name), TableMeta(),
+                            EngineConfig(**defaults))
+
+
+def _get(url: str) -> bytes:
+    with urllib.request.urlopen(url) as r:
+        return r.read()
+
+
+# ---------- metrics endpoint (task_metrics/prometheus_metrics analog) ----------
+
+@pytest.mark.usefixtures("ray_session")
+def test_metrics_endpoint_scrape_during_replay(tmp_path):
+    from ape_dts_ray.pipelines.metrics import MetricsServer
+
+    events = gen_events(seed=81, n_convs=20, max_turns=6, n_events=4000,
+                        delete_frac=0.1)
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    srv = MetricsServer(lake.root).start()
+    base = f"http://127.0.0.1:{srv.port}"
+    try:
+        s0 = json.loads(_get(base + "/metrics.json"))
+        assert s0["events_total"] == 0 and s0["watermark"] == -1
+
+        replay(lake, events_path=path, max_offset=1999)      # first leg
+        s1 = json.loads(_get(base + "/metrics.json"))
+        assert s1["events_total"] == 2000
+        assert s1["watermark"] == 1999
+        assert s1["heartbeat_time_unix"] > 0
+        assert s1["upserts_total"] + s1["deletes_total"] == s1["rows_total"]
+
+        replay(lake, events_path=path)                       # second leg
+        n, mx = events.num_rows, int(pc.max(events.column("log_offset")).as_py())
+        s2 = json.loads(_get(base + "/metrics.json"))
+        assert s2["events_total"] == n and s2["watermark"] == mx
+
+        # Prometheus text exposition with TYPE lines and the table label
+        text = _get(base + "/metrics").decode()
+        assert "# TYPE ape_dts_ray_events_total counter" in text
+        assert f'ape_dts_ray_events_total{{table="transcripts"}} {n}' in text
+        assert f'ape_dts_ray_watermark{{table="transcripts"}} {mx}' in text
+
+        # compaction folds manifests away — counters must NOT regress
+        lake.compact(parallel=False)
+        s3 = json.loads(_get(base + "/metrics.json"))
+        assert s3["events_total"] >= n
+        assert s3["watermark"] == mx
+    finally:
+        srv.stop()
+
+
+# ---------- constraint descriptors (structure_type.rs subset) ----------
+
+def test_set_constraints_validation(tmp_path):
+    lake = _mk_lake(tmp_path)
+    lake.set_constraints([{"type": "not_null", "col": "text"},
+                          {"type": "unique", "cols": ["role", "text"]}])
+    assert LakeTable.open(lake.root).constraints == lake.constraints
+    with pytest.raises(ValueError, match="unknown constraint"):
+        lake.set_constraints([{"type": "check", "expr": "x > 0"}])
+    with pytest.raises(ValueError, match="needs 'col'"):
+        lake.set_constraints([{"type": "not_null"}])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_load_snapshot_enforces_constraints(tmp_path):
+    from ape_dts_ray.pipelines.snapshot import load_snapshot
+
+    good = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2"]),
+        "turn_idx": pa.array([0, 1, 0], pa.int32()),
+        "text": pa.array(["a", "b", "c"]),
+    })
+    lake = _mk_lake(tmp_path, "ok")
+    lake.set_constraints([{"type": "not_null", "col": "text"}])
+    assert load_snapshot(lake, rd.from_arrow(good))["rows"] == 3
+
+    # NOT NULL violation → load refuses
+    bad_null = good.set_column(2, "text", pa.array(["a", None, "c"]))
+    lake2 = _mk_lake(tmp_path, "nn")
+    lake2.set_constraints([{"type": "not_null", "col": "text"}])
+    with pytest.raises(Exception, match="NOT NULL"):
+        load_snapshot(lake2, rd.from_arrow(bad_null))
+
+    # duplicate primary key → load refuses (id-col uniqueness is implicit)
+    dup_pk = pa.table({
+        "conv_id": pa.array(["c1", "c1"]),
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "text": pa.array(["a", "b"]),
+    })
+    lake3 = _mk_lake(tmp_path, "uq")
+    with pytest.raises(Exception, match="UNIQUE"):
+        load_snapshot(lake3, rd.from_arrow(dup_pk))
+
+
+def test_precheck_reports_constraint_violations(tmp_path):
+    from ape_dts_ray.pipelines.precheck import precheck
+
+    events = gen_events(seed=83, n_convs=10, max_turns=5, n_events=500,
+                        delete_frac=0.1)
+    # poke nulls into `role` of some upsert rows
+    role = events.column("role").to_pylist()
+    ops = events.column("op").to_pylist()
+    k = 0
+    for i, o in enumerate(ops):
+        if o != "delete" and k < 5:
+            role[i] = None
+            k += 1
+    events = events.set_column(events.column_names.index("role"), "role",
+                               pa.array(role, pa.string()))
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(events, path)
+
+    lake = _mk_lake(tmp_path)
+    lake.set_constraints([{"type": "not_null", "col": "role"},
+                          {"type": "not_null", "col": "text"}])
+    res = {r.name: r for r in precheck(lake.root, path)}
+    assert not res["not_null:role"].ok and "5 nulls" in res["not_null:role"].detail
+    assert res["not_null:text"].ok
+
+    # declared unique over the PK itself passes on a clean LWW stream
+    lake.set_constraints([{"type": "unique", "cols": ["conv_id", "turn_idx"]}])
+    res2 = {r.name: r for r in precheck(lake.root, path)}
+    assert res2["unique:conv_id,turn_idx"].ok
+
+
+# ---------- two-way cycle (data_marker.rs / cycle_basic convergence) ----------
+
+
+class _Node:
+    """One replication node: a local change LOG (its 'binlog' — arriving
+    events get local offsets in arrival order, with an ``origin`` marker
+    column) + the lake replaying that log, + per-peer read cursors (the
+    reference tracks its position in each peer's binlog). This is the
+    cycle_basic topology (docs/en/cdc/two_way.md, data_marker.rs): the
+    DataMarker stamp rides as the ``origin`` column, and ingest drops
+    events whose origin is this node — the cycle breaker."""
+
+    def __init__(self, tmp_path, name: str):
+        self.name = name
+        self.lake = _mk_lake(tmp_path, f"node_{name}",
+                             num_partitions=8, epoch_size=2000)
+        self.log: pa.Table | None = None
+        self.cursors: dict[str, int] = {}       # peer → next offset to read
+
+    def _append(self, t: pa.Table) -> None:
+        if t.num_rows == 0:
+            return
+        start = 0 if self.log is None else self.log.num_rows
+        t = t.set_column(t.column_names.index("log_offset"), "log_offset",
+                         pa.array(np.arange(start, start + t.num_rows,
+                                            dtype=np.int64)))
+        self.log = t if self.log is None else pa.concat_tables([self.log, t])
+
+    def write_local(self, events: pa.Table) -> None:
+        ev = events.append_column(
+            "origin", pa.nulls(events.num_rows, pa.string()))
+        self._append(ev)
+
+    def outbound(self) -> pa.Table:
+        """The node's emitted change stream: origin = original node for
+        replicated events, this node for local ones (coalesce)."""
+        t = self.log
+        org = pc.coalesce(t.column("origin"), pa.scalar(self.name))
+        return t.set_column(t.column_names.index("origin"), "origin", org)
+
+    def pull_from(self, peer: "_Node") -> int:
+        """Incremental consume of the peer's log from the stored cursor,
+        dropping self-originated events (the DataMarker check). Returns
+        how many events were actually ingested."""
+        out = peer.outbound()
+        cur = self.cursors.get(peer.name, 0)
+        fresh = out.filter(pc.greater_equal(out.column("log_offset"),
+                                            pa.scalar(cur, pa.int64())))
+        self.cursors[peer.name] = out.num_rows
+        keep = fresh.filter(pc.not_equal(fresh.column("origin"),
+                                         pa.scalar(self.name)))
+        self._append(keep)
+        return keep.num_rows
+
+    def sync(self) -> None:
+        replay(self.lake, events_ds=rd.from_arrow(self.log))
+
+    def state(self) -> pd.DataFrame:
+        t = self.lake.state_table()
+        return (t.drop_columns([c for c in ("origin",) if c in t.column_names])
+                .to_pandas().reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_two_way_cycle_converges_without_ping_pong(tmp_path):
+    """cycle_basic: A and B each take local writes and replicate both ways
+    with origin markers + per-peer positions. After a full bidirectional
+    exchange AND a reflected round (each node re-reads the peer's log,
+    which now contains its own events back), both lakes hold the identical
+    union state and the reflected own-events are dropped — no ping-pong."""
+    ev_a = gen_events(seed=85, n_convs=12, max_turns=6, n_events=2000,
+                      delete_frac=0.1)
+    ev_b = gen_events(seed=86, n_convs=10, max_turns=6, n_events=1800,
+                      delete_frac=0.1)
+    conv_b = pc.replace_substring(ev_b.column("conv_id"), "conv-", "bnode-")
+    ev_b = ev_b.set_column(ev_b.column_names.index("conv_id"), "conv_id",
+                           conv_b)
+
+    a, b = _Node(tmp_path, "A"), _Node(tmp_path, "B")
+    a.write_local(ev_a)
+    b.write_local(ev_b)
+    a.sync()
+    b.sync()
+
+    # exchange round: each pulls the peer's stream (origin-filtered) + syncs
+    got_a = a.pull_from(b)
+    got_b = b.pull_from(a)
+    assert got_a == ev_b.num_rows and got_b == ev_a.num_rows
+    a.sync()
+    b.sync()
+    state_a, state_b = a.state(), b.state()
+
+    # reflected round: each peer's log now ENDS with this node's own events
+    # (stamped with this node's origin) — the cycle breaker must drop all
+    # of them; nothing is appended, replay is a no-op, state unchanged
+    assert a.pull_from(b) == 0
+    assert b.pull_from(a) == 0
+    len_a, len_b = a.log.num_rows, b.log.num_rows
+    a.sync()
+    b.sync()
+    assert (a.log.num_rows, b.log.num_rows) == (len_a, len_b)
+    pd.testing.assert_frame_equal(state_a, a.state())
+    pd.testing.assert_frame_equal(state_b, b.state())
+
+    # convergence: identical union state on both nodes, oracle-exact
+    oracle = pd.concat([oracle_replay(ev_a), oracle_replay(ev_b)],
+                       ignore_index=True).sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    sa = state_a.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    sb = state_b.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(sa) == len(oracle) == len(sb)
+    pd.testing.assert_series_equal(sa["text"], oracle["text"],
+                                   check_dtype=False, check_names=False)
+    pd.testing.assert_frame_equal(sa, sb)
