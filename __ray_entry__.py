@@ -83,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_pk_change": q.cdc_pk_change,
         "cdc_sql_format": q.cdc_sql_format,
         "cdc_wide_types": q.cdc_wide_types,
+        "redis_replay": q.redis_replay,
+        "redis_snapshot": q.redis_snapshot,
         "dedup_exact": q.dedup_exact,
         "dedup_minhash": q.dedup_minhash,
         "dedup_simhash": q.dedup_simhash,
@@ -284,6 +286,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, amount, payload_bin AS payload, tier,
                    meta_json, CAST(qty AS BIGINT) AS qty
             FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # Redis replication fold — derivation in lockstep with
+        # queries._redis_cmds_batch (strings are key-level LWW incl. DEL
+        # tombstones; hash fields and zset members are field-level LWW)
+        "redis_replay": """
+            WITH swin AS (
+              SELECT 'ev:' || (event_id % 997) AS key,
+                     max_by(CASE WHEN event_type = 'error' THEN NULL
+                                 ELSE 'v:' || event_id || ':' || props END,
+                            event_id) AS value,
+                     max_by(event_type, event_id) AS last_et
+              FROM events WHERE event_type IN ('click', 'view', 'error')
+              GROUP BY 1
+            ),
+            hw AS (
+              SELECT 'conv:' || user_id AS key, 'f' || (event_id % 40) AS field,
+                     max_by(props, event_id) AS value
+              FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+            ),
+            zw AS (
+              SELECT 'zrank:' || (user_id % 13) AS key, 'm' || user_id AS field,
+                     max_by(value, event_id) AS score
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT key, CAST(NULL AS VARCHAR) AS field, value,
+                   CAST(NULL AS DOUBLE) AS score
+            FROM swin WHERE last_et <> 'error'
+            UNION ALL
+            SELECT key, field, value, CAST(NULL AS DOUBLE) AS score FROM hw
+            UNION ALL
+            SELECT key, field, CAST(NULL AS VARCHAR) AS value, score FROM zw
+        """,
+        # RDB binary roundtrip: the parse side must reproduce the documents
+        # exactly (text through raw/LZF string encodings, n_chars through the
+        # RDB integer encodings)
+        "redis_snapshot": """
+            SELECT 'doc:' || doc_id AS key, text AS value FROM documents
+            UNION ALL
+            SELECT 'len:' || doc_id AS key, CAST(n_chars AS VARCHAR) AS value
+            FROM documents
         """,
         "dedup_exact": """
             SELECT doc_id, n_chars FROM (

@@ -590,3 +590,147 @@ def text_stats(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow")
+
+
+# ---------- Redis family (SURVEY §2: psync extractor / sinker / parallelizer) ----------
+
+REDIS_CHUNK = 10_000     # events per RESP log file (one psync segment each)
+_STR_MOD = 997           # string keyspace width (forces SET/DEL contention)
+_ZKEY_MOD = 13           # zset keyspace width (forces member-LWW contention)
+
+
+def _redis_cmds_batch(t: pa.Table) -> pa.Table:
+    """events batch → (chunk, event_id, cmd): full RESP frames as strings,
+    vectorized pandas concat (no per-row Python). Derivation (kept in
+    lockstep with the redis_replay oracle SQL in __ray_entry__):
+      click/view → SET ev:{eid%997} v:{eid}:{props}
+      error      → DEL ev:{eid%997}
+      signup     → HSET conv:{uid} f{eid%40} {props}
+      purchase   → ZADD zrank:{uid%13} {value} m{uid}
+    All payloads are ASCII (props is JSON-ASCII), so char length == byte
+    length and the RESP $<len> headers are exact."""
+    import pandas as pd
+
+    df = t.to_pandas()
+    eid, uid, props = df["event_id"], df["user_id"], df["props"]
+    et = df["event_type"]
+
+    def frame(args):
+        s = pd.Series([f"*{len(args)}\r\n"] * len(df), index=df.index)
+        for a in args:
+            if isinstance(a, str):
+                s = s + f"${len(a)}\r\n{a}\r\n"
+            else:
+                s = s + "$" + a.str.len().astype(str) + "\r\n" + a + "\r\n"
+        return s
+
+    skey = "ev:" + (eid % _STR_MOD).astype(str)
+    sval = "v:" + eid.astype(str) + ":" + props
+    hkey = "conv:" + uid.astype(str)
+    hfld = "f" + (eid % 40).astype(str)
+    zkey = "zrank:" + (uid % _ZKEY_MOD).astype(str)
+    zmem = "m" + uid.astype(str)
+    zscore = df["value"].astype(str)        # shortest-roundtrip repr: exact
+    cmd = np.select(
+        [et.eq("error"), et.isin(["click", "view"]), et.eq("signup")],
+        [frame(["DEL", skey]), frame(["SET", skey, sval]),
+         frame(["HSET", hkey, hfld, props])],
+        default=frame(["ZADD", zkey, zscore, zmem]))
+    return pa.table({"chunk": (eid // REDIS_CHUNK).to_numpy(),
+                     "event_id": eid.to_numpy(),
+                     "cmd": cmd.astype(object)})
+
+
+def redis_replay(sf_dir: str) -> pa.Table:
+    """Full Redis CDC path: derive a RESP replication log from events
+    (distributed, one file per event-id chunk = psync segment), tail it back
+    (RedisPsyncExtractor analog), slot-partition (RedisParallelizer), fold to
+    the final keyspace (RedisSinker apply semantics). Oracle-backed."""
+    import shutil
+
+    import ray
+
+    from ape_dts_ray.pipelines.redis_replay import read_resp_log, replay_redis
+
+    log_dir = tempfile.mkdtemp(prefix="ape_dts_ray_redislog_")
+    try:
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "value", "props"])
+        cmds = ds.map_batches(_redis_cmds_batch, batch_format="pyarrow")
+
+        def write_chunk(t: pa.Table) -> pa.Table:
+            import polars as pl
+
+            g = pl.from_arrow(t).sort("event_id")
+            seq = int(g["chunk"][0])
+            path = os.path.join(log_dir, f"aof_{seq:06d}.resp")
+            with open(path + ".tmp", "w") as f:
+                f.write("".join(g["cmd"].to_list()))
+            os.replace(path + ".tmp", path)
+            return pa.table({"chunk": [seq], "cmds": [len(g)]})
+
+        cmds.groupby("chunk").map_groups(
+            write_chunk, batch_format="pyarrow").materialize()
+
+        state = replay_redis(read_resp_log(log_dir),
+                             num_partitions=QUERY_PARTITIONS)
+        out = pa.concat_tables(
+            state.iter_batches(batch_format="pyarrow")).combine_chunks()
+    finally:
+        shutil.rmtree(log_dir, ignore_errors=True)
+    return pa.table({
+        "key": pc.cast(out.column("key"), pa.string()),
+        "field": pc.cast(out.column("field"), pa.string()),
+        "value": pc.cast(out.column("value"), pa.string()),
+        "score": out.column("score"),
+    })
+
+
+def redis_snapshot(sf_dir: str) -> pa.Table:
+    """RDB snapshot roundtrip: documents → keyspace rows → partitioned RDB
+    shard files (real binary format: length/int/LZF-sampled string encodings,
+    CRC-64 trailers) → parse back (snapshot-file extractor). Oracle-backed."""
+    import shutil
+
+    import ray
+
+    from ape_dts_ray.pipelines.redis_replay import (
+        KEYSPACE_SCHEMA, read_rdb_snapshot, write_rdb_snapshot)
+
+    snap_dir = tempfile.mkdtemp(prefix="ape_dts_ray_rdbsnap_")
+    try:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text", "n_chars"])
+
+        def to_keyspace(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = t.to_pandas()
+            sid = df["doc_id"].astype(str)
+            keys = pd.concat(["doc:" + sid, "len:" + sid])
+            vals = pd.concat([df["text"], df["n_chars"].astype(str)])
+            n = len(keys)
+            return pa.table({
+                "db": pa.array(np.zeros(n, dtype=np.int32)),
+                "key": pc.cast(pa.array(keys, type=pa.string()), pa.binary()),
+                "rtype": pa.array(["string"] * n),
+                "field": pa.nulls(n, pa.binary()),
+                "idx": pa.nulls(n, pa.int64()),
+                "value": pc.cast(pa.array(vals, type=pa.string()), pa.binary()),
+                "score": pa.nulls(n, pa.float64()),
+                "expire_ms": pa.array(np.zeros(n, dtype=np.int64)),
+            }, schema=KEYSPACE_SCHEMA)
+
+        ks = ds.map_batches(to_keyspace, batch_format="pyarrow")
+        write_rdb_snapshot(ks, snap_dir, num_partitions=QUERY_PARTITIONS,
+                           lzf_sample=16).materialize()
+        back = read_rdb_snapshot(snap_dir)
+        out = pa.concat_tables(
+            back.iter_batches(batch_format="pyarrow")).combine_chunks()
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+    return pa.table({
+        "key": pc.cast(out.column("key"), pa.string()),
+        "value": pc.cast(out.column("value"), pa.string()),
+    })

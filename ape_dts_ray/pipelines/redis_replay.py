@@ -1,0 +1,478 @@
+"""Redis snapshot + psync-stream replication, Ray-Data-native.
+
+Reference surface being re-expressed (SURVEY §2 Redis family):
+- RedisPsyncExtractor / RedisSnapshotFileExtractor
+  (dt-connector/src/extractor/redis/redis_psync_extractor.rs:48-142,
+  redis_snapshot_file_extractor.rs): here the snapshot is a set of RDB shard
+  files and the replication stream is a set of RESP log files — the byte
+  position of a command is its replication offset, with a per-file stride
+  preserving total order across files (the psync offset semantics without a
+  live socket, which this environment cannot have).
+- RedisParallelizer (dt-parallelizer/src/redis_parallelizer.rs): keyed
+  parallelism — every command for one key lands in one partition. We use the
+  REAL cluster mapping (CRC16 key slot % P, key_parser.rs:164-210) so the
+  partitioning is exactly a Redis Cluster reshard.
+- RedisSinker (dt-connector/src/sinker/redis/redis_sinker.rs,
+  entry_rewriter.rs): ``write_resp_sink`` re-emits the keyspace as RESP
+  command files — ``rewrite`` method (SET/HSET/SADD/ZADD/RPUSH + PEXPIREAT)
+  or ``restore`` method (DUMP payloads built by sources/rdb.py, CRC-64
+  footers included).
+
+Keyspace model — the schema shared by the RDB snapshot reader and the
+command-stream fold (one row per element):
+    db int32 | key binary | rtype str | field binary | idx int64 |
+    value binary | score float64 | expire_ms int64
+
+Fold semantics (vectorized polars per partition, no Python row loops):
+  * SET/DEL are key-level: the last key-level event is a barrier K; a SET
+    winner yields a string row, a DEL winner leaves the key dead.
+  * HSET/HDEL/SADD/SREM/ZADD/ZREM are field-level LWW per (db,key,field),
+    counted only after K (Redis: SET/DEL destroy the whole container).
+  * RPUSH is append-only after K, ordered by (offset, arg-seq).
+  * PEXPIREAT/EXPIRE attach the last TTL to the key's surviving rows.
+    TTL *eviction* is not simulated — the engine is deterministic and has no
+    wall clock; expiry is data, like the reference's PEXPIREAT passthrough.
+
+Scale shape: RESP/RDB files are the parallel read unit (one parse task per
+file — byte-stream formats are inherently sequential per file, exactly like
+the reference's single psync socket, but we get file-level parallelism it
+doesn't have). The only shuffle is the slot partition; the fold is per-group
+polars. At 100 TB, files are the resume/retry unit and slots bound skew to
+1/16384 of the keyspace.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ape_dts_ray.sources import rdb as rdbmod
+from ape_dts_ray.sources.resp import calc_slots, encode_cmd, parse_resp
+
+RESP_FILE_STRIDE = 1 << 40      # per-file offset namespace (total order)
+COL_SLOT_PART = "part_id"
+
+KEYSPACE_SCHEMA = pa.schema([
+    ("db", pa.int32()),
+    ("key", pa.binary()),
+    ("rtype", pa.string()),
+    ("field", pa.binary()),
+    ("idx", pa.int64()),
+    ("value", pa.binary()),
+    ("score", pa.float64()),
+    ("expire_ms", pa.int64()),
+])
+
+_EVENT_SCHEMA = pa.schema([
+    ("db", pa.int32()),
+    ("key", pa.binary()),
+    ("level", pa.string()),      # key | field | list | expire
+    ("rtype", pa.string()),
+    ("op", pa.string()),         # set | del | add | rem | push | expire
+    ("field", pa.binary()),
+    ("value", pa.binary()),
+    ("score", pa.float64()),
+    ("log_offset", pa.int64()),
+    ("seq", pa.int32()),
+])
+
+
+# ------------------------------------------------------------ RESP log I/O
+
+def write_resp_log(cmds: list[list[bytes]], log_dir: str,
+                   file_seq: int = 0) -> str:
+    """Append one RESP log file holding ``cmds`` (driver/test helper — the
+    distributed generator in queries.py encodes inside map_batches)."""
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, f"aof_{file_seq:06d}.resp")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        for c in cmds:
+            f.write(encode_cmd(c))
+    os.replace(tmp, path)
+    return path
+
+
+def _file_seq(path: str) -> int:
+    base = os.path.basename(path)
+    return int(base.split("_")[1].split(".")[0])
+
+
+def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
+    """Expand parsed commands into columnar element events. The per-command
+    loop is the sequential tail of the per-file parse task (same unit as the
+    RESP byte walk itself); everything downstream is columnar."""
+    cols = {name: [] for name in _EVENT_SCHEMA.names}
+
+    def emit(key, level, rtype, op, field=None, value=None, score=None,
+             off=0, seq=0):
+        cols["db"].append(db)
+        cols["key"].append(key)
+        cols["level"].append(level)
+        cols["rtype"].append(rtype)
+        cols["op"].append(op)
+        cols["field"].append(field)
+        cols["value"].append(value)
+        cols["score"].append(score)
+        cols["log_offset"].append(off)
+        cols["seq"].append(seq)
+
+    for off, args in cmds_with_offsets:
+        if not args:
+            continue
+        cmd = args[0].upper()
+        if cmd in (b"PING", b"REPLCONF", b"MULTI", b"EXEC"):
+            continue
+        if cmd == b"SELECT":
+            db = int(args[1])
+            continue
+        if cmd == b"SET":
+            emit(args[1], "key", "string", "set", value=args[2], off=off)
+            # optional PX/EX ttl
+            i = 3
+            while i + 1 < len(args):
+                o = args[i].upper()
+                if o == b"PX":
+                    emit(args[1], "expire", "key", "expire",
+                         score=float(int(args[i + 1])), off=off)
+                elif o == b"EX":
+                    emit(args[1], "expire", "key", "expire",
+                         score=float(int(args[i + 1]) * 1000), off=off)
+                i += 2
+        elif cmd in (b"DEL", b"UNLINK"):
+            for k in args[1:]:
+                emit(k, "key", "key", "del", off=off)
+        elif cmd == b"HSET" or cmd == b"HMSET":
+            for s, i in enumerate(range(2, len(args) - 1, 2)):
+                emit(args[1], "field", "hash", "add", field=args[i],
+                     value=args[i + 1], off=off, seq=s)
+        elif cmd == b"HDEL":
+            for s, f in enumerate(args[2:]):
+                emit(args[1], "field", "hash", "rem", field=f, off=off, seq=s)
+        elif cmd == b"SADD":
+            for s, m in enumerate(args[2:]):
+                emit(args[1], "field", "set", "add", field=m, off=off, seq=s)
+        elif cmd == b"SREM":
+            for s, m in enumerate(args[2:]):
+                emit(args[1], "field", "set", "rem", field=m, off=off, seq=s)
+        elif cmd == b"ZADD":
+            for s, i in enumerate(range(2, len(args) - 1, 2)):
+                emit(args[1], "field", "zset", "add", field=args[i + 1],
+                     score=float(args[i]), off=off, seq=s)
+        elif cmd == b"ZREM":
+            for s, m in enumerate(args[2:]):
+                emit(args[1], "field", "zset", "rem", field=m, off=off, seq=s)
+        elif cmd == b"RPUSH":
+            for s, v in enumerate(args[2:]):
+                emit(args[1], "list", "list", "push", value=v, off=off, seq=s)
+        elif cmd == b"PEXPIREAT":
+            emit(args[1], "expire", "key", "expire",
+                 score=float(int(args[2])), off=off)
+        elif cmd == b"RESTORE":
+            entry = rdbmod.parse_dump_value(args[3])
+            entry["key"] = args[1]
+            ttl = int(args[2])
+            t = _entries_table([{**entry, "db": db, "expire_ms": 0}])
+            for s, row in enumerate(t.to_pylist()):   # restore rows are few
+                rt = row["rtype"]
+                if rt == "string":
+                    emit(row["key"], "key", rt, "set",
+                         value=row["value"], off=off, seq=s)
+                elif rt == "list":
+                    emit(row["key"], "list", rt, "push",
+                         value=row["value"], off=off, seq=s)
+                else:
+                    emit(row["key"], "field", rt, "add", field=row["field"],
+                         value=row["value"], score=row["score"], off=off, seq=s)
+            if ttl:
+                emit(args[1], "expire", "key", "expire",
+                     score=float(ttl), off=off)
+        else:
+            raise ValueError(f"redis replay: unsupported command {cmd!r}")
+    return pa.Table.from_pydict(cols, schema=_EVENT_SCHEMA)
+
+
+def read_resp_log(log_dir: str):
+    """RESP log files → Dataset of element events. One parse task per file
+    (the psync stream analog; file seq preserves replication order)."""
+    import ray
+
+    ds = ray.data.read_binary_files(log_dir, include_paths=True)
+
+    def parse_file(batch: pa.Table) -> pa.Table:
+        tables = []
+        for path, data in zip(batch.column("path").to_pylist(),
+                              batch.column("bytes").to_pylist()):
+            base = _file_seq(path) * RESP_FILE_STRIDE
+            tables.append(commands_to_events(parse_resp(data, base)))
+        return pa.concat_tables(tables) if tables else \
+            _EVENT_SCHEMA.empty_table()
+
+    return ds.map_batches(parse_file, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ the fold
+
+def add_slot_partition(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Cluster-faithful partitioning: CRC16 slot % P (RedisParallelizer
+    analog — keyed parallelism with the real reshard mapping)."""
+    slots = calc_slots(batch.column("key"))
+    pid = (slots % np.int32(num_partitions)).astype(np.int32)
+    return batch.append_column(COL_SLOT_PART, pa.array(pid, type=pa.int32()))
+
+
+def fold_events(t: pa.Table) -> pa.Table:
+    """Vectorized keyspace fold for one partition (semantics in the module
+    docstring). polars only — no Python per-row work."""
+    import polars as pl
+
+    if t.num_rows == 0:
+        return KEYSPACE_SCHEMA.empty_table()
+    df = pl.from_arrow(t.select(_EVENT_SCHEMA.names))
+    gk = ["db", "key"]
+
+    kl = df.filter(pl.col("level") == "key")
+    barrier = kl.group_by(gk).agg(pl.col("log_offset").max().alias("_k_off"))
+    k_win = (kl.join(barrier, on=gk)
+               .filter(pl.col("log_offset") == pl.col("_k_off")))
+    strings = (k_win.filter(pl.col("op") == "set")
+               .select("db", "key",
+                       pl.lit("string").alias("rtype"),
+                       pl.lit(None, dtype=pl.Binary).alias("field"),
+                       pl.lit(None, dtype=pl.Int64).alias("idx"),
+                       "value",
+                       pl.lit(None, dtype=pl.Float64).alias("score")))
+
+    after_barrier = (df.join(barrier, on=gk, how="left")
+                       .filter(pl.col("log_offset")
+                               > pl.col("_k_off").fill_null(-1)))
+
+    fl = after_barrier.filter(pl.col("level") == "field")
+    f_win = (fl.sort("log_offset", "seq")
+               .unique(subset=[*gk, "rtype", "field"], keep="last",
+                       maintain_order=True)
+               .filter(pl.col("op") == "add"))
+    fields = f_win.select(
+        "db", "key", "rtype", "field",
+        pl.lit(None, dtype=pl.Int64).alias("idx"), "value", "score")
+
+    lists = (after_barrier.filter(pl.col("level") == "list")
+             .sort("log_offset", "seq")
+             .with_columns(pl.col("seq").cum_count().over(gk).alias("idx"))
+             .select("db", "key", "rtype", "field",
+                     (pl.col("idx").cast(pl.Int64) - 1).alias("idx"),
+                     "value", "score"))
+
+    out = pl.concat([strings, fields, lists])
+
+    ttl = (df.filter(pl.col("level") == "expire")
+             .sort("log_offset")
+             .unique(subset=gk, keep="last", maintain_order=True)
+             .select(gk + [pl.col("score").cast(pl.Int64).alias("expire_ms")]))
+    out = out.join(ttl, on=gk, how="left").with_columns(
+        pl.col("expire_ms").fill_null(0))
+    return out.to_arrow().cast(KEYSPACE_SCHEMA)
+
+
+def replay_redis(events_ds, num_partitions: int = 16):
+    """Command events → final keyspace Dataset. One shuffle (slot % P),
+    per-group vectorized fold — the same canonical shape as the CDC apply."""
+    return (events_ds
+            .map_batches(lambda t: add_slot_partition(t, num_partitions),
+                         batch_format="pyarrow", batch_size=None)
+            .groupby(COL_SLOT_PART)
+            .map_groups(lambda t: fold_events(t.drop_columns([COL_SLOT_PART])),
+                        batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------ RDB snapshot
+
+def _entries_table(entries: list[dict]) -> pa.Table:
+    """Parsed RDB entries → exploded keyspace rows (columnar assembly)."""
+    cols = {name: [] for name in KEYSPACE_SCHEMA.names}
+
+    def emit(e, field=None, idx=None, value=None, score=None):
+        cols["db"].append(e["db"])
+        cols["key"].append(e["key"])
+        cols["rtype"].append(e["type"])
+        cols["field"].append(field)
+        cols["idx"].append(idx)
+        cols["value"].append(value)
+        cols["score"].append(score)
+        cols["expire_ms"].append(e.get("expire_ms", 0))
+
+    for e in entries:
+        t = e["type"]
+        if t == "string":
+            emit(e, value=e["value"])
+        elif t == "list":
+            for i, v in enumerate(e["elements"]):
+                emit(e, idx=i, value=v)
+        elif t == "set":
+            for m in e["elements"]:
+                emit(e, field=m)
+        elif t == "zset":
+            for m, s in e["zset"]:
+                emit(e, field=m, score=s)
+        elif t == "hash":
+            for fv in e["fields"]:
+                emit(e, field=fv[0], value=fv[1])
+    return pa.Table.from_pydict(cols, schema=KEYSPACE_SCHEMA)
+
+
+def read_rdb_snapshot(path: str, verify_checksum: bool = True):
+    """RDB shard files → keyspace Dataset (RedisSnapshotFileExtractor
+    analog; one parse task per shard file)."""
+    import ray
+
+    ds = ray.data.read_binary_files(path)
+
+    def parse_file(batch: pa.Table) -> pa.Table:
+        tables = []
+        for data in batch.column("bytes").to_pylist():
+            _, entries = rdbmod.parse_rdb(data, verify_checksum=verify_checksum)
+            tables.append(_entries_table(entries))
+        return pa.concat_tables(tables) if tables else \
+            KEYSPACE_SCHEMA.empty_table()
+
+    return ds.map_batches(parse_file, batch_format="pyarrow")
+
+
+def _keyspace_to_entries(t: pa.Table) -> list[dict]:
+    """Group keyspace rows back into RDB entries (sink-side assembly).
+    Vectorized: element lists are built by one polars group_by().agg per
+    container type (not per-key Python group iteration — that was 6s for
+    10k keys); the remaining loop is one iteration per ENTRY over
+    already-aggregated lists."""
+    import polars as pl
+
+    df = pl.from_arrow(t).sort("db", "key", "idx", "field")
+    entries: list[dict] = []
+    gk = ["db", "key", "expire_ms"]
+
+    strings = df.filter(pl.col("rtype") == "string")
+    entries += [{"db": db, "key": key, "type": "string", "expire_ms": exp,
+                 "value": val}
+                for db, key, exp, val in zip(strings["db"], strings["key"],
+                                             strings["expire_ms"],
+                                             strings["value"])]
+    for rtype in ("list", "set", "zset", "hash"):
+        sub = df.filter(pl.col("rtype") == rtype)
+        if sub.height == 0:
+            continue
+        agg = sub.group_by(gk, maintain_order=True).agg(
+            pl.col("field"), pl.col("value"), pl.col("score"))
+        rows = zip(agg["db"], agg["key"], agg["expire_ms"],
+                   agg["field"], agg["value"], agg["score"])
+        if rtype == "list":
+            entries += [{"db": db, "key": key, "type": rtype,
+                         "expire_ms": exp, "elements": vals.to_list()}
+                        for db, key, exp, _, vals, _ in rows]
+        elif rtype == "set":
+            entries += [{"db": db, "key": key, "type": rtype,
+                         "expire_ms": exp, "elements": flds.to_list()}
+                        for db, key, exp, flds, _, _ in rows]
+        elif rtype == "zset":
+            entries += [{"db": db, "key": key, "type": rtype,
+                         "expire_ms": exp,
+                         "zset": list(zip(flds.to_list(), scores.to_list()))}
+                        for db, key, exp, flds, _, scores in rows]
+        else:
+            entries += [{"db": db, "key": key, "type": rtype,
+                         "expire_ms": exp,
+                         "fields": list(zip(flds.to_list(), vals.to_list()))}
+                        for db, key, exp, flds, vals, _ in rows]
+    return entries
+
+
+def write_rdb_snapshot(keyspace_ds, out_dir: str, num_partitions: int = 16,
+                       lzf_sample: int = 1):
+    """Keyspace Dataset → partitioned RDB shard files (deterministic names,
+    atomic writes — a failed run overwrites its partial shard, the resume
+    contract of every sink in this engine). Returns per-shard lineage.
+    ``lzf_sample``: see sources/rdb.py::write_string (bulk sinks sample the
+    pure-Python LZF instead of paying it per value)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(t: pa.Table) -> pa.Table:
+        pid = int(t.column(COL_SLOT_PART)[0].as_py())
+        entries = _keyspace_to_entries(t.drop_columns([COL_SLOT_PART]))
+        path = os.path.join(out_dir, f"rdb_part_{pid:05d}.rdb")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(rdbmod.encode_rdb(entries, lzf_sample=lzf_sample))
+        os.replace(tmp, path)
+        return pa.table({"part_id": [pid], "keys": [len(entries)],
+                         "rows": [t.num_rows]})
+
+    return (keyspace_ds
+            .map_batches(lambda t: add_slot_partition(t, num_partitions),
+                         batch_format="pyarrow", batch_size=None)
+            .groupby(COL_SLOT_PART)
+            .map_groups(write_part, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------ RESP sinker
+
+def _rewrite_cmds(entries: list[dict]) -> list[list[bytes]]:
+    """entry_rewriter.rs rewrite_* analog: one idempotent command stream
+    per entry (hset/rpush/sadd/zadd grouped per key; set single)."""
+    cmds: list[list[bytes]] = []
+    for e in entries:
+        key = e["key"]
+        t = e["type"]
+        if t == "string":
+            cmds.append([b"SET", key, e["value"]])
+        elif t == "list":
+            cmds.append([b"RPUSH", key, *e["elements"]])
+        elif t == "set":
+            cmds.append([b"SADD", key, *e["elements"]])
+        elif t == "zset":
+            args = [b"ZADD", key]
+            for m, s in e["zset"]:
+                args += [rdbmod._format_score(s), m]
+            cmds.append(args)
+        elif t == "hash":
+            args = [b"HSET", key]
+            for fv in e["fields"]:
+                args += [fv[0], fv[1]]
+            cmds.append(args)
+        if e.get("expire_ms"):
+            cmds.append([b"PEXPIREAT", key, b"%d" % e["expire_ms"]])
+    return cmds
+
+
+def _restore_cmds(entries: list[dict]) -> list[list[bytes]]:
+    """entry_rewriter.rs rewrite_as_restore analog: RESTORE key ttl payload
+    REPLACE, payload = our DUMP encoding with the CRC-64 footer."""
+    return [[b"RESTORE", e["key"], b"%d" % e.get("expire_ms", 0),
+             rdbmod.dump_value(e), b"REPLACE"] for e in entries]
+
+
+def write_resp_sink(keyspace_ds, out_dir: str, num_partitions: int = 16,
+                    method: str = "rewrite"):
+    """Keyspace Dataset → RESP command files, one per slot partition
+    (RedisSinker analog; method = rewrite | restore, redis_write_method.rs)."""
+    os.makedirs(out_dir, exist_ok=True)
+    to_cmds = {"rewrite": _rewrite_cmds, "restore": _restore_cmds}[method]
+
+    def write_part(t: pa.Table) -> pa.Table:
+        pid = int(t.column(COL_SLOT_PART)[0].as_py())
+        entries = _keyspace_to_entries(t.drop_columns([COL_SLOT_PART]))
+        cmds = to_cmds(entries)
+        path = os.path.join(out_dir, f"aof_{pid:06d}.resp")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            for c in cmds:
+                f.write(encode_cmd(c))
+        os.replace(tmp, path)
+        return pa.table({"part_id": [pid], "cmds": [len(cmds)],
+                         "rows": [t.num_rows]})
+
+    return (keyspace_ds
+            .map_batches(lambda t: add_slot_partition(t, num_partitions),
+                         batch_format="pyarrow", batch_size=None)
+            .groupby(COL_SLOT_PART)
+            .map_groups(write_part, batch_format="pyarrow"))

@@ -1,0 +1,268 @@
+"""Redis family: RDB binary codec, RESP protocol, cluster slots, psync-log
+replay fold, RDB snapshot roundtrip, RESP/RESTORE sinkers.
+
+Codec vectors are public: CRC-64/REDIS and CRC16/XMODEM check values, the
+CLUSTER KEYSLOT examples from the redis docs (also quoted in the reference,
+key_parser.rs:168-175)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ape_dts_ray.sources import rdb as rdbmod
+from ape_dts_ray.sources.resp import (calc_slot, calc_slots, crc16,
+                                      encode_cmd, encode_cmds, parse_resp)
+
+
+# ------------------------------------------------------------ pure codec
+
+def test_crc_check_values():
+    assert rdbmod.crc64_redis(b"123456789") == 0xE9C6D914C4B8D9CA
+    assert crc16(b"123456789") == 0x31C3
+
+
+def test_cluster_slots():
+    # public vectors: redis docs CLUSTER KEYSLOT examples
+    assert calc_slot(b"somekey") == 11058
+    assert calc_slot(b"foo") == 12182
+    assert calc_slot(b"foo{hash_tag}") == calc_slot(b"bar{hash_tag}") == 2515
+    # empty hashtag falls back to the whole key
+    assert calc_slot(b"foo{}bar") == crc16(b"foo{}bar") & 0x3FFF
+    keys = pa.array(["somekey", "foo", "foo{hash_tag}", "bar{hash_tag}",
+                     "foo{}bar", "", "x" * 100])
+    got = calc_slots(keys)
+    want = [calc_slot(k.encode()) for k in keys.to_pylist()]
+    assert list(got) == want
+
+
+def test_lzf_roundtrip():
+    rng = np.random.default_rng(11)
+    cases = [b"", b"a" * 3000, b"abcabcabc" * 50,
+             bytes(rng.integers(0, 256, 400, dtype=np.uint8)),
+             bytes(rng.integers(97, 101, 8000, dtype=np.uint8))]
+    for data in cases:
+        comp = rdbmod.lzf_compress(data)
+        if comp is not None:
+            assert rdbmod.lzf_decompress(comp, len(data)) == data
+    # incompressible input is declined (stored raw by the writer)
+    assert rdbmod.lzf_compress(bytes(rng.integers(0, 256, 64, dtype=np.uint8))) is None
+
+
+def _sample_entries():
+    return [
+        {"db": 0, "key": b"s_raw", "type": "string",
+         "value": b"short", "expire_ms": 0},
+        {"db": 0, "key": b"s_lzf", "type": "string",
+         "value": b"compress me please " * 40, "expire_ms": 0},
+        {"db": 0, "key": b"s_int", "type": "string",
+         "value": b"-70000", "expire_ms": 1999999999999},
+        {"db": 0, "key": b"s_bin", "type": "string",
+         "value": bytes(range(256)), "expire_ms": 0},
+        {"db": 0, "key": b"l_lp", "type": "list",
+         "elements": [b"a", b"4095", b"-4096", b"128", b"x" * 200], "expire_ms": 0},
+        {"db": 0, "key": b"l_zl", "type": "list", "encoding": "ziplist",
+         "elements": [b"e", b"12", b"-1", b"40000", b"9999999999"], "expire_ms": 0},
+        {"db": 0, "key": b"l_big", "type": "list",
+         "elements": [b"%d" % i for i in range(400)], "expire_ms": 0},
+        {"db": 0, "key": b"l_plain", "type": "list", "encoding": "plain",
+         "elements": [b"p1", b"p2"], "expire_ms": 0},
+        {"db": 1, "key": b"set_int", "type": "set",
+         "elements": [b"3", b"-40000", b"5000000000"], "expire_ms": 0},
+        {"db": 1, "key": b"set_lp", "type": "set",
+         "elements": [b"m1", b"m2", b"77"], "expire_ms": 0},
+        {"db": 1, "key": b"set_plain", "type": "set", "encoding": "plain",
+         "elements": [b"big" * 60, b"z"], "expire_ms": 0},
+        {"db": 1, "key": b"z_lp", "type": "zset",
+         "zset": [(b"a", 1.5), (b"b", -3.0)], "expire_ms": 0},
+        {"db": 1, "key": b"z_zl", "type": "zset", "encoding": "ziplist",
+         "zset": [(b"c", 2.0)], "expire_ms": 0},
+        {"db": 1, "key": b"z_ascii", "type": "zset", "encoding": "zset",
+         "zset": [(b"d", 0.25), (b"e", 7.0)], "expire_ms": 0},
+        {"db": 1, "key": b"z_big", "type": "zset",
+         "zset": [(b"m%d" % i, i * 0.5) for i in range(300)], "expire_ms": 0},
+        {"db": 2, "key": b"h_lp", "type": "hash",
+         "fields": [(b"f1", b"v1"), (b"f2", b"123")], "expire_ms": 0},
+        {"db": 2, "key": b"h_zl", "type": "hash", "encoding": "ziplist",
+         "fields": [(b"f", b"v")], "expire_ms": 0},
+        {"db": 2, "key": b"h_big", "type": "hash",
+         "fields": [(b"f%d" % i, b"v%d" % i) for i in range(300)], "expire_ms": 0},
+        {"db": 2, "key": b"h_ttl", "type": "hash",
+         "fields": [(b"f1", b"v1", 1750000000123), (b"f2", b"v2", 0)],
+         "expire_ms": 0},
+        {"db": 2, "key": b"h_ttl_big", "type": "hash",
+         "fields": [(b"f%d" % i, b"v", 1750000000000 + i) for i in range(200)],
+         "expire_ms": 0},
+    ]
+
+
+def _norm_fields(fs):
+    return sorted((f[0], f[1], f[2] if len(f) == 3 else 0) for f in fs)
+
+
+def test_rdb_roundtrip_all_encodings():
+    entries = _sample_entries()
+    img = rdbmod.encode_rdb(entries)
+    meta, back = rdbmod.parse_rdb(img)
+    assert meta["version"] == "0011"
+    assert meta["aux"]["redis-bits"] == "64"
+    assert len(back) == len(entries)
+    want = {(e["db"], e["key"]): e for e in entries}
+    for b in back:
+        e = want[(b["db"], b["key"])]
+        assert b["type"] == e["type"]
+        assert b["expire_ms"] == e["expire_ms"]
+        if e["type"] == "string":
+            assert b["value"] == e["value"]
+        elif e["type"] == "list":
+            assert b["elements"] == e["elements"]
+        elif e["type"] == "set":
+            assert sorted(b["elements"]) == sorted(e["elements"])
+        elif e["type"] == "zset":
+            assert b["zset"] == e["zset"]
+        else:
+            assert _norm_fields(b["fields"]) == _norm_fields(e["fields"])
+
+
+def test_rdb_checksum_detects_corruption():
+    img = bytearray(rdbmod.encode_rdb(_sample_entries()[:3]))
+    img[30] ^= 0xFF
+    with pytest.raises(ValueError, match="checksum|rdb"):
+        rdbmod.parse_rdb(bytes(img))
+
+
+def test_rdb_unknown_type_raises():
+    img = bytearray(b"REDIS0011")
+    img.append(15)           # RDB_TYPE_STREAM_LISTPACKS: out of scope
+    with pytest.raises(ValueError, match="unsupported type"):
+        rdbmod.parse_rdb(bytes(img), verify_checksum=False)
+
+
+def test_dump_restore_payloads():
+    for e in _sample_entries()[:6]:
+        back = rdbmod.parse_dump_value(rdbmod.dump_value(e))
+        assert back["type"] == e["type"]
+        if e["type"] == "string":
+            assert back["value"] == e["value"]
+    # corrupted footer refuses
+    payload = bytearray(rdbmod.dump_value(_sample_entries()[0]))
+    payload[-1] ^= 1
+    with pytest.raises(ValueError, match="CRC"):
+        rdbmod.parse_dump_value(bytes(payload))
+
+
+def test_resp_roundtrip_binary_safe():
+    cmds = [[b"SET", b"k\x00", b"\xff\xfe\r\n"], [b"DEL", b"k2"],
+            [b"HSET", b"h", b"f", b""]]
+    blob = (b"+FULLRESYNC deadbeef 42\r\n" + encode_cmds(cmds)
+            + b"\n" + encode_cmd([b"PING"]))
+    parsed = parse_resp(blob, base_offset=500)
+    assert [a for _, a in parsed] == cmds + [[b"PING"]]
+    offs = [o for o, _ in parsed]
+    assert offs == sorted(offs) and offs[0] == 500 + 25
+
+
+# ------------------------------------------------------------ distributed
+
+@pytest.fixture
+def redis_dirs(tmp_path):
+    return str(tmp_path / "log"), str(tmp_path / "out")
+
+
+def _collect(ds) -> pa.Table:
+    batches = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(batches).combine_chunks() if batches else pa.table({})
+
+
+def test_replay_fold_and_sinkers(ray_session, redis_dirs):
+    from ape_dts_ray.pipelines.redis_replay import (
+        read_resp_log, replay_redis, write_resp_log, write_resp_sink)
+
+    log_dir, out_dir = redis_dirs
+    write_resp_log([
+        [b"SET", b"a", b"1"], [b"SET", b"a", b"2"],
+        [b"SET", b"gone", b"x"],
+        [b"HSET", b"h", b"f1", b"v1", b"f2", b"v2"],
+        [b"RPUSH", b"l", b"x", b"y"],
+    ], log_dir, 0)
+    write_resp_log([
+        [b"DEL", b"gone"],
+        [b"HDEL", b"h", b"f2"],
+        [b"RPUSH", b"l", b"z"],
+        [b"ZADD", b"z", b"1", b"m"], [b"ZADD", b"z", b"5", b"m"],
+        [b"SADD", b"s", b"p", b"q"], [b"SREM", b"s", b"p"],
+        [b"SET", b"ttl", b"t", b"PX", b"9000"],
+        [b"PEXPIREAT", b"ttl", b"1234567890123"],
+    ], log_dir, 1)
+
+    state = replay_redis(read_resp_log(log_dir), num_partitions=4)
+    t = _collect(state)
+    d = {(r["key"], r["field"], r["idx"]): r for r in t.to_pylist()}
+    assert d[(b"a", None, None)]["value"] == b"2"
+    assert (b"gone", None, None) not in d
+    assert d[(b"h", b"f1", None)]["value"] == b"v1"
+    assert (b"h", b"f2", None) not in d
+    assert [d[(b"l", None, i)]["value"] for i in range(3)] == [b"x", b"y", b"z"]
+    assert d[(b"z", b"m", None)]["score"] == 5.0
+    assert (b"s", b"p", None) not in d and (b"s", b"q", None) in d
+    assert d[(b"ttl", None, None)]["expire_ms"] == 1234567890123
+
+    # both sinker methods re-replay to the identical keyspace (idempotent
+    # rewrite, exactly the reference's serial_sink/rewrite contract)
+    ref = {(r["key"], r["field"], r["idx"]):
+           (r["value"], r["score"], r["expire_ms"]) for r in t.to_pylist()}
+    for method in ("rewrite", "restore"):
+        mdir = out_dir + "_" + method
+        lin = _collect(write_resp_sink(state, mdir, num_partitions=4,
+                                       method=method))
+        assert sum(lin.column("rows").to_pylist()) == t.num_rows
+        t2 = _collect(replay_redis(read_resp_log(mdir), num_partitions=4))
+        got = {(r["key"], r["field"], r["idx"]):
+               (r["value"], r["score"], r["expire_ms"]) for r in t2.to_pylist()}
+        assert got == ref, method
+
+
+def test_rdb_snapshot_roundtrip_distributed(ray_session, redis_dirs):
+    import ray
+
+    from ape_dts_ray.pipelines.redis_replay import (
+        KEYSPACE_SCHEMA, read_rdb_snapshot, write_rdb_snapshot)
+
+    _, out_dir = redis_dirs
+    n = 2000
+    rows = pa.table({
+        "db": pa.array(np.zeros(n, dtype=np.int32)),
+        "key": pa.array([b"k%04d" % i for i in range(n)], type=pa.binary()),
+        "rtype": pa.array(["string"] * n),
+        "field": pa.nulls(n, pa.binary()),
+        "idx": pa.nulls(n, pa.int64()),
+        "value": pa.array([b"payload %d " % i + b"z" * (i % 97)
+                           for i in range(n)], type=pa.binary()),
+        "score": pa.nulls(n, pa.float64()),
+        "expire_ms": pa.array(np.zeros(n, dtype=np.int64)),
+    }, schema=KEYSPACE_SCHEMA)
+    ds = ray.data.from_arrow(rows)
+    lin = _collect(write_rdb_snapshot(ds, out_dir, num_partitions=8))
+    assert sum(lin.column("keys").to_pylist()) == n
+    assert len([f for f in os.listdir(out_dir) if f.endswith(".rdb")]) == \
+        lin.num_rows
+    back = _collect(read_rdb_snapshot(out_dir))
+    assert back.num_rows == n
+    got = dict(zip(back.column("key").to_pylist(),
+                   back.column("value").to_pylist()))
+    want = dict(zip(rows.column("key").to_pylist(),
+                    rows.column("value").to_pylist()))
+    assert got == want
+
+
+def test_slot_partitioning_matches_cluster(ray_session):
+    """Keys land in the partition their CLUSTER KEYSLOT dictates — the
+    reshard-faithful RedisParallelizer contract."""
+    from ape_dts_ray.pipelines.redis_replay import add_slot_partition
+
+    keys = [b"user:%d" % i for i in range(500)]
+    t = pa.table({"key": pa.array(keys, type=pa.binary())})
+    out = add_slot_partition(t, 16)
+    pids = out.column("part_id").to_pylist()
+    assert pids == [calc_slot(k) % 16 for k in keys]
