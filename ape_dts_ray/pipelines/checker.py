@@ -175,7 +175,6 @@ def revise(lake, src_ds, check_ds,
 
     Raises if the defect set exceeds ``max_defects`` (broadcast-size guard)."""
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from ape_dts_ray.pipelines.replay import EpochWindow, replay_window
 
@@ -200,23 +199,61 @@ def revise(lake, src_ds, check_ds,
         if not picked.empty:
             yield pa.Table.from_pandas(picked, preserve_index=False)
 
-    fixes = src_ds.map_batches(pick, batch_format="pyarrow")
-    batches = list(fixes.iter_batches(batch_format="pyarrow"))
-    if not batches:
+    # The fix rows (incl. wide text payload) STAY a Dataset — only the
+    # G per-group row counts land on the driver. Offsets must be the same
+    # contiguous, deterministic wm+1..wm+n as a driver-side enumerate would
+    # give (delta-file byte determinism for resume), so: group fixes by a
+    # stable key hash, count per group (tiny), then assign
+    # base[g] + rank-within-group-sorted-by-key inside map_groups.
+    from ape_dts_ray.partition import hash_strings
+
+    G = 64
+
+    def tag_group(t: pa.Table) -> pa.Table:
+        drop = [c for c in ("log_offset", "seq", "op", "_epoch", "part_id")
+                if c in t.column_names]
+        t = t.drop_columns(drop)
+        combined = pd.Series(
+            t.column(kc[0]).cast(pa.string()).to_numpy(zero_copy_only=False))
+        for c in kc[1:]:
+            combined = combined + "\x1f" + pd.Series(
+                t.column(c).cast(pa.string()).to_numpy(zero_copy_only=False))
+        g = (hash_strings(combined.to_numpy()) % np.uint64(G)).astype(np.int32)
+        return t.append_column("_g", pa.array(g, type=pa.int32()))
+
+    fixes = (src_ds.map_batches(pick, batch_format="pyarrow")
+             .map_batches(tag_group, batch_format="pyarrow")
+             .materialize())
+    counts = {int(r["_g"]): int(r["count()"])
+              for r in fixes.groupby("_g").count().take_all()}
+    n = sum(counts.values())
+    if n == 0:
         return 0
-    fix_tbl = pa.concat_tables(batches)
-    engine_cols = [c for c in ("log_offset", "seq", "op", "_epoch", "part_id")
-                   if c in fix_tbl.column_names]
-    fix_tbl = fix_tbl.drop_columns(engine_cols)
     wm = lake.watermark()
-    n = fix_tbl.num_rows
-    ev = fix_tbl.append_column("log_offset", pa.array(
-        np.arange(wm + 1, wm + 1 + n, dtype=np.int64)))
-    ev = ev.append_column("op", pa.array(np.full(n, "insert", dtype=object),
-                                         type=pa.string()))
+    base = {}
+    acc = wm + 1
+    for g in sorted(counts):
+        base[g] = acc
+        acc += counts[g]
+
+    def assign(t: pa.Table) -> pa.Table:
+        g = int(t.column("_g")[0].as_py())
+        idx = pa.Table.from_arrays(
+            [t.column(c).cast(pa.string()) for c in kc], names=kc)
+        import polars as pl
+
+        order = pl.from_arrow(idx).with_row_index("_r").sort(kc)["_r"].to_numpy()
+        t = t.drop_columns(["_g"]).take(pa.array(order))
+        m = t.num_rows
+        t = t.append_column("log_offset", pa.array(
+            np.arange(base[g], base[g] + m, dtype=np.int64)))
+        return t.append_column("op", pa.array(
+            np.full(m, "insert", dtype=object), type=pa.string()))
+
+    ev_ds = fixes.groupby("_g").map_groups(assign, batch_format="pyarrow")
     prior = [e for e in lake.committed_epochs() if e >= REVISE_EPOCH_BASE]
     epoch = (max(prior) + 1) if prior else REVISE_EPOCH_BASE
     w = EpochWindow(epoch=epoch, lo=wm + 1, hi=wm + n, schema_version=lake.schema_version)
-    m = replay_window(lake, w, events_ds=rd.from_arrow(ev))
+    m = replay_window(lake, w, events_ds=ev_ds)
     lake.commit_epoch(m)
     return len(keyset)

@@ -390,9 +390,16 @@ def cdc_wide_types(sf_dir: str) -> pa.Table:
                      payload_cols=("amount", "payload_bin", "tier",
                                    "meta_json", "qty", "note"))
     root = tempfile.mkdtemp(prefix="ape_dts_ray_widetypes_")
+    # epoch_size scales with the input so the epoch count stays ~8 at every
+    # sf (4000 fixed meant 200 epochs → 50 serialized pipeline executions at
+    # sf0.1); the floor keeps ≥2 epochs at sf0.001 so the mid-replay crash
+    # below still lands on a real epoch boundary
+    import pyarrow.parquet as pq
+
+    n_events = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     lake = LakeTable.create(root + "/lake", meta,
                             EngineConfig(num_partitions=QUERY_PARTITIONS,
-                                         epoch_size=4000))
+                                         epoch_size=max(4000, n_events // 8)))
     lake.set_schema_ops([
         {"op": "rename", "from": "payload_bin", "to": "payload"},
         {"op": "widen", "col": "qty", "type": "int64"},
