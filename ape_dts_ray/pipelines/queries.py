@@ -619,11 +619,10 @@ def _redis_cmds_batch(t: pa.Table) -> pa.Table:
     import pandas as pd
 
     df = t.to_pandas()
-    eid, uid, props = df["event_id"], df["user_id"], df["props"]
     et = df["event_type"]
 
     def frame(args):
-        s = pd.Series([f"*{len(args)}\r\n"] * len(df), index=df.index)
+        s = pd.Series(f"*{len(args)}\r\n", index=args[-1].index)
         for a in args:
             if isinstance(a, str):
                 s = s + f"${len(a)}\r\n{a}\r\n"
@@ -631,21 +630,34 @@ def _redis_cmds_batch(t: pa.Table) -> pa.Table:
                 s = s + "$" + a.str.len().astype(str) + "\r\n" + a + "\r\n"
         return s
 
-    skey = "ev:" + (eid % _STR_MOD).astype(str)
-    sval = "v:" + eid.astype(str) + ":" + props
-    hkey = "conv:" + uid.astype(str)
-    hfld = "f" + (eid % 40).astype(str)
-    zkey = "zrank:" + (uid % _ZKEY_MOD).astype(str)
-    zmem = "m" + uid.astype(str)
-    zscore = df["value"].astype(str)        # shortest-roundtrip repr: exact
-    cmd = np.select(
-        [et.eq("error"), et.isin(["click", "view"]), et.eq("signup")],
-        [frame(["DEL", skey]), frame(["SET", skey, sval]),
-         frame(["HSET", hkey, hfld, props])],
-        default=frame(["ZADD", zkey, zscore, zmem]))
+    # build each frame only on its event-type subset (building all four on
+    # the full batch quadrupled the string work — this stage was 4s of the
+    # query's 3.9s at sf0.1)
+    cmd = pd.Series(index=df.index, dtype=object)
+    m_del = et.eq("error").to_numpy()
+    m_set = et.isin(["click", "view"]).to_numpy()
+    m_hset = et.eq("signup").to_numpy()
+    m_zadd = ~(m_del | m_set | m_hset)
+    for mask, build in (
+        (m_del, lambda d: frame([
+            "DEL", "ev:" + (d["event_id"] % _STR_MOD).astype(str)])),
+        (m_set, lambda d: frame([
+            "SET", "ev:" + (d["event_id"] % _STR_MOD).astype(str),
+            "v:" + d["event_id"].astype(str) + ":" + d["props"]])),
+        (m_hset, lambda d: frame([
+            "HSET", "conv:" + d["user_id"].astype(str),
+            "f" + (d["event_id"] % 40).astype(str), d["props"]])),
+        (m_zadd, lambda d: frame([
+            "ZADD", "zrank:" + (d["user_id"] % _ZKEY_MOD).astype(str),
+            d["value"].astype(str),     # shortest-roundtrip repr: exact
+            "m" + d["user_id"].astype(str)])),
+    ):
+        if mask.any():
+            cmd[mask] = build(df[mask])
+    eid = df["event_id"]
     return pa.table({"chunk": (eid // REDIS_CHUNK).to_numpy(),
                      "event_id": eid.to_numpy(),
-                     "cmd": cmd.astype(object)})
+                     "cmd": cmd.to_numpy()})
 
 
 def redis_replay(sf_dir: str) -> pa.Table:
