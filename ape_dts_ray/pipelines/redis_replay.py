@@ -170,6 +170,17 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
         elif cmd == b"PEXPIREAT":
             emit(args[1], "expire", "key", "expire",
                  score=float(int(args[2])), off=off)
+        elif cmd == b"XADD":
+            if args[2] == b"*":
+                raise ValueError("redis replay: XADD * is non-deterministic; "
+                                 "logs must carry explicit stream ids")
+            eid = args[2]
+            for s, i in enumerate(range(3, len(args) - 1, 2)):
+                emit(args[1], "field", "stream", "add",
+                     field=eid + b":" + args[i], value=args[i + 1],
+                     off=off, seq=s)
+        elif cmd in (b"XSETID", b"XGROUP"):
+            continue    # metadata; the sink re-derives last_id from max id
         elif cmd == b"RESTORE":
             entry = rdbmod.parse_dump_value(args[3])
             entry["key"] = args[1]
@@ -319,6 +330,13 @@ def _entries_table(entries: list[dict]) -> pa.Table:
         elif t == "hash":
             for fv in e["fields"]:
                 emit(e, field=fv[0], value=fv[1])
+        elif t == "stream":
+            # one row per (entry, field); the composite field key
+            # "<id>:<name>" is safe to split on the first ':' because stream
+            # ids are digits+dash; idx preserves entry + field order
+            for eo, (eid, fvs) in enumerate(e["entries"]):
+                for fo, (f, v) in enumerate(fvs):
+                    emit(e, field=eid + b":" + f, idx=eo * 65536 + fo, value=v)
     return pa.Table.from_pydict(cols, schema=KEYSPACE_SCHEMA)
 
 
@@ -358,7 +376,7 @@ def _keyspace_to_entries(t: pa.Table) -> list[dict]:
                 for db, key, exp, val in zip(strings["db"], strings["key"],
                                              strings["expire_ms"],
                                              strings["value"])]
-    for rtype in ("list", "set", "zset", "hash"):
+    for rtype in ("list", "set", "zset", "hash", "stream"):
         sub = df.filter(pl.col("rtype") == rtype)
         if sub.height == 0:
             continue
@@ -379,11 +397,30 @@ def _keyspace_to_entries(t: pa.Table) -> list[dict]:
                          "expire_ms": exp,
                          "zset": list(zip(flds.to_list(), scores.to_list()))}
                         for db, key, exp, flds, _, scores in rows]
-        else:
+        elif rtype == "hash":
             entries += [{"db": db, "key": key, "type": rtype,
                          "expire_ms": exp,
                          "fields": list(zip(flds.to_list(), vals.to_list()))}
                         for db, key, exp, flds, vals, _ in rows]
+        else:                                   # stream: regroup by entry id
+            for db, key, exp, flds, vals, _ in rows:
+                items = []
+                for f, v in zip(flds.to_list(), vals.to_list()):
+                    eid, _, fname = bytes(f).partition(b":")
+                    ms, _, seq = eid.partition(b"-")
+                    items.append((int(ms), int(seq or b"0"), eid, fname, v))
+                items.sort(key=lambda x: x[:2])   # id order; field order is
+                ents: list = []                   # row (idx) order within id
+                for ms, seq, eid, fname, v in items:
+                    if ents and ents[-1][0] == eid:
+                        ents[-1][1].append((fname, v))
+                    else:
+                        ents.append((eid, [(fname, v)]))
+                entries.append({
+                    "db": db, "key": key, "type": "stream", "expire_ms": exp,
+                    "entries": [(i, fv) for i, fv in ents],
+                    "last_id": ents[-1][0] if ents else b"0-0",
+                    "groups": []})                # groups aren't keyspace rows
     return entries
 
 
@@ -439,6 +476,16 @@ def _rewrite_cmds(entries: list[dict]) -> list[list[bytes]]:
             for fv in e["fields"]:
                 args += [fv[0], fv[1]]
             cmds.append(args)
+        elif t == "stream":
+            for eid, fvs in e["entries"]:
+                args = [b"XADD", key, eid]
+                for f, v in fvs:
+                    args += [f, v]
+                cmds.append(args)
+            if e.get("last_id"):
+                cmds.append([b"XSETID", key, e["last_id"]])
+            for gname, gid in e.get("groups", []):
+                cmds.append([b"XGROUP", b"CREATE", key, gname, gid])
         if e.get("expire_ms"):
             cmds.append([b"PEXPIREAT", key, b"%d" % e["expire_ms"]])
     return cmds

@@ -7,10 +7,10 @@ Closes the last SURVEY §2 coverage gap (the Redis family):
   reference's parser tree (dt-connector/src/extractor/redis/rdb/rdb_parser.rs,
   reader/{length,string,zip_list,list_pack}.rs, entry_parser/*.rs). Handles
   the same type bytes: string(0), list(1/10/14/18), set(2/11/20),
-  zset(3/5/12/17), hash(4/13/16/24/25) and opcodes SELECT/EXPIRE/EXPIRE_MS/
-  AUX/RESIZEDB/IDLE/FREQ/EOF. Unknown types raise (honest, like the
-  reference's bail) — zipmap(9)/streams(15,19,21)/modules(6,7) are pre-2.6 or
-  module territory and documented out of scope in COVERAGE.md.
+  zset(3/5/12/17), hash(4/13/16/24/25), stream(15/19/21) and opcodes
+  SELECT/EXPIRE/EXPIRE_MS/AUX/RESIZEDB/IDLE/FREQ/EOF. Unknown types raise
+  (honest, like the reference's bail) — zipmap(9) and modules(6,7) are
+  pre-2.6 / module territory and documented out of scope in COVERAGE.md.
 - ``encode_rdb``    — writer used by the RDB sinker/fixtures so every decode
   path (int strings, LZF, intset, ziplist, listpack, quicklist2, binary
   doubles, field TTLs) is exercised against real bytes, the same
@@ -142,10 +142,13 @@ RDB_TYPE_SET_INTSET = 11
 RDB_TYPE_ZSET_ZIPLIST = 12
 RDB_TYPE_HASH_ZIPLIST = 13
 RDB_TYPE_LIST_QUICKLIST = 14
+RDB_TYPE_STREAM_LISTPACKS = 15
 RDB_TYPE_HASH_LISTPACK = 16
 RDB_TYPE_ZSET_LISTPACK = 17
 RDB_TYPE_LIST_QUICKLIST_2 = 18
+RDB_TYPE_STREAM_LISTPACKS_2 = 19
 RDB_TYPE_SET_LISTPACK = 20
+RDB_TYPE_STREAM_LISTPACKS_3 = 21
 RDB_TYPE_HASH_METADATA = 24
 RDB_TYPE_HASH_LISTPACK_EX = 25
 
@@ -156,6 +159,8 @@ _VALUE_TYPE_BYTES = {
     RDB_TYPE_LIST_QUICKLIST, RDB_TYPE_HASH_LISTPACK, RDB_TYPE_ZSET_LISTPACK,
     RDB_TYPE_LIST_QUICKLIST_2, RDB_TYPE_SET_LISTPACK,
     RDB_TYPE_HASH_METADATA, RDB_TYPE_HASH_LISTPACK_EX,
+    RDB_TYPE_STREAM_LISTPACKS, RDB_TYPE_STREAM_LISTPACKS_2,
+    RDB_TYPE_STREAM_LISTPACKS_3,
 }
 
 # opcodes (rdb_parser.rs:9-20)
@@ -490,8 +495,78 @@ def _parse_value(r: RdbReader, tb: int, entry: dict) -> None:
                 raise ValueError("rdb: listpack_ex length not multiple of 3")
             entry["fields"] = [(flat[i], flat[i + 1], int(flat[i + 2]))
                                for i in range(0, len(flat), 3)]
+    elif tb in (RDB_TYPE_STREAM_LISTPACKS, RDB_TYPE_STREAM_LISTPACKS_2,
+                RDB_TYPE_STREAM_LISTPACKS_3):
+        _parse_stream(r, tb, entry)
     else:  # pragma: no cover - guarded by _VALUE_TYPE_BYTES
         raise ValueError(f"rdb: type byte {tb}")
+
+
+def _parse_stream(r: RdbReader, tb: int, entry: dict) -> None:
+    """Stream layout (redis src/rdb.c rdbLoadObject RDB_TYPE_STREAM_*;
+    reference analog stream_parser.rs:13-205): rax of (master-id → listpack
+    of [count, deleted, num-master-fields, master-fields..., "0", then per
+    entry: flags, ms-delta, seq-delta, values-or-explicit-pairs, lp_count]),
+    then stream length, last id, (v2+: first id, max-deleted id,
+    entries-added), consumer groups with PELs. We materialize the live
+    entries and group names; PEL bookkeeping is consumed and dropped (the
+    reference turns it into XCLAIM commands; our sink re-derives ids)."""
+    entries: list[tuple[bytes, list[tuple[bytes, bytes]]]] = []
+    for _ in range(r.read_length()):
+        master = r.read_string()
+        mms = int.from_bytes(master[:8], "big")
+        mseq = int.from_bytes(master[8:], "big")
+        els = r.read_listpack()
+        count, deleted, nf = int(els[0]), int(els[1]), int(els[2])
+        fields = els[3:3 + nf]
+        i = 3 + nf
+        if els[i] != b"0":
+            raise ValueError("rdb: stream master block not 0-terminated")
+        i += 1
+        while count or deleted:
+            flags, ems, eseq = int(els[i]), int(els[i + 1]), int(els[i + 2])
+            i += 3
+            eid = b"%d-%d" % (ems + mms, eseq + mseq)
+            if flags & 2:                    # SAMEFIELDS as master
+                fvs = list(zip(fields, els[i:i + nf]))
+                i += nf
+            else:
+                num = int(els[i]); i += 1
+                fvs = [(els[i + 2 * k], els[i + 2 * k + 1]) for k in range(num)]
+                i += 2 * num
+            i += 1                           # lp_count (backward-iter aid)
+            if flags & 1:                    # deleted tombstone
+                deleted -= 1
+            else:
+                count -= 1
+                entries.append((eid, fvs))
+    r.read_length()                          # stream length
+    entry["type"] = "stream"
+    entry["entries"] = entries
+    entry["last_id"] = b"%d-%d" % (r.read_length(), r.read_length())
+    if tb >= RDB_TYPE_STREAM_LISTPACKS_2:
+        r.read_length(); r.read_length()     # first id
+        r.read_length(); r.read_length()     # max-deleted id
+        r.read_length()                      # entries-added
+    groups = []
+    for _ in range(r.read_length()):
+        gname = r.read_string()
+        gid = b"%d-%d" % (r.read_length(), r.read_length())
+        if tb >= RDB_TYPE_STREAM_LISTPACKS_2:
+            r.read_length()                  # group entries-read offset
+        for _ in range(r.read_length()):     # global PEL
+            r.read(16)                       # id (BE ms+seq)
+            r.read(8)                        # delivery time
+            r.read_length()                  # delivery count
+        for _ in range(r.read_length()):     # consumers
+            r.read_string()
+            r.read(8)                        # seen time
+            if tb >= RDB_TYPE_STREAM_LISTPACKS_3:
+                r.read(8)                    # active time
+            for _ in range(r.read_length()):
+                r.read(16)                   # consumer PEL id
+        groups.append((gname, gid))
+    entry["groups"] = groups
 
 
 # ---------------------------------------------------------------- encode
@@ -785,8 +860,66 @@ def _encode_value(out: bytearray, e: dict, packed_threshold: int,
             header(RDB_TYPE_HASH_LISTPACK)
             flat = [x for fv in fields for x in fv[:2]]
             wstr(encode_listpack(flat), try_int=False)
+    elif t == "stream":
+        header(RDB_TYPE_STREAM_LISTPACKS_2)
+        _encode_stream(out, e, wstr)
     else:
         raise ValueError(f"rdb: entry type {t}")
+
+
+def _parse_id(eid: bytes) -> tuple[int, int]:
+    ms, _, seq = eid.partition(b"-")
+    return int(ms), int(seq or b"0")
+
+
+def _encode_stream(out: bytearray, e: dict, wstr) -> None:
+    """One listpack holding every live entry (entries must be id-sorted, as
+    XADD guarantees); master id = first entry, SAMEFIELDS when an entry's
+    field names match the master's. Groups written with empty PELs."""
+    entries = e.get("entries", [])
+    if entries:
+        ids = [_parse_id(i) for i, _ in entries]
+        if ids != sorted(ids):
+            raise ValueError("rdb: stream entries must be id-ordered")
+        mms, mseq = ids[0]
+        master_fields = [f for f, _ in entries[0][1]]
+        els: list[bytes] = [b"%d" % len(entries), b"0",
+                            b"%d" % len(master_fields), *master_fields, b"0"]
+        for (ms, seq), (_, fvs) in zip(ids, entries):
+            same = [f for f, _ in fvs] == master_fields
+            els += [b"2" if same else b"0",
+                    b"%d" % (ms - mms), b"%d" % (seq - mseq)]
+            if same:
+                els += [v for _, v in fvs]
+                lp_count = 4 + len(fvs)
+            else:
+                els.append(b"%d" % len(fvs))
+                for f, v in fvs:
+                    els += [f, v]
+                lp_count = 5 + 2 * len(fvs)
+            els.append(b"%d" % lp_count)
+        write_length(out, 1)
+        # master key: 16 bytes big-endian ms+seq, stored as an RDB string
+        wstr(struct.pack(">QQ", mms, mseq), try_int=False)
+        wstr(encode_listpack(els), try_int=False)
+    else:
+        write_length(out, 0)
+    write_length(out, len(entries))              # stream length
+    last = _parse_id(e.get("last_id") or (entries[-1][0] if entries else b"0-0"))
+    write_length(out, last[0]); write_length(out, last[1])
+    first = _parse_id(entries[0][0]) if entries else (0, 0)
+    write_length(out, first[0]); write_length(out, first[1])
+    write_length(out, 0); write_length(out, 0)   # max-deleted id
+    write_length(out, len(entries))              # entries-added
+    groups = e.get("groups", [])
+    write_length(out, len(groups))
+    for gname, gid in groups:
+        wstr(gname, try_int=False)
+        g = _parse_id(gid)
+        write_length(out, g[0]); write_length(out, g[1])
+        write_length(out, 0)                     # entries-read offset
+        write_length(out, 0)                     # global PEL
+        write_length(out, 0)                     # consumers
 
 
 def _format_score(s: float) -> bytes:

@@ -134,9 +134,30 @@ def test_rdb_checksum_detects_corruption():
 
 def test_rdb_unknown_type_raises():
     img = bytearray(b"REDIS0011")
-    img.append(15)           # RDB_TYPE_STREAM_LISTPACKS: out of scope
+    img.append(9)            # RDB_TYPE_HASH_ZIPMAP: pre-2.6, out of scope
     with pytest.raises(ValueError, match="unsupported type"):
         rdbmod.parse_rdb(bytes(img), verify_checksum=False)
+
+
+def _stream_entry():
+    return {"db": 0, "key": b"st", "type": "stream", "expire_ms": 0,
+            "entries": [
+                (b"1700000000000-0", [(b"a", b"1"), (b"b", b"2")]),
+                (b"1700000000000-1", [(b"a", b"3"), (b"b", b"4")]),
+                (b"1700000000050-0", [(b"x", b"9")]),
+            ],
+            "last_id": b"1700000000050-0",
+            "groups": [(b"g1", b"1700000000000-1")]}
+
+
+def test_stream_roundtrip():
+    e = _stream_entry()
+    _, back = rdbmod.parse_rdb(rdbmod.encode_rdb([e]))
+    assert back[0]["entries"] == e["entries"]
+    assert back[0]["last_id"] == e["last_id"]
+    assert back[0]["groups"] == e["groups"]
+    p = rdbmod.parse_dump_value(rdbmod.dump_value(e))
+    assert p["entries"] == e["entries"]
 
 
 def test_dump_restore_payloads():
@@ -266,3 +287,40 @@ def test_slot_partitioning_matches_cluster(ray_session):
     out = add_slot_partition(t, 16)
     pids = out.column("part_id").to_pylist()
     assert pids == [calc_slot(k) % 16 for k in keys]
+
+
+def test_stream_replay_and_sinkers(ray_session, redis_dirs):
+    """XADD through the fold, then both sinker methods re-replay streams to
+    the identical keyspace (incl. RDB snapshot roundtrip)."""
+    from ape_dts_ray.pipelines.redis_replay import (
+        read_rdb_snapshot, read_resp_log, replay_redis, write_rdb_snapshot,
+        write_resp_log, write_resp_sink)
+
+    log_dir, out_dir = redis_dirs
+    write_resp_log([
+        [b"XADD", b"st", b"1-0", b"a", b"1", b"b", b"2"],
+        [b"XADD", b"st", b"1-1", b"a", b"3", b"b", b"4"],
+        [b"XADD", b"st", b"2-0", b"x", b"9"],
+        [b"XSETID", b"st", b"2-0"],
+        [b"XGROUP", b"CREATE", b"st", b"g", b"1-1"],
+        [b"SET", b"plain", b"v"],
+    ], log_dir, 0)
+    state = replay_redis(read_resp_log(log_dir), num_partitions=4)
+    t = _collect(state)
+    rows = {(r["key"], r["field"]): r["value"] for r in t.to_pylist()}
+    assert rows[(b"st", b"1-0:a")] == b"1"
+    assert rows[(b"st", b"2-0:x")] == b"9"
+    assert rows[(b"plain", None)] == b"v"
+
+    for method in ("rewrite", "restore"):
+        mdir = out_dir + "_stream_" + method
+        _collect(write_resp_sink(state, mdir, num_partitions=4, method=method))
+        t2 = _collect(replay_redis(read_resp_log(mdir), num_partitions=4))
+        got = {(r["key"], r["field"]): r["value"] for r in t2.to_pylist()}
+        assert got == rows, method
+
+    rdb_dir = out_dir + "_stream_rdb"
+    _collect(write_rdb_snapshot(state, rdb_dir, num_partitions=4))
+    t3 = _collect(read_rdb_snapshot(rdb_dir))
+    got = {(r["key"], r["field"]): r["value"] for r in t3.to_pylist()}
+    assert got == rows
