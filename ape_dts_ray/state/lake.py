@@ -66,6 +66,15 @@ class LakeTable:
         # precheck and snapshot-load validation): list of
         # {"type": "not_null", "col": c} | {"type": "unique", "cols": [...]}
         self.constraints: list[dict] = []
+        # sequence descriptors (structure/sequence.rs analog): the migration
+        # handoff step is "setval to max" so the target keeps inserting —
+        # here advance_sequences() computes next_value from the live state.
+        # {"name", "col", "increment"?: 1, "start_value"?: 1, "next_value"}
+        self.sequences: list[dict] = []
+        # comment descriptors (structure/comment.rs analog): surfaced as
+        # Arrow schema/field metadata so they ride INSIDE the Parquet files.
+        # {"type": "table"|"column", "column"?: c, "comment": str}
+        self.comments: list[dict] = []
 
     # ---------- lifecycle ----------
     @classmethod
@@ -111,6 +120,8 @@ class LakeTable:
                 schema_ops=d.get("schema_ops", []))
         t.truncate_offset = d.get("truncate_offset", -1)
         t.constraints = d.get("constraints", [])
+        t.sequences = d.get("sequences", [])
+        t.comments = d.get("comments", [])
         return t
 
     def _save_table_json(self) -> None:
@@ -129,6 +140,8 @@ class LakeTable:
             "schema_ops": self.schema_ops,
             "truncate_offset": self.truncate_offset,
             "constraints": self.constraints,
+            "sequences": self.sequences,
+            "comments": self.comments,
         }
         atomic_write_text(os.path.join(self.root, TABLE_FILE),
                           json.dumps(d, indent=1, sort_keys=True))
@@ -208,6 +221,74 @@ class LakeTable:
         self.constraints = list(constraints)
         self._save_table_json()
 
+    def set_sequences(self, sequences: list[dict]) -> None:
+        """Register (and persist) sequence descriptors
+        (struct_meta/structure/sequence.rs analog: name/start/increment;
+        a Parquet lake has no server-side counter, so the sequence's STATE
+        is next_value, maintained by advance_sequences)."""
+        out = []
+        for s in sequences:
+            if "name" not in s or "col" not in s:
+                raise ValueError(f"sequence needs 'name' and 'col': {s}")
+            d = {"name": s["name"], "col": s["col"],
+                 "increment": int(s.get("increment", 1)),
+                 "start_value": int(s.get("start_value", 1))}
+            d["next_value"] = int(s.get("next_value", d["start_value"]))
+            out.append(d)
+        self.sequences = out
+        self._save_table_json()
+
+    def advance_sequences(self) -> dict[str, int]:
+        """The migration's sequence-handoff step (PG: setval(max(col)) after
+        the copy, so inserts on the target continue where the source left
+        off): next_value = max(col over live state) + increment, computed
+        distributed (pruned column read). Returns {name: next_value}."""
+        out = {}
+        for s in self.sequences:
+            ds = self.state_dataset(columns=[s["col"]])
+            mx = ds.max(s["col"])
+            if mx is not None:
+                s["next_value"] = max(s["next_value"],
+                                      int(mx) + s["increment"])
+            out[s["name"]] = s["next_value"]
+        if self.sequences:
+            self._save_table_json()
+        return out
+
+    def set_comments(self, comments: list[dict]) -> None:
+        """Register (and persist) table/column comment descriptors
+        (struct_meta/structure/comment.rs analog). Column comments are
+        attached as Arrow field metadata by state_table(), so they travel
+        inside any Parquet the state is exported to."""
+        for c in comments:
+            if c.get("type") not in ("table", "column"):
+                raise ValueError(f"comment type must be table|column: {c}")
+            if c["type"] == "column" and not c.get("column"):
+                raise ValueError(f"column comment needs 'column': {c}")
+            if "comment" not in c:
+                raise ValueError(f"comment needs 'comment': {c}")
+        self.comments = list(comments)
+        self._save_table_json()
+
+    def _with_comment_metadata(self, t: "pa.Table") -> "pa.Table":
+        if not self.comments:
+            return t
+        col_comments = {c["column"]: c["comment"] for c in self.comments
+                        if c["type"] == "column"}
+        tbl_comment = next((c["comment"] for c in self.comments
+                            if c["type"] == "table"), None)
+        fields = []
+        for f in t.schema:
+            if f.name in col_comments:
+                f = f.with_metadata({**(f.metadata or {}),
+                                     b"comment": col_comments[f.name]})
+            fields.append(f)
+        schema = pa.schema(fields,
+                           metadata={**(t.schema.metadata or {}),
+                                     **({b"comment": tbl_comment}
+                                        if tbl_comment else {})})
+        return t.cast(schema)
+
     def set_schema_ops(self, ops: list[dict]) -> None:
         """Register (and persist) non-additive schema-evolution ops — the DDL
         execution point (ddl_type.rs rename/drop/alter analog). Renaming or
@@ -280,7 +361,7 @@ class LakeTable:
             out = out.drop_columns(drop)
         import pyarrow.compute as pc
         idx = pc.sort_indices(out, sort_keys=[(c, "ascending") for c in self.meta.order_cols])
-        return out.take(idx)
+        return self._with_comment_metadata(out.take(idx))
 
     # ---------- compaction ----------
     def compact(self, new_hot_keys: tuple[str, ...] | None = None,

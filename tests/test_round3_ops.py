@@ -265,3 +265,48 @@ def test_two_way_cycle_converges_without_ping_pong(tmp_path):
     pd.testing.assert_series_equal(sa["text"], oracle["text"],
                                    check_dtype=False, check_names=False)
     pd.testing.assert_frame_equal(sa, sb)
+
+
+def test_sequences_and_comments(ray_session, tmp_path):
+    """Structure-migration breadth (structure_type.rs Sequence/Comment):
+    sequence handoff advances next_value to max(col)+increment over the live
+    state; comments ride as Arrow schema/field metadata; both persist."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable
+
+    events = gen_events(seed=9, n_convs=20, n_events=3000)
+    p = tmp_path / "ev.parquet"
+    pq.write_table(events, str(p))
+    lake = LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(num_partitions=4, epoch_size=1000))
+    lake.set_sequences([{"name": "turn_seq", "col": "turn_idx",
+                         "increment": 1}])
+    lake.set_comments([
+        {"type": "table", "comment": "conversation turns"},
+        {"type": "column", "column": "text", "comment": "utterance body"},
+    ])
+    replay(lake, events_path=str(p))
+    adv = lake.advance_sequences()
+    mx = lake.state_dataset(columns=["turn_idx"]).max("turn_idx")
+    assert adv["turn_seq"] == mx + 1
+
+    t = lake.state_table()
+    assert t.schema.metadata[b"comment"] == b"conversation turns"
+    assert t.schema.field("text").metadata[b"comment"] == b"utterance body"
+
+    # persistence across reopen; advancing again is monotonic/idempotent
+    lake2 = LakeTable.open(lake.root)
+    assert lake2.sequences[0]["next_value"] == mx + 1
+    assert lake2.advance_sequences()["turn_seq"] == mx + 1
+    assert lake2.comments == lake.comments
+
+    # validation
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lake.set_sequences([{"name": "x"}])
+    with _pytest.raises(ValueError):
+        lake.set_comments([{"type": "column", "comment": "no col"}])
