@@ -14,6 +14,7 @@ adapter closes the most common real-world shape by translating the DDL
     ALTER TABLE t ADD COLUMN c <type>           → additive (no op needed;
                                                   validated + recorded)
     ALTER TABLE t MODIFY [COLUMN] c <type>      → {"op": "widen", ...}
+    ALTER TABLE t CHANGE [COLUMN] a b <type>    → rename + widen (MySQL)
     ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE <type>   (PG spelling)
     TRUNCATE [TABLE] t                          → LakeTable.truncate()
 
@@ -95,6 +96,10 @@ _RE_ALTER_TYPE = re.compile(
     rf"^ALTER\s+TABLE\s+(?P<tb>{_QUALID})\s+ALTER\s+(?:COLUMN\s+)?"
     rf"(?P<col>{_ID})\s+(?:SET\s+DATA\s+)?TYPE\s+"
     rf"(?P<type>[\w\s]+(?:\([^)]*\))?)\s*;?\s*$", re.I)
+_RE_CHANGE = re.compile(
+    rf"^ALTER\s+TABLE\s+(?P<tb>{_QUALID})\s+CHANGE\s+(?:COLUMN\s+)?"
+    rf"(?P<src>{_ID})\s+(?P<dst>{_ID})\s+(?P<type>[\w\s]+(?:\([^)]*\))?[\w\s]*?)"
+    rf"(?:\s+(?:NULL|NOT\s+NULL|DEFAULT\s+\S+))*\s*;?\s*$", re.I)
 _RE_TRUNCATE = re.compile(
     rf"^TRUNCATE\s+(?:TABLE\s+)?(?P<tb>{_QUALID})\s*;?\s*$", re.I)
 
@@ -125,6 +130,17 @@ def parse_ddl(sql: str) -> ParsedDdl:
         return ParsedDdl("widen", _ident(m["tb"]),
                          {"op": "widen", "col": _ident(m["col"]),
                           "type": _map_type(m["type"])})
+    m = _RE_CHANGE.match(s)
+    if m:   # MySQL CHANGE = rename + full new definition in one statement;
+            # emitted as rename then widen-on-the-new-name (extra carries
+            # the second op; same-name CHANGE degenerates to a widen)
+        src, dst = _ident(m["src"]), _ident(m["dst"])
+        widen = {"op": "widen", "col": dst, "type": _map_type(m["type"])}
+        if src == dst:
+            return ParsedDdl("widen", _ident(m["tb"]), widen)
+        return ParsedDdl("rename", _ident(m["tb"]),
+                         {"op": "rename", "from": src, "to": dst},
+                         {"also": widen})
     m = _RE_ADD.match(s)
     if m:   # additive evolution: new columns just appear in the stream and
             # fold_state null-backfills older files — no merge-op needed
@@ -146,7 +162,10 @@ def apply_ddl(lake, sql: str) -> ParsedDdl:
     parsed statement so replay drivers can place the epoch barrier."""
     parsed = parse_ddl(sql)
     if parsed.kind in ("rename", "drop", "widen"):
-        lake.set_schema_ops([*lake.schema_ops, parsed.schema_op])
+        ops = [*lake.schema_ops, parsed.schema_op]
+        if parsed.extra.get("also"):
+            ops.append(parsed.extra["also"])
+        lake.set_schema_ops(ops)
     elif parsed.kind == "add":
         if parsed.extra["col"] in lake.meta.id_cols:
             raise DdlError(f"ADD COLUMN {parsed.extra['col']!r} collides "

@@ -191,3 +191,29 @@ def test_truncate_crash_marker_blocks_replay_and_rerun_finishes(tmp_path,
     assert not lake2.truncate_in_progress()
     assert lake2.state_table().num_rows == 0
     assert lake2.watermark() == wm
+
+
+def test_change_column(ray_session, tmp_path):
+    """MySQL CHANGE COLUMN = rename + new definition in one statement."""
+    from ape_dts_ray.stages.ddl import apply_ddl, parse_ddl
+
+    p = parse_ddl("ALTER TABLE t CHANGE COLUMN a b BIGINT")
+    assert p.kind == "rename"
+    assert p.schema_op == {"op": "rename", "from": "a", "to": "b"}
+    assert p.extra["also"] == {"op": "widen", "col": "b", "type": "int64"}
+    # same-name CHANGE degenerates to a widen
+    p2 = parse_ddl("ALTER TABLE t CHANGE c c DECIMAL(18,4)")
+    assert p2.kind == "widen"
+    assert p2.schema_op == {"op": "widen", "col": "c",
+                            "type": "decimal128(18,4)"}
+
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.state.lake import LakeTable
+
+    lake = LakeTable.create(
+        str(tmp_path / "lake"),
+        TableMeta(payload_cols=("role", "text", "tool", "ts", "a")),
+        EngineConfig(num_partitions=2))
+    apply_ddl(lake, "ALTER TABLE t CHANGE COLUMN a b BIGINT")
+    assert {"op": "rename", "from": "a", "to": "b"} in lake.schema_ops
+    assert {"op": "widen", "col": "b", "type": "int64"} in lake.schema_ops
