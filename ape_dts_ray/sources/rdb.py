@@ -306,6 +306,10 @@ class RdbReader:
     def read_listpack(self) -> list[bytes]:
         buf = self.read_string()
         size = struct.unpack_from("<H", buf, 4)[0]   # skip total-bytes u32
+        if size == 65535:
+            # listpack.c: 65535 means "count unknown, scan to 0xFF" — our
+            # writers never emit packs that large (nodes are chunked)
+            raise ValueError("rdb: listpack with unknown element count")
         pos = 6
         out: list[bytes] = []
         for _ in range(size):
@@ -662,8 +666,11 @@ def encode_listpack(elements: list[bytes]) -> bytes:
             ent.append(0xF0); ent += struct.pack("<I", len(el)); ent += el
         body += ent
         body += _encode_backlen(len(ent))
+    if len(elements) > 65534:
+        raise ValueError("rdb: listpack limited to 65534 elements — chunk "
+                         "into multiple nodes (quicklist / stream rax)")
     total = 4 + 2 + len(body) + 1
-    return struct.pack("<IH", total, min(len(elements), 65535)) + bytes(body) + b"\xff"
+    return struct.pack("<IH", total, len(elements)) + bytes(body) + b"\xff"
 
 
 def encode_ziplist(elements: list[bytes]) -> bytes:
@@ -881,27 +888,35 @@ def _encode_stream(out: bytearray, e: dict, wstr) -> None:
         ids = [_parse_id(i) for i, _ in entries]
         if ids != sorted(ids):
             raise ValueError("rdb: stream entries must be id-ordered")
-        mms, mseq = ids[0]
-        master_fields = [f for f, _ in entries[0][1]]
-        els: list[bytes] = [b"%d" % len(entries), b"0",
-                            b"%d" % len(master_fields), *master_fields, b"0"]
-        for (ms, seq), (_, fvs) in zip(ids, entries):
-            same = [f for f, _ in fvs] == master_fields
-            els += [b"2" if same else b"0",
-                    b"%d" % (ms - mms), b"%d" % (seq - mseq)]
-            if same:
-                els += [v for _, v in fvs]
-                lp_count = 4 + len(fvs)
-            else:
-                els.append(b"%d" % len(fvs))
-                for f, v in fvs:
-                    els += [f, v]
-                lp_count = 5 + 2 * len(fvs)
-            els.append(b"%d" % lp_count)
-        write_length(out, 1)
-        # master key: 16 bytes big-endian ms+seq, stored as an RDB string
-        wstr(struct.pack(">QQ", mms, mseq), try_int=False)
-        wstr(encode_listpack(els), try_int=False)
+        # chunk into listpack nodes (redis caps nodes via
+        # stream-node-max-entries, default 100) — one giant listpack would
+        # overflow its u16 element count past ~6k entries
+        NODE = 100
+        chunks = [list(zip(ids, entries))[i:i + NODE]
+                  for i in range(0, len(entries), NODE)]
+        write_length(out, len(chunks))
+        for chunk in chunks:
+            (mms, mseq) = chunk[0][0]
+            master_fields = [f for f, _ in chunk[0][1][1]]
+            els: list[bytes] = [b"%d" % len(chunk), b"0",
+                                b"%d" % len(master_fields), *master_fields,
+                                b"0"]
+            for (ms, seq), (_, fvs) in chunk:
+                same = [f for f, _ in fvs] == master_fields
+                els += [b"2" if same else b"0",
+                        b"%d" % (ms - mms), b"%d" % (seq - mseq)]
+                if same:
+                    els += [v for _, v in fvs]
+                    lp_count = 4 + len(fvs)
+                else:
+                    els.append(b"%d" % len(fvs))
+                    for f, v in fvs:
+                        els += [f, v]
+                    lp_count = 5 + 2 * len(fvs)
+                els.append(b"%d" % lp_count)
+            # master key: 16 bytes big-endian ms+seq, stored as an RDB string
+            wstr(struct.pack(">QQ", mms, mseq), try_int=False)
+            wstr(encode_listpack(els), try_int=False)
     else:
         write_length(out, 0)
     write_length(out, len(entries))              # stream length

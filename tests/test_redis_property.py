@@ -1,0 +1,199 @@
+"""Property-based evidence for the Redis path.
+
+1. RDB codec: arbitrary entries (all five container types + streams, random
+   binary payloads, random encodings) encode → parse to the identical value.
+2. Keyspace fold: a random command log folds to exactly what a sequential
+   dict-model Redis produces (key-level SET/DEL barrier, field-level LWW,
+   RPUSH order, TTL attach) — checked WITHOUT Ray (fold_events is a pure
+   Arrow→Arrow function) so hypothesis can drive hundreds of cases.
+"""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ape_dts_ray.pipelines.redis_replay import commands_to_events, fold_events
+from ape_dts_ray.sources import rdb as rdbmod
+from ape_dts_ray.sources.resp import encode_cmds, parse_resp
+
+# ---------------------------------------------------------------- codec
+
+_blob = st.binary(min_size=0, max_size=40)
+_key = st.binary(min_size=1, max_size=16)
+# canonical-int-looking and arbitrary strings both exercised
+_element = st.one_of(_blob, st.integers(-2**40, 2**40).map(lambda i: b"%d" % i))
+
+
+def _mk_string(key, value, expire):
+    return {"db": 0, "key": key, "type": "string", "value": value,
+            "expire_ms": expire}
+
+
+def _mk_list(key, els, expire):
+    return {"db": 0, "key": key, "type": "list", "elements": els,
+            "expire_ms": expire}
+
+
+def _mk_set(key, els, expire):
+    # sets: unique members
+    uniq = list(dict.fromkeys(els))
+    return {"db": 0, "key": key, "type": "set", "elements": uniq,
+            "expire_ms": expire}
+
+
+def _mk_hash(key, pairs, expire):
+    seen = {}
+    for f, v in pairs:
+        seen[f] = v
+    return {"db": 0, "key": key, "type": "hash",
+            "fields": list(seen.items()), "expire_ms": expire}
+
+
+def _mk_zset(key, pairs, expire):
+    seen = {}
+    for m, s in pairs:
+        seen[m] = s
+    return {"db": 0, "key": key, "type": "zset",
+            "zset": list(seen.items()), "expire_ms": expire}
+
+
+_expire = st.one_of(st.just(0), st.integers(1, 2**45))
+_score = st.floats(allow_nan=False, allow_infinity=False, width=32)
+
+_entry = st.one_of(
+    st.builds(_mk_string, _key, _element, _expire),
+    st.builds(_mk_list, _key, st.lists(_element, max_size=12), _expire),
+    st.builds(_mk_set, _key, st.lists(_element, min_size=1, max_size=12),
+              _expire),
+    st.builds(_mk_hash, _key,
+              st.lists(st.tuples(_element, _element), min_size=1, max_size=8),
+              _expire),
+    st.builds(_mk_zset, _key,
+              st.lists(st.tuples(_element, _score), min_size=1, max_size=8),
+              _expire),
+)
+
+
+def _canon(e):
+    t = e["type"]
+    if t == "string":
+        return (t, e["value"], e["expire_ms"])
+    if t == "list":
+        return (t, tuple(e["elements"]), e["expire_ms"])
+    if t == "set":
+        return (t, tuple(sorted(e["elements"])), e["expire_ms"])
+    if t == "hash":
+        return (t, tuple(sorted((f[0], f[1]) for f in e["fields"])),
+                e["expire_ms"])
+    return (t, tuple(sorted(e["zset"])), e["expire_ms"])
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_entry, max_size=8))
+def test_rdb_roundtrip_property(entries):
+    # last entry wins per key, as in a real keyspace
+    by_key = {e["key"]: e for e in entries}
+    entries = list(by_key.values())
+    img = rdbmod.encode_rdb(entries)
+    _, back = rdbmod.parse_rdb(img)
+    got = {e["key"]: _canon(e) for e in back}
+    want = {}
+    for e in entries:
+        c = _canon(e)
+        if e["type"] == "zset":
+            # scores roundtrip through shortest-repr ASCII in packed
+            # encodings — float32-valued doubles survive exactly
+            pass
+        want[e["key"]] = c
+    assert got == want
+
+
+def test_large_stream_chunks_nodes():
+    n = 7000    # > 65535/10 listpack elements if unchunked
+    e = {"db": 0, "key": b"big", "type": "stream", "expire_ms": 0,
+         "entries": [(b"%d-0" % i, [(b"f", b"%d" % i)]) for i in range(n)],
+         "last_id": b"%d-0" % (n - 1), "groups": []}
+    _, back = rdbmod.parse_rdb(rdbmod.encode_rdb([e]))
+    assert back[0]["entries"] == e["entries"]
+
+
+# ---------------------------------------------------------------- fold
+
+_skey = st.sampled_from([b"a", b"b", b"c"])
+_fld = st.sampled_from([b"f1", b"f2"])
+_val = st.sampled_from([b"v1", b"v2", b"v3"])
+
+_cmd = st.one_of(
+    st.tuples(st.just(b"SET"), _skey, _val).map(list),
+    st.tuples(st.just(b"DEL"), _skey).map(list),
+    st.tuples(st.just(b"HSET"), _skey, _fld, _val).map(list),
+    st.tuples(st.just(b"HDEL"), _skey, _fld).map(list),
+    st.tuples(st.just(b"SADD"), _skey, _fld).map(list),
+    st.tuples(st.just(b"SREM"), _skey, _fld).map(list),
+    st.tuples(st.just(b"ZADD"), _skey,
+              st.sampled_from([b"1", b"2.5"]), _fld).map(list),
+    st.tuples(st.just(b"RPUSH"), _skey, _val).map(list),
+    st.tuples(st.just(b"PEXPIREAT"), _skey,
+              st.sampled_from([b"1000", b"2000"])).map(list),
+)
+
+
+def _model(cmds):
+    """Sequential dict-model of the documented fold semantics."""
+    barrier: dict[bytes, int] = {}          # key -> last key-level cmd index
+    strings: dict[bytes, tuple[int, bytes | None]] = {}
+    fields: dict[tuple, tuple[int, str, bytes | None, float | None]] = {}
+    pushes: dict[bytes, list[tuple[int, bytes]]] = {}
+    ttls: dict[bytes, int] = {}
+    for i, c in enumerate(cmds):
+        op, k = c[0], c[1]
+        if op == b"SET":
+            barrier[k] = i
+            strings[k] = (i, c[2])
+        elif op == b"DEL":
+            barrier[k] = i
+            strings[k] = (i, None)
+        elif op in (b"HSET", b"SADD", b"ZADD", b"HDEL", b"SREM"):
+            rtype = {b"HSET": "hash", b"HDEL": "hash", b"SADD": "set",
+                     b"SREM": "set", b"ZADD": "zset"}[op]
+            if op == b"ZADD":
+                f, v, s = c[3], None, float(c[2])
+            elif op in (b"HSET",):
+                f, v, s = c[2], c[3], None
+            else:
+                f, v, s = c[2], None, None
+            add = op in (b"HSET", b"SADD", b"ZADD")
+            fields[(k, rtype, f)] = (i, "add" if add else "rem", v, s)
+        elif op == b"RPUSH":
+            pushes.setdefault(k, []).append((i, c[2]))
+        elif op == b"PEXPIREAT":
+            ttls[k] = int(c[2])
+    out = set()
+    live_keys = set()
+    for k, (i, v) in strings.items():
+        if v is not None and barrier.get(k) == i:
+            out.add((k, "string", None, None, v, None))
+            live_keys.add(k)
+    for (k, rtype, f), (i, op, v, s) in fields.items():
+        if op == "add" and i > barrier.get(k, -1):
+            out.add((k, rtype, f, None, v, s))
+            live_keys.add(k)
+    for k, items in pushes.items():
+        idx = 0
+        for i, v in items:
+            if i > barrier.get(k, -1):
+                out.add((k, "list", None, idx, v, None))
+                live_keys.add(k)
+                idx += 1
+    ttl_of = {k: ttls.get(k, 0) for k in live_keys}
+    return {(k, r, f, ix, v, s, ttl_of[k]) for (k, r, f, ix, v, s) in out}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_cmd, max_size=25))
+def test_fold_matches_sequential_model(cmds):
+    ev = commands_to_events(parse_resp(encode_cmds(cmds)))
+    got = {(r["key"], r["rtype"], r["field"], r["idx"], r["value"],
+            r["score"], r["expire_ms"])
+           for r in fold_events(ev).to_pylist()}
+    assert got == _model(cmds)
