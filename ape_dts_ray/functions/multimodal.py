@@ -382,6 +382,9 @@ def y4m_frame_offsets(data: bytes, info: dict) -> list[int]:
         if data[pos:pos + 5] != b"FRAME":
             raise ValueError(f"Y4M: expected FRAME marker at byte {pos}")
         nl = data.index(b"\n", pos)
+        if nl + 1 + fb > n:
+            raise ValueError(f"Y4M: truncated frame at byte {nl + 1} "
+                             f"(need {fb} bytes, have {n - nl - 1})")
         offs.append(nl + 1)
         pos = nl + 1 + fb
     return offs
@@ -403,6 +406,11 @@ def encode_y4m(frames: np.ndarray, colourspace: str = "mono") -> bytes:
     if colourspace == "mono":
         chroma = b""
     elif colourspace in ("420", "420jpeg"):
+        if w % 2 or h % 2:
+            # 4:2:0 subsamples both axes by 2 — an odd dimension would make
+            # our written frame size disagree with y4m_info's h*w*3//2 and
+            # the stream unreadable; refuse instead of emitting it
+            raise ValueError(f"4:2:0 needs even dimensions, got {w}x{h}")
         chroma = bytes([128]) * (w // 2 * (h // 2) * 2)
     else:
         raise NotImplementedError(f"encode for C{colourspace} not implemented")
@@ -429,23 +437,38 @@ class SampleFrames:
 
     def _frame_rows(self, payload: bytes):
         if payload.startswith(_Y4M_MAGIC):
-            info = y4m_info(payload)
-            offs = y4m_frame_offsets(payload, info)
-            if not offs:
-                return []
-            # evenly spaced frame indices across the clip (dedup keeps order)
-            pick = np.unique(np.linspace(0, len(offs) - 1, self.n_frames,
-                                         dtype=np.int64))
-            out = []
-            for fi, idx in enumerate(pick):
-                luma = decode_y4m_frame(payload, info, offs[idx])
-                small = resize_nearest(luma.astype(np.float64),
-                                       self.feat_size, self.feat_size)
-                out.append((fi, (small.mean(axis=0) / 255.0).tolist()))
-            return out
+            try:
+                info = y4m_info(payload)
+                offs = y4m_frame_offsets(payload, info)
+            except (ValueError, NotImplementedError, IndexError):
+                # malformed / unsupported-colourspace Y4M: strict mode keeps
+                # the error, non-strict falls back to the stub path below
+                # (the old never-raise contract for arbitrary payloads)
+                if self.strict:
+                    raise
+                info = offs = None
+            if offs is not None:
+                return self._y4m_rows(payload, info, offs)
         if self.strict:
             raise NotImplementedError(
                 "no codec for this payload (strict mode decodes Y4M only)")
+        return self._stub_rows(payload)
+
+    def _y4m_rows(self, payload: bytes, info: dict, offs: list[int]):
+        if not offs:
+            return []
+        # evenly spaced frame indices across the clip (dedup keeps order)
+        pick = np.unique(np.linspace(0, len(offs) - 1, self.n_frames,
+                                     dtype=np.int64))
+        out = []
+        for fi, idx in enumerate(pick):
+            luma = decode_y4m_frame(payload, info, offs[idx])
+            small = resize_nearest(luma.astype(np.float64),
+                                   self.feat_size, self.feat_size)
+            out.append((fi, (small.mean(axis=0) / 255.0).tolist()))
+        return out
+
+    def _stub_rows(self, payload: bytes):
         edges = np.linspace(0, len(payload), self.n_frames + 1, dtype=np.int64)
         out = []
         for fi in range(self.n_frames):

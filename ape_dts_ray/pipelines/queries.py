@@ -637,7 +637,13 @@ def _redis_cmds_batch(t: pa.Table) -> pa.Table:
     m_del = et.eq("error").to_numpy()
     m_set = et.isin(["click", "view"]).to_numpy()
     m_hset = et.eq("signup").to_numpy()
-    m_zadd = ~(m_del | m_set | m_hset)
+    m_zadd = et.eq("purchase").to_numpy()
+    unmatched = ~(m_del | m_set | m_hset | m_zadd)
+    if unmatched.any():
+        # the oracle enumerates exactly these five types — a catch-all here
+        # would silently diverge from it if the generator's domain grew
+        raise ValueError("redis_replay derivation: unknown event_type(s) "
+                         f"{sorted(et[unmatched].unique())}")
     for mask, build in (
         (m_del, lambda d: frame([
             "DEL", "ev:" + (d["event_id"] % _STR_MOD).astype(str)])),

@@ -185,21 +185,35 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
             entry = rdbmod.parse_dump_value(args[3])
             entry["key"] = args[1]
             ttl = int(args[2])
+            absttl = any(a.upper() == b"ABSTTL" for a in args[4:])
+            if ttl and not absttl:
+                # a relative TTL needs a wall clock to become a deadline —
+                # this engine is deterministic, so only ABSTTL is honest
+                # (the sinker always emits ABSTTL)
+                raise ValueError("redis replay: RESTORE with a relative ttl "
+                                 "is non-deterministic; use ABSTTL")
+            # RESTORE replaces the whole key (REPLACE semantics; plain
+            # RESTORE on a live key errors in Redis — it never merges):
+            # a key-level barrier at off kills earlier content, the restored
+            # rows land at off+1 (> barrier; commands are >14 bytes apart so
+            # off+1 never collides with the next command's offset)
+            emit(args[1], "key", "key", "del", off=off)
             t = _entries_table([{**entry, "db": db, "expire_ms": 0}])
             for s, row in enumerate(t.to_pylist()):   # restore rows are few
                 rt = row["rtype"]
                 if rt == "string":
                     emit(row["key"], "key", rt, "set",
-                         value=row["value"], off=off, seq=s)
+                         value=row["value"], off=off + 1, seq=s)
                 elif rt == "list":
                     emit(row["key"], "list", rt, "push",
-                         value=row["value"], off=off, seq=s)
+                         value=row["value"], off=off + 1, seq=s)
                 else:
                     emit(row["key"], "field", rt, "add", field=row["field"],
-                         value=row["value"], score=row["score"], off=off, seq=s)
+                         value=row["value"], score=row["score"],
+                         off=off + 1, seq=s)
             if ttl:
                 emit(args[1], "expire", "key", "expire",
-                     score=float(ttl), off=off)
+                     score=float(ttl), off=off + 1)
         else:
             raise ValueError(f"redis replay: unsupported command {cmd!r}")
     return pa.Table.from_pydict(cols, schema=_EVENT_SCHEMA)
@@ -493,9 +507,18 @@ def _rewrite_cmds(entries: list[dict]) -> list[list[bytes]]:
 
 def _restore_cmds(entries: list[dict]) -> list[list[bytes]]:
     """entry_rewriter.rs rewrite_as_restore analog: RESTORE key ttl payload
-    REPLACE, payload = our DUMP encoding with the CRC-64 footer."""
-    return [[b"RESTORE", e["key"], b"%d" % e.get("expire_ms", 0),
-             rdbmod.dump_value(e), b"REPLACE"] for e in entries]
+    REPLACE [ABSTTL], payload = our DUMP encoding with the CRC-64 footer.
+    expire_ms is an absolute epoch-ms deadline (PEXPIREAT semantics), so a
+    nonzero ttl always carries ABSTTL — without it Redis would read the
+    value as a relative TTL ~39 years long."""
+    out = []
+    for e in entries:
+        cmd = [b"RESTORE", e["key"], b"%d" % e.get("expire_ms", 0),
+               rdbmod.dump_value(e), b"REPLACE"]
+        if e.get("expire_ms"):
+            cmd.append(b"ABSTTL")
+        out.append(cmd)
+    return out
 
 
 def write_resp_sink(keyspace_ds, out_dir: str, num_partitions: int = 16,

@@ -405,7 +405,7 @@ def parse_rdb(data: bytes, verify_checksum: bool = True):
             r.read_length(); r.read_length(); r.read_length(); continue
         if tb not in _VALUE_TYPE_BYTES:
             raise ValueError(f"rdb: unsupported type byte {tb} "
-                             "(zipmap/stream/module are out of scope)")
+                             "(zipmap(9) and modules(6,7) are out of scope)")
         key = r.read_string()
         entry = {"db": db, "key": key, "expire_ms": expire_ms}
         expire_ms = 0

@@ -55,7 +55,14 @@ _TYPE_MAP = {
 def _ident(tok: str) -> str:
     tok = tok.strip()
     if tok and tok[0] in "`\"[" and len(tok) >= 2:
-        return tok[1:-1] if tok[0] != "[" else tok[1:-1]
+        body = tok[1:-1]
+        # collapse doubled quote chars inside quoted identifiers
+        # (MySQL `a``b` → a`b, SQL "a""b" → a"b; brackets have no escape)
+        if tok[0] == "`":
+            body = body.replace("``", "`")
+        elif tok[0] == '"':
+            body = body.replace('""', '"')
+        return body
     return tok
 
 
@@ -75,7 +82,7 @@ def _map_type(sql_type: str) -> str:
     raise UnsupportedDdlError(f"unmapped SQL type: {sql_type!r}")
 
 
-_ID = r"(?:`[^`]+`|\"[^\"]+\"|\[[^\]]+\]|[A-Za-z_][\w$]*)"
+_ID = r"(?:`(?:[^`]|``)+`|\"(?:[^\"]|\"\")+\"|\[[^\]]+\]|[A-Za-z_][\w$]*)"
 _QUALID = rf"{_ID}(?:\.{_ID})*"
 
 _RE_RENAME = re.compile(

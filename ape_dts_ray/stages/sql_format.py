@@ -25,9 +25,14 @@ def _sql_str(s: pd.Series) -> pd.Series:
 
 
 def _sql_val(s: pd.Series) -> pd.Series:
-    """SQL literal per dtype: numerics bare, everything else quoted+escaped."""
+    """SQL literal per dtype: numerics bare, everything else quoted+escaped.
+    Nulls come back as <NA>/None so the caller's fillna("NULL") fires —
+    a plain astype(str) would render NaN as the literal 'nan' (and a
+    null-bearing int column, arriving as float64, would render 3 as '3.0')."""
     if pd.api.types.is_numeric_dtype(s):
-        return s.astype(str)
+        out = s.convert_dtypes().astype("string")   # nullable: null -> <NA>
+        out[s.isna()] = None
+        return out
     return _sql_str(s)
 
 

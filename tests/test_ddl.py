@@ -217,3 +217,10 @@ def test_change_column(ray_session, tmp_path):
     apply_ddl(lake, "ALTER TABLE t CHANGE COLUMN a b BIGINT")
     assert {"op": "rename", "from": "a", "to": "b"} in lake.schema_ops
     assert {"op": "widen", "col": "b", "type": "int64"} in lake.schema_ops
+
+
+def test_quoted_identifier_escapes():
+    from ape_dts_ray.stages.ddl import parse_ddl
+
+    p = parse_ddl('ALTER TABLE t RENAME COLUMN `a``b` TO "c""d"')
+    assert p.schema_op == {"op": "rename", "from": "a`b", "to": 'c"d'}

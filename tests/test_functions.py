@@ -390,3 +390,27 @@ def test_decode_strict_raises_on_unknown_format():
         pytest.skip("PIL present; it may handle arbitrary formats")
     with pytest.raises(NotImplementedError):
         dec._decode(b"\xff\xd8\xff not actually jpeg")
+
+
+def test_y4m_nonstrict_malformed_falls_back(ray_session):
+    """A payload that LOOKS like Y4M but is malformed must not kill a
+    non-strict pipeline — it falls back to the stub features (the old
+    never-raise contract); strict mode still raises."""
+    import pytest as _pytest
+
+    from ape_dts_ray.functions.multimodal import SampleFrames, encode_y4m
+    import numpy as np
+
+    bad = b"YUV4MPEG2 W16 H16 C411\n" + b"\x00" * 64       # unsupported C
+    trunc = b"YUV4MPEG2 W4 H4 Cmono\nFRAME\n" + b"\x00" * 3  # truncated
+    sf = SampleFrames(n_frames=2, feat_size=4, strict=False)
+    for payload in (bad, trunc):
+        rows = sf._frame_rows(payload)
+        assert len(rows) == 2 and all(len(f) == 4 for _, f in rows)
+    with _pytest.raises((NotImplementedError, ValueError)):
+        SampleFrames(strict=True)._frame_rows(bad)
+
+    # 4:2:0 with odd dimensions is refused at encode time (the emitted
+    # stream would disagree with y4m_info's frame size)
+    with _pytest.raises(ValueError, match="even dimensions"):
+        encode_y4m(np.zeros((1, 5, 5), dtype=np.uint8), colourspace="420jpeg")

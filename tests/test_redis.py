@@ -324,3 +324,32 @@ def test_stream_replay_and_sinkers(ray_session, redis_dirs):
     t3 = _collect(read_rdb_snapshot(rdb_dir))
     got = {(r["key"], r["field"]): r["value"] for r in t3.to_pylist()}
     assert got == rows
+
+
+def test_restore_replaces_whole_key(ray_session):
+    """RESTORE has REPLACE semantics — it never merges with earlier content
+    (real Redis errors BUSYKEY without REPLACE and replaces with it)."""
+    from ape_dts_ray.pipelines.redis_replay import (commands_to_events,
+                                                    fold_events)
+    from ape_dts_ray.sources.rdb import dump_value
+    from ape_dts_ray.sources.resp import encode_cmds, parse_resp
+
+    payload = dump_value({"db": 0, "key": b"", "type": "list",
+                          "elements": [b"x", b"y"], "expire_ms": 0})
+    cmds = [[b"RPUSH", b"l", b"a"],
+            [b"RESTORE", b"l", b"0", payload, b"REPLACE"]]
+    ev = commands_to_events(parse_resp(encode_cmds(cmds)))
+    out = fold_events(ev).to_pylist()
+    assert [(r["idx"], r["value"]) for r in out] == [(0, b"x"), (1, b"y")]
+
+    # relative (non-ABSTTL) ttl is refused — no wall clock in the engine
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ABSTTL"):
+        commands_to_events(parse_resp(encode_cmds(
+            [[b"RESTORE", b"k", b"5000", payload, b"REPLACE"]])))
+    # ABSTTL accepted and attached
+    ev2 = commands_to_events(parse_resp(encode_cmds(
+        [[b"RESTORE", b"k", b"1234567890123", payload, b"REPLACE",
+          b"ABSTTL"]])))
+    rows = fold_events(ev2).to_pylist()
+    assert all(r["expire_ms"] == 1234567890123 for r in rows)
