@@ -546,3 +546,82 @@ def write_resp_sink(keyspace_ds, out_dir: str, num_partitions: int = 16,
                          batch_format="pyarrow", batch_size=None)
             .groupby(COL_SLOT_PART)
             .map_groups(write_part, batch_format="pyarrow"))
+
+
+# ------------------------------------------------------------ precheck / reshard
+
+MIN_RDB_VERSION = 1
+MAX_RDB_VERSION = 12
+
+
+def precheck_redis(rdb_dir: str | None = None, resp_dir: str | None = None,
+                   sample_bytes: int = 1 << 16) -> dict:
+    """RedisPrechecker analog (dt-precheck/src/prechecker/redis_prechecker.rs:
+    connectivity + MIN_SUPPORTED_VERSION gate before the task starts). File
+    sources replace the live server, so the checks become: shards exist and
+    are readable, RDB magic + version in the supported band, RESP files named
+    with parseable monotone sequence numbers and a parseable head sample.
+    Aggregate-and-abort: every failure is collected, then raised together
+    (same contract as pipelines/precheck.py)."""
+    failures: list[str] = []
+    report: dict = {"rdb_files": 0, "resp_files": 0}
+    if rdb_dir is not None:
+        files = sorted(f for f in os.listdir(rdb_dir) if f.endswith(".rdb")) \
+            if os.path.isdir(rdb_dir) else []
+        if not files:
+            failures.append(f"no .rdb shards under {rdb_dir}")
+        for f in files:
+            path = os.path.join(rdb_dir, f)
+            with open(path, "rb") as fh:
+                head = fh.read(9)
+            if head[:5] != b"REDIS":
+                failures.append(f"{f}: bad RDB magic")
+                continue
+            try:
+                ver = int(head[5:9])
+            except ValueError:
+                failures.append(f"{f}: unparseable RDB version {head[5:9]!r}")
+                continue
+            if not MIN_RDB_VERSION <= ver <= MAX_RDB_VERSION:
+                failures.append(f"{f}: RDB version {ver} outside supported "
+                                f"[{MIN_RDB_VERSION}, {MAX_RDB_VERSION}]")
+        report["rdb_files"] = len(files)
+    if resp_dir is not None:
+        files = sorted(f for f in os.listdir(resp_dir) if f.endswith(".resp")) \
+            if os.path.isdir(resp_dir) else []
+        if not files:
+            failures.append(f"no .resp log files under {resp_dir}")
+        seqs = []
+        for f in files:
+            try:
+                seqs.append(_file_seq(os.path.join(resp_dir, f)))
+            except (IndexError, ValueError):
+                failures.append(f"{f}: name not aof_<seq>.resp")
+        if seqs and sorted(seqs) != list(range(min(seqs), min(seqs) + len(seqs))):
+            failures.append(f"resp file sequence has gaps: {sorted(seqs)}")
+        for f in files[:1]:                  # head sample parse
+            with open(os.path.join(resp_dir, f), "rb") as fh:
+                data = fh.read(sample_bytes)
+            try:
+                cut = data.rfind(b"*")       # last frame may be cut mid-read
+                parse_resp(data[:cut] if cut > 0 else data)
+            except Exception as e:           # noqa: BLE001 - aggregated
+                failures.append(f"{f}: RESP head sample unparseable: {e}")
+        report["resp_files"] = len(files)
+    if failures:
+        raise ValueError("redis precheck failed:\n- " + "\n- ".join(failures))
+    return report
+
+
+def reshard_rdb(in_dir: str, out_dir: str, num_partitions: int,
+                lzf_sample: int = 16):
+    """RedisReshardExtractor analog (redis_reshard_extractor.rs:25-100:
+    rebalance slots across a different node count): re-key existing RDB
+    shards onto a new partition count. Pure composition of the snapshot
+    reader and writer — the slot of every key is invariant, only
+    slot % num_partitions changes, exactly like a cluster reshard moving
+    slot ranges between nodes. Streaming end-to-end; returns per-new-shard
+    lineage."""
+    return write_rdb_snapshot(read_rdb_snapshot(in_dir), out_dir,
+                              num_partitions=num_partitions,
+                              lzf_sample=lzf_sample)

@@ -353,3 +353,43 @@ def test_restore_replaces_whole_key(ray_session):
           b"ABSTTL"]])))
     rows = fold_events(ev2).to_pylist()
     assert all(r["expire_ms"] == 1234567890123 for r in rows)
+
+
+def test_precheck_and_reshard(ray_session, tmp_path):
+    from ape_dts_ray.pipelines.redis_replay import (precheck_redis,
+                                                    read_rdb_snapshot,
+                                                    replay_redis, reshard_rdb,
+                                                    read_resp_log,
+                                                    write_rdb_snapshot,
+                                                    write_resp_log)
+
+    log_dir = str(tmp_path / "log")
+    write_resp_log([[b"SET", b"k%d" % i, b"v%d" % i] for i in range(300)],
+                   log_dir, 0)
+    write_resp_log([[b"SET", b"x", b"y"]], log_dir, 1)
+    state = replay_redis(read_resp_log(log_dir), num_partitions=4)
+
+    rdb_dir = str(tmp_path / "rdb")
+    _collect(write_rdb_snapshot(state, rdb_dir, num_partitions=4))
+
+    rep = precheck_redis(rdb_dir=rdb_dir, resp_dir=log_dir)
+    assert rep["rdb_files"] == 4 and rep["resp_files"] == 2
+
+    # aggregate-and-abort on bad magic + a gap in the resp sequence
+    (tmp_path / "rdb" / "rdb_part_00099.rdb").write_bytes(b"NOTRDB" + b"\0" * 8)
+    os.rename(os.path.join(log_dir, "aof_000001.resp"),
+              os.path.join(log_dir, "aof_000005.resp"))
+    with pytest.raises(ValueError) as e:
+        precheck_redis(rdb_dir=rdb_dir, resp_dir=log_dir)
+    assert "bad RDB magic" in str(e.value) and "gaps" in str(e.value)
+    (tmp_path / "rdb" / "rdb_part_00099.rdb").unlink()
+
+    # reshard 4 -> 8: same keyspace, different shard layout
+    out_dir = str(tmp_path / "rdb8")
+    lin = _collect(reshard_rdb(rdb_dir, out_dir, num_partitions=8))
+    assert lin.num_rows == 8
+    a = _collect(read_rdb_snapshot(rdb_dir))
+    b = _collect(read_rdb_snapshot(out_dir))
+    ka = sorted(zip(a.column("key").to_pylist(), a.column("value").to_pylist()))
+    kb = sorted(zip(b.column("key").to_pylist(), b.column("value").to_pylist()))
+    assert ka == kb
