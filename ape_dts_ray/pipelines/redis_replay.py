@@ -130,17 +130,32 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
             continue
         if cmd == b"SET":
             emit(args[1], "key", "string", "set", value=args[2], off=off)
-            # optional PX/EX ttl
+            # Redis itself rewrites relative TTLs (EX/PX) to absolute PXAT
+            # when propagating to AOF/replicas — exactly because relative
+            # TTLs are non-deterministic on replay. We accept what a real
+            # replication stream carries and refuse the rest: EX/PX/EXAT
+            # need a wall clock, NX/XX/GET are conditional on live state.
             i = 3
-            while i + 1 < len(args):
+            while i < len(args):
                 o = args[i].upper()
-                if o == b"PX":
+                if o == b"PXAT":
                     emit(args[1], "expire", "key", "expire",
                          score=float(int(args[i + 1])), off=off)
-                elif o == b"EX":
-                    emit(args[1], "expire", "key", "expire",
-                         score=float(int(args[i + 1]) * 1000), off=off)
-                i += 2
+                    i += 2
+                elif o == b"KEEPTTL":
+                    # fold clears TTLs older than the SET barrier; KEEPTTL
+                    # would need the opposite — refuse rather than mis-fold
+                    raise ValueError("redis replay: SET KEEPTTL unsupported "
+                                     "(TTL-clearing fold)")
+                elif o in (b"EX", b"PX", b"EXAT"):
+                    raise ValueError(f"redis replay: SET {o.decode()} is "
+                                     "non-deterministic; AOF-style logs "
+                                     "carry PXAT")
+                elif o in (b"NX", b"XX", b"GET"):
+                    raise ValueError(f"redis replay: SET {o.decode()} is "
+                                     "conditional on live state")
+                else:
+                    raise ValueError(f"redis replay: SET flag {o!r}")
         elif cmd in (b"DEL", b"UNLINK"):
             for k in args[1:]:
                 emit(k, "key", "key", "del", off=off)
@@ -292,7 +307,12 @@ def fold_events(t: pa.Table) -> pa.Table:
 
     out = pl.concat([strings, fields, lists])
 
+    # a key-level SET/DEL clears any earlier TTL (Redis: SET discards the
+    # TTL unless KEEPTTL, which the parser refuses) — only expire events at
+    # or after the barrier survive (SET..PXAT emits both at the same offset)
     ttl = (df.filter(pl.col("level") == "expire")
+             .join(barrier, on=gk, how="left")
+             .filter(pl.col("log_offset") >= pl.col("_k_off").fill_null(-1))
              .sort("log_offset")
              .unique(subset=gk, keep="last", maintain_order=True)
              .select(gk + [pl.col("score").cast(pl.Int64).alias("expire_ms")]))

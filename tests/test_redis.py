@@ -213,7 +213,7 @@ def test_replay_fold_and_sinkers(ray_session, redis_dirs):
         [b"RPUSH", b"l", b"z"],
         [b"ZADD", b"z", b"1", b"m"], [b"ZADD", b"z", b"5", b"m"],
         [b"SADD", b"s", b"p", b"q"], [b"SREM", b"s", b"p"],
-        [b"SET", b"ttl", b"t", b"PX", b"9000"],
+        [b"SET", b"ttl", b"t", b"PXAT", b"9000"],
         [b"PEXPIREAT", b"ttl", b"1234567890123"],
     ], log_dir, 1)
 

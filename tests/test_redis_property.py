@@ -167,7 +167,7 @@ def _model(cmds):
         elif op == b"RPUSH":
             pushes.setdefault(k, []).append((i, c[2]))
         elif op == b"PEXPIREAT":
-            ttls[k] = int(c[2])
+            ttls[k] = (i, int(c[2]))
     out = set()
     live_keys = set()
     for k, (i, v) in strings.items():
@@ -185,7 +185,12 @@ def _model(cmds):
                 out.add((k, "list", None, idx, v, None))
                 live_keys.add(k)
                 idx += 1
-    ttl_of = {k: ttls.get(k, 0) for k in live_keys}
+    # a key-level SET/DEL clears earlier TTLs: the last expire counts only
+    # if it is at/after the key's barrier
+    ttl_of = {}
+    for k in live_keys:
+        i, v = ttls.get(k, (-1, 0))
+        ttl_of[k] = v if i >= barrier.get(k, -1) else 0
     return {(k, r, f, ix, v, s, ttl_of[k]) for (k, r, f, ix, v, s) in out}
 
 
