@@ -47,7 +47,11 @@ def partition_ids(
         hot = np.isin(np.asarray(conv_id, dtype=object), list(hot_keys))
         if hot.any():
             h = h.copy()
-            h[hot] ^= hash_ints(np.asarray(turn_idx, dtype=np.int64)[hot])
+            salt = np.asarray(turn_idx)
+            if salt.dtype.kind in "iuf":      # numeric salt col
+                h[hot] ^= hash_ints(salt[hot].astype(np.int64))
+            else:                             # string/object salt col
+                h[hot] ^= hash_strings(salt[hot])
     return (h % np.uint64(num_partitions)).astype(np.int32)
 
 

@@ -82,7 +82,7 @@ def suggest_epoch_config(avg_event_bytes: int, num_cpus: int = 32,
 def plan_epochs(max_offset: int, epoch_size: int,
                 barriers: list[tuple[int, int]] | None = None,
                 min_offset: int = 0, base_epoch: int = 0,
-                commit_offsets=None) -> list[EpochWindow]:
+                commit_offsets=None, align: bool = False) -> list[EpochWindow]:
     """Cut [min_offset, max_offset] into epoch windows of ≤ epoch_size events,
     additionally cutting at schema-change barriers.
 
@@ -123,7 +123,14 @@ def plan_epochs(max_offset: int, epoch_size: int,
     bounds = cuts + [max_offset + 1]
     for bound in bounds:
         while lo < bound:
-            hi = min(lo + epoch_size - 1, bound - 1)
+            # align=True snaps window ends to global epoch_size boundaries
+            # (epoch = offset // epoch_size), so a misaligned min_offset
+            # yields one short first window and then boundary-aligned ones —
+            # the id↔offset-range mapping is stable across replays
+            if align:
+                hi = min((lo // epoch_size + 1) * epoch_size - 1, bound - 1)
+            else:
+                hi = min(lo + epoch_size - 1, bound - 1)
             if co is not None and hi < bound - 1:
                 i = np.searchsorted(co, hi, side="right") - 1
                 if i >= 0 and co[i] >= lo:
@@ -370,50 +377,67 @@ def replay(
             "CDC stream (revise rows outrank every normal epoch); compact() "
             "folds them into base and re-enables replay")
     base_epoch = 0
-    if commit_offsets is not None and min_offset > 0 and committed:
-        raise ValueError("commit-aligned windows are not offset-derivable; "
-                         "resume with min_offset=0 (committed epochs are "
-                         "skipped automatically)")
-    if min_offset > 0 and committed:
-        # Epoch ids must not collide with committed epochs: planning from a
-        # non-zero min_offset numbers windows from 0, so on a lake with
-        # committed (uncompacted) epochs the new windows would reuse committed
-        # ids and be silently skipped. Derive the base id from the offset,
-        # which requires alignment and barrier-free history. (A fresh or
-        # fully-compacted lake has no committed ids to collide with.)
-        es = lake.config.epoch_size
-        if min_offset % es != 0:
-            raise ValueError(
-                f"min_offset={min_offset} must be a multiple of epoch_size="
-                f"{es} so epoch ids stay offset-derived (or use min_offset=0 "
-                "— committed epochs are skipped automatically)")
+    align = False
+    if min_offset > 0:
+        # Epoch ids are ALWAYS offset-derived for a non-zero min_offset —
+        # epoch = offset // epoch_size, with the first window snapped up to
+        # the next boundary. This makes the plan a pure function of
+        # (min_offset, epoch_size, barriers), so the FIRST run and any
+        # crash-resume of the identical call number windows identically (a
+        # fresh-lake first run that numbered from 0 would collide with its
+        # own committed epochs on resume). Commit-aligned windows can't be
+        # offset-derived, and barriers at/below min_offset would have
+        # shifted earlier numbering — both refuse.
+        if commit_offsets is not None:
+            raise ValueError("commit-aligned windows are not "
+                             "offset-derivable; replay with min_offset=0 "
+                             "(committed epochs are skipped automatically)")
         if barriers and any(b[0] <= min_offset for b in barriers):
             raise ValueError("barriers at or below min_offset would have "
                              "shifted earlier epoch numbering; replay from 0")
-        base_epoch = min_offset // es
-        if committed and base_epoch <= max(committed):
-            raise ValueError(
-                f"min_offset-derived base epoch {base_epoch} collides with "
-                f"committed epochs up to {max(committed)} (earlier replays "
-                "used different window boundaries); replay from 0 instead")
+        base_epoch = min_offset // lake.config.epoch_size
+        align = True
     windows = plan_epochs(max_offset, lake.config.epoch_size, barriers,
-                          min_offset, base_epoch, commit_offsets)
+                          min_offset, base_epoch, commit_offsets, align=align)
     # GROWING-LOG resume: the tail epoch may have been committed while the
-    # log was shorter (its manifest ends before the window's planned end).
-    # Events appended into that window since would be silently skipped by
-    # the epoch-id filter — re-run the whole window instead; deterministic
-    # delta names + manifest overwrite keep it exactly-once. Only the
-    # highest committed epoch can be partial (earlier windows were full
-    # when later ones committed; window boundaries are offset-derived and
-    # stable as the log grows).
+    # log was shorter — its manifest may end before the window's planned end
+    # (events appended into it since would be silently skipped by the
+    # epoch-id filter), or, with commit-aligned windows, the replanned tail
+    # may have SNAPPED SHORTER than what was applied (a longer log turns a
+    # mid-transaction cut into a commit snap). Either way: re-run the whole
+    # window; deterministic delta names + manifest overwrite keep it
+    # exactly-once, and shrunk-away events are re-applied by the following
+    # window. Only the highest committed epoch can mismatch this way —
+    # earlier windows were complete when later ones committed, and only the
+    # tail window's snap point depends on the log end.
     if committed:
         last = max(committed)
         w_last = next((w for w in windows if w.epoch == last), None)
         if w_last is not None and \
-                lake.read_manifest(last).offset_max < w_last.hi:
+                lake.read_manifest(last).offset_max != w_last.hi:
             committed.discard(last)
-    pending = [w for w in windows
-               if w.epoch not in committed and w.hi > lake.compacted_watermark()]
+    # Any OTHER committed epoch that reappears in this plan must cover the
+    # same offset range — a mismatch means an earlier replay used different
+    # window boundaries (e.g. a different min_offset before the ids were
+    # offset-derived); a silent skip would drop or double-apply the
+    # non-overlapping part, so refuse loudly.
+    if committed:
+        win_by_id = {w.epoch: w for w in windows}
+        for e in sorted(committed):
+            w = win_by_id.get(e)
+            if w is None:
+                continue                   # history below min_offset
+            m = lake.read_manifest(e)
+            if m.offset_min != -1 and not (w.lo <= m.offset_min
+                                           and m.offset_max <= w.hi):
+                raise ValueError(
+                    f"committed epoch {e} covers [{m.offset_min}, "
+                    f"{m.offset_max}] but this plan's window is [{w.lo}, "
+                    f"{w.hi}] — earlier replays used different boundaries; "
+                    "replay from min_offset=0 with identical settings")
+    cw = lake.compacted_watermark()        # hoisted: one JSON read, not one
+    pending = [w for w in windows          # per planned window
+               if w.epoch not in committed and w.hi > cw]
     if stop_after_epoch is not None:
         pending = [w for w in pending if w.epoch <= stop_after_epoch]
 

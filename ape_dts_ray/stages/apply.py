@@ -65,6 +65,14 @@ def add_shard_column(batch: pa.Table, epoch_los: np.ndarray, epoch_ids: np.ndarr
 
     off = batch.column(COL_OFFSET).to_numpy(zero_copy_only=False)
     idx = np.searchsorted(epoch_los, off, side="right") - 1
+    if len(off) and idx.min() < 0:
+        # an offset below the first window would wrap to epoch_ids[-1] and
+        # silently outrank newer events in the LWW fold — a prefiltered
+        # source / events_factory that leaks low offsets is a contract
+        # violation, so fail loudly instead
+        bad = int(off[idx < 0].min())
+        raise ValueError(f"event offset {bad} below the first window's lo "
+                         f"{int(epoch_los[0])} — source not window-filtered")
     epochs = epoch_ids[idx]
     conv = batch.column(part_col).to_numpy(zero_copy_only=False)
     turn = batch.column(salt_col).to_numpy(zero_copy_only=False)
@@ -73,12 +81,34 @@ def add_shard_column(batch: pa.Table, epoch_los: np.ndarray, epoch_ids: np.ndarr
     return batch.append_column(COL_SHARD, pa.array(shard))
 
 
-WINNER_SCHEMA = pa.schema([
-    ("epoch", pa.int64()), ("part_id", pa.int32()), ("file", pa.string()),
-    ("rows", pa.int64()), ("events", pa.int64()), ("upserts", pa.int64()),
-    ("deletes", pa.int64()), ("offset_min", pa.int64()), ("offset_max", pa.int64()),
-    ("winners", pa.list_(pa.int64())),
-])
+# winner rows = lineage rows + the per-group winner offsets (narrow pass)
+WINNER_SCHEMA = LINEAGE_SCHEMA.append(pa.field("winners", pa.list_(pa.int64())))
+
+
+def _group_lineage(group: pa.Table, num_partitions: int,
+                   lake_root: str, id_cols: tuple[str, ...]):
+    """Shared core of the wide apply and the narrow winner pass: decode the
+    shard id, fold LWW winners, and assemble the lineage row — ONE
+    implementation so the two passes can never drift (the narrow path
+    asserts their lineage rows are identical)."""
+    shard = int(group.column(COL_SHARD)[0].as_py())
+    epoch, part_id = divmod(shard, num_partitions)
+    events = group.drop_columns([COL_SHARD])
+    win = lww_last(events, key_cols=id_cols)
+    deletes = int(pc.sum(pc.equal(win.column(COL_OP),
+                                  pa.scalar(OP_DELETE))).as_py() or 0)
+    offs = events.column(COL_OFFSET)
+    path = os.path.join(lake_root, "delta", f"epoch-{epoch:08d}",
+                        f"part-{part_id:05d}.parquet")
+    row = {
+        "epoch": epoch, "part_id": part_id,
+        "file": os.path.relpath(path, lake_root),
+        "rows": win.num_rows, "events": events.num_rows,
+        "upserts": win.num_rows - deletes, "deletes": deletes,
+        "offset_min": int(pc.min(offs).as_py()),
+        "offset_max": int(pc.max(offs).as_py()),
+    }
+    return epoch, part_id, events, win, path, row
 
 
 def make_winner_fn(lake_root: str, num_partitions: int, id_cols: tuple[str, ...]):
@@ -91,24 +121,9 @@ def make_winner_fn(lake_root: str, num_partitions: int, id_cols: tuple[str, ...]
     def winner_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return WINNER_SCHEMA.empty_table()
-        shard = int(group.column(COL_SHARD)[0].as_py())
-        epoch, part_id = divmod(shard, num_partitions)
-        events = group.drop_columns([COL_SHARD])
-        win = lww_last(events, key_cols=id_cols)
-        deletes = int(pc.sum(pc.equal(win.column(COL_OP),
-                                      pa.scalar(OP_DELETE))).as_py() or 0)
-        offs = events.column(COL_OFFSET)
-        path = os.path.join(
-            lake_root, "delta", f"epoch-{epoch:08d}", f"part-{part_id:05d}.parquet")
-        row = {
-            "epoch": epoch, "part_id": part_id,
-            "file": os.path.relpath(path, lake_root),
-            "rows": win.num_rows, "events": events.num_rows,
-            "upserts": win.num_rows - deletes, "deletes": deletes,
-            "offset_min": int(pc.min(offs).as_py()),
-            "offset_max": int(pc.max(offs).as_py()),
-            "winners": win.column(COL_OFFSET).to_pylist(),
-        }
+        _, _, _, win, _, row = _group_lineage(group, num_partitions,
+                                              lake_root, id_cols)
+        row["winners"] = win.column(COL_OFFSET).to_pylist()
         return pa.Table.from_pylist([row], schema=WINNER_SCHEMA)
 
     return winner_group
@@ -121,46 +136,23 @@ def make_apply_fn(lake_root: str, num_partitions: int, id_cols: tuple[str, ...])
     def apply_group(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return _lineage_table([])
-        shard = int(group.column(COL_SHARD)[0].as_py())
-        epoch, part_id = divmod(shard, num_partitions)
-        events = group.drop_columns([COL_SHARD])
-        # lww_last emits winners in canonical (offset, seq) order
-        # (lww_winner_indices maintain_order) — delta bytes are independent
-        # of shuffle arrival order without an extra payload sort pass
-        merged = lww_last(events, key_cols=id_cols)
-        n = merged.num_rows
-        is_del = pc.equal(merged.column(COL_OP), pa.scalar(OP_DELETE))
-        deletes = int(pc.sum(is_del).as_py() or 0)
+        # lww_last (inside _group_lineage) emits winners in canonical
+        # (offset, seq) order (lww_winner_indices maintain_order) — delta
+        # bytes are independent of shuffle arrival order without an extra
+        # payload sort pass
+        epoch, _, _, merged, path, row = _group_lineage(
+            group, num_partitions, lake_root, id_cols)
         merged = merged.append_column(
-            COL_EPOCH, pa.array(np.full(n, epoch, dtype=np.int64)))
-
-        path = os.path.join(
-            lake_root, "delta", f"epoch-{epoch:08d}", f"part-{part_id:05d}.parquet")
+            COL_EPOCH, pa.array(np.full(merged.num_rows, epoch,
+                                        dtype=np.int64)))
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        # plain write: the final name is deterministic per (epoch, partition),
-        # and the manifest commit (driver-side, after ALL writes of the epoch
-        # succeeded) is the atomicity point — a torn file from a crashed task
-        # belongs to an uncommitted epoch and is overwritten on retry/resume
-        import pyarrow.parquet as pq
-
         from ape_dts_ray.state.manifest import atomic_write_parquet
-        # lz4 for deltas: they are short-lived (folded into base at compaction,
-        # which re-writes zstd); cheaper codec = less CPU + memory traffic in
-        # the hot apply path
-        atomic_write_parquet(merged, path, compression="lz4")
 
-        offs = events.column(COL_OFFSET)
-        row = {
-            "epoch": epoch,
-            "part_id": part_id,
-            "file": os.path.relpath(path, lake_root),
-            "rows": n,
-            "events": events.num_rows,
-            "upserts": n - deletes,
-            "deletes": deletes,
-            "offset_min": int(pc.min(offs).as_py()),
-            "offset_max": int(pc.max(offs).as_py()),
-        }
+        # atomic write to the deterministic per-(epoch, partition) name; the
+        # manifest commit (driver-side, after ALL the epoch's writes) is the
+        # atomicity point. lz4 for deltas: short-lived (compaction re-writes
+        # zstd), cheaper codec = less CPU in the hot apply path
+        atomic_write_parquet(merged, path, compression="lz4")
         return _lineage_table([row])
 
     return apply_group

@@ -303,7 +303,21 @@ class LakeTable:
 
     def _fold_files(self, files: list[str], keep_tombstones: bool = False,
                     columns: list[str] | None = None) -> pa.Table | None:
-        pieces = [pq.read_table(f) for f in files]
+        if columns and not self.schema_ops:
+            # prune at the READ: only the requested columns plus what the
+            # fold needs leave storage (a 1-column advance_sequences scan
+            # must not read multi-GB text payloads). With schema_ops active,
+            # old-era files store pre-rename names — read fully, map, then
+            # select (the rare, post-DDL-pre-compaction window only).
+            need = set(columns) | set(self.meta.id_cols) | {
+                COL_EPOCH, COL_OFFSET, COL_SEQ, COL_OP}
+            pieces = []
+            for f in files:
+                names = pq.ParquetFile(f).schema_arrow.names
+                pieces.append(pq.read_table(
+                    f, columns=[c for c in names if c in need]))
+        else:
+            pieces = [pq.read_table(f) for f in files]
         if self.schema_ops:
             pieces = [merge_mod.apply_schema_ops(p, self.schema_ops)
                       for p in pieces]
@@ -360,7 +374,12 @@ class LakeTable:
                     if c in out.column_names]
             out = out.drop_columns(drop)
         import pyarrow.compute as pc
-        idx = pc.sort_indices(out, sort_keys=[(c, "ascending") for c in self.meta.order_cols])
+        # order_cols defaults to the transcript PK; on a generalized table
+        # that never overrode it, fall back to the actual id cols
+        sort_cols = [c for c in self.meta.order_cols if c in out.column_names] \
+            or [c for c in self.meta.id_cols if c in out.column_names]
+        idx = pc.sort_indices(out, sort_keys=[(c, "ascending")
+                                              for c in sort_cols])
         return self._with_comment_metadata(out.take(idx))
 
     # ---------- compaction ----------
@@ -378,6 +397,17 @@ class LakeTable:
         if new_hot_keys is not None:
             # repartition-on-compact: fold full state, re-split by new salt
             return self._compact_rotate(tuple(new_hot_keys))
+        if self.rotation_in_progress():
+            # a plain compact against a half-rotated lake would fold
+            # old-salt deltas into a possibly new-salt base — duplicate key
+            # placements forever. Same refusal contract as replay().
+            raise RuntimeError(
+                "hot-key rotation in progress (rotation.json present) — "
+                "re-run compact(new_hot_keys=...) to finish it first")
+        if self.truncate_in_progress():
+            raise RuntimeError(
+                "truncate in progress (truncate.json present) — re-run "
+                "truncate() to finish it before compacting")
         epochs = self.committed_epochs()
         if not epochs:
             return 0
@@ -444,6 +474,11 @@ class LakeTable:
         marker-refusal pattern as rotation: ``truncate.json`` brackets the
         deletes, replay() refuses while it exists, and re-running
         ``truncate()`` (idempotent) finishes the job."""
+        if self.rotation_in_progress():
+            raise RuntimeError(
+                "hot-key rotation in progress (rotation.json present) — "
+                "re-run compact(new_hot_keys=...) to finish it before "
+                "truncating")
         marker = os.path.join(self.root, MANIFEST_DIR, "truncate.json")
         wm = self.watermark()
         atomic_write_text(marker, json.dumps({"watermark": wm}))
@@ -504,7 +539,14 @@ class LakeTable:
                 os.rename(base, old)
             os.rename(next_dir, base)
         elif not os.path.isdir(base) and os.path.isdir(old):
-            os.rename(old, base)           # defensive: next vanished
+            # defensive ROLLBACK: base_next vanished after the swap marker
+            # (external tampering). Restore the pre-rotation base and STOP —
+            # running the epilogue would delete committed deltas and claim
+            # the new salt against an old-salt base. The rotation is simply
+            # not done; re-running compact(new_hot_keys=...) redoes it.
+            os.rename(old, base)
+            os.remove(swap_marker)
+            return
         if not os.path.isdir(base):
             raise RuntimeError(
                 f"rotation recovery: no base/, base_next/ or base_old/ under "
@@ -550,12 +592,19 @@ class LakeTable:
 
         ds = self.state_dataset()          # folded rows incl. engine columns
 
+        # generic key columns: partition by meta.partition_col, salt by the
+        # same id col replay uses (replay.py salt_col derivation)
+        part_col = self.meta.partition_col
+        ids = self.meta.id_cols
+        salt_col = ids[-1] if len(ids) > 1 else ids[0]
+
         def repart(t: pa.Table) -> pa.Table:
             n = t.num_rows                 # base rows rank below all deltas
             if COL_EPOCH in t.column_names:
                 t = t.set_column(t.column_names.index(COL_EPOCH), COL_EPOCH,
                                  pa.array(np.full(n, -1, dtype=np.int64)))
-            return add_partition_column(t, nparts, hot)
+            return add_partition_column(t, nparts, hot,
+                                        conv_col=part_col, turn_col=salt_col)
 
         meta = self.meta
 

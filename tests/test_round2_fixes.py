@@ -54,12 +54,18 @@ def test_min_offset_continuation_on_committed_lake(tmp_path):
     assert lake.committed_epochs() == [0, 1, 2, 3]
     _assert_matches(lake, events)
 
-    # misaligned min_offset on a lake with committed epochs → explicit error
-    with pytest.raises(ValueError, match="multiple of epoch_size"):
+    # a misaligned min_offset now plans a SNAPPED first window [4100, 5999];
+    # committed epoch 2 covers [4000, 5999] → boundary mismatch, loud error
+    # (round-3: ids are offset-derived for ANY min_offset, so the failure
+    # mode is a range-consistency refusal, not an alignment precondition)
+    with pytest.raises(ValueError, match="different boundaries"):
         replay(lake, events_path=path, min_offset=4100)
-    # min_offset whose derived epoch collides with committed ids → error
-    with pytest.raises(ValueError, match="collides"):
-        replay(lake, events_path=path, min_offset=2000)
+    # an overlapping min_offset whose windows MATCH the committed ranges is
+    # a legal resume: everything is already committed → no-op, state intact
+    before = lake.state_table()
+    replay(lake, events_path=path, min_offset=2000)
+    assert lake.committed_epochs() == [0, 1, 2, 3]
+    assert lake.state_table().equals(before)
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -365,3 +365,119 @@ def test_envelope_preserves_nullable_ints():
     assert env.column("key").to_pylist()[0] == "a\x1f3"      # not "3.0"
     back = from_envelope(env, schema=batch.schema)
     assert back.column("turn_idx").to_pylist() == [3, None, big]
+
+
+def test_min_offset_fresh_lake_crash_resume(ray_session, tmp_path):
+    """Review fix: a FRESH lake replayed with min_offset>0 numbers epochs by
+    offset (not from 0), so a crash-resume of the identical call skips its
+    own committed epochs instead of renumbering/duplicating them."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable
+
+    events = gen_events(seed=31, n_convs=30, n_events=6000)
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(events, path)
+    lake = LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(num_partitions=4, epoch_size=1000))
+    # misaligned min_offset on a FRESH lake: offset-derived ids + snapped
+    # first window [2500, 2999], then aligned ones
+    replay(lake, events_path=path, min_offset=2500, stop_after_epoch=3)
+    first = lake.committed_epochs()
+    assert first[0] == 2 and 3 in first            # 2500 // 1000 = 2
+    # resume the identical call (fresh process analog): identical numbering,
+    # committed epochs skipped, remainder applied exactly once
+    lake2 = LakeTable.open(lake.root)
+    replay(lake2, events_path=path, min_offset=2500)
+    assert lake2.committed_epochs()[0] == 2
+    assert sorted(set(lake2.committed_epochs())) == lake2.committed_epochs()
+    # events below min_offset never applied; above it applied exactly once
+    import pyarrow.compute as pc
+
+    state = lake2.state_table(drop_engine_cols=False)
+    offs = state.column("log_offset").to_pylist()
+    assert min(o for o in offs if o >= 0) >= 2500
+
+
+def test_rotation_generic_key_columns(ray_session, tmp_path):
+    """Review fix: hot-key rotation on a table with generalized id cols
+    (non-transcript names) partitions by meta.partition_col, not conv_id."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable
+
+    meta = TableMeta(name="kv", id_cols=("tenant", "sku"),
+                     partition_col="tenant", payload_cols=("val",))
+    lake = LakeTable.create(str(tmp_path / "lake"), meta,
+                            EngineConfig(num_partitions=4, epoch_size=100))
+    n = 300
+    ev = pa.table({
+        "log_offset": pa.array(range(n), pa.int64()),
+        "op": ["insert"] * n,
+        "tenant": [f"t{i % 7}" for i in range(n)],
+        "sku": [f"s{i}" for i in range(n)],          # STRING salt col
+        "val": [f"v{i}" for i in range(n)],
+    })
+    replay(lake, events_ds=rd.from_arrow(ev))
+    before = lake.state_table()
+    # rotation with a hot STRING-salted key: previously KeyError'd on
+    # conv_id and crashed the int64 salt cast
+    lake.compact(new_hot_keys=("t0",))
+    after = LakeTable.open(lake.root).state_table()
+    assert after.num_rows == before.num_rows == n
+    a = sorted(map(tuple, before.to_pylist()[0].items() and [
+        (r["tenant"], r["sku"], r["val"]) for r in before.to_pylist()]))
+    b = sorted((r["tenant"], r["sku"], r["val"]) for r in after.to_pylist())
+    assert a == b
+    # continued replay with the hot key still converges
+    ev2 = pa.table({
+        "log_offset": pa.array(range(n, n + 50), pa.int64()),
+        "op": ["update"] * 50,
+        "tenant": ["t0"] * 50,
+        "sku": [f"s{i}" for i in range(50)],
+        "val": [f"V{i}" for i in range(50)],
+    })
+    replay(LakeTable.open(lake.root), events_ds=rd.from_arrow(ev2))
+    state = {(r["tenant"], r["sku"]): r["val"]
+             for r in LakeTable.open(lake.root).state_table().to_pylist()}
+    assert state[("t0", "s1")] == "V1"
+
+
+def test_compact_refuses_during_rotation(ray_session, tmp_path):
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.state.lake import MANIFEST_DIR, LakeTable
+
+    lake = LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(num_partitions=2))
+    marker = os.path.join(lake.root, MANIFEST_DIR, "rotation.json")
+    with open(marker, "w") as f:
+        json.dump({"hot_keys": []}, f)
+    with _pytest.raises(RuntimeError, match="rotation in progress"):
+        lake.compact()
+    with _pytest.raises(RuntimeError, match="rotation in progress"):
+        lake.truncate()
+
+
+def test_below_window_offset_raises(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import pytest as _pytest
+
+    from ape_dts_ray.stages.apply import add_shard_column
+
+    t = pa.table({"log_offset": pa.array([5, 50], pa.int64()),
+                  "conv_id": ["a", "b"], "turn_idx": [1, 2]})
+    with _pytest.raises(ValueError, match="below the first window"):
+        add_shard_column(t, np.array([10]), np.array([0]), 4, None)
