@@ -44,6 +44,16 @@ def check_datasets(
 ):
     """Full-outer compare of two datasets on ``key_cols``. Returns a Dataset of
     ``key_cols + [check_type]`` rows (empty when the tables match)."""
+    # a compare col missing on one side must be null-padded with the type
+    # the OTHER side carries, or the union fails on mismatched schemas —
+    # peek both schemas once (lazy metadata fetch)
+    col_types: dict[str, pa.DataType] = {}
+    for ds in (src_ds, dst_ds):
+        sch = ds.schema()
+        if sch is None:                    # empty side (e.g. no defect rows)
+            continue
+        for name, typ in zip(sch.names, sch.types):
+            col_types.setdefault(name, typ)
 
     def tag(side):
         def fn(t: pa.Table) -> pa.Table:
@@ -51,15 +61,21 @@ def check_datasets(
             t = t.select(cols)
             for c in compare_cols:       # align schemas for union
                 if c not in t.column_names:
-                    t = t.append_column(c, pa.nulls(t.num_rows, pa.string()))
+                    t = t.append_column(
+                        c, pa.nulls(t.num_rows, col_types.get(c, pa.string())))
             return t.append_column("_side", pa.array(
                 np.full(t.num_rows, side, dtype=object), type=pa.string()))
         return fn
 
+    # co-partition both sides by the ACTUAL merge key (generic key_cols —
+    # the transcript defaults would KeyError or, worse, split equal keys
+    # across partitions and report false misses)
+    part_col, salt_col = key_cols[0], key_cols[-1]
     src = src_ds.map_batches(tag("src"), batch_format="pyarrow")
     dst = dst_ds.map_batches(tag("dst"), batch_format="pyarrow")
     both = src.union(dst).map_batches(
-        lambda t: add_partition_column(t, num_partitions),
+        lambda t: add_partition_column(t, num_partitions,
+                                       conv_col=part_col, turn_col=salt_col),
         batch_format="pyarrow")
 
     kc, cc = list(key_cols), list(compare_cols)
@@ -133,7 +149,8 @@ def _defect_rows(check_ds, max_defects: int) -> list[dict]:
 def review(src_ds, dst_ds, check_ds,
            key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
            compare_cols: tuple[str, ...] = ("role", "text", "tool", "ts"),
-           num_partitions: int = 32, max_defects: int = MAX_DEFECT_KEYS):
+           num_partitions: int = 32, max_defects: int = MAX_DEFECT_KEYS,
+           include_extra: bool = False):
     """Re-check ONLY the keys named in a previous check result — the review
     task (check-log extractor → check sinker, mysql_check_extractor.rs:52-106).
     Both sides are pre-filtered to the logged keys (broadcast semi-join), then
@@ -159,7 +176,7 @@ def review(src_ds, dst_ds, check_ds,
         src_ds.map_batches(pick, batch_format="pyarrow"),
         dst_ds.map_batches(pick, batch_format="pyarrow"),
         key_cols=key_cols, compare_cols=compare_cols,
-        num_partitions=num_partitions, include_extra=False)
+        num_partitions=num_partitions, include_extra=include_extra)
 
 
 def revise(lake, src_ds, check_ds,
@@ -256,4 +273,7 @@ def revise(lake, src_ds, check_ds,
     w = EpochWindow(epoch=epoch, lo=wm + 1, hi=wm + n, schema_version=lake.schema_version)
     m = replay_window(lake, w, events_ds=ev_ds)
     lake.commit_epoch(m)
-    return len(keyset)
+    # rows actually re-applied — a logged key whose source row vanished
+    # between check and revise is NOT counted (callers use this to decide
+    # whether a re-check is needed)
+    return n

@@ -116,6 +116,13 @@ def replay_mixed(
     config = config or EngineConfig()
     src_tables = sorted(t for t in tables if not table_filter.filtered(t))
     targets = {t: router.route_table(t) for t in src_tables}
+    if len(set(targets.values())) != len(targets):
+        # two source tables mapped onto one target would both write the
+        # SAME delta path per (epoch, partition) — the second atomic write
+        # silently erases the first table's rows. Refuse; many-to-one
+        # consolidation needs a union upstream, not colliding sinks.
+        raise ValueError(f"many-to-one table routing is not supported by "
+                         f"replay_mixed (targets: {sorted(targets.values())})")
     lakes = {t: LakeTable.create(os.path.join(lake_root, targets[t]),
                                  TableMeta(name=targets[t],
                                            id_cols=meta.id_cols,
@@ -124,6 +131,28 @@ def replay_mixed(
                                            payload_cols=meta.payload_cols),
                                  config, if_exists="ignore")
              for t in src_tables}
+    for t, lk in lakes.items():
+        # a pre-existing lake returns ITS persisted config — epoch planning
+        # below must use identical window boundaries or committed epoch ids
+        # would be silently reinterpreted (replay() refuses the same way)
+        if (lk.config.epoch_size != config.epoch_size
+                or lk.config.num_partitions != config.num_partitions):
+            raise ValueError(
+                f"lake {lk.root} persisted epoch_size/num_partitions "
+                f"({lk.config.epoch_size}/{lk.config.num_partitions}) differ "
+                f"from the call's ({config.epoch_size}/"
+                f"{config.num_partitions}) — resume with the lake's config")
+        if lk.rotation_in_progress():
+            raise RuntimeError(f"lake {lk.root}: hot-key rotation in "
+                               "progress — finish compact(new_hot_keys=...)")
+        if lk.truncate_in_progress():
+            raise RuntimeError(f"lake {lk.root}: truncate in progress — "
+                               "re-run truncate() first")
+        from ape_dts_ray.pipelines.checker import REVISE_EPOCH_BASE
+        if any(e >= REVISE_EPOCH_BASE for e in lk.committed_epochs()):
+            raise RuntimeError(
+                f"lake {lk.root} has committed revise epochs — compact() "
+                "before replaying (revise rows outrank every normal epoch)")
     tidx = {t: i for i, t in enumerate(src_tables)}
     T, P = len(src_tables), config.num_partitions
 
@@ -154,7 +183,14 @@ def replay_mixed(
                 lk.read_manifest(last).offset_max < w_last.hi
                 for lk in lakes.values()):
             done_everywhere.discard(last)
-    pending = [w for w in windows if w.epoch not in done_everywhere]
+    # compacted-watermark filter (truncate publishes compacted.json too, so
+    # this is also the truncate clamp): a window is skippable only when
+    # EVERY lake has folded past it — min() is conservative; re-running a
+    # window against an already-compacted lake is state-idempotent (LWW)
+    cw = min(lk.compacted_watermark() for lk in lakes.values()) \
+        if lakes else -1
+    pending = [w for w in windows
+               if w.epoch not in done_everywhere and w.hi > cw]
     if not pending:
         return {targets[t]: [] for t in src_tables}
 

@@ -54,9 +54,11 @@ class PullServer:
     """Serve an offset-ordered change-event Parquet log for consumer pull."""
 
     def __init__(self, events_path: str, state_path: str,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 key_cols: tuple[str, ...] = ("conv_id", "turn_idx")):
         self.events_path = events_path
         self.state_path = state_path
+        self.key_cols = tuple(key_cols)    # Avro envelope key columns
         self.acked = -1
         if os.path.exists(state_path):
             with open(state_path) as f:
@@ -122,13 +124,26 @@ class PullServer:
             if self.inflight is not None:
                 raise ValueError("unacked batch in flight — /fetch_old or /ack")
             lo = self.acked + 1
-            t = pq.read_table(
-                self.events_path,
-                filters=[(COL_OFFSET, ">=", lo)]).sort_by(COL_OFFSET)
+            # bounded read: filter to a widening offset range instead of
+            # materializing + sorting the whole un-acked tail per fetch
+            # (a fresh consumer against a multi-GB log would OOM). Offsets
+            # may be sparse, so double the span until rows appear or the
+            # log end is passed.
+            span = max(batch_size, 1)
+            t = None
+            while True:
+                hi = lo + span - 1
+                t = pq.read_table(
+                    self.events_path,
+                    filters=[(COL_OFFSET, ">=", lo),
+                             (COL_OFFSET, "<=", hi)]).sort_by(COL_OFFSET)
+                if t.num_rows >= batch_size or hi >= self.max_offset:
+                    break
+                span *= 2
             t = t.slice(0, batch_size)
             if t.num_rows == 0:
                 return b""
-            env = avro_encode(t)
+            env = avro_encode(t, key_cols=self.key_cols)
             body = frame_records(env.column("value").to_pylist())
             self.inflight = body
             self.inflight_hi = int(

@@ -96,7 +96,13 @@ def load_snapshot(lake: LakeTable, snapshot_ds, batch_size: int | None = None,
         t = t.append_column(COL_OP, pa.array(np.full(n, OP_INSERT, dtype=object),
                                              type=pa.string()))
         t = t.append_column(COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
-        t = add_partition_column(t, nparts, hot)
+        # partition by the SAME columns replay shards by (meta.partition_col
+        # + the salt id col) — a snapshot placed by different columns would
+        # strand base rows in partitions CDC deltas never reach
+        ids = lake.meta.id_cols
+        t = add_partition_column(
+            t, nparts, hot, conv_col=lake.meta.partition_col,
+            turn_col=ids[-1] if len(ids) > 1 else ids[0])
         if done:   # resume: drop rows of finished partitions at the source
             pid = t.column(COL_PART).to_numpy(zero_copy_only=False)
             mask = ~np.isin(pid, np.fromiter(done, dtype=np.int64))

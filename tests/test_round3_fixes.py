@@ -481,3 +481,55 @@ def test_below_window_offset_raises(ray_session):
                   "conv_id": ["a", "b"], "turn_idx": [1, 2]})
     with _pytest.raises(ValueError, match="below the first window"):
         add_shard_column(t, np.array([10]), np.array([0]), 4, None)
+
+
+def test_checker_generic_keys_and_types(ray_session):
+    """Review fix: check_datasets co-partitions by the ACTUAL key cols and
+    null-pads missing compare cols with the other side's type."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ape_dts_ray.pipelines.checker import check_datasets
+
+    src = rd.from_arrow(pa.table({
+        "id": [1, 2, 3], "v": [10, 20, 30],
+        "ts": pa.array([1000, 2000, 3000], pa.timestamp("us"))}))
+    dst = rd.from_arrow(pa.table({
+        "id": [1, 2], "v": [10, 99]}))       # no ts column at all
+    out = pa.concat_tables(check_datasets(
+        src, dst, key_cols=("id",), compare_cols=("v", "ts"),
+        num_partitions=4).iter_batches(batch_format="pyarrow"))
+    got = {(r["id"], r["check_type"]) for r in out.to_pylist()}
+    # 3 missing from dst; 1 matches on v but dst lacks ts -> diff; 2 diff
+    assert got == {(3, "miss"), (1, "diff"), (2, "diff")}
+
+
+def test_replay_mixed_refuses_many_to_one_and_config_drift(ray_session, tmp_path):
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from ape_dts_ray.meta import EngineConfig
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+    from ape_dts_ray.stages.router import Router
+
+    ev = pa.table({
+        "log_offset": pa.array([0, 1], pa.int64()), "op": ["insert"] * 2,
+        "table": ["a", "b"],
+        "conv_id": ["c1", "c2"], "turn_idx": [1, 2],
+        "role": ["u", "u"], "text": ["x", "y"], "tool": ["", ""],
+        "ts": pa.array([None, None], pa.timestamp("us"))})
+    with _pytest.raises(ValueError, match="many-to-one"):
+        replay_mixed(str(tmp_path / "l1"), ["a", "b"],
+                     events_ds=rd.from_arrow(ev),
+                     router=Router(table_map={"a": "t", "b": "t"}),
+                     config=EngineConfig(num_partitions=2, epoch_size=10))
+    # config drift on resume: first run persists epoch_size=10; re-running
+    # with 5 must refuse instead of silently re-windowing
+    replay_mixed(str(tmp_path / "l2"), ["a", "b"],
+                 events_ds=rd.from_arrow(ev),
+                 config=EngineConfig(num_partitions=2, epoch_size=10))
+    with _pytest.raises(ValueError, match="persisted epoch_size"):
+        replay_mixed(str(tmp_path / "l2"), ["a", "b"],
+                     events_ds=rd.from_arrow(ev),
+                     config=EngineConfig(num_partitions=2, epoch_size=5))
