@@ -71,8 +71,11 @@ def export_state(lake: LakeTable, out_dir: str,
                 if drop_engine_cols:
                     t = t.drop_columns([c for c in engine_cols
                                         if c in t.column_names])
-                t = t.sort_by([(c, "ascending") for c in meta.order_cols
-                               if c in t.column_names])
+                sort_cols = [c for c in meta.order_cols
+                             if c in t.column_names] \
+                    or [c for c in meta.id_cols if c in t.column_names]
+                if sort_cols:      # byte-determinism; generalized tables
+                    t = t.sort_by([(c, "ascending") for c in sort_cols])
                 atomic_write_parquet(
                     t, os.path.join(out_dir, f"part-{pid:05d}.parquet"),
                     compression="zstd")

@@ -115,7 +115,10 @@ def estimate_events(paths: str | list[str]) -> dict:
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             bytes_ += g.total_byte_size
-            st = g.column(ci).statistics
+            # ci == -1 (no log_offset column) would silently index the LAST
+            # column; stats may also be absent (write_statistics=False) —
+            # both leave mn/mx None and check_plan REPORTS instead of raising
+            st = g.column(ci).statistics if ci >= 0 else None
             if st is not None and st.min is not None:
                 mn = st.min if mn is None else min(mn, st.min)
                 mx = st.max if mx is None else max(mx, st.max)
@@ -132,6 +135,13 @@ def check_plan(paths: str | list[str], epoch_size: int) -> list[CheckResult]:
     est = estimate_events(paths)
     if not est["events"]:
         return [CheckResult("plan_nonempty", False, "no events")]
+    if est["offset_max"] is None:
+        # a reporting check must not raise: missing log_offset column or
+        # footer statistics means the plan can't be sized from metadata
+        return [CheckResult(
+            "plan_offset_stats", False,
+            "no log_offset footer statistics (column missing or "
+            "write_statistics disabled) — cannot size epoch windows")]
     span = est["offset_max"] - est["offset_min"] + 1
     density = est["events"] / span
     sug = suggest_epoch_config(est["avg_event_bytes"])
@@ -197,7 +207,14 @@ def check_constraints(lake_root: str, events_path: str | list[str],
                           .sort(COL_OFFSET)
                           .unique(subset=list(lake.meta.id_cols), keep="last")
                           .to_arrow())
-            grp = latest.select(cols).group_by(cols).aggregate([([], "count_all")])
+            # SQL UNIQUE permits multiple NULLs (MySQL/PG) — drop tuples
+            # with any NULL component before counting duplicates
+            tuples = latest.select(cols)
+            valid = pc.is_valid(tuples.column(cols[0]))
+            for c2 in cols[1:]:
+                valid = pc.and_(valid, pc.is_valid(tuples.column(c2)))
+            tuples = tuples.filter(valid)
+            grp = tuples.group_by(cols).aggregate([([], "count_all")])
             dups = pc.sum(pc.greater(grp.column("count_all"),
                                      pa.scalar(1))).as_py() or 0
             out.append(CheckResult(label, dups == 0,

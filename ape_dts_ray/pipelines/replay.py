@@ -214,9 +214,10 @@ def apply_windows(
     salt_col = key_cols[-1] if len(key_cols) > 1 else key_cols[0]
     epoch_los = np.array([w.lo for w in windows], dtype=np.int64)
     epoch_ids = np.array([w.epoch for w in windows], dtype=np.int64)
+    hi_max = int(max(w.hi for w in windows))
     ds = ds.map_batches(
         lambda t: add_shard_column(t, epoch_los, epoch_ids, nparts, hot,
-                                   part_col, salt_col),
+                                   part_col, salt_col, hi_max=hi_max),
         batch_format="pyarrow", batch_size=bs)
 
     apply_fn = make_apply_fn(lake.root, nparts, lake.meta.id_cols)

@@ -131,7 +131,14 @@ def load_snapshot(lake: LakeTable, snapshot_ds, batch_size: int | None = None,
             if not keep:
                 continue
             import pyarrow.compute as pc
-            grp = out.group_by(keep).aggregate([([], "count_all")])
+            # SQL UNIQUE permits multiple NULLs — exclude null tuples
+            # (id cols are separately NOT-NULL-validated upstream)
+            tuples = out.select(keep)
+            valid = pc.is_valid(tuples.column(keep[0]))
+            for c2 in keep[1:]:
+                valid = pc.and_(valid, pc.is_valid(tuples.column(c2)))
+            grp = tuples.filter(valid).group_by(keep).aggregate(
+                [([], "count_all")])
             dups = pc.sum(pc.greater(grp.column("count_all"),
                                      pa.scalar(1))).as_py() or 0
             if dups:

@@ -53,7 +53,8 @@ def _lineage_table(rows: list[dict]) -> pa.Table:
 def add_shard_column(batch: pa.Table, epoch_los: np.ndarray, epoch_ids: np.ndarray,
                      num_partitions: int, hot_keys=None,
                      part_col: str = "conv_id",
-                     salt_col: str = "turn_idx") -> pa.Table:
+                     salt_col: str = "turn_idx",
+                     hi_max: int | None = None) -> pa.Table:
     """Append ``_shard`` = epoch_index * P + part_id (vectorized).
 
     ``epoch_los``: ascending window lower bounds; ``epoch_ids``: the epoch
@@ -73,6 +74,12 @@ def add_shard_column(batch: pa.Table, epoch_los: np.ndarray, epoch_ids: np.ndarr
         bad = int(off[idx < 0].min())
         raise ValueError(f"event offset {bad} below the first window's lo "
                          f"{int(epoch_los[0])} — source not window-filtered")
+    if hi_max is not None and len(off) and off.max() > hi_max:
+        # the symmetric leak: an offset above the last window would silently
+        # land in the final epoch's delta and later re-apply under its true
+        # epoch — same contract violation, same loud failure
+        raise ValueError(f"event offset {int(off.max())} above the last "
+                         f"window's hi {hi_max} — source not window-filtered")
     epochs = epoch_ids[idx]
     conv = batch.column(part_col).to_numpy(zero_copy_only=False)
     turn = batch.column(salt_col).to_numpy(zero_copy_only=False)

@@ -243,6 +243,15 @@ def avro_encode(batch: pa.Table, key_cols=("conv_id", "turn_idx")) -> pa.Table:
 def avro_decode(batch: pa.Table) -> pa.Table:
     """Inverse: Avro envelope rows → normalized change events."""
     rows = [decode_event(v) for v in batch.column("value").to_pylist()]
+    if not rows:
+        # from_pylist([]) has ZERO columns — the casts below would KeyError
+        # on an empty block (Ray delivers them after upstream filters)
+        return pa.Table.from_pylist([], schema=pa.schema(
+            [(COL_OFFSET, pa.int64()), (COL_SEQ, pa.int32()),
+             ("op", pa.string()), ("conv_id", pa.string()),
+             ("turn_idx", pa.int32()), ("role", pa.string()),
+             ("text", pa.string()), ("tool", pa.string()),
+             ("ts", pa.timestamp("us"))]))
     out = pa.Table.from_pylist(rows)
     ts = out.column("ts").cast(pa.int64()).cast(pa.timestamp("us"))
     out = out.set_column(out.column_names.index("ts"), "ts", ts)

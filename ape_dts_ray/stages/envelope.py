@@ -46,8 +46,14 @@ def make_to_envelope(table: str = "transcripts",
         df = sel.to_pandas(types_mapper=_int_map.get)
         # vectorized row serialization (pandas' C JSON writer) — ISO µs
         # timestamps ride as strings and cast back in from_envelope
+        # double_precision=15: pandas defaults to 10 significant digits,
+        # silently truncating float64 payloads; 15 is the writer's max
+        # (ujson), so round-trips are exact to 15 significant digits —
+        # full 17-digit float64 fidelity needs the Avro binary envelope
+        # (stages/avro.py), which this JSON transport intentionally is not
         payload = df.to_json(orient="records", lines=True, date_format="iso",
-                             date_unit="us").splitlines()
+                             date_unit="us",
+                             double_precision=15).splitlines()
         key_parts = [df[c].astype(str) for c in key_cols]
         keys = key_parts[0]
         for p in key_parts[1:]:
@@ -75,7 +81,10 @@ def from_envelope(batch: pa.Table, schema: pa.Schema | None = None) -> pa.Table:
     })
     for name in payload.column_names:
         col = payload.column(name)
-        if schema is not None and schema.field(name) is not None:
+        # membership check, not schema.field(name): pa.Schema.field RAISES
+        # on a missing name, so columns absent from the target schema
+        # (heterogeneous version streams) must be detected by name
+        if schema is not None and name in schema.names:
             try:
                 col = col.cast(schema.field(name).type)
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError):

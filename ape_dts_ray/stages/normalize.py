@@ -45,17 +45,25 @@ def ensure_seq(batch: pa.Table) -> pa.Table:
 
 def split_pk_change(
     batch: pa.Table,
-    new_key_col: str = "new_turn_idx",
-    key_col: str = "turn_idx",
+    new_key_col: str | None = None,
+    key_col: str | None = None,
     key_cols=("conv_id", "turn_idx"),
 ) -> pa.Table:
     """Split PK-change updates (non-null ``new_key_col``) into
     delete(old key, seq=0) + insert(new key, seq=1); drop the helper column.
 
+    The helper column defaults to ``new_<last key col>`` — derived from
+    ``key_cols`` so generic tables work (an explicit ``new_turn_idx`` on a
+    table whose keys don't include ``turn_idx`` previously crashed here).
+
     Vectorized: one filter + one take per side, no row loop.
     """
     batch = ensure_seq(batch)
-    if new_key_col not in batch.column_names:
+    if key_col is None:
+        key_col = key_cols[-1]
+    if new_key_col is None:
+        new_key_col = f"new_{key_col}"
+    if new_key_col not in batch.column_names or key_col not in batch.column_names:
         return batch
     is_change = pc.and_(
         batch.column(new_key_col).is_valid(),

@@ -4,7 +4,9 @@ would execute. ``reverse=True`` emits undo SQL (``row_data.reverse()``,
 row_data.rs:54-69): an insert reverses to a keyed DELETE; an update/delete
 reverses to a REPLACE of the before-image. ``format_sql(reverse=True)``
 alone has no before-image (events carry after-images only) and emits a
-comment placeholder for deletes; ``reverse_sql_with_before`` closes that gap
+comment placeholder for deletes AND updates (re-emitting an update's
+after-image would re-apply the change, not undo it);
+``reverse_sql_with_before`` closes that gap
 by joining the before-image from the LAKE STATE — valid when the state is
 from BEFORE the batch was applied (the undo-preview use of the reference's
 reverse mode).
@@ -70,12 +72,16 @@ def format_sql(batch: pa.Table, table: str = "transcripts",
     if not reverse:
         sql = np.where(is_del, delete_sql, insert_sql)
     else:
+        # honest placeholders: updates are as before-image-less as deletes —
+        # emitting the after-image REPLACE would RE-APPLY the change, not
+        # undo it (use reverse_sql_with_before for real undo of both)
         is_ins = df["op"].eq("insert")
         sql = np.where(is_ins, delete_sql,
                        np.where(is_del,
                                 "-- cannot reverse delete without before-image ("
                                 + where + ")",
-                                insert_sql))
+                                "-- cannot reverse update without before-image ("
+                                + where + ")"))
     out = pa.table({
         "log_offset": batch.column("log_offset"),
         "sql": pa.array(sql.astype(object), type=pa.string()),

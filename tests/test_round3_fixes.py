@@ -533,3 +533,79 @@ def test_replay_mixed_refuses_many_to_one_and_config_drift(ray_session, tmp_path
         replay_mixed(str(tmp_path / "l2"), ["a", "b"],
                      events_ds=rd.from_arrow(ev),
                      config=EngineConfig(num_partitions=2, epoch_size=5))
+
+
+def test_envelope_precision_and_unknown_columns(ray_session):
+    """Review fixes: float payloads survive the JSON envelope at full
+    precision; payload columns absent from the target schema are carried
+    through instead of crashing the decode."""
+    import pyarrow as pa
+
+    from ape_dts_ray.stages.envelope import from_envelope, make_to_envelope
+
+    t = pa.table({
+        "log_offset": pa.array([0], pa.int64()),
+        "op": ["insert"], "conv_id": ["c1"], "turn_idx": [1],
+        "value": pa.array([0.12345678901234567], pa.float64()),
+    })
+    env = make_to_envelope()(t)
+    back = from_envelope(env, schema=pa.schema([("value", pa.float64())]))
+    # 15 significant digits is the JSON writer's max (ujson); the default
+    # of 10 lost 0.12345678901234567 -> 0.123456789
+    assert abs(back.column("value")[0].as_py() - 0.12345678901234567) < 1e-15
+    # 'conv_id' / 'turn_idx' are NOT in the given schema — must not raise
+    assert back.column("conv_id")[0].as_py() == "c1"
+
+
+def test_unique_allows_multiple_nulls(ray_session, tmp_path):
+    """SQL UNIQUE permits multiple NULLs — snapshot load must not reject a
+    source two of whose rows have a NULL unique column."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.snapshot import load_snapshot
+    from ape_dts_ray.state.lake import LakeTable
+
+    lake = LakeTable.create(
+        str(tmp_path / "lake"),
+        TableMeta(payload_cols=("role", "text", "tool", "ts", "email")),
+        EngineConfig(num_partitions=2))
+    lake.set_constraints([{"type": "unique", "cols": ["email"]}])
+    snap = pa.table({
+        "conv_id": ["a", "b", "c"], "turn_idx": [1, 2, 3],
+        "role": ["u"] * 3, "text": ["x"] * 3, "tool": [""] * 3,
+        "ts": pa.nulls(3, pa.timestamp("us")),
+        "email": pa.array([None, None, "e@x"], pa.string()),
+    })
+    load_snapshot(lake, rd.from_arrow(snap))     # two NULL emails: legal
+    assert lake.state_table().num_rows == 3
+
+
+def test_pk_change_generic_key_col(ray_session):
+    """split_pk_change derives the helper column from key_cols — a generic
+    table's 'new_<key>' column splits; a stray transcript-named helper on a
+    generic table is ignored instead of crashing."""
+    import pyarrow as pa
+
+    from ape_dts_ray.stages.normalize import normalize_batch
+
+    t = pa.table({
+        "log_offset": pa.array([0, 1], pa.int64()),
+        "op": ["update", "update"],
+        "tenant": ["t1", "t2"], "item": [1, 2],
+        "new_item": pa.array([None, 9], pa.int64()),
+        "val": ["a", "b"],
+    })
+    out = normalize_batch(t, key_cols=("tenant", "item"))
+    rows = sorted((r["tenant"], r["item"], r["op"]) for r in out.to_pylist())
+    assert rows == [("t1", 1, "update"), ("t2", 2, "delete"),
+                    ("t2", 9, "insert")]
+    # transcript-named helper on a generic table: no such key col -> no split
+    t2 = pa.table({
+        "log_offset": pa.array([0], pa.int64()), "op": ["update"],
+        "tenant": ["t1"], "item": [1],
+        "new_turn_idx": pa.array([5], pa.int64()), "val": ["a"],
+    })
+    out2 = normalize_batch(t2, key_cols=("tenant", "item"))
+    assert out2.num_rows == 1
