@@ -67,18 +67,6 @@ class TableMeta:
         return tuple(dict.fromkeys(self.id_cols + self.payload_cols))
 
 
-def event_schema(meta: TableMeta | None = None,
-                 extra: list[tuple[str, pa.DataType]] | None = None) -> pa.Schema:
-    """Arrow schema of the normalized change-event stream for ``meta``."""
-    base = [
-        (COL_OFFSET, pa.int64()),
-        (COL_SEQ, pa.int32()),
-        (COL_OP, pa.string()),
-    ]
-    return pa.schema(base + list(TRANSCRIPT_FIELDS) + list(extra or []))
-
-
-DEFAULT_META = TableMeta()
 
 
 @dataclass

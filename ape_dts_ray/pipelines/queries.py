@@ -184,7 +184,10 @@ def cdc_snapshot_load(sf_dir: str) -> pa.Table:
     load_snapshot(lake, src.state_dataset(
         columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]))
     assert snapshot_finished(lake)
-    _consume_lake(src)          # src lake no longer needed once loaded
+    # plain rmtree — _consume_lake(src) would re-read src's ENTIRE state
+    # (a second full merge-on-read) just to reach the cleanup inside it
+    import shutil
+    shutil.rmtree(os.path.dirname(src.root), ignore_errors=True)
     return _consume_lake(lake)
 
 
@@ -195,12 +198,22 @@ def cdc_checker(sf_dir: str):
     from ape_dts_ray.pipelines.checker import check_datasets
     from ape_dts_ray.stages.filter import EventFilter
 
+    import shutil
+
     src_lake = _replay_changes(sf_dir, "chk_src")
     dst_lake = _replay_changes(sf_dir, "chk_dst",
                                event_filter=EventFilter(do_events=("insert",)))
     out = check_datasets(src_lake.state_dataset(), dst_lake.state_dataset(),
                          num_partitions=QUERY_PARTITIONS, include_extra=True)
-    return out.select_columns(["conv_id", "turn_idx", "check_type"])
+    # materialize BEFORE deleting the scratch lakes (a lazy Dataset over
+    # removed files would fail downstream; un-deleted lakes leaked two full
+    # replay states into /tmp per invocation)
+    t = pa.concat_tables(
+        out.select_columns(["conv_id", "turn_idx", "check_type"])
+        .iter_batches(batch_format="pyarrow")).combine_chunks()
+    shutil.rmtree(os.path.dirname(src_lake.root), ignore_errors=True)
+    shutil.rmtree(os.path.dirname(dst_lake.root), ignore_errors=True)
+    return t
 
 
 def cdc_schema_evolution(sf_dir: str) -> pa.Table:
@@ -397,9 +410,13 @@ def cdc_wide_types(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 
     n_events = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    # >=2 epochs at EVERY sf (the crash probe below must cross a real epoch
+    # boundary — sf0.001 has 1000 events, so the cap n//2 guarantees it),
+    # ~8 epochs at larger sf (bounded pipeline executions)
+    epoch_size = max(1, min(n_events // 2, max(4000, n_events // 8)))
     lake = LakeTable.create(root + "/lake", meta,
                             EngineConfig(num_partitions=QUERY_PARTITIONS,
-                                         epoch_size=max(4000, n_events // 8)))
+                                         epoch_size=epoch_size))
     lake.set_schema_ops([
         {"op": "rename", "from": "payload_bin", "to": "payload"},
         {"op": "widen", "col": "qty", "type": "int64"},
@@ -638,6 +655,11 @@ def _redis_cmds_batch(t: pa.Table) -> pa.Table:
     m_set = et.isin(["click", "view"]).to_numpy()
     m_hset = et.eq("signup").to_numpy()
     m_zadd = et.eq("purchase").to_numpy()
+    if df.loc[m_zadd, "value"].isna().any():
+        # astype(str) would serialize NULL as the literal 'nan' while the
+        # oracle's max_by yields NULL — fail loudly on latent data drift
+        raise ValueError("redis_replay derivation: purchase event with NULL "
+                         "value cannot be a deterministic ZADD score")
     unmatched = ~(m_del | m_set | m_hset | m_zadd)
     if unmatched.any():
         # the oracle enumerates exactly these five types — a catch-all here
