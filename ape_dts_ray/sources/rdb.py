@@ -7,10 +7,11 @@ Closes the last SURVEY §2 coverage gap (the Redis family):
   reference's parser tree (dt-connector/src/extractor/redis/rdb/rdb_parser.rs,
   reader/{length,string,zip_list,list_pack}.rs, entry_parser/*.rs). Handles
   the same type bytes: string(0), list(1/10/14/18), set(2/11/20),
-  zset(3/5/12/17), hash(4/13/16/24/25), stream(15/19/21) and opcodes
-  SELECT/EXPIRE/EXPIRE_MS/AUX/RESIZEDB/IDLE/FREQ/EOF. Unknown types raise
-  (honest, like the reference's bail) — zipmap(9) and modules(6,7) are
-  pre-2.6 / module territory and documented out of scope in COVERAGE.md.
+  zset(3/5/12/17), hash(4/9/13/16/22-25 — incl. pre-2.6 zipmap, which the
+  reference bails on, and the 7.4-RC pre-GA TTL variants), stream(15/19/21)
+  and opcodes SELECT/EXPIRE/EXPIRE_MS/AUX/RESIZEDB/IDLE/FREQ/EOF. Unknown
+  types raise (honest, like the reference's bail) — modules(6,7) are
+  documented out of scope in COVERAGE.md.
 - ``encode_rdb``    — writer used by the RDB sinker/fixtures so every decode
   path (int strings, LZF, intset, ziplist, listpack, quicklist2, binary
   doubles, field TTLs) is exercised against real bytes, the same
@@ -149,15 +150,19 @@ RDB_TYPE_LIST_QUICKLIST_2 = 18
 RDB_TYPE_STREAM_LISTPACKS_2 = 19
 RDB_TYPE_SET_LISTPACK = 20
 RDB_TYPE_STREAM_LISTPACKS_3 = 21
+RDB_TYPE_HASH_METADATA_PRE_GA = 22
+RDB_TYPE_HASH_LISTPACK_EX_PRE_GA = 23
 RDB_TYPE_HASH_METADATA = 24
 RDB_TYPE_HASH_LISTPACK_EX = 25
 
 _VALUE_TYPE_BYTES = {
     RDB_TYPE_STRING, RDB_TYPE_LIST, RDB_TYPE_SET, RDB_TYPE_ZSET,
-    RDB_TYPE_HASH, RDB_TYPE_ZSET_2, RDB_TYPE_LIST_ZIPLIST,
+    RDB_TYPE_HASH, RDB_TYPE_ZSET_2, RDB_TYPE_HASH_ZIPMAP,
+    RDB_TYPE_LIST_ZIPLIST,
     RDB_TYPE_SET_INTSET, RDB_TYPE_ZSET_ZIPLIST, RDB_TYPE_HASH_ZIPLIST,
     RDB_TYPE_LIST_QUICKLIST, RDB_TYPE_HASH_LISTPACK, RDB_TYPE_ZSET_LISTPACK,
     RDB_TYPE_LIST_QUICKLIST_2, RDB_TYPE_SET_LISTPACK,
+    RDB_TYPE_HASH_METADATA_PRE_GA, RDB_TYPE_HASH_LISTPACK_EX_PRE_GA,
     RDB_TYPE_HASH_METADATA, RDB_TYPE_HASH_LISTPACK_EX,
     RDB_TYPE_STREAM_LISTPACKS, RDB_TYPE_STREAM_LISTPACKS_2,
     RDB_TYPE_STREAM_LISTPACKS_3,
@@ -303,6 +308,36 @@ class RdbReader:
                 raise ValueError(f"rdb: ziplist encoding {enc:#x}")
         return out
 
+    def read_zipmap(self) -> list[tuple[bytes, bytes]]:
+        """Pre-2.6 hash encoding (redis src/zipmap.c — the format the
+        reference bails on, hash_parser.rs:53-60; decoded here from the
+        public layout): ``<zmlen> (<klen> key <vlen> <free> value+free)*
+        0xFF``. A length byte < 254 is the length itself; 254 prefixes a
+        4-byte LE u32; 255 marks the end (key position only). zmlen < 254
+        is the pair count, otherwise it's unknown and we traverse."""
+        buf = self.read_string()
+        pos = 1                               # skip zmlen (traversal-driven)
+        out: list[tuple[bytes, bytes]] = []
+
+        def declen(p: int) -> tuple[int, int]:
+            b0 = buf[p]
+            if b0 < 254:
+                return b0, p + 1
+            return struct.unpack_from("<I", buf, p + 1)[0], p + 5
+
+        while True:
+            if pos >= len(buf):
+                raise ValueError("rdb: zipmap missing 0xFF terminator")
+            if buf[pos] == 0xFF:
+                break
+            klen, pos = declen(pos)
+            key = buf[pos:pos + klen]; pos += klen
+            vlen, pos = declen(pos)
+            free = buf[pos]; pos += 1
+            out.append((key, buf[pos:pos + vlen]))
+            pos += vlen + free
+        return out
+
     def read_listpack(self) -> list[bytes]:
         buf = self.read_string()
         size = struct.unpack_from("<H", buf, 4)[0]   # skip total-bytes u32
@@ -405,7 +440,7 @@ def parse_rdb(data: bytes, verify_checksum: bool = True):
             r.read_length(); r.read_length(); r.read_length(); continue
         if tb not in _VALUE_TYPE_BYTES:
             raise ValueError(f"rdb: unsupported type byte {tb} "
-                             "(zipmap(9) and modules(6,7) are out of scope)")
+                             "(modules(6,7) are out of scope)")
         key = r.read_string()
         entry = {"db": db, "key": key, "expire_ms": expire_ms}
         expire_ms = 0
@@ -469,31 +504,41 @@ def _parse_value(r: RdbReader, tb: int, entry: dict) -> None:
             flat = (r.read_ziplist() if tb == RDB_TYPE_ZSET_ZIPLIST
                     else r.read_listpack())
             entry["zset"] = [(m, float(s)) for m, s in _pairs(flat)]
-    elif tb in (RDB_TYPE_HASH, RDB_TYPE_HASH_ZIPLIST, RDB_TYPE_HASH_LISTPACK,
-                RDB_TYPE_HASH_METADATA, RDB_TYPE_HASH_LISTPACK_EX):
+    elif tb in (RDB_TYPE_HASH, RDB_TYPE_HASH_ZIPMAP, RDB_TYPE_HASH_ZIPLIST,
+                RDB_TYPE_HASH_LISTPACK,
+                RDB_TYPE_HASH_METADATA_PRE_GA, RDB_TYPE_HASH_METADATA,
+                RDB_TYPE_HASH_LISTPACK_EX_PRE_GA, RDB_TYPE_HASH_LISTPACK_EX):
         entry["type"] = "hash"
         if tb == RDB_TYPE_HASH:
             entry["fields"] = [(r.read_string(), r.read_string())
                                for _ in range(r.read_length())]
+        elif tb == RDB_TYPE_HASH_ZIPMAP:
+            entry["fields"] = r.read_zipmap()
         elif tb == RDB_TYPE_HASH_ZIPLIST:
             entry["fields"] = _pairs(r.read_ziplist())
         elif tb == RDB_TYPE_HASH_LISTPACK:
             entry["fields"] = _pairs(r.read_listpack())
-        elif tb == RDB_TYPE_HASH_METADATA:
+        elif tb in (RDB_TYPE_HASH_METADATA, RDB_TYPE_HASH_METADATA_PRE_GA):
             # GA layout (redis src/rdb.c): minExpire u64, len, then per field
             # relative-ttl (length-encoded; 0 = none, else abs = min + rel - 1),
-            # field, value. (The reference skips minExpire for GA — we follow
-            # the redis source layout; hash_parser.rs:95-118 is the analog.)
-            min_expire = struct.unpack("<Q", r.read(8))[0]
+            # field, value. PRE_GA (7.4-RC, type 22): no minExpire header and
+            # the per-field length-encoded ttl is already absolute. (The
+            # reference inverts which variant carries the header,
+            # hash_parser.rs:90-117 — redis rdb.c is normative here.)
+            if tb == RDB_TYPE_HASH_METADATA:
+                min_expire = struct.unpack("<Q", r.read(8))[0]
             out = []
             for _ in range(r.read_length()):
-                rel = r.read_length()
+                ttl = r.read_length()
                 f = r.read_string()
                 v = r.read_string()
-                out.append((f, v, min_expire + rel - 1 if rel else 0))
+                if tb == RDB_TYPE_HASH_METADATA and ttl:
+                    ttl = min_expire + ttl - 1
+                out.append((f, v, ttl))
             entry["fields"] = out
-        else:                                 # HASH_LISTPACK_EX: triplets
-            r.read(8)                         # minExpire (absolute ttls follow)
+        else:                                 # HASH_LISTPACK_EX[_PRE_GA]
+            if tb == RDB_TYPE_HASH_LISTPACK_EX:
+                r.read(8)                     # minExpire (absolute ttls follow)
             flat = r.read_listpack()
             if len(flat) % 3:
                 raise ValueError("rdb: listpack_ex length not multiple of 3")

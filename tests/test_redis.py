@@ -134,9 +134,57 @@ def test_rdb_checksum_detects_corruption():
 
 def test_rdb_unknown_type_raises():
     img = bytearray(b"REDIS0011")
-    img.append(9)            # RDB_TYPE_HASH_ZIPMAP: pre-2.6, out of scope
+    img.append(7)            # RDB_TYPE_MODULE_2: out of scope
     with pytest.raises(ValueError, match="unsupported type"):
         rdbmod.parse_rdb(bytes(img), verify_checksum=False)
+
+
+def test_rdb_zipmap_decode():
+    # Pre-2.6 zipmap (redis src/zipmap.c): hand-built blob exercising the
+    # 1-byte length, the 254+u32le big length, and nonzero free bytes.
+    long_v = bytes(range(256)) + b"Z" * 44          # len 300 ≥ 254
+    zm = bytearray([2])                             # zmlen: 2 pairs
+    zm += bytes([4]) + b"name"
+    zm += bytes([5, 2]) + b"alice" + b"\x00\x00"    # vlen=5, free=2 junk
+    zm += bytes([3]) + b"big"
+    zm += bytes([254]) + (300).to_bytes(4, "little") + bytes([0]) + long_v
+    zm.append(0xFF)
+
+    img = bytearray(b"REDIS0003")                   # zipmap-era version
+    img.append(rdbmod.RDB_TYPE_HASH_ZIPMAP)
+    rdbmod.write_string(img, b"h_zm")
+    rdbmod.write_string(img, bytes(zm), try_int=False, lzf_sample=0)
+    img.append(0xFF)                                # EOF (pre-0005: no CRC)
+    _, back = rdbmod.parse_rdb(bytes(img))
+    assert back == [{"db": 0, "key": b"h_zm", "type": "hash", "expire_ms": 0,
+                     "fields": [(b"name", b"alice"), (b"big", long_v)]}]
+
+
+def test_rdb_hash_ttl_pre_ga():
+    # 7.4-RC layouts (redis rdb.c): type 22 = no minExpire header, absolute
+    # length-encoded per-field ttl; type 23 = listpack triplets, no header.
+    img = bytearray(b"REDIS0011")
+    img.append(rdbmod.RDB_TYPE_HASH_METADATA_PRE_GA)
+    rdbmod.write_string(img, b"h_pre")
+    rdbmod.write_length(img, 2)
+    rdbmod.write_length(img, 1750000000123)
+    rdbmod.write_string(img, b"f1"); rdbmod.write_string(img, b"v1")
+    rdbmod.write_length(img, 0)                     # no ttl
+    rdbmod.write_string(img, b"f2"); rdbmod.write_string(img, b"v2")
+
+    img.append(rdbmod.RDB_TYPE_HASH_LISTPACK_EX_PRE_GA)
+    rdbmod.write_string(img, b"h_pre_lp")
+    lp = rdbmod.encode_listpack([b"fa", b"va", b"1750000000456",
+                                 b"fb", b"vb", b"0"])
+    rdbmod.write_string(img, lp, try_int=False, lzf_sample=0)
+    img.append(0xFF)
+    img += (0).to_bytes(8, "little")                # zero CRC = unchecked
+    _, back = rdbmod.parse_rdb(bytes(img))
+    by_key = {e["key"]: e for e in back}
+    assert by_key[b"h_pre"]["fields"] == [(b"f1", b"v1", 1750000000123),
+                                          (b"f2", b"v2", 0)]
+    assert by_key[b"h_pre_lp"]["fields"] == [(b"fa", b"va", 1750000000456),
+                                             (b"fb", b"vb", 0)]
 
 
 def _stream_entry():
