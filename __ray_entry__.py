@@ -77,7 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_checker": q.cdc_checker,
         "cdc_schema_evolution": q.cdc_schema_evolution,
         "cdc_schema_nonadditive": q.cdc_schema_nonadditive,
+        "cdc_ddl_text": q.cdc_ddl_text,
         "cdc_multitable": q.cdc_multitable,
+        "cdc_two_way": q.cdc_two_way,
         "cdc_time_window": q.cdc_time_window,
         "cdc_lineage_totals": q.cdc_lineage_totals,
         "cdc_pk_change": q.cdc_pk_change,
@@ -271,6 +273,20 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_nonadditive": CHANGES_CTE + "," + _LAST + """
             SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text,
                    tool AS tool_name, ts
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # DDL-TEXT-driven schema evolution lands the exact same state as the
+        # structured-ops query — one oracle, two engine entry points
+        "cdc_ddl_text": CHANGES_CTE + "," + _LAST + """
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text,
+                   tool AS tool_name, ts
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # two-way replication converges both lakes to the global LWW fold —
+        # the query asserts A == B and returns A, so the oracle is
+        # cdc_apply_lww's
+        "cdc_two_way": CHANGES_CTE + "," + _LAST + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
         # Wide-type LWW winners (decimal/binary/enum/json payload) with the

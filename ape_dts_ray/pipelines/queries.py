@@ -291,6 +291,47 @@ def cdc_schema_nonadditive(sf_dir: str) -> pa.Table:
     return out
 
 
+def cdc_ddl_text(sf_dir: str) -> pa.Table:
+    """``cdc_schema_nonadditive`` driven by DDL TEXT instead of structured
+    ops: replay the pre-cut leg, feed real ``ALTER TABLE`` statements through
+    the text adapter (stages/ddl.py — the ddl_parser.rs → ddl_type.rs
+    alter-family subset), reopen the lake (ops are persisted), replay the
+    rest across the barrier. Same oracle as the structured-ops query — the
+    two entry points must land the identical state."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.stages.ddl import apply_ddl
+
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    cut = n // 2
+
+    def rename_tool(t: pa.Table) -> pa.Table:
+        # identical post-cut source-schema shift as cdc_schema_nonadditive
+        if t.num_rows == 0 or pc.max(t.column("log_offset")).as_py() < cut:
+            return t
+        is_v1 = pc.greater_equal(t.column("log_offset"), pa.scalar(cut, pa.int64()))
+        nulls = pa.nulls(t.num_rows, pa.string())
+        tool_name = pc.if_else(is_v1, t.column("tool"), nulls)
+        old_tool = pc.if_else(is_v1, nulls, t.column("tool"))
+        t = t.set_column(t.column_names.index("tool"), "tool", old_tool)
+        return t.append_column("tool_name", tool_name)
+
+    lake = _fresh_lake("ddltext")
+    replay(lake, events_ds=changes_dataset(sf_dir), max_offset=cut - 1)
+    for sql in ("ALTER TABLE transcripts RENAME COLUMN tool TO tool_name",
+                "ALTER TABLE transcripts DROP COLUMN role",
+                "ALTER TABLE transcripts MODIFY COLUMN turn_idx BIGINT"):
+        apply_ddl(lake, sql)
+    lake = LakeTable.open(lake.root)            # ops arrived via persistence
+    assert len(lake.schema_ops) == 3
+    replay(lake, events_ds=changes_dataset(sf_dir), barriers=[(cut, 1)],
+           router_fn=rename_tool)
+    out = _consume_lake(lake)
+    assert "role" not in out.column_names and "tool" not in out.column_names
+    return out
+
+
 def cdc_multitable(sf_dir: str) -> pa.Table:
     """Mixed-stream multi-table fan-out (TableParallelizer,
     table_parallelizer.rs:86-114): ONE interleaved change stream carries a
@@ -321,6 +362,107 @@ def cdc_multitable(sf_dir: str) -> pa.Table:
             "tbl", pa.array([name] * t.num_rows, pa.string())))
     shutil.rmtree(root, ignore_errors=True)
     return pa.concat_tables(pieces)
+
+
+def cdc_two_way(sf_dir: str) -> pa.Table:
+    """Two-way (cycle_basic) replication over the sf stream
+    (dt-connector/src/data_marker.rs, docs/en/cdc/two_way.md): conv-parity
+    split into per-node LOCAL writes (node A = even convs, B = odd), each
+    node's log + lake live on disk; a bidirectional exchange ships the peer's
+    outbound stream (origin coalesced to the peer's name) and appends it with
+    post-watermark local offsets; the reflected round re-reads the peer's log
+    past the cursor and must drop every event (origin == self — the
+    DataMarker cycle breaker, no ping-pong). Both lakes must converge to the
+    global LWW fold — the query asserts A == B and returns A's state, so the
+    oracle is exactly ``cdc_apply_lww``'s.
+
+    Scale shape: logs are Parquet directories (``events_path`` replay — the
+    row-group-pruned source), the exchange is a Dataset filter+map+write (no
+    driver landing), and per-key LWW order is preserved because a key
+    originates on exactly one node (appended peer events keep their relative
+    order at ``base + orig_offset``)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.pipelines.replay import replay
+
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    root = tempfile.mkdtemp(prefix="ape_dts_ray_twoway_")
+    nodes = ("A", "B")
+    logs = {m: os.path.join(root, f"log_{m}") for m in nodes}
+    lakes = {m: LakeTable.create(
+        os.path.join(root, f"lake_{m}"), TableMeta(),
+        EngineConfig(num_partitions=QUERY_PARTITIONS, epoch_size=50_000))
+        for m in nodes}
+
+    def local_writes(node: str):
+        want = 0 if node == "A" else 1
+
+        def f(t: pa.Table) -> pa.Table:
+            uid = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 99),
+                          pa.int64())
+            out = t.filter(pc.equal(pc.bit_wise_and(uid, pa.scalar(1, pa.int64())),
+                                    pa.scalar(want, pa.int64())))
+            return out.append_column("origin",
+                                     pa.nulls(out.num_rows, pa.string()))
+        return f
+
+    def pull(dst: str, src: str, cursor: int) -> int:
+        """dst consumes src's log from ``cursor``: coalesce origin to the
+        peer's name (outbound stamp), drop self-originated events (cycle
+        breaker), append with offsets shifted past dst's local range."""
+        out_dir = os.path.join(logs[dst], f"from_{src}")
+
+        def stamp(t: pa.Table) -> pa.Table:
+            org = pc.coalesce(t.column("origin"), pa.scalar(src))
+            t = t.set_column(t.column_names.index("origin"), "origin", org)
+            t = t.filter(pc.not_equal(t.column("origin"), pa.scalar(dst)))
+            off = pc.add(t.column("log_offset"), pa.scalar(n, pa.int64()))
+            return t.set_column(t.column_names.index("log_offset"),
+                                "log_offset", off)
+
+        import ray
+        src_ds = ray.data.read_parquet(logs[src]).filter(
+            expr=f"log_offset >= {cursor}")
+        fresh = src_ds.map_batches(stamp, batch_format="pyarrow")
+        got = fresh.count()
+        if got:
+            fresh.write_parquet(out_dir)
+        return got
+
+    def log_files(m: str) -> list[str]:
+        import glob
+
+        return sorted(glob.glob(os.path.join(logs[m], "**", "*.parquet"),
+                                recursive=True))
+
+    for m in nodes:
+        changes_dataset(sf_dir).map_batches(
+            local_writes(m), batch_format="pyarrow").write_parquet(
+            os.path.join(logs[m], "local"))
+        replay(lakes[m], events_path=log_files(m))
+
+    # exchange round: each node pulls the peer's stream and syncs
+    got = {m: pull(m, p, cursor=0) for m, p in (("A", "B"), ("B", "A"))}
+    assert got["A"] + got["B"] == n, got
+    for m in nodes:
+        replay(lakes[m], events_path=log_files(m))
+
+    # reflected round: the peer's log now ends with this node's own events
+    # back (origin == self) — the cycle breaker drops all of them and the
+    # re-replay is a no-op
+    assert pull("A", "B", cursor=n) == 0
+    assert pull("B", "A", cursor=n) == 0
+    assert replay(lakes["A"], events_path=log_files("A")) == []
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    state = {m: lakes[m].state_table().select(cols)
+             .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+             for m in nodes}
+    assert state["A"].equals(state["B"])
+    shutil.rmtree(root, ignore_errors=True)
+    return state["A"]
 
 
 def cdc_pk_change(sf_dir: str) -> pa.Table:
