@@ -251,6 +251,24 @@ def cdc_schema_evolution(sf_dir: str) -> pa.Table:
     return _consume_lake(lake)
 
 
+def _rename_tool_router(cut: int):
+    """Post-cut source-schema shift shared by cdc_schema_nonadditive and
+    cdc_ddl_text (lockstep by construction — the two queries differ ONLY in
+    how the schema ops reach the lake): rows at offset >= cut emit
+    ``tool_name`` instead of ``tool``. A batch may mix eras under
+    grouped-epoch execution, so the split is row-level."""
+    def rename_tool(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or pc.max(t.column("log_offset")).as_py() < cut:
+            return t
+        is_v1 = pc.greater_equal(t.column("log_offset"), pa.scalar(cut, pa.int64()))
+        nulls = pa.nulls(t.num_rows, pa.string())
+        tool_name = pc.if_else(is_v1, t.column("tool"), nulls)
+        old_tool = pc.if_else(is_v1, nulls, t.column("tool"))
+        t = t.set_column(t.column_names.index("tool"), "tool", old_tool)
+        return t.append_column("tool_name", tool_name)
+    return rename_tool
+
+
 def cdc_schema_nonadditive(sf_dir: str) -> pa.Table:
     """NON-additive schema evolution (ddl_type.rs rename/drop/alter family):
     at the median offset the stream renames ``tool``→``tool_name`` (post-cut
@@ -264,18 +282,7 @@ def cdc_schema_nonadditive(sf_dir: str) -> pa.Table:
 
     n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     cut = n // 2
-
-    def rename_tool(t: pa.Table) -> pa.Table:
-        # post-cut rows emit tool_name (new source schema); a batch may mix
-        # eras under grouped-epoch execution, so the split is row-level
-        if t.num_rows == 0 or pc.max(t.column("log_offset")).as_py() < cut:
-            return t
-        is_v1 = pc.greater_equal(t.column("log_offset"), pa.scalar(cut, pa.int64()))
-        nulls = pa.nulls(t.num_rows, pa.string())
-        tool_name = pc.if_else(is_v1, t.column("tool"), nulls)
-        old_tool = pc.if_else(is_v1, nulls, t.column("tool"))
-        t = t.set_column(t.column_names.index("tool"), "tool", old_tool)
-        return t.append_column("tool_name", tool_name)
+    rename_tool = _rename_tool_router(cut)
 
     lake = _fresh_lake("schemanonadd")
     lake.set_schema_ops([
@@ -306,17 +313,6 @@ def cdc_ddl_text(sf_dir: str) -> pa.Table:
     n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     cut = n // 2
 
-    def rename_tool(t: pa.Table) -> pa.Table:
-        # identical post-cut source-schema shift as cdc_schema_nonadditive
-        if t.num_rows == 0 or pc.max(t.column("log_offset")).as_py() < cut:
-            return t
-        is_v1 = pc.greater_equal(t.column("log_offset"), pa.scalar(cut, pa.int64()))
-        nulls = pa.nulls(t.num_rows, pa.string())
-        tool_name = pc.if_else(is_v1, t.column("tool"), nulls)
-        old_tool = pc.if_else(is_v1, nulls, t.column("tool"))
-        t = t.set_column(t.column_names.index("tool"), "tool", old_tool)
-        return t.append_column("tool_name", tool_name)
-
     lake = _fresh_lake("ddltext")
     replay(lake, events_ds=changes_dataset(sf_dir), max_offset=cut - 1)
     for sql in ("ALTER TABLE transcripts RENAME COLUMN tool TO tool_name",
@@ -326,10 +322,18 @@ def cdc_ddl_text(sf_dir: str) -> pa.Table:
     lake = LakeTable.open(lake.root)            # ops arrived via persistence
     assert len(lake.schema_ops) == 3
     replay(lake, events_ds=changes_dataset(sf_dir), barriers=[(cut, 1)],
-           router_fn=rename_tool)
+           router_fn=_rename_tool_router(cut))
+    assert lake.schema_version == 1
     out = _consume_lake(lake)
     assert "role" not in out.column_names and "tool" not in out.column_names
     return out
+
+
+def _conv_uid(t: pa.Table) -> pa.Array:
+    """Numeric conversation id from the ``conv-<uid>`` convention
+    (sources/derive.py) — the one place that parses it."""
+    return pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 99),
+                   pa.int64())
 
 
 def cdc_multitable(sf_dir: str) -> pa.Table:
@@ -343,8 +347,7 @@ def cdc_multitable(sf_dir: str) -> pa.Table:
     from ape_dts_ray.pipelines.multitable import replay_mixed
 
     def add_table(t: pa.Table) -> pa.Table:
-        uid = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 99),
-                      pa.int64())
+        uid = _conv_uid(t)
         tbl = pc.if_else(pc.equal(pc.bit_wise_and(uid, pa.scalar(1, pa.int64())),
                                   pa.scalar(0, pa.int64())),
                          pa.scalar("tbl_even"), pa.scalar("tbl_odd"))

@@ -39,7 +39,9 @@ NAMES = sorted(entrymod.queries().keys())
 # DuckDB CAST(x/50000 AS BIGINT) ROUNDS — it split keys mid-epoch only
 # when offsets exceeded one epoch.
 SF01_NAMES = ["cdc_apply_lww", "cdc_lineage_totals", "dedup_embedding",
-              "dedup_minhash", "cdc_wide_types", "redis_replay"]
+              "dedup_minhash", "cdc_wide_types", "redis_replay",
+              "cdc_two_way"]   # two_way: growing-log tail only bites with
+                               # multi-epoch windows (n > epoch_size)
 
 
 @pytest.fixture(scope="module")
