@@ -85,12 +85,18 @@ def minhash_signatures_batch(texts, k: int = 5,
     h = pd.util.hash_array(flat)                      # the one hashing pass
     nz = counts > 0
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+    # ONE reused product buffer: per-chunk `h*A+B` temporaries munmap large
+    # allocations straight back to the OS, and re-faulting those pages every
+    # chunk intermittently stalled for SECONDS under THP/reclaim pressure
+    # (measured 0.17s vs 6.4s for identical input); in-place ufuncs into a
+    # contiguous buffer are also ~2x faster for the reduceat itself
+    buf = np.empty((min(perm_chunk, N_PERM), total), dtype=np.uint64)
     for c0 in range(0, N_PERM, perm_chunk):
-        A = _A[c0:c0 + perm_chunk, None]
-        B = _B[c0:c0 + perm_chunk, None]
-        prod = h[None, :] * A + B                     # (chunk, total) mod 2^64
-        sigs[nz, c0:c0 + perm_chunk] = \
-            np.minimum.reduceat(prod, starts, axis=1).T
+        m = min(perm_chunk, N_PERM - c0)
+        np.multiply(h[None, :], _A[c0:c0 + m, None], out=buf[:m])
+        np.add(buf[:m], _B[c0:c0 + m, None], out=buf[:m])  # mod 2^64 wrap
+        sigs[nz, c0:c0 + m] = \
+            np.minimum.reduceat(buf[:m], starts, axis=1).T
     return sigs
 
 
