@@ -415,7 +415,7 @@ def cdc_two_way(sf_dir: str) -> pa.Table:
         """dst consumes src's log from ``cursor``: coalesce origin to the
         peer's name (outbound stamp), drop self-originated events (cycle
         breaker), append with offsets shifted past dst's local range."""
-        out_dir = os.path.join(logs[dst], f"from_{src}")
+        out_dir = os.path.join(logs[dst], f"from_{src}", f"r{cursor}")
 
         def stamp(t: pa.Table) -> pa.Table:
             org = pc.coalesce(t.column("origin"), pa.scalar(src))
@@ -425,13 +425,22 @@ def cdc_two_way(sf_dir: str) -> pa.Table:
             return t.set_column(t.column_names.index("log_offset"),
                                 "log_offset", off)
 
+        import glob
+
         import ray
         src_ds = ray.data.read_parquet(logs[src]).filter(
             expr=f"log_offset >= {cursor}")
-        fresh = src_ds.map_batches(stamp, batch_format="pyarrow")
-        got = fresh.count()
-        if got:
-            fresh.write_parquet(out_dir)
+        # ONE execution: write, then count from the written files' parquet
+        # metadata (driver reads footers only — file count = output blocks).
+        # count()+write would execute the read+stamp pipeline twice, and a
+        # materialize() barrier measured WORSE (serial prefix; same negative
+        # result as BASELINE.md's events_ds materialization note).
+        src_ds.map_batches(stamp, batch_format="pyarrow").write_parquet(
+            out_dir, min_rows_per_file=1)
+        got = sum(pq.ParquetFile(f).metadata.num_rows
+                  for f in glob.glob(os.path.join(out_dir, "*.parquet")))
+        if got == 0:
+            shutil.rmtree(out_dir, ignore_errors=True)   # no empty log shard
         return got
 
     def log_files(m: str) -> list[str]:
