@@ -49,6 +49,7 @@ def export_state(lake: LakeTable, out_dir: str,
 
     from ape_dts_ray.meta import COL_EPOCH, COL_OFFSET, COL_OP, COL_SEQ
 
+    lake._refuse_if_truncating()
     ddir = os.path.join(out_dir, DONE_DIR)
     os.makedirs(ddir, exist_ok=True)
     done = export_done_partitions(out_dir)

@@ -403,8 +403,7 @@ def cdc_two_way(sf_dir: str) -> pa.Table:
         want = 0 if node == "A" else 1
 
         def f(t: pa.Table) -> pa.Table:
-            uid = pc.cast(pc.utf8_slice_codeunits(t.column("conv_id"), 5, 99),
-                          pa.int64())
+            uid = _conv_uid(t)
             out = t.filter(pc.equal(pc.bit_wise_and(uid, pa.scalar(1, pa.int64())),
                                     pa.scalar(want, pa.int64())))
             return out.append_column("origin",
@@ -921,6 +920,7 @@ def redis_snapshot(sf_dir: str) -> pa.Table:
                 "value": pc.cast(pa.array(vals, type=pa.string()), pa.binary()),
                 "score": pa.nulls(n, pa.float64()),
                 "expire_ms": pa.array(np.zeros(n, dtype=np.int64)),
+                "field_ttl_ms": pa.array(np.zeros(n, dtype=np.int64)),
             }, schema=KEYSPACE_SCHEMA)
 
         ks = ds.map_batches(to_keyspace, batch_format="pyarrow")

@@ -21,7 +21,7 @@ Reference surface being re-expressed (SURVEY §2 Redis family):
 Keyspace model — the schema shared by the RDB snapshot reader and the
 command-stream fold (one row per element):
     db int32 | key binary | rtype str | field binary | idx int64 |
-    value binary | score float64 | expire_ms int64
+    value binary | score float64 | expire_ms int64 | field_ttl_ms int64
 
 Fold semantics (vectorized polars per partition, no Python row loops):
   * SET/DEL are key-level: the last key-level event is a barrier K; a SET
@@ -32,6 +32,10 @@ Fold semantics (vectorized polars per partition, no Python row loops):
   * PEXPIREAT/EXPIRE attach the last TTL to the key's surviving rows.
     TTL *eviction* is not simulated — the engine is deterministic and has no
     wall clock; expiry is data, like the reference's PEXPIREAT passthrough.
+  * HPEXPIREAT attaches per-field hash TTLs (``field_ttl_ms``); an HSET
+    overwriting the field clears its TTL (Redis 7.4 semantics). RDB TTL-hash
+    containers (types 22-25) carry the same column through snapshot reads,
+    reshard and both sinkers (HPEXPIREAT / TTL-container dumps).
 
 Scale shape: RESP/RDB files are the parallel read unit (one parse task per
 file — byte-stream formats are inherently sequential per file, exactly like
@@ -63,12 +67,13 @@ KEYSPACE_SCHEMA = pa.schema([
     ("value", pa.binary()),
     ("score", pa.float64()),
     ("expire_ms", pa.int64()),
-])
+    ("field_ttl_ms", pa.int64()),   # per-field hash TTL (RDB types 22-25,
+])                                  # HEXPIRE family); 0 = none
 
 _EVENT_SCHEMA = pa.schema([
     ("db", pa.int32()),
     ("key", pa.binary()),
-    ("level", pa.string()),      # key | field | list | expire
+    ("level", pa.string()),      # key | field | list | expire | fexpire
     ("rtype", pa.string()),
     ("op", pa.string()),         # set | del | add | rem | push | expire
     ("field", pa.binary()),
@@ -185,6 +190,21 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
         elif cmd == b"PEXPIREAT":
             emit(args[1], "expire", "key", "expire",
                  score=float(int(args[2])), off=off)
+        elif cmd == b"HPEXPIREAT":
+            # HPEXPIREAT key unix-ms FIELDS n f1 .. fn — the absolute form
+            # Redis propagates for every hash-field TTL variant (HEXPIRE
+            # etc. are relative → refused by the generic unknown branch)
+            if len(args) < 6 or args[3].upper() != b"FIELDS":
+                raise ValueError("redis replay: HPEXPIREAT requires "
+                                 "'FIELDS n f1 ... fn'")
+            nf = int(args[4])
+            flds = args[5:5 + nf]
+            if len(flds) != nf or len(args) != 5 + nf:
+                raise ValueError("redis replay: HPEXPIREAT field count "
+                                 "mismatch")
+            for s, f in enumerate(flds):
+                emit(args[1], "fexpire", "hash", "expire", field=f,
+                     score=float(int(args[2])), off=off, seq=s)
         elif cmd == b"XADD":
             if args[2] == b"*":
                 raise ValueError("redis replay: XADD * is non-deterministic; "
@@ -226,6 +246,11 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
                     emit(row["key"], "field", rt, "add", field=row["field"],
                          value=row["value"], score=row["score"],
                          off=off + 1, seq=s)
+                    if row["field_ttl_ms"]:   # TTL-hash dump payloads
+                        emit(row["key"], "fexpire", rt, "expire",
+                             field=row["field"],
+                             score=float(row["field_ttl_ms"]),
+                             off=off + 1, seq=s)
             if ttl:
                 emit(args[1], "expire", "key", "expire",
                      score=float(ttl), off=off + 1)
@@ -283,7 +308,8 @@ def fold_events(t: pa.Table) -> pa.Table:
                        pl.lit(None, dtype=pl.Binary).alias("field"),
                        pl.lit(None, dtype=pl.Int64).alias("idx"),
                        "value",
-                       pl.lit(None, dtype=pl.Float64).alias("score")))
+                       pl.lit(None, dtype=pl.Float64).alias("score"),
+                       pl.lit(0, dtype=pl.Int64).alias("field_ttl_ms")))
 
     after_barrier = (df.join(barrier, on=gk, how="left")
                        .filter(pl.col("log_offset")
@@ -294,16 +320,34 @@ def fold_events(t: pa.Table) -> pa.Table:
                .unique(subset=[*gk, "rtype", "field"], keep="last",
                        maintain_order=True)
                .filter(pl.col("op") == "add"))
-    fields = f_win.select(
-        "db", "key", "rtype", "field",
-        pl.lit(None, dtype=pl.Int64).alias("idx"), "value", "score")
+    # hash-field TTLs (HPEXPIREAT / TTL-hash RESTOREs): last deadline AT OR
+    # AFTER the field's winning add survives — Redis clears a field's TTL
+    # when HSET overwrites the value (RESTORE emits add+fexpire at one
+    # offset, hence >=)
+    fx = (after_barrier.filter(pl.col("level") == "fexpire")
+          .sort("log_offset", "seq")
+          .unique(subset=[*gk, "field"], keep="last", maintain_order=True)
+          .select(*gk, "field",
+                  pl.col("score").cast(pl.Int64).alias("_fx_ttl"),
+                  pl.col("log_offset").alias("_fx_off")))
+    fields = (f_win.join(fx, on=[*gk, "field"], how="left")
+              .with_columns(
+                  pl.when((pl.col("rtype") == "hash")
+                          & (pl.col("_fx_off").fill_null(-1)
+                             >= pl.col("log_offset")))
+                  .then(pl.col("_fx_ttl")).otherwise(0)
+                  .alias("field_ttl_ms"))
+              .select("db", "key", "rtype", "field",
+                      pl.lit(None, dtype=pl.Int64).alias("idx"),
+                      "value", "score", "field_ttl_ms"))
 
     lists = (after_barrier.filter(pl.col("level") == "list")
              .sort("log_offset", "seq")
              .with_columns(pl.col("seq").cum_count().over(gk).alias("idx"))
              .select("db", "key", "rtype", "field",
                      (pl.col("idx").cast(pl.Int64) - 1).alias("idx"),
-                     "value", "score"))
+                     "value", "score",
+                     pl.lit(0, dtype=pl.Int64).alias("field_ttl_ms")))
 
     out = pl.concat([strings, fields, lists])
 
@@ -318,7 +362,8 @@ def fold_events(t: pa.Table) -> pa.Table:
              .select(gk + [pl.col("score").cast(pl.Int64).alias("expire_ms")]))
     out = out.join(ttl, on=gk, how="left").with_columns(
         pl.col("expire_ms").fill_null(0))
-    return out.to_arrow().cast(KEYSPACE_SCHEMA)
+    return (out.select([*KEYSPACE_SCHEMA.names])
+            .to_arrow().cast(KEYSPACE_SCHEMA))
 
 
 def replay_redis(events_ds, num_partitions: int = 16):
@@ -338,7 +383,7 @@ def _entries_table(entries: list[dict]) -> pa.Table:
     """Parsed RDB entries → exploded keyspace rows (columnar assembly)."""
     cols = {name: [] for name in KEYSPACE_SCHEMA.names}
 
-    def emit(e, field=None, idx=None, value=None, score=None):
+    def emit(e, field=None, idx=None, value=None, score=None, field_ttl=0):
         cols["db"].append(e["db"])
         cols["key"].append(e["key"])
         cols["rtype"].append(e["type"])
@@ -347,6 +392,7 @@ def _entries_table(entries: list[dict]) -> pa.Table:
         cols["value"].append(value)
         cols["score"].append(score)
         cols["expire_ms"].append(e.get("expire_ms", 0))
+        cols["field_ttl_ms"].append(field_ttl)
 
     for e in entries:
         t = e["type"]
@@ -362,8 +408,9 @@ def _entries_table(entries: list[dict]) -> pa.Table:
             for m, s in e["zset"]:
                 emit(e, field=m, score=s)
         elif t == "hash":
-            for fv in e["fields"]:
-                emit(e, field=fv[0], value=fv[1])
+            for fv in e["fields"]:      # (f, v) or (f, v, ttl_ms) — types
+                emit(e, field=fv[0], value=fv[1],     # 22-25 carry a ttl
+                     field_ttl=fv[2] if len(fv) == 3 else 0)
         elif t == "stream":
             # one row per (entry, field); the composite field key
             # "<id>:<name>" is safe to split on the first ':' because stream
@@ -415,29 +462,34 @@ def _keyspace_to_entries(t: pa.Table) -> list[dict]:
         if sub.height == 0:
             continue
         agg = sub.group_by(gk, maintain_order=True).agg(
-            pl.col("field"), pl.col("value"), pl.col("score"))
+            pl.col("field"), pl.col("value"), pl.col("score"),
+            pl.col("field_ttl_ms"))
         rows = zip(agg["db"], agg["key"], agg["expire_ms"],
-                   agg["field"], agg["value"], agg["score"])
+                   agg["field"], agg["value"], agg["score"],
+                   agg["field_ttl_ms"])
         if rtype == "list":
             entries += [{"db": db, "key": key, "type": rtype,
                          "expire_ms": exp, "elements": vals.to_list()}
-                        for db, key, exp, _, vals, _ in rows]
+                        for db, key, exp, _, vals, _, _ in rows]
         elif rtype == "set":
             entries += [{"db": db, "key": key, "type": rtype,
                          "expire_ms": exp, "elements": flds.to_list()}
-                        for db, key, exp, flds, _, _ in rows]
+                        for db, key, exp, flds, _, _, _ in rows]
         elif rtype == "zset":
             entries += [{"db": db, "key": key, "type": rtype,
                          "expire_ms": exp,
                          "zset": list(zip(flds.to_list(), scores.to_list()))}
-                        for db, key, exp, flds, _, scores in rows]
+                        for db, key, exp, flds, _, scores, _ in rows]
         elif rtype == "hash":
+            # 3-tuples (f, v, ttl_ms) round-trip per-field TTLs; encode_rdb
+            # picks the TTL container iff any ttl is nonzero
             entries += [{"db": db, "key": key, "type": rtype,
                          "expire_ms": exp,
-                         "fields": list(zip(flds.to_list(), vals.to_list()))}
-                        for db, key, exp, flds, vals, _ in rows]
+                         "fields": list(zip(flds.to_list(), vals.to_list(),
+                                            ttls.to_list()))}
+                        for db, key, exp, flds, vals, _, ttls in rows]
         else:                                   # stream: regroup by entry id
-            for db, key, exp, flds, vals, _ in rows:
+            for db, key, exp, flds, vals, _, _ in rows:
                 items = []
                 for f, v in zip(flds.to_list(), vals.to_list()):
                     eid, _, fname = bytes(f).partition(b":")
@@ -510,6 +562,10 @@ def _rewrite_cmds(entries: list[dict]) -> list[list[bytes]]:
             for fv in e["fields"]:
                 args += [fv[0], fv[1]]
             cmds.append(args)
+            for fv in e["fields"]:      # per-field TTLs ride HPEXPIREAT
+                if len(fv) == 3 and fv[2]:   # (absolute ms — replayable)
+                    cmds.append([b"HPEXPIREAT", key, b"%d" % fv[2],
+                                 b"FIELDS", b"1", fv[0]])
         elif t == "stream":
             for eid, fvs in e["entries"]:
                 args = [b"XADD", key, eid]
@@ -622,9 +678,8 @@ def precheck_redis(rdb_dir: str | None = None, resp_dir: str | None = None,
         for f in files[:1]:                  # head sample parse
             with open(os.path.join(resp_dir, f), "rb") as fh:
                 data = fh.read(sample_bytes)
-            try:
-                cut = data.rfind(b"*")       # last frame may be cut mid-read
-                parse_resp(data[:cut] if cut > 0 else data)
+            try:                             # an arbitrary byte cut may land
+                parse_resp(data, tolerate_truncation=True)   # mid-frame
             except Exception as e:           # noqa: BLE001 - aggregated
                 failures.append(f"{f}: RESP head sample unparseable: {e}")
         report["resp_files"] = len(files)

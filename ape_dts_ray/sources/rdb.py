@@ -842,6 +842,13 @@ def _encode_value(out: bytearray, e: dict, packed_threshold: int,
         ints = [_canonical_int(x) for x in els]
         if enc == "intset" or (enc is None and els and all(i is not None for i in ints)
                                and len(els) <= packed_threshold):
+            if any(i is None for i in ints):
+                # forced intset with non-integer members would silently
+                # drop them — refuse (real redis would have OBJ_ENCODING_HT)
+                bad = next(x for x, i in zip(els, ints) if i is None)
+                raise ValueError(
+                    f"rdb: intset encoding forced but member {bad!r} "
+                    "is not a 16/32/64-bit integer")
             header(RDB_TYPE_SET_INTSET)
             wstr(encode_intset([i for i in ints if i is not None]),
                  try_int=False)

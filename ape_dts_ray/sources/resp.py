@@ -72,7 +72,11 @@ def calc_slots(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if n == 0:
         return np.zeros(0, dtype=np.int32)
     buffers = arr.buffers()
-    offsets = np.frombuffer(buffers[1], dtype=np.int32, count=n + 1)
+    # a SLICED array shares its parent's buffers and records the shift in
+    # arr.offset — window the offsets there (the offset VALUES are absolute
+    # into the shared data buffer, so only this slice needs the shift)
+    offsets = np.frombuffer(buffers[1], dtype=np.int32, count=n + 1,
+                            offset=arr.offset * 4)
     data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None \
         else np.zeros(0, dtype=np.uint8)
     lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
@@ -117,40 +121,68 @@ def encode_cmds(cmds: list[list[bytes]]) -> bytes:
     return bytes(out)
 
 
-def parse_resp(data: bytes, base_offset: int = 0):
+class _Truncated(Exception):
+    """Frame needs bytes past the end of the buffer (cut read, not corrupt)."""
+
+
+def parse_resp(data: bytes, base_offset: int = 0,
+               tolerate_truncation: bool = False):
     """Parse a RESP command stream → list of (offset, [args]).
 
     offset = base_offset + byte position of the command's first byte (the
     replication-offset semantics of the psync stream). Inline status/error/
     integer frames (+OK, -ERR, :n) are skipped, like the extractor's ACK
     handling; only arrays of bulk strings become commands.
+
+    Truncation (a frame needing bytes past the buffer end — a cut read or a
+    torn final write) is distinguished from corruption (a wrong byte WITHIN
+    the buffer): with ``tolerate_truncation`` the complete frames parsed so
+    far are returned (head-sample prechecks over an arbitrary byte cut);
+    without it truncation raises like corruption — a torn trailing bulk
+    string must never silently yield a shortened argument.
     """
     out = []
     pos = 0
     n = len(data)
     while pos < n:
         start = pos
-        t = data[pos:pos + 1]
-        if t in (b"+", b"-", b":"):
-            eol = data.index(b"\r\n", pos)
+        try:
+            t = data[pos:pos + 1]
+            if t in (b"+", b"-", b":"):
+                eol = data.find(b"\r\n", pos)
+                if eol < 0:
+                    raise _Truncated
+                pos = eol + 2
+                continue
+            if t == b"\n":                   # psync keep-alive newline
+                pos += 1
+                continue
+            if t != b"*":
+                raise ValueError(f"resp: unexpected byte {t!r} at {pos}")
+            eol = data.find(b"\r\n", pos)
+            if eol < 0:
+                raise _Truncated
+            argc = int(data[pos + 1:eol])
             pos = eol + 2
-            continue
-        if t == b"\n":                       # psync keep-alive newline
-            pos += 1
-            continue
-        if t != b"*":
-            raise ValueError(f"resp: unexpected byte {t!r} at {pos}")
-        eol = data.index(b"\r\n", pos)
-        argc = int(data[pos + 1:eol])
-        pos = eol + 2
-        args = []
-        for _ in range(argc):
-            if data[pos:pos + 1] != b"$":
-                raise ValueError(f"resp: expected bulk string at {pos}")
-            eol = data.index(b"\r\n", pos)
-            ln = int(data[pos + 1:eol])
-            pos = eol + 2
-            args.append(data[pos:pos + ln])
-            pos += ln + 2                    # skip trailing \r\n
-        out.append((base_offset + start, args))
+            args = []
+            for _ in range(argc):
+                if pos >= n:
+                    raise _Truncated
+                if data[pos:pos + 1] != b"$":
+                    raise ValueError(f"resp: expected bulk string at {pos}")
+                eol = data.find(b"\r\n", pos)
+                if eol < 0:
+                    raise _Truncated
+                ln = int(data[pos + 1:eol])
+                pos = eol + 2
+                if pos + ln + 2 > n:
+                    raise _Truncated
+                args.append(data[pos:pos + ln])
+                pos += ln + 2                # skip trailing \r\n
+            out.append((base_offset + start, args))
+        except _Truncated:
+            if tolerate_truncation:
+                return out
+            raise ValueError(
+                f"resp: truncated frame at {start} (torn write?)") from None
     return out

@@ -240,23 +240,19 @@ def avro_encode(batch: pa.Table, key_cols=("conv_id", "turn_idx")) -> pa.Table:
     })
 
 
+_DECODED_SCHEMA = pa.schema(
+    [(COL_OFFSET, pa.int64()), (COL_SEQ, pa.int32()),
+     ("op", pa.string()), ("conv_id", pa.string()),
+     ("turn_idx", pa.int32()), ("role", pa.string()),
+     ("text", pa.string()), ("tool", pa.string()),
+     ("ts", pa.timestamp("us"))])
+
+
 def avro_decode(batch: pa.Table) -> pa.Table:
-    """Inverse: Avro envelope rows → normalized change events."""
+    """Inverse: Avro envelope rows → normalized change events. The schema is
+    PINNED for every block — inference would type an all-null column (e.g. a
+    batch of tool-less turns, or an empty block after an upstream filter) as
+    null instead of string, and the first downstream concat/union across
+    blocks would fail on the mismatch."""
     rows = [decode_event(v) for v in batch.column("value").to_pylist()]
-    if not rows:
-        # from_pylist([]) has ZERO columns — the casts below would KeyError
-        # on an empty block (Ray delivers them after upstream filters)
-        return pa.Table.from_pylist([], schema=pa.schema(
-            [(COL_OFFSET, pa.int64()), (COL_SEQ, pa.int32()),
-             ("op", pa.string()), ("conv_id", pa.string()),
-             ("turn_idx", pa.int32()), ("role", pa.string()),
-             ("text", pa.string()), ("tool", pa.string()),
-             ("ts", pa.timestamp("us"))]))
-    out = pa.Table.from_pylist(rows)
-    ts = out.column("ts").cast(pa.int64()).cast(pa.timestamp("us"))
-    out = out.set_column(out.column_names.index("ts"), "ts", ts)
-    casts = {COL_OFFSET: pa.int64(), COL_SEQ: pa.int32(), "turn_idx": pa.int32()}
-    for name, typ in casts.items():
-        i = out.column_names.index(name)
-        out = out.set_column(i, name, out.column(name).cast(typ))
-    return out
+    return pa.Table.from_pylist(rows, schema=_DECODED_SCHEMA)

@@ -327,6 +327,16 @@ class LakeTable:
             folded = folded.select([c for c in columns if c in folded.column_names])
         return folded
 
+    def _refuse_if_truncating(self) -> None:
+        """Reader-side half of the truncate marker contract: mid-truncate
+        some partitions are already deleted and some are not, so a state
+        read would return a row set that never existed. Same refusal shape
+        as replay()/compact()."""
+        if self.truncate_in_progress():
+            raise RuntimeError(
+                "truncate in progress (truncate.json present) — re-run "
+                "truncate() to finish it before reading state")
+
     def state_dataset(self, columns: list[str] | None = None,
                       concurrency: int | None = None):
         """Live state as a Ray Dataset — one task per lake partition, each
@@ -334,6 +344,8 @@ class LakeTable:
         This is the manifest-reader source pattern (FoxlakeS3Extractor analog,
         foxlake_s3_extractor.rs — list committed files, emit their contents)."""
         import ray.data as rd
+
+        self._refuse_if_truncating()
 
         parts = [{"part_id": p} for p in range(self.config.num_partitions)]
         root, meta, cfg, sv = self.root, self.meta, self.config, self.schema_version
@@ -359,6 +371,7 @@ class LakeTable:
 
     def state_table(self, drop_engine_cols: bool = True) -> pa.Table:
         """Whole live state as one Arrow table (tests / small results only)."""
+        self._refuse_if_truncating()
         pieces = []
         for pid in range(self.config.num_partitions):
             files = self.partition_files(pid)

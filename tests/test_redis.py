@@ -310,6 +310,7 @@ def test_rdb_snapshot_roundtrip_distributed(ray_session, redis_dirs):
                            for i in range(n)], type=pa.binary()),
         "score": pa.nulls(n, pa.float64()),
         "expire_ms": pa.array(np.zeros(n, dtype=np.int64)),
+        "field_ttl_ms": pa.array(np.zeros(n, dtype=np.int64)),
     }, schema=KEYSPACE_SCHEMA)
     ds = ray.data.from_arrow(rows)
     lin = _collect(write_rdb_snapshot(ds, out_dir, num_partitions=8))
@@ -441,3 +442,92 @@ def test_precheck_and_reshard(ray_session, tmp_path):
     ka = sorted(zip(a.column("key").to_pylist(), a.column("value").to_pylist()))
     kb = sorted(zip(b.column("key").to_pylist(), b.column("value").to_pylist()))
     assert ka == kb
+
+
+def test_hash_field_ttls_end_to_end():
+    """Per-field hash TTLs (HPEXPIREAT / RDB TTL containers, types 22-25)
+    survive every hop: parse → fold (HSET-overwrite clears), keyspace ↔
+    entries assembly, RDB encode/parse, and both sinkers' streams replay to
+    the identical fold. Regression for the reshard path silently dropping
+    field TTLs (entries carried 3-tuples the keyspace schema couldn't)."""
+    from ape_dts_ray.pipelines.redis_replay import (
+        _entries_table, _keyspace_to_entries, _restore_cmds, _rewrite_cmds,
+        commands_to_events, fold_events)
+    from ape_dts_ray.sources import rdb as rdbmod
+    from ape_dts_ray.sources.resp import encode_cmd, parse_resp
+
+    cmds = [
+        (0, [b"HSET", b"h", b"f1", b"v1", b"f2", b"v2"]),
+        (20, [b"HPEXPIREAT", b"h", b"1700000000000",
+              b"FIELDS", b"2", b"f1", b"f2"]),
+        (40, [b"HSET", b"h", b"f2", b"v2b"]),   # overwrite clears f2's TTL
+    ]
+    by = {r["field"]: r
+          for r in fold_events(commands_to_events(cmds)).to_pylist()}
+    assert by[b"f1"]["field_ttl_ms"] == 1700000000000
+    assert by[b"f2"]["field_ttl_ms"] == 0 and by[b"f2"]["value"] == b"v2b"
+
+    entry = {"db": 0, "key": b"th", "type": "hash", "expire_ms": 0,
+             "fields": [(b"a", b"1", 1700000000001), (b"b", b"2", 0)]}
+    back = _keyspace_to_entries(_entries_table([entry]))
+    assert back[0]["fields"] == [(b"a", b"1", 1700000000001), (b"b", b"2", 0)]
+    _, dec = rdbmod.parse_rdb(rdbmod.encode_rdb(back))
+    fs = {f[0]: f for f in dec[0]["fields"]}
+    assert fs[b"a"][2] == 1700000000001
+    assert len(fs[b"b"]) == 2 or not fs[b"b"][2]
+
+    for to_cmds in (_rewrite_cmds, _restore_cmds):
+        raw = b"".join(encode_cmd(c) for c in to_cmds(back))
+        ks = {r["field"]: r["field_ttl_ms"]
+              for r in fold_events(commands_to_events(parse_resp(raw)))
+              .to_pylist()}
+        assert ks == {b"a": 1700000000001, b"b": 0}, (to_cmds.__name__, ks)
+
+
+def test_resp_truncation_vs_corruption():
+    """parse_resp distinguishes a cut/torn tail (tolerate_truncation returns
+    the complete frames; strict mode raises 'truncated') from corruption
+    (raises in both modes) — and precheck accepts a head sample cut at ANY
+    byte, including inside a '*'-containing argument."""
+    import pytest
+
+    from ape_dts_ray.sources.resp import encode_cmd, parse_resp
+
+    f1 = encode_cmd([b"SET", b"key*1", b"value"])
+    f2 = encode_cmd([b"GET", b"key*1"])
+    data = f1 + f2
+    for cut in range(len(data) + 1):
+        got = parse_resp(data[:cut], tolerate_truncation=True)
+        assert len(got) == (2 if cut == len(data)
+                            else 1 if cut >= len(f1) else 0)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_resp(data[:-3])
+    bad = data[:5] + b"Z" + data[6:]
+    for tol in (False, True):
+        with pytest.raises(ValueError):
+            parse_resp(bad, tolerate_truncation=tol)
+
+
+def test_precheck_star_in_payload(tmp_path):
+    from ape_dts_ray.pipelines.redis_replay import (precheck_redis,
+                                                    write_resp_log)
+
+    d = str(tmp_path / "resp")
+    write_resp_log([[b"SET", b"key*1", b"value*2"]], d)
+    assert precheck_redis(resp_dir=d)["resp_files"] == 1
+
+
+def test_calc_slots_sliced_arrays():
+    """Sliced (non-zero-offset) Arrow arrays must slot by their own rows,
+    not the parent buffer's first rows (regression: np.frombuffer ignored
+    arr.offset, mis-partitioning every key in a sliced block)."""
+    import pyarrow as pa
+
+    from ape_dts_ray.sources.resp import calc_slot, calc_slots
+
+    a = pa.array([b"a", b"bb", b"ccc", b"dddd", b"foo{tag}bar"])
+    assert list(calc_slots(a.slice(2))) == [
+        calc_slot(b"ccc"), calc_slot(b"dddd"), calc_slot(b"foo{tag}bar")]
+    c = pa.chunked_array([a.slice(1, 2), a.slice(4)])
+    assert list(calc_slots(c)) == [
+        calc_slot(b"bb"), calc_slot(b"ccc"), calc_slot(b"foo{tag}bar")]

@@ -609,3 +609,75 @@ def test_pk_change_generic_key_col(ray_session):
     })
     out2 = normalize_batch(t2, key_cols=("tenant", "item"))
     assert out2.num_rows == 1
+
+
+def test_truncate_marker_blocks_state_reads(ray_session, tmp_path):
+    """Review r3: mid-truncate some partitions are deleted and some are not —
+    state_table/state_dataset/export_state must refuse while truncate.json
+    is present (same marker contract replay() and compact() already honor),
+    and work again once truncate() finishes."""
+    from ape_dts_ray.pipelines.export import export_state
+
+    events = gen_events(seed=47, n_convs=10, max_turns=6, n_events=1500)
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path)
+    assert lake.state_table().num_rows > 0
+
+    marker = os.path.join(lake.root, "_manifests", "truncate.json")
+    with open(marker, "w") as f:
+        json.dump({"watermark": lake.watermark()}, f)
+    with pytest.raises(RuntimeError, match="truncate in progress"):
+        lake.state_table()
+    with pytest.raises(RuntimeError, match="truncate in progress"):
+        lake.state_dataset()
+    with pytest.raises(RuntimeError, match="truncate in progress"):
+        export_state(lake, str(tmp_path / "export"))
+
+    lake.truncate()                     # idempotent finish removes the marker
+    assert lake.state_table().num_rows == 0
+
+
+def test_intset_forced_encoding_refuses_non_int():
+    """Review r3: encoding="intset" with a non-integer member silently
+    dropped it (data loss in the written RDB) — must raise instead."""
+    from ape_dts_ray.sources.rdb import encode_rdb, parse_rdb
+
+    good = [{"type": "set", "key": b"s", "db": 0,
+             "elements": [b"1", b"2", b"30"], "encoding": "intset"}]
+    _, parsed = parse_rdb(encode_rdb(good))
+    assert sorted(parsed[0]["elements"]) == [b"1", b"2", b"30"]
+
+    bad = [{"type": "set", "key": b"s", "db": 0,
+            "elements": [b"1", b"oops"], "encoding": "intset"}]
+    with pytest.raises(ValueError, match="intset"):
+        encode_rdb(bad)
+
+
+def test_avro_decode_pins_schema_for_all_null_and_empty_blocks():
+    """Review r3: avro_decode inferred the schema per block, so an all-null
+    ``tool`` column (or an empty block) typed as null and broke the first
+    downstream concat. The schema is now pinned."""
+    from ape_dts_ray.stages.avro import avro_decode, avro_encode
+
+    batch = pa.table({
+        "log_offset": pa.array([0, 1], pa.int64()),
+        "seq": pa.array([0, 0], pa.int32()),
+        "op": ["insert", "insert"],
+        "conv_id": ["conv-1", "conv-2"],
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": ["user", "assistant"],
+        "text": ["hi", "yo"],
+        "tool": pa.nulls(2, pa.string()),          # all-null block
+        "ts": pa.array([1_700_000_000_000_000] * 2, pa.timestamp("us")),
+    })
+    dec = avro_decode(avro_encode(batch))
+    assert dec.schema.field("tool").type == pa.string()
+    assert dec.schema.field("ts").type == pa.timestamp("us")
+    assert dec.column("conv_id").to_pylist() == ["conv-1", "conv-2"]
+
+    empty = avro_decode(avro_encode(batch.slice(0, 0)))
+    assert empty.num_rows == 0
+    assert empty.schema.field("turn_idx").type == pa.int32()
+    assert pa.concat_tables([dec, empty]).num_rows == 2
