@@ -299,7 +299,9 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY conv_id, turn_idx ORDER BY log_offset DESC) AS rn
               FROM wide
             )
-            SELECT conv_id, turn_idx, amount, payload_bin AS payload, tier,
+            SELECT conv_id, turn_idx,
+                   CAST(amount AS VARCHAR) AS amount,
+                   decode(payload_bin) AS payload, tier,
                    meta_json, CAST(qty AS BIGINT) AS qty
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,

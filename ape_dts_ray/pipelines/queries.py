@@ -586,9 +586,19 @@ def cdc_wide_types(sf_dir: str) -> pa.Table:
     assert out.schema.field("payload").type == pa.binary()
     assert out.schema.field("qty").type == pa.int64()
     assert "note" not in out.column_names
-    # the Enum analog rides dict-encoded in flight; present as plain string
+    # Comparison projection: decimal → canonical scale-4 string and binary →
+    # utf8 (props is ASCII by construction), mirrored by VARCHAR casts in the
+    # oracle SQL. Driver-side pandas value hashing renders DuckDB DECIMAL as
+    # float64 and BLOB as bytearray, which would false-mismatch the exact
+    # decimal128/binary values the assertions above already pin; strings hash
+    # identically under every fetch path. The Enum analog rides dict-encoded
+    # in flight; present as plain string.
     i = out.column_names.index("tier")
-    return out.set_column(i, "tier", out.column("tier").cast(pa.string()))
+    out = out.set_column(i, "tier", out.column("tier").cast(pa.string()))
+    i = out.column_names.index("amount")
+    out = out.set_column(i, "amount", out.column("amount").cast(pa.string()))
+    i = out.column_names.index("payload")
+    return out.set_column(i, "payload", out.column("payload").cast(pa.string()))
 
 
 # ---------- training-data ops over documents / embeddings ----------
