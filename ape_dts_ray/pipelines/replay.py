@@ -31,6 +31,7 @@ rows into one task and the pipeline collapses to a single task.
 
 from __future__ import annotations
 
+import os
 import threading
 from dataclasses import dataclass
 
@@ -333,10 +334,12 @@ def replay(
 
     SCALE NOTE on the three source kinds: ``events_path`` (row-group-pruned
     read per chunk) and ``events_factory`` (per-chunk synthesis) are the
-    scale paths. A plain ``events_ds`` re-executes its upstream once per
-    chunk and filters to the window — fine when the log fits a few chunks,
-    O(chunks × full-scan) on a 10^10-event Dataset; persist such a source to
-    Parquet and pass ``events_path`` instead.
+    scale paths. A plain ``events_ds`` would re-execute its upstream once
+    per chunk (O(chunks × full-scan) on a 10^10-event Dataset), so replay
+    SPILLS it to scratch Parquet in one pass and continues in
+    ``events_path`` mode whenever the plan needs more than one chunk.
+    Single-chunk plans keep the direct Dataset — exactly one execution
+    either way, and no write amplification on the common small case.
 
     ``pipeline_depth`` > 1 overlaps up to that many group executions (driver
     threads; Ray schedules their tasks jointly) while manifests still commit
@@ -345,6 +348,46 @@ def replay(
     Exactly-once is unaffected: a group is visible only once every EARLIER
     epoch committed, and delta names stay deterministic.
     """
+    import pyarrow.parquet as pq
+
+    spill_dir = None
+    if events_ds is not None and events_factory is None:
+        if max_offset is None:
+            max_offset = events_ds.max(COL_OFFSET)
+            if max_offset is None:      # empty upstream
+                max_offset = -1
+        span = max(0, max_offset - min_offset + 1)
+        n_windows = -(-span // lake.config.epoch_size) if span else 0
+        est_chunks = -(-n_windows // max(1, group_epochs))
+        if est_chunks > 1:
+            import glob as _glob
+            import shutil as _shutil
+            import tempfile as _tempfile
+            spill_dir = _tempfile.mkdtemp(prefix="ape_dts_replay_spill_")
+            events_ds.write_parquet(spill_dir)
+            spilled = sorted(_glob.glob(os.path.join(spill_dir, "*.parquet")))
+            if spilled:
+                events_path, events_ds = spilled, None
+            else:                       # empty upstream — nothing to spill
+                _shutil.rmtree(spill_dir, ignore_errors=True)
+                spill_dir = None
+    try:
+        return _replay_inner(
+            lake, events_path, events_ds, events_factory, max_offset,
+            min_offset, barriers, event_filter, router_fn, stop_after_epoch,
+            group_epochs, pipeline_depth, narrow_shuffle, commit_offsets,
+            max_rps, heartbeat)
+    finally:
+        if spill_dir is not None:
+            import shutil as _shutil
+            _shutil.rmtree(spill_dir, ignore_errors=True)
+
+
+def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
+                  min_offset, barriers, event_filter, router_fn,
+                  stop_after_epoch, group_epochs, pipeline_depth,
+                  narrow_shuffle, commit_offsets, max_rps,
+                  heartbeat) -> list[EpochManifest]:
     import pyarrow.parquet as pq
 
     if max_offset is None:

@@ -681,3 +681,46 @@ def test_avro_decode_pins_schema_for_all_null_and_empty_blocks():
     assert empty.num_rows == 0
     assert empty.schema.field("turn_idx").type == pa.int32()
     assert pa.concat_tables([dec, empty]).num_rows == 2
+
+
+def test_multi_chunk_events_ds_spills_once(ray_session, tmp_path, monkeypatch):
+    """Scale fix: a plain events_ds with a multi-chunk plan is spilled to
+    scratch Parquet in ONE pass and replayed via pruned reads (the upstream
+    used to re-execute once per chunk). The spill must engage, be cleaned
+    up, and produce the identical lake state as an events_path replay."""
+    import ray.data as rd
+
+    events = gen_events(seed=61, n_convs=30, max_turns=8, n_events=20_000,
+                        delete_frac=0.1)
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(events, path)
+
+    spilled = []
+    import tempfile as _tf
+    orig = _tf.mkdtemp
+
+    def spy_mkdtemp(*a, **kw):
+        d = orig(*a, **kw)
+        if kw.get("prefix", "").startswith("ape_dts_replay_spill_"):
+            spilled.append(d)
+        return d
+
+    monkeypatch.setattr(_tf, "mkdtemp", spy_mkdtemp)
+
+    # epoch_size 2000 → 10 windows → 3 chunks at group_epochs=4 → spill
+    lake_ds = _mk_lake(tmp_path, "lake_ds", epoch_size=2000)
+    replay(lake_ds, events_ds=rd.read_parquet(path))
+    assert len(spilled) == 1, "multi-chunk events_ds should spill exactly once"
+    assert not os.path.exists(spilled[0]), "spill dir must be cleaned up"
+
+    lake_fp = _mk_lake(tmp_path, "lake_fp", epoch_size=2000)
+    replay(lake_fp, events_path=path)
+    a = lake_ds.state_table().to_pandas()
+    b = lake_fp.state_table().to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    # single-chunk plan keeps the direct Dataset (no spill)
+    spilled.clear()
+    lake_small = _mk_lake(tmp_path, "lake_small", epoch_size=20_000)
+    replay(lake_small, events_ds=rd.read_parquet(path))
+    assert spilled == []
