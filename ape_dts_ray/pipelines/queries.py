@@ -411,36 +411,18 @@ def cdc_two_way(sf_dir: str) -> pa.Table:
         return f
 
     def pull(dst: str, src: str, cursor: int) -> int:
-        """dst consumes src's log from ``cursor``: coalesce origin to the
-        peer's name (outbound stamp), drop self-originated events (cycle
-        breaker), append with offsets shifted past dst's local range."""
-        out_dir = os.path.join(logs[dst], f"from_{src}", f"r{cursor}")
+        """dst consumes src's log from ``cursor`` via the shared DataMarker
+        link (pipelines/cycle.py): coalesce origin to the peer's name
+        (outbound stamp), drop self-originated events (cycle breaker),
+        append with offsets shifted past dst's local range. ONE pipeline
+        execution: write, then count from the written files' parquet
+        footers (count()+write would run the read+stamp twice, and a
+        materialize() barrier measured WORSE — BASELINE.md)."""
+        from ape_dts_ray.pipelines.cycle import ship_link
 
-        def stamp(t: pa.Table) -> pa.Table:
-            org = pc.coalesce(t.column("origin"), pa.scalar(src))
-            t = t.set_column(t.column_names.index("origin"), "origin", org)
-            t = t.filter(pc.not_equal(t.column("origin"), pa.scalar(dst)))
-            off = pc.add(t.column("log_offset"), pa.scalar(n, pa.int64()))
-            return t.set_column(t.column_names.index("log_offset"),
-                                "log_offset", off)
-
-        import glob
-
-        import ray
-        src_ds = ray.data.read_parquet(logs[src]).filter(
-            expr=f"log_offset >= {cursor}")
-        # ONE execution: write, then count from the written files' parquet
-        # metadata (driver reads footers only — file count = output blocks).
-        # count()+write would execute the read+stamp pipeline twice, and a
-        # materialize() barrier measured WORSE (serial prefix; same negative
-        # result as BASELINE.md's events_ds materialization note).
-        src_ds.map_batches(stamp, batch_format="pyarrow").write_parquet(
-            out_dir, min_rows_per_file=1)
-        got = sum(pq.ParquetFile(f).metadata.num_rows
-                  for f in glob.glob(os.path.join(out_dir, "*.parquet")))
-        if got == 0:
-            shutil.rmtree(out_dir, ignore_errors=True)   # no empty log shard
-        return got
+        return ship_link(logs[src],
+                         os.path.join(logs[dst], f"from_{src}", f"r{cursor}"),
+                         cursor, src_node=src, dst_node=dst, offset_base=n)
 
     def log_files(m: str) -> list[str]:
         import glob

@@ -191,17 +191,20 @@ class _Node:
         org = pc.coalesce(t.column("origin"), pa.scalar(self.name))
         return t.set_column(t.column_names.index("origin"), "origin", org)
 
-    def pull_from(self, peer: "_Node") -> int:
-        """Incremental consume of the peer's log from the stored cursor,
-        dropping self-originated events (the DataMarker check). Returns
-        how many events were actually ingested."""
+    def pull_from(self, peer: "_Node", do_nodes=None, ignore_nodes=()) -> int:
+        """Incremental consume of the peer's log from the stored cursor
+        through the shared DataMarker rule (pipelines/cycle.py): keep
+        origins in ``do_nodes`` (None = all), drop ``ignore_nodes`` and
+        always self. Returns how many events were actually ingested."""
+        from ape_dts_ray.pipelines.cycle import marker_filter
+
         out = peer.outbound()
         cur = self.cursors.get(peer.name, 0)
         fresh = out.filter(pc.greater_equal(out.column("log_offset"),
                                             pa.scalar(cur, pa.int64())))
         self.cursors[peer.name] = out.num_rows
-        keep = fresh.filter(pc.not_equal(fresh.column("origin"),
-                                         pa.scalar(self.name)))
+        keep = marker_filter(fresh, peer.name, do_nodes,
+                             {self.name, *ignore_nodes})
         self._append(keep)
         return keep.num_rows
 
@@ -310,3 +313,128 @@ def test_sequences_and_comments(ray_session, tmp_path):
         lake.set_sequences([{"name": "x"}])
     with _pytest.raises(ValueError):
         lake.set_comments([{"type": "column", "comment": "no col"}])
+
+
+def _prefixed_events(seed, prefix, n_convs=8, n_events=1200):
+    ev = gen_events(seed=seed, n_convs=n_convs, max_turns=6,
+                    n_events=n_events, delete_frac=0.1)
+    conv = pc.replace_substring(ev.column("conv_id"), "conv-", f"{prefix}-")
+    return ev.set_column(ev.column_names.index("conv_id"), "conv_id", conv)
+
+
+def _converged_oracle(event_sets):
+    return pd.concat([oracle_replay(e) for e in event_sets],
+                     ignore_index=True).sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def _sorted_state(node):
+    return node.state().sort_values(["conv_id", "turn_idx"]) \
+        .reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_star_cycle_converges_and_do_nodes_is_load_bearing(tmp_path):
+    """cycle_star (dt-tests mysql_to_mysql/cdc/cycle_star_test topology,
+    data_marker.rs): hub H exchanges with spokes S1/S2; links carry the
+    reference's do_nodes/ignore_nodes filters (hub→spoke forwards
+    {hub, other spokes}, spoke→hub ships only {spoke}). After one full link
+    round all three lakes converge to the global LWW fold; a reflected
+    round ships zero events. The allowlist is proven load-bearing: with
+    drop-self only (cycle_basic's rule), the hub WOULD re-ingest its own
+    forwards of S2's events from S1's log as duplicates."""
+    from ape_dts_ray.pipelines.cycle import marker_filter, star_links
+
+    ev = {"H": _prefixed_events(90, "hub"),
+          "S1": _prefixed_events(91, "sp1"),
+          "S2": _prefixed_events(92, "sp2")}
+    nodes = {m: _Node(tmp_path, m) for m in ev}
+    for m, node in nodes.items():
+        node.write_local(ev[m])
+        node.sync()
+
+    links = star_links("H", ["S1", "S2"])
+    assert {(l["src"], l["dst"]) for l in links} == \
+        {("S1", "H"), ("S2", "H"), ("H", "S1"), ("H", "S2")}
+
+    # inbound (spoke→hub) before outbound so one round fully converges —
+    # in steady-state CDC all links run continuously and ordering is just
+    # scheduling; a different order converges one round later
+    ordered = sorted(links, key=lambda l: l["dst"] != "H")
+
+    def run_round():
+        shipped = 0
+        for l in ordered:
+            shipped += nodes[l["dst"]].pull_from(
+                nodes[l["src"]], do_nodes=l["do"], ignore_nodes=l["ignore"])
+        for node in nodes.values():
+            node.sync()
+        return shipped
+
+    n_h, n_s1, n_s2 = (ev[m].num_rows for m in ("H", "S1", "S2"))
+    # round 1: hub gets both spokes; each spoke gets hub + the other spoke
+    assert run_round() == (n_s1 + n_s2) + (n_h + n_s2) + (n_h + n_s1)
+    cur_r1 = nodes["H"].cursors["S1"]    # hub's S1-log position after round 1
+    # reflected round: every link ships zero — no ping-pong, state fixed
+    states = {m: _sorted_state(n) for m, n in nodes.items()}
+    assert run_round() == 0
+    for m, node in nodes.items():
+        pd.testing.assert_frame_equal(states[m], _sorted_state(node))
+
+    oracle = _converged_oracle(ev.values())
+    for m, node in nodes.items():
+        st = _sorted_state(node)
+        assert len(st) == len(oracle), m
+        pd.testing.assert_series_equal(st["text"], oracle["text"],
+                                       check_dtype=False, check_names=False)
+
+    # NEGATIVE: drop-self alone re-ingests hub forwards as duplicates.
+    out = nodes["S1"].outbound()
+    fresh = out.filter(pc.greater_equal(
+        out.column("log_offset"), pa.scalar(cur_r1, pa.int64())))
+    dupes_without_allowlist = marker_filter(fresh, "S1", None, {"H"})
+    assert dupes_without_allowlist.num_rows == n_s2, \
+        "hub re-reading S1's log must see S2-originated forwards that only " \
+        "do_nodes filtering removes"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_net_cycle_full_mesh_converges(tmp_path):
+    """cycle_net (full mesh): every pair exchanges directly and each link
+    ships only the source's OWN origin (do_nodes={src}) — nobody forwards.
+    One round converges all three lakes; the reflected round ships zero."""
+    from ape_dts_ray.pipelines.cycle import net_links
+
+    ev = {"A": _prefixed_events(93, "na"),
+          "B": _prefixed_events(94, "nb"),
+          "C": _prefixed_events(95, "nc")}
+    nodes = {m: _Node(tmp_path, m) for m in ev}
+    for m, node in nodes.items():
+        node.write_local(ev[m])
+        node.sync()
+
+    links = net_links(["A", "B", "C"])
+    assert len(links) == 6
+
+    def run_round():
+        shipped = 0
+        for l in links:
+            shipped += nodes[l["dst"]].pull_from(
+                nodes[l["src"]], do_nodes=l["do"], ignore_nodes=l["ignore"])
+        for node in nodes.values():
+            node.sync()
+        return shipped
+
+    total = sum(e.num_rows for e in ev.values())
+    assert run_round() == 2 * total      # each node's events reach 2 peers
+    states = {m: _sorted_state(n) for m, n in nodes.items()}
+    assert run_round() == 0
+    for m, node in nodes.items():
+        pd.testing.assert_frame_equal(states[m], _sorted_state(node))
+
+    oracle = _converged_oracle(ev.values())
+    for m, node in nodes.items():
+        st = _sorted_state(node)
+        assert len(st) == len(oracle), m
+        pd.testing.assert_series_equal(st["text"], oracle["text"],
+                                       check_dtype=False, check_names=False)
