@@ -18,17 +18,33 @@ adapter closes the most common real-world shape by translating the DDL
     ALTER TABLE t ALTER [COLUMN] c [SET DATA] TYPE <type>   (PG spelling)
     TRUNCATE [TABLE] t                          → LakeTable.truncate()
 
-Everything else (CREATE/DROP TABLE, indexes, constraints) is out of the
-alter-family scope and raises ``UnsupportedDdlError`` — honest refusal, not
-silent drop. Identifiers may be backtick/double-quote/bracket-quoted;
-keywords are case-insensitive. Type names use the MySQL/PG spellings and map
-to Arrow type aliases for the widen op.
+Table-LIFECYCLE statements (ddl_type.rs CreateTable/DropTable/RenameTable)
+operate on a multitable ROOT (one lake directory per table, the
+``replay_mixed`` layout) through ``apply_table_ddl``:
+
+    CREATE TABLE [IF NOT EXISTS] t (cols..., PRIMARY KEY (a[, b]))
+        → LakeTable.create with the parsed key/payload columns; NOT NULL
+          column constraints land as precheck descriptors
+    DROP TABLE [IF EXISTS] t                    → crash-safe delete
+          (rename to a ``._dropped`` tombstone first, then remove — a crash
+          between the two leaves a tombstone that re-running the DROP or
+          any later CREATE of the name finishes deleting)
+    RENAME TABLE a TO b / ALTER TABLE a RENAME TO b
+        → directory rename (atomic) + meta name rewrite; re-running the
+          statement after a crash between the two completes the rewrite
+
+Everything else (indexes, views, grants) is out of scope and raises
+``UnsupportedDdlError`` — honest refusal, not silent drop. Identifiers may
+be backtick/double-quote/bracket-quoted; keywords are case-insensitive.
+Type names use the MySQL/PG spellings and map to Arrow type aliases for
+the widen op.
 """
 
 from __future__ import annotations
 
+import os
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 
 class DdlError(ValueError):
@@ -109,6 +125,58 @@ _RE_CHANGE = re.compile(
     rf"(?:\s+(?:NULL|NOT\s+NULL|DEFAULT\s+\S+))*\s*;?\s*$", re.I)
 _RE_TRUNCATE = re.compile(
     rf"^TRUNCATE\s+(?:TABLE\s+)?(?P<tb>{_QUALID})\s*;?\s*$", re.I)
+_RE_CREATE_TABLE = re.compile(
+    rf"^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<tb>{_QUALID})\s*"
+    rf"\((?P<body>.*)\)\s*;?\s*$", re.I | re.S)
+_RE_DROP_TABLE = re.compile(
+    rf"^DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<tb>{_QUALID})\s*;?\s*$",
+    re.I)
+_RE_RENAME_TABLE = re.compile(
+    rf"^(?:RENAME\s+TABLE\s+(?P<a>{_QUALID})\s+TO\s+(?P<b>{_QUALID})"
+    rf"|ALTER\s+TABLE\s+(?P<a2>{_QUALID})\s+RENAME\s+(?:TO\s+)?"
+    rf"(?P<b2>{_QUALID}))\s*;?\s*$", re.I)
+_RE_COL_DEF = re.compile(rf"^(?P<col>{_ID})\s+(?P<rest>.+?)\s*$", re.I)
+_RE_COL_TAIL = re.compile(
+    r"\s+(?P<tok>NOT\s+NULL|NULL|DEFAULT\s+\S+|PRIMARY\s+KEY)\s*$", re.I)
+_RE_PK_CLAUSE = re.compile(
+    rf"^PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)\s*$", re.I)
+
+
+def _parse_col_def(d: str) -> tuple[str, str, set[str]]:
+    """One column definition → (name, arrow type, constraint tokens).
+    Constraint tokens are peeled off the END so a multi-word type
+    ('DOUBLE PRECISION') never swallows them."""
+    m = _RE_COL_DEF.match(d)
+    if not m:
+        raise UnsupportedDdlError(f"unparsed column definition: {d!r}")
+    rest, toks = m["rest"], set()
+    while True:
+        t = _RE_COL_TAIL.search(rest)
+        if not t:
+            break
+        toks.add(" ".join(t["tok"].upper().split()))
+        rest = rest[:t.start()]
+    return _ident(m["col"]), _map_type(rest), toks
+
+
+def _split_defs(body: str) -> list[str]:
+    """Split a CREATE TABLE body on top-level commas (paren-aware, so
+    DECIMAL(18,4) stays whole)."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 @dataclass
@@ -157,8 +225,41 @@ def parse_ddl(sql: str) -> ParsedDdl:
     m = _RE_TRUNCATE.match(s)
     if m:
         return ParsedDdl("truncate", _ident(m["tb"]))
+    m = _RE_CREATE_TABLE.match(s)
+    if m:
+        cols, id_cols, not_null = [], [], []
+        for d in _split_defs(m["body"]):
+            pk = _RE_PK_CLAUSE.match(d)
+            if pk:
+                id_cols.extend(_ident(c) for c in pk["cols"].split(","))
+                continue
+            col, typ, toks = _parse_col_def(d)
+            cols.append((col, typ))
+            if "PRIMARY KEY" in toks:
+                id_cols.append(col)
+            if "NOT NULL" in toks or "PRIMARY KEY" in toks:
+                not_null.append(col)
+        if not id_cols:
+            raise DdlError("CREATE TABLE without a PRIMARY KEY: the LWW "
+                           "fold needs stable id cols")
+        unknown = [c for c in id_cols if c not in dict(cols)]
+        if unknown:
+            raise DdlError(f"PRIMARY KEY names undefined columns: {unknown}")
+        return ParsedDdl("create_table", _ident(m["tb"]), None,
+                         {"columns": cols, "id_cols": id_cols,
+                          "not_null": not_null,
+                          "if_not_exists": bool(m["ine"])})
+    m = _RE_DROP_TABLE.match(s)
+    if m:
+        return ParsedDdl("drop_table", _ident(m["tb"]), None,
+                         {"if_exists": bool(m["ie"])})
+    m = _RE_RENAME_TABLE.match(s)
+    if m:
+        src = _ident(m["a"] or m["a2"])
+        return ParsedDdl("rename_table", src,
+                         None, {"to": _ident(m["b"] or m["b2"])})
     raise UnsupportedDdlError(
-        f"statement outside the alter-family subset: {sql!r}")
+        f"statement outside the supported DDL subset: {sql!r}")
 
 
 def apply_ddl(lake, sql: str) -> ParsedDdl:
@@ -168,6 +269,9 @@ def apply_ddl(lake, sql: str) -> ParsedDdl:
     ``LakeTable.set_schema_ops`` — the LWW key must stay stable. Returns the
     parsed statement so replay drivers can place the epoch barrier."""
     parsed = parse_ddl(sql)
+    if parsed.kind in ("create_table", "drop_table", "rename_table"):
+        raise DdlError(f"{parsed.kind} is a table-lifecycle statement — "
+                       "apply it to a multitable root via apply_table_ddl")
     if parsed.kind in ("rename", "drop", "widen"):
         ops = [*lake.schema_ops, parsed.schema_op]
         if parsed.extra.get("also"):
@@ -179,4 +283,93 @@ def apply_ddl(lake, sql: str) -> ParsedDdl:
                            "with an id col")
     elif parsed.kind == "truncate":
         lake.truncate()
+    return parsed
+
+
+_DROPPED_SUFFIX = "._dropped"
+
+
+def _sweep_tombstones(root: str, name: str) -> None:
+    import shutil
+
+    tomb = os.path.join(root, name + _DROPPED_SUFFIX)
+    if os.path.isdir(tomb):
+        shutil.rmtree(tomb)
+
+
+def list_tables(root: str) -> list[str]:
+    """Live table directories under a multitable root (tombstones and
+    non-lake dirs excluded)."""
+    out = []
+    for n in sorted(os.listdir(root)):
+        if n.endswith(_DROPPED_SUFFIX):
+            continue
+        if os.path.exists(os.path.join(root, n, "_table.json")):
+            out.append(n)
+    return out
+
+
+def apply_table_ddl(root: str, sql: str, config=None) -> ParsedDdl:
+    """Execute one table-lifecycle statement against a multitable root
+    (one lake directory per table — the ``replay_mixed`` layout;
+    ddl_type.rs CreateTable/DropTable/RenameTable execution point).
+
+    Crash safety: CREATE is atomic at the ``_table.json`` write; DROP
+    renames to a ``._dropped`` tombstone (atomic) before removing, and both
+    DROP and CREATE of the same name sweep a leftover tombstone first;
+    RENAME is an atomic directory rename followed by the meta-name rewrite,
+    and re-running the statement completes a rewrite the crash skipped."""
+    import shutil
+
+    from ape_dts_ray.meta import TableMeta
+    from ape_dts_ray.state.lake import LakeTable
+
+    parsed = parse_ddl(sql)
+    if parsed.kind == "create_table":
+        _sweep_tombstones(root, parsed.table)
+        path = os.path.join(root, parsed.table)
+        exists = os.path.exists(os.path.join(path, "_table.json"))
+        if exists and parsed.extra["if_not_exists"]:
+            return parsed
+        if exists:
+            raise DdlError(f"table {parsed.table!r} already exists")
+        ids = tuple(parsed.extra["id_cols"])
+        payload = tuple(c for c, _ in parsed.extra["columns"]
+                        if c not in ids)
+        meta = TableMeta(name=parsed.table, id_cols=ids,
+                         partition_col=ids[0], order_cols=ids,
+                         payload_cols=payload)
+        lake = LakeTable.create(path, meta, config)
+        nn = [c for c in parsed.extra["not_null"] if c not in ids]
+        if nn:   # id-col NOT NULL is implied; payload NOT NULL → precheck
+            lake.set_constraints([*lake.constraints,
+                                  *({"type": "not_null", "col": c}
+                                    for c in nn)])
+    elif parsed.kind == "drop_table":
+        _sweep_tombstones(root, parsed.table)
+        path = os.path.join(root, parsed.table)
+        if not os.path.isdir(path):
+            if parsed.extra["if_exists"]:
+                return parsed
+            raise DdlError(f"table {parsed.table!r} does not exist")
+        tomb = path + _DROPPED_SUFFIX
+        os.rename(path, tomb)
+        shutil.rmtree(tomb)
+    elif parsed.kind == "rename_table":
+        src = os.path.join(root, parsed.table)
+        dst = os.path.join(root, parsed.extra["to"])
+        if os.path.isdir(src):
+            if os.path.exists(dst):
+                raise DdlError(f"rename target {parsed.extra['to']!r} "
+                               "already exists")
+            os.rename(src, dst)
+        elif not os.path.isdir(dst):
+            raise DdlError(f"table {parsed.table!r} does not exist")
+        lake = LakeTable.open(dst)
+        if lake.meta.name == parsed.table:      # finish (or redo) the rewrite
+            lake.meta = replace(lake.meta, name=parsed.extra["to"])
+            lake._save_table_json()
+    else:
+        raise DdlError(f"{parsed.kind} is a single-table statement — "
+                       "apply it to the lake via apply_ddl")
     return parsed

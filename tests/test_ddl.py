@@ -48,12 +48,18 @@ def test_parse_alter_family():
 
 
 def test_parse_rejects_out_of_scope():
-    for sql in ("CREATE TABLE t (a INT)", "DROP TABLE t",
-                "CREATE INDEX i ON t(a)",
+    for sql in ("CREATE INDEX i ON t(a)",
                 "ALTER TABLE t ADD CONSTRAINT c UNIQUE (a)",
-                "ALTER TABLE t ADD COLUMN c SOMEWEIRDTYPE"):
+                "ALTER TABLE t ADD COLUMN c SOMEWEIRDTYPE",
+                "CREATE VIEW v AS SELECT 1",
+                "GRANT SELECT ON t TO u"):
         with pytest.raises(UnsupportedDdlError):
             parse_ddl(sql)
+    # table-lifecycle statements parse, but are rejected at the LAKE-scoped
+    # execution point — they belong to apply_table_ddl on a multitable root
+    assert parse_ddl("DROP TABLE t").kind == "drop_table"
+    with pytest.raises(DdlError, match="table-lifecycle"):
+        apply_ddl(None, "DROP TABLE t")
 
 
 def test_apply_ddl_protects_id_cols(tmp_path):
@@ -224,3 +230,135 @@ def test_quoted_identifier_escapes():
 
     p = parse_ddl('ALTER TABLE t RENAME COLUMN `a``b` TO "c""d"')
     assert p.schema_op == {"op": "rename", "from": "a`b", "to": 'c"d'}
+
+
+# ---------- table lifecycle (ddl_type.rs CreateTable/DropTable/RenameTable) --
+
+def _mixed_events(n=2000, seed=71):
+    rng = np.random.default_rng(seed)
+    uids = rng.integers(0, 40, size=n)
+    items = rng.integers(0, 6, size=n).astype(np.int32)
+    ops = np.where(rng.random(n) < 0.12, "delete", "update").astype(object)
+    ops[:200] = "insert"
+    return pa.table({
+        "log_offset": pa.array(np.arange(n, dtype=np.int64)),
+        "op": pa.array(ops, pa.string()),
+        "uid": pa.array([f"u-{u:03d}" for u in uids], pa.string()),
+        "item": pa.array(items),
+        "val": pa.array([None if o == "delete" else f"v{i}"
+                         for i, o in enumerate(ops)], pa.string()),
+    })
+
+
+def test_create_table_parses_columns_keys_and_constraints(tmp_path):
+    from ape_dts_ray.stages.ddl import apply_table_ddl, list_tables
+
+    root = str(tmp_path)
+    p = apply_table_ddl(root, """
+        CREATE TABLE orders_x (
+          uid VARCHAR NOT NULL,
+          item INT,
+          amount DECIMAL(18,4),
+          val TEXT NOT NULL,
+          PRIMARY KEY (uid, item)
+        )""")
+    assert p.kind == "create_table"
+    lake = LakeTable.open(str(tmp_path / "orders_x"))
+    assert lake.meta.id_cols == ("uid", "item")
+    assert lake.meta.partition_col == "uid"
+    assert set(lake.meta.payload_cols) == {"amount", "val"}
+    # payload NOT NULL became a precheck descriptor; id-col NOT NULL implied
+    assert {"type": "not_null", "col": "val"} in lake.constraints
+    assert all(c["col"] != "uid" for c in lake.constraints)
+    assert list_tables(root) == ["orders_x"]
+
+    # IF NOT EXISTS is a no-op; plain re-create refuses
+    apply_table_ddl(root, "CREATE TABLE IF NOT EXISTS orders_x (a INT, "
+                          "PRIMARY KEY (a))")
+    assert LakeTable.open(str(tmp_path / "orders_x")).meta.id_cols == \
+        ("uid", "item")
+    with pytest.raises(DdlError, match="already exists"):
+        apply_table_ddl(root, "CREATE TABLE orders_x (a INT, PRIMARY KEY (a))")
+
+    # a PK is mandatory (LWW needs stable id cols) and must name real cols
+    with pytest.raises(DdlError, match="PRIMARY KEY"):
+        apply_table_ddl(root, "CREATE TABLE t2 (a INT)")
+    with pytest.raises(DdlError, match="undefined columns"):
+        apply_table_ddl(root, "CREATE TABLE t2 (a INT, PRIMARY KEY (b))")
+    # inline single-column PK spelling
+    apply_table_ddl(root, "CREATE TABLE t3 (id BIGINT PRIMARY KEY, x TEXT)")
+    assert LakeTable.open(str(tmp_path / "t3")).meta.id_cols == ("id",)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_table_lifecycle_create_replay_rename_drop(tmp_path):
+    from ape_dts_ray.stages.ddl import apply_table_ddl, list_tables
+
+    root = str(tmp_path)
+    apply_table_ddl(root, "CREATE TABLE live_t (uid VARCHAR, item INT, "
+                          "val TEXT, PRIMARY KEY (uid, item))",
+                    config=EngineConfig(num_partitions=8, epoch_size=1000))
+    events = _mixed_events()
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(events, path)
+    lake = LakeTable.open(str(tmp_path / "live_t"))
+    replay(lake, events_path=path)
+    before = lake.state_table().to_pandas()
+    assert len(before) > 0
+
+    # RENAME moves the directory and rewrites the persisted meta name
+    apply_table_ddl(root, "RENAME TABLE live_t TO live_t2")
+    assert list_tables(root) == ["live_t2"]
+    lake2 = LakeTable.open(str(tmp_path / "live_t2"))
+    assert lake2.meta.name == "live_t2"
+    pd.testing.assert_frame_equal(before, lake2.state_table().to_pandas())
+    # re-running the same statement is the crash-recovery path (idempotent)
+    apply_table_ddl(root, "RENAME TABLE live_t TO live_t2")
+    assert LakeTable.open(str(tmp_path / "live_t2")).meta.name == "live_t2"
+    # ALTER TABLE ... RENAME TO spelling
+    apply_table_ddl(root, "ALTER TABLE live_t2 RENAME TO live_t3")
+    assert list_tables(root) == ["live_t3"]
+
+    # DROP removes it; IF EXISTS tolerates a second run
+    apply_table_ddl(root, "DROP TABLE live_t3")
+    assert list_tables(root) == []
+    with pytest.raises(DdlError, match="does not exist"):
+        apply_table_ddl(root, "DROP TABLE live_t3")
+    apply_table_ddl(root, "DROP TABLE IF EXISTS live_t3")
+
+
+def test_drop_table_crash_leaves_tombstone_not_half_table(tmp_path,
+                                                          monkeypatch):
+    """A crash between the tombstone rename and the rmtree must leave a
+    ``._dropped`` dir that list_tables hides and the next DROP/CREATE of
+    the name sweeps."""
+    import shutil as _shutil
+
+    from ape_dts_ray.stages.ddl import apply_table_ddl, list_tables
+
+    root = str(tmp_path)
+    apply_table_ddl(root, "CREATE TABLE victim (a INT, PRIMARY KEY (a))")
+
+    def crashing(path, *a, **kw):
+        raise RuntimeError("injected crash mid-drop")
+
+    real = _shutil.rmtree
+    monkeypatch.setattr(_shutil, "rmtree", crashing)
+    with pytest.raises(RuntimeError, match="injected"):
+        apply_table_ddl(root, "DROP TABLE victim")
+    monkeypatch.setattr(_shutil, "rmtree", real)
+
+    assert (tmp_path / "victim._dropped").is_dir()
+    assert list_tables(root) == []               # tombstone hidden
+    apply_table_ddl(root, "DROP TABLE IF EXISTS victim")   # sweeps it
+    assert not (tmp_path / "victim._dropped").exists()
+
+    # CREATE of the same name also sweeps a leftover tombstone
+    apply_table_ddl(root, "CREATE TABLE victim (a INT, PRIMARY KEY (a))")
+    monkeypatch.setattr(_shutil, "rmtree", crashing)
+    with pytest.raises(RuntimeError):
+        apply_table_ddl(root, "DROP TABLE victim")
+    monkeypatch.setattr(_shutil, "rmtree", real)
+    apply_table_ddl(root, "CREATE TABLE victim (b INT, PRIMARY KEY (b))")
+    assert not (tmp_path / "victim._dropped").exists()
+    assert LakeTable.open(str(tmp_path / "victim")).meta.id_cols == ("b",)
