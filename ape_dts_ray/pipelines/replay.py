@@ -337,9 +337,13 @@ def replay(
     scale paths. A plain ``events_ds`` would re-execute its upstream once
     per chunk (O(chunks × full-scan) on a 10^10-event Dataset), so replay
     SPILLS it to scratch Parquet in one pass and continues in
-    ``events_path`` mode whenever the plan needs more than one chunk.
-    Single-chunk plans keep the direct Dataset — exactly one execution
-    either way, and no write amplification on the common small case.
+    ``events_path`` mode. Two decision points: with ``max_offset`` unknown,
+    the spill happens up front (discovering the max is a full execution
+    anyway — the spill's parquet footers answer it for free, total ONE
+    execution); with ``max_offset`` supplied, the decision waits for the
+    real chunk plan (barriers, committed epochs, stop_after_epoch
+    included) and only a >1-chunk plan spills — a known-small stream keeps
+    the direct Dataset with zero write amplification.
 
     ``pipeline_depth`` > 1 overlaps up to that many group executions (driver
     threads; Ray schedules their tasks jointly) while manifests still commit
@@ -350,44 +354,61 @@ def replay(
     """
     import pyarrow.parquet as pq
 
-    spill_dir = None
-    if events_ds is not None and events_factory is None:
-        if max_offset is None:
-            max_offset = events_ds.max(COL_OFFSET)
-            if max_offset is None:      # empty upstream
-                max_offset = -1
-        span = max(0, max_offset - min_offset + 1)
-        n_windows = -(-span // lake.config.epoch_size) if span else 0
-        est_chunks = -(-n_windows // max(1, group_epochs))
-        if est_chunks > 1:
-            import glob as _glob
-            import shutil as _shutil
-            import tempfile as _tempfile
-            spill_dir = _tempfile.mkdtemp(prefix="ape_dts_replay_spill_")
-            events_ds.write_parquet(spill_dir)
-            spilled = sorted(_glob.glob(os.path.join(spill_dir, "*.parquet")))
-            if spilled:
-                events_path, events_ds = spilled, None
-            else:                       # empty upstream — nothing to spill
-                _shutil.rmtree(spill_dir, ignore_errors=True)
-                spill_dir = None
+    spill = _SpillState()
     try:
+        if events_ds is not None and events_factory is None \
+                and max_offset is None:
+            # Discovering max_offset from a Dataset is a full execution —
+            # spill NOW so that one execution also persists the stream
+            # (max then comes from the spill's parquet footers for free).
+            # Callers who know the stream is small and want zero write
+            # amplification pass max_offset explicitly.
+            ep = spill.write(events_ds)
+            if ep is None:              # empty upstream
+                max_offset = -1
+            else:
+                events_path, events_ds = ep, None
         return _replay_inner(
             lake, events_path, events_ds, events_factory, max_offset,
             min_offset, barriers, event_filter, router_fn, stop_after_epoch,
             group_epochs, pipeline_depth, narrow_shuffle, commit_offsets,
-            max_rps, heartbeat)
+            max_rps, heartbeat, spill)
     finally:
-        if spill_dir is not None:
+        spill.cleanup()
+
+
+class _SpillState:
+    """Scratch-parquet spill of a Dataset source (lifecycle = one replay)."""
+
+    def __init__(self):
+        self.dir = None
+
+    def write(self, events_ds) -> list[str] | None:
+        import glob as _glob
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        self.dir = _tempfile.mkdtemp(prefix="ape_dts_replay_spill_")
+        events_ds.write_parquet(self.dir)
+        spilled = sorted(_glob.glob(os.path.join(self.dir, "*.parquet")))
+        if not spilled:                 # empty upstream — nothing to spill
+            _shutil.rmtree(self.dir, ignore_errors=True)
+            self.dir = None
+            return None
+        return spilled
+
+    def cleanup(self):
+        if self.dir is not None:
             import shutil as _shutil
-            _shutil.rmtree(spill_dir, ignore_errors=True)
+            _shutil.rmtree(self.dir, ignore_errors=True)
+            self.dir = None
 
 
 def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
                   min_offset, barriers, event_filter, router_fn,
                   stop_after_epoch, group_epochs, pipeline_depth,
                   narrow_shuffle, commit_offsets, max_rps,
-                  heartbeat) -> list[EpochManifest]:
+                  heartbeat, spill: _SpillState) -> list[EpochManifest]:
     import pyarrow.parquet as pq
 
     if max_offset is None:
@@ -499,6 +520,14 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
 
     g = max(1, group_epochs)
     chunks = [pending[i:i + g] for i in range(0, len(pending), g)]
+    if events_ds is not None and events_factory is None and len(chunks) > 1:
+        # Spill decision from the REAL plan (barriers, committed epochs and
+        # stop_after_epoch included): >1 chunk would re-execute the Dataset
+        # upstream once per chunk — persist it once and prune-read instead.
+        # (max_offset was supplied here, else the pre-plan spill already ran.)
+        ep = spill.write(events_ds)
+        if ep is not None:
+            events_path, events_ds = ep, None
     done: list[EpochManifest] = []
 
     # max_rps: driver-side token pacing at chunk granularity (the reference's

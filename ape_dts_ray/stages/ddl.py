@@ -33,8 +33,14 @@ operate on a multitable ROOT (one lake directory per table, the
         → directory rename (atomic) + meta name rewrite; re-running the
           statement after a crash between the two completes the rewrite
 
-Everything else (indexes, views, grants) is out of scope and raises
-``UnsupportedDdlError`` — honest refusal, not silent drop. Identifiers may
+CREATE TABLE accepts the real mysqldump/binlog shape: table-options tail
+(ENGINE/CHARSET/COLLATE/COMMENT — validated then ignored, they have no
+Parquet meaning), AUTO_INCREMENT columns (→ sequence descriptors),
+UNIQUE [KEY] (→ unique-constraint descriptors), and secondary KEY / FK
+clauses (no lake analog — parsed and surfaced in ``extra["skipped"]``,
+never silently vanished). Everything else (standalone CREATE INDEX,
+views, grants, unknown table options) raises ``UnsupportedDdlError`` —
+honest refusal, not silent drop. Identifiers may
 be backtick/double-quote/bracket-quoted; keywords are case-insensitive.
 Type names use the MySQL/PG spellings and map to Arrow type aliases for
 the widen op.
@@ -125,9 +131,39 @@ _RE_CHANGE = re.compile(
     rf"(?:\s+(?:NULL|NOT\s+NULL|DEFAULT\s+\S+))*\s*;?\s*$", re.I)
 _RE_TRUNCATE = re.compile(
     rf"^TRUNCATE\s+(?:TABLE\s+)?(?P<tb>{_QUALID})\s*;?\s*$", re.I)
-_RE_CREATE_TABLE = re.compile(
+_RE_CREATE_HEAD = re.compile(
     rf"^CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<tb>{_QUALID})\s*"
-    rf"\((?P<body>.*)\)\s*;?\s*$", re.I | re.S)
+    rf"\(", re.I | re.S)
+
+
+def _match_create_table(s: str):
+    """CREATE TABLE head + paren-BALANCED body scan (a greedy regex would
+    let parens in the options tail, e.g. PARTITION BY HASH(a), steal the
+    body's closing paren). Returns (if_not_exists, table, body, opts) or
+    None."""
+    m = _RE_CREATE_HEAD.match(s)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(s) and depth:
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise UnsupportedDdlError(f"unbalanced parens in CREATE TABLE: {s!r}")
+    return (bool(m["ine"]), _ident(m["tb"]),
+            s[m.end():i - 1], s[i:].strip().rstrip(";").strip())
+# the table-options tail a mysqldump/binlog CREATE TABLE actually carries
+# (ENGINE=InnoDB AUTO_INCREMENT=17 DEFAULT CHARSET=utf8mb4 COLLATE=...
+# COMMENT='...'); storage options have no Parquet-lake meaning and are
+# validated-then-ignored, anything unrecognized still refuses loudly
+_RE_TABLE_OPTS = re.compile(
+    r"^(?:\s*(?:ENGINE|AUTO_INCREMENT|ROW_FORMAT|COLLATE|CHECKSUM|COMMENT|"
+    r"KEY_BLOCK_SIZE|MAX_ROWS|MIN_ROWS|(?:DEFAULT\s+)?CHARSET|"
+    r"(?:DEFAULT\s+)?CHARACTER\s+SET|(?:DEFAULT\s+)?COLLATE)"
+    r"\s*=?\s*(?:'[^']*'|\"[^\"]*\"|[\w.]+))*\s*$", re.I)
 _RE_DROP_TABLE = re.compile(
     rf"^DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<tb>{_QUALID})\s*;?\s*$",
     re.I)
@@ -137,9 +173,20 @@ _RE_RENAME_TABLE = re.compile(
     rf"(?P<b2>{_QUALID}))\s*;?\s*$", re.I)
 _RE_COL_DEF = re.compile(rf"^(?P<col>{_ID})\s+(?P<rest>.+?)\s*$", re.I)
 _RE_COL_TAIL = re.compile(
-    r"\s+(?P<tok>NOT\s+NULL|NULL|DEFAULT\s+\S+|PRIMARY\s+KEY)\s*$", re.I)
+    r"\s+(?P<tok>NOT\s+NULL|NULL|DEFAULT\s+(?:'[^']*'|\"[^\"]*\"|\S+)|"
+    r"ON\s+UPDATE\s+\S+|PRIMARY\s+KEY|AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|"
+    r"COMMENT\s+(?:'[^']*'|\"[^\"]*\"))\s*$", re.I)
 _RE_PK_CLAUSE = re.compile(
     rf"^PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)\s*$", re.I)
+# mysqldump bodies also carry secondary-index and FK clauses; a Parquet
+# lake has no indexes (COVERAGE.md: Index/Rbac out of scope) so these are
+# parsed and surfaced in extra["skipped"], never silently vanished —
+# except UNIQUE KEY, which becomes a unique-constraint descriptor
+_RE_UNIQUE_CLAUSE = re.compile(
+    rf"^UNIQUE\s+(?:KEY|INDEX)?\s*(?:{_ID})?\s*\((?P<cols>[^)]*)\)\s*$", re.I)
+_RE_SKIP_CLAUSE = re.compile(
+    rf"^(?:KEY|INDEX|FULLTEXT\s+KEY|SPATIAL\s+KEY|CONSTRAINT\s+{_ID}\s+"
+    rf"FOREIGN\s+KEY|FOREIGN\s+KEY)\b", re.I)
 
 
 def _parse_col_def(d: str) -> tuple[str, str, set[str]]:
@@ -225,30 +272,46 @@ def parse_ddl(sql: str) -> ParsedDdl:
     m = _RE_TRUNCATE.match(s)
     if m:
         return ParsedDdl("truncate", _ident(m["tb"]))
-    m = _RE_CREATE_TABLE.match(s)
-    if m:
+    ct = _match_create_table(s)
+    if ct:
+        ine, tb, body, opts = ct
+        if opts and not _RE_TABLE_OPTS.match(opts):
+            raise UnsupportedDdlError(f"unrecognized table options: {opts!r}")
         cols, id_cols, not_null = [], [], []
-        for d in _split_defs(m["body"]):
+        uniques, autoinc, skipped = [], [], []
+        for d in _split_defs(body):
             pk = _RE_PK_CLAUSE.match(d)
             if pk:
                 id_cols.extend(_ident(c) for c in pk["cols"].split(","))
                 continue
+            uq = _RE_UNIQUE_CLAUSE.match(d)
+            if uq:
+                uniques.append([_ident(c) for c in uq["cols"].split(",")])
+                continue
+            if _RE_SKIP_CLAUSE.match(d):
+                skipped.append(d)       # secondary indexes / FKs: no
+                continue                # Parquet analog, surfaced not lost
             col, typ, toks = _parse_col_def(d)
             cols.append((col, typ))
             if "PRIMARY KEY" in toks:
                 id_cols.append(col)
             if "NOT NULL" in toks or "PRIMARY KEY" in toks:
                 not_null.append(col)
+            if any(t.startswith("UNIQUE") for t in toks):
+                uniques.append([col])
+            if "AUTO_INCREMENT" in toks:
+                autoinc.append(col)
         if not id_cols:
             raise DdlError("CREATE TABLE without a PRIMARY KEY: the LWW "
                            "fold needs stable id cols")
         unknown = [c for c in id_cols if c not in dict(cols)]
         if unknown:
             raise DdlError(f"PRIMARY KEY names undefined columns: {unknown}")
-        return ParsedDdl("create_table", _ident(m["tb"]), None,
+        return ParsedDdl("create_table", tb, None,
                          {"columns": cols, "id_cols": id_cols,
-                          "not_null": not_null,
-                          "if_not_exists": bool(m["ine"])})
+                          "not_null": not_null, "unique": uniques,
+                          "auto_increment": autoinc, "skipped": skipped,
+                          "if_not_exists": ine})
     m = _RE_DROP_TABLE.match(s)
     if m:
         return ParsedDdl("drop_table", _ident(m["tb"]), None,
@@ -341,10 +404,17 @@ def apply_table_ddl(root: str, sql: str, config=None) -> ParsedDdl:
                          payload_cols=payload)
         lake = LakeTable.create(path, meta, config)
         nn = [c for c in parsed.extra["not_null"] if c not in ids]
-        if nn:   # id-col NOT NULL is implied; payload NOT NULL → precheck
-            lake.set_constraints([*lake.constraints,
-                                  *({"type": "not_null", "col": c}
-                                    for c in nn)])
+        cons = [{"type": "not_null", "col": c} for c in nn]
+        cons += [{"type": "unique", "cols": u}
+                 for u in parsed.extra["unique"] if tuple(u) != ids]
+        if cons:  # id-col NOT NULL is implied; payload NOT NULL/UNIQUE →
+            lake.set_constraints([*lake.constraints, *cons])   # precheck
+        if parsed.extra["auto_increment"]:
+            # AUTO_INCREMENT → sequence descriptor (the migration's
+            # setval-handoff machinery, LakeTable.advance_sequences)
+            lake.set_sequences([
+                {"name": f"{parsed.table}_{c}_seq", "col": c}
+                for c in parsed.extra["auto_increment"]])
     elif parsed.kind == "drop_table":
         _sweep_tombstones(root, parsed.table)
         path = os.path.join(root, parsed.table)
@@ -363,7 +433,14 @@ def apply_table_ddl(root: str, sql: str, config=None) -> ParsedDdl:
                 raise DdlError(f"rename target {parsed.extra['to']!r} "
                                "already exists")
             os.rename(src, dst)
-        elif not os.path.isdir(dst):
+        elif os.path.isdir(dst) and \
+                LakeTable.open(dst).meta.name == parsed.table:
+            pass    # crash between rename and meta rewrite — finish below
+        else:
+            # STRICT: an existing destination whose persisted name is not
+            # the source is an unrelated table — absorbing the statement
+            # would let a typo'd/replayed rename report success while the
+            # operator believes the source's data moved
             raise DdlError(f"table {parsed.table!r} does not exist")
         lake = LakeTable.open(dst)
         if lake.meta.name == parsed.table:      # finish (or redo) the rewrite

@@ -312,9 +312,23 @@ def test_table_lifecycle_create_replay_rename_drop(tmp_path):
     lake2 = LakeTable.open(str(tmp_path / "live_t2"))
     assert lake2.meta.name == "live_t2"
     pd.testing.assert_frame_equal(before, lake2.state_table().to_pandas())
-    # re-running the same statement is the crash-recovery path (idempotent)
-    apply_table_ddl(root, "RENAME TABLE live_t TO live_t2")
-    assert LakeTable.open(str(tmp_path / "live_t2")).meta.name == "live_t2"
+    # re-running a COMPLETED rename is refused (the destination is no
+    # longer a half-renamed source) — silent absorption would let a typo'd
+    # rename report success against an unrelated table
+    with pytest.raises(DdlError, match="does not exist"):
+        apply_table_ddl(root, "RENAME TABLE live_t TO live_t2")
+    # the actual crash window: directory renamed, meta rewrite skipped —
+    # re-running the statement finishes the rewrite
+    import os as _os
+    _os.rename(str(tmp_path / "live_t2"), str(tmp_path / "live_t2b"))
+    # simulate: dst exists under the new name but meta still says live_t2
+    apply_table_ddl(root, "RENAME TABLE live_t2 TO live_t2b")
+    assert LakeTable.open(str(tmp_path / "live_t2b")).meta.name == "live_t2b"
+    _os.rename(str(tmp_path / "live_t2b"), str(tmp_path / "live_t2"))
+    lk = LakeTable.open(str(tmp_path / "live_t2"))
+    from dataclasses import replace as _replace
+    lk.meta = _replace(lk.meta, name="live_t2")
+    lk._save_table_json()
     # ALTER TABLE ... RENAME TO spelling
     apply_table_ddl(root, "ALTER TABLE live_t2 RENAME TO live_t3")
     assert list_tables(root) == ["live_t3"]
@@ -362,3 +376,44 @@ def test_drop_table_crash_leaves_tombstone_not_half_table(tmp_path,
     apply_table_ddl(root, "CREATE TABLE victim (b INT, PRIMARY KEY (b))")
     assert not (tmp_path / "victim._dropped").exists()
     assert LakeTable.open(str(tmp_path / "victim")).meta.id_cols == ("b",)
+
+
+def test_create_table_mysqldump_shape(tmp_path):
+    """Review r3: the table-lifecycle parser must accept the statement shape
+    a MySQL CDC source actually emits — table options tail, AUTO_INCREMENT,
+    secondary KEY / FK clauses (surfaced as skipped, not silently lost),
+    UNIQUE KEY → constraint descriptor, quoted DEFAULTs, ON UPDATE."""
+    from ape_dts_ray.stages.ddl import apply_table_ddl, parse_ddl
+
+    sql = """CREATE TABLE `orders` (
+      `id` INT UNSIGNED NOT NULL AUTO_INCREMENT,
+      `email` VARCHAR(128) UNIQUE,
+      `note` TEXT DEFAULT 'no note yet',
+      `mtime` TIMESTAMP DEFAULT CURRENT_TIMESTAMP ON UPDATE CURRENT_TIMESTAMP,
+      `cust_id` BIGINT NOT NULL,
+      PRIMARY KEY (`id`),
+      UNIQUE KEY `uk_mail2` (`email`, `cust_id`),
+      KEY `idx_cust` (`cust_id`),
+      CONSTRAINT `fk_c` FOREIGN KEY (`cust_id`) REFERENCES `customer` (`id`)
+    ) ENGINE=InnoDB AUTO_INCREMENT=17 DEFAULT CHARSET=utf8mb4
+      COLLATE=utf8mb4_0900_ai_ci COMMENT='order header'"""
+    p = parse_ddl(sql)
+    assert p.kind == "create_table"
+    assert p.extra["id_cols"] == ["id"]
+    assert p.extra["auto_increment"] == ["id"]
+    assert ["email"] in p.extra["unique"]
+    assert ["email", "cust_id"] in p.extra["unique"]
+    assert len(p.extra["skipped"]) == 2          # KEY + FK surfaced
+    assert dict(p.extra["columns"])["id"] == "int32"
+    assert dict(p.extra["columns"])["mtime"] == "timestamp[us]"
+
+    apply_table_ddl(str(tmp_path), sql)
+    lake = LakeTable.open(str(tmp_path / "orders"))
+    assert {"type": "unique", "cols": ["email", "cust_id"]} in lake.constraints
+    assert {"type": "not_null", "col": "cust_id"} in lake.constraints
+    assert lake.sequences and lake.sequences[0]["col"] == "id"
+
+    # unknown table options still refuse loudly
+    with pytest.raises(UnsupportedDdlError, match="table options"):
+        parse_ddl("CREATE TABLE t (a INT, PRIMARY KEY (a)) "
+                  "PARTITION BY HASH(a)")

@@ -719,8 +719,16 @@ def test_multi_chunk_events_ds_spills_once(ray_session, tmp_path, monkeypatch):
     b = lake_fp.state_table().to_pandas()
     pd.testing.assert_frame_equal(a, b)
 
-    # single-chunk plan keeps the direct Dataset (no spill)
+    # known-max single-chunk plan keeps the direct Dataset (no spill);
+    # without max_offset the spill doubles as the max-discovery execution
+    mx = int(pa.compute.max(events.column("log_offset")).as_py())
     spilled.clear()
-    lake_small = _mk_lake(tmp_path, "lake_small", epoch_size=20_000)
-    replay(lake_small, events_ds=rd.read_parquet(path))
+    lake_small = _mk_lake(tmp_path, "lake_small", epoch_size=mx + 1)
+    replay(lake_small, events_ds=rd.read_parquet(path), max_offset=mx)
+    assert spilled == []
+    pd.testing.assert_frame_equal(a, lake_small.state_table().to_pandas())
+
+    # a fully-committed resume with a known max plans zero chunks → no spill
+    spilled.clear()
+    replay(lake_ds, events_ds=rd.read_parquet(path), max_offset=mx)
     assert spilled == []
