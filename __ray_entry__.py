@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_sql_format": q.cdc_sql_format,
         "cdc_wide_types": q.cdc_wide_types,
         "redis_replay": q.redis_replay,
+        "redis_incremental": q.redis_incremental,
         "redis_snapshot": q.redis_snapshot,
         "dedup_exact": q.dedup_exact,
         "dedup_minhash": q.dedup_minhash,
@@ -98,6 +99,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": q.text_langid,
         "doc_fingerprint": q.doc_fingerprint,
     }
+
+
+_REDIS_FOLD_SQL = """
+    WITH swin AS (
+      SELECT 'ev:' || (event_id % 997) AS key,
+             max_by(CASE WHEN event_type = 'error' THEN NULL
+                         ELSE 'v:' || event_id || ':' || props END,
+                    event_id) AS value,
+             max_by(event_type, event_id) AS last_et
+      FROM events WHERE event_type IN ('click', 'view', 'error')
+      GROUP BY 1
+    ),
+    hw AS (
+      SELECT 'conv:' || user_id AS key, 'f' || (event_id % 40) AS field,
+             max_by(props, event_id) AS value
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    ),
+    zw AS (
+      SELECT 'zrank:' || (user_id % 13) AS key, 'm' || user_id AS field,
+             max_by(value, event_id) AS score
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT key, CAST(NULL AS VARCHAR) AS field, value,
+           CAST(NULL AS DOUBLE) AS score
+    FROM swin WHERE last_et <> 'error'
+    UNION ALL
+    SELECT key, field, value, CAST(NULL AS DOUBLE) AS score FROM hw
+    UNION ALL
+    SELECT key, field, CAST(NULL AS VARCHAR) AS value, score FROM zw
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -307,35 +338,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Redis replication fold — derivation in lockstep with
         # queries._redis_cmds_batch (strings are key-level LWW incl. DEL
-        # tombstones; hash fields and zset members are field-level LWW)
-        "redis_replay": """
-            WITH swin AS (
-              SELECT 'ev:' || (event_id % 997) AS key,
-                     max_by(CASE WHEN event_type = 'error' THEN NULL
-                                 ELSE 'v:' || event_id || ':' || props END,
-                            event_id) AS value,
-                     max_by(event_type, event_id) AS last_et
-              FROM events WHERE event_type IN ('click', 'view', 'error')
-              GROUP BY 1
-            ),
-            hw AS (
-              SELECT 'conv:' || user_id AS key, 'f' || (event_id % 40) AS field,
-                     max_by(props, event_id) AS value
-              FROM events WHERE event_type = 'signup' GROUP BY 1, 2
-            ),
-            zw AS (
-              SELECT 'zrank:' || (user_id % 13) AS key, 'm' || user_id AS field,
-                     max_by(value, event_id) AS score
-              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
-            )
-            SELECT key, CAST(NULL AS VARCHAR) AS field, value,
-                   CAST(NULL AS DOUBLE) AS score
-            FROM swin WHERE last_et <> 'error'
-            UNION ALL
-            SELECT key, field, value, CAST(NULL AS DOUBLE) AS score FROM hw
-            UNION ALL
-            SELECT key, field, CAST(NULL AS VARCHAR) AS value, score FROM zw
-        """,
+        # tombstones; hash fields and zset members are field-level LWW).
+        # redis_incremental converges to the same keyspace through the
+        # watermark-advancing RedisKeyspaceStore, so it shares the oracle.
+        "redis_replay": _REDIS_FOLD_SQL,
+        "redis_incremental": _REDIS_FOLD_SQL,
         # RDB binary roundtrip: the parse side must reproduce the documents
         # exactly (text through raw/LZF string encodings, n_chars through the
         # RDB integer encodings)

@@ -833,6 +833,31 @@ def _redis_cmds_batch(t: pa.Table) -> pa.Table:
                      "cmd": cmd.to_numpy()})
 
 
+def _write_redis_log(sf_dir: str, log_dir: str) -> None:
+    """Derive the RESP replication log from events, distributed — one file
+    per event-id chunk (= psync segment), written inside map_groups."""
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "props"])
+    cmds = ds.map_batches(_redis_cmds_batch, batch_format="pyarrow")
+
+    def write_chunk(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        g = pl.from_arrow(t).sort("event_id")
+        seq = int(g["chunk"][0])
+        path = os.path.join(log_dir, f"aof_{seq:06d}.resp")
+        with open(path + ".tmp", "w") as f:
+            f.write("".join(g["cmd"].to_list()))
+        os.replace(path + ".tmp", path)
+        return pa.table({"chunk": [seq], "cmds": [len(g)]})
+
+    cmds.groupby("chunk").map_groups(
+        write_chunk, batch_format="pyarrow").materialize()
+
+
 def redis_replay(sf_dir: str) -> pa.Table:
     """Full Redis CDC path: derive a RESP replication log from events
     (distributed, one file per event-id chunk = psync segment), tail it back
@@ -846,31 +871,56 @@ def redis_replay(sf_dir: str) -> pa.Table:
 
     log_dir = tempfile.mkdtemp(prefix="ape_dts_ray_redislog_")
     try:
-        ds = ray.data.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "user_id", "event_type", "value", "props"])
-        cmds = ds.map_batches(_redis_cmds_batch, batch_format="pyarrow")
-
-        def write_chunk(t: pa.Table) -> pa.Table:
-            import polars as pl
-
-            g = pl.from_arrow(t).sort("event_id")
-            seq = int(g["chunk"][0])
-            path = os.path.join(log_dir, f"aof_{seq:06d}.resp")
-            with open(path + ".tmp", "w") as f:
-                f.write("".join(g["cmd"].to_list()))
-            os.replace(path + ".tmp", path)
-            return pa.table({"chunk": [seq], "cmds": [len(g)]})
-
-        cmds.groupby("chunk").map_groups(
-            write_chunk, batch_format="pyarrow").materialize()
-
+        _write_redis_log(sf_dir, log_dir)
         state = replay_redis(read_resp_log(log_dir),
                              num_partitions=QUERY_PARTITIONS)
         out = pa.concat_tables(
             state.iter_batches(batch_format="pyarrow")).combine_chunks()
     finally:
         shutil.rmtree(log_dir, ignore_errors=True)
+    return pa.table({
+        "key": pc.cast(out.column("key"), pa.string()),
+        "field": pc.cast(out.column("field"), pa.string()),
+        "value": pc.cast(out.column("value"), pa.string()),
+        "score": out.column("score"),
+    })
+
+
+def redis_incremental(sf_dir: str) -> pa.Table:
+    """Incremental Redis replication (the psync committed-offset / repl-ack
+    story, redis_psync_extractor.rs:48-142): the SAME derived log as
+    ``redis_replay``, but consumed through ``RedisKeyspaceStore`` in two
+    watermark-advancing ingest calls — previous state re-folds as synthetic
+    events below every fresh offset — plus a third call proving the
+    consumed log is a no-op. The final keyspace must equal the one-shot
+    fold, so the oracle IS ``redis_replay``'s."""
+    import glob
+    import shutil
+
+    from ape_dts_ray.pipelines.redis_replay import RedisKeyspaceStore
+
+    root = tempfile.mkdtemp(prefix="ape_dts_ray_redisinc_")
+    stage = os.path.join(root, "stage")
+    live = os.path.join(root, "live")
+    os.makedirs(stage)
+    os.makedirs(live)
+    try:
+        _write_redis_log(sf_dir, stage)
+        files = sorted(glob.glob(os.path.join(stage, "*.resp")))
+        store = RedisKeyspaceStore.create(os.path.join(root, "store"),
+                                          num_partitions=QUERY_PARTITIONS)
+        cut = max(1, len(files) // 2)
+        for f in files[:cut]:
+            os.rename(f, os.path.join(live, os.path.basename(f)))
+        r1 = store.ingest(live)
+        for f in files[cut:]:
+            os.rename(f, os.path.join(live, os.path.basename(f)))
+        r2 = store.ingest(live)
+        assert r1["files"] + r2["files"] == len(files)
+        assert store.ingest(live)["files"] == 0      # consumed log = no-op
+        out = store.keyspace_table()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return pa.table({
         "key": pc.cast(out.column("key"), pa.string()),
         "field": pc.cast(out.column("field"), pa.string()),

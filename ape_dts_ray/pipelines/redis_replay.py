@@ -700,3 +700,265 @@ def reshard_rdb(in_dir: str, out_dir: str, num_partitions: int,
     return write_rdb_snapshot(read_rdb_snapshot(in_dir), out_dir,
                               num_partitions=num_partitions,
                               lzf_sample=lzf_sample)
+
+
+# ------------------------------------------------- incremental keyspace store
+
+def keyspace_to_events(t: pa.Table, base_offset: int) -> pa.Table:
+    """Folded keyspace rows → synthetic element events at ``base_offset``.
+
+    This is what makes the fold INCREMENTAL: fold(state ∪ new) == fold(all)
+    provided every state event sits strictly below every new offset.
+    Mapping (inverse of fold_events, checked by the equivalence property
+    test): string rows → key-level ``set`` (the barrier), container fields →
+    field-level ``add``, lists → ``push`` ordered by idx, key TTLs → one
+    ``expire`` per key, hash-field TTLs → ``fexpire`` at the same (offset,
+    seq) as their field's add (the RESTORE-shaped >= tie the fold accepts).
+    The string barrier sits at ``base_offset - 1``, one below the container
+    events: the fold counts container elements strictly AFTER the key-level
+    barrier, and a mixed-type key (string + container rows — legal output
+    of a fold that does not simulate WRONGTYPE) would otherwise lose its
+    container rows on re-fold."""
+    import polars as pl
+
+    if t.num_rows == 0:
+        return _EVENT_SCHEMA.empty_table()
+    df = pl.from_arrow(t).with_row_index("_seq")
+    off = pl.lit(base_offset, dtype=pl.Int64).alias("log_offset")
+    off_key = pl.lit(base_offset - 1, dtype=pl.Int64).alias("log_offset")
+    seq = pl.col("_seq").cast(pl.Int32).alias("seq")
+
+    strings = (df.filter(pl.col("rtype") == "string")
+               .select("db", "key", pl.lit("key").alias("level"), "rtype",
+                       pl.lit("set").alias("op"), "field", "value",
+                       pl.lit(None, dtype=pl.Float64).alias("score"),
+                       off_key, seq))
+    fields = (df.filter(pl.col("rtype").is_in(["hash", "set", "zset"]))
+              .select("db", "key", pl.lit("field").alias("level"), "rtype",
+                      pl.lit("add").alias("op"), "field", "value", "score",
+                      off, seq))
+    fexpire = (df.filter((pl.col("rtype") == "hash")
+                         & (pl.col("field_ttl_ms") > 0))
+               .select("db", "key", pl.lit("fexpire").alias("level"), "rtype",
+                       pl.lit("expire").alias("op"), "field",
+                       pl.lit(None, dtype=pl.Binary).alias("value"),
+                       pl.col("field_ttl_ms").cast(pl.Float64).alias("score"),
+                       off, seq))
+    lists = (df.filter(pl.col("rtype") == "list")
+             .select("db", "key", pl.lit("list").alias("level"), "rtype",
+                     pl.lit("push").alias("op"), "field", "value",
+                     pl.lit(None, dtype=pl.Float64).alias("score"), off,
+                     pl.col("idx").cast(pl.Int32).alias("seq")))
+    ttls = (df.filter(pl.col("expire_ms") > 0)
+            .unique(subset=["db", "key"], keep="first", maintain_order=True)
+            .select("db", "key", pl.lit("expire").alias("level"), "rtype",
+                    pl.lit("expire").alias("op"),
+                    pl.lit(None, dtype=pl.Binary).alias("field"),
+                    pl.lit(None, dtype=pl.Binary).alias("value"),
+                    pl.col("expire_ms").cast(pl.Float64).alias("score"),
+                    off, seq))
+    out = pl.concat([strings, fields, fexpire, lists, ttls])
+    return out.to_arrow().cast(_EVENT_SCHEMA)
+
+
+class RedisKeyspaceStore:
+    """Incremental, crash-safe keyspace fold over a growing RESP log — the
+    psync committed-offset story (redis_psync_extractor.rs repl_offset ack;
+    the sinker's position.log analog) for the Redis path:
+
+    - the WATERMARK is the next unconsumed log file sequence, published
+      atomically (tmp+rename of ``watermark.json``) only after a complete
+      new state generation is on disk — a crash anywhere mid-ingest leaves
+      the old generation live and the re-run rebuilds deterministically;
+    - state lives as one parquet per slot partition under ``gen-K/``;
+      ingest folds each touched partition (previous state replayed as
+      synthetic events below every new offset — ``keyspace_to_events``) and
+      copy-forwards untouched partitions without decoding them;
+    - re-running ingest over an already-consumed log is a no-op, and a log
+      with a GAP after the watermark refuses loudly (a missed segment would
+      silently fold out of order).
+    """
+
+    STORE_FILE = "store.json"
+    WM_FILE = "watermark.json"
+
+    def __init__(self, root: str, num_partitions: int):
+        self.root = root
+        self.num_partitions = num_partitions
+
+    # ---------- lifecycle ----------
+    @classmethod
+    def create(cls, root: str, num_partitions: int = 16) -> "RedisKeyspaceStore":
+        from ape_dts_ray.state.manifest import atomic_write_text
+        import json
+
+        os.makedirs(root, exist_ok=True)
+        if os.path.exists(os.path.join(root, cls.STORE_FILE)):
+            raise FileExistsError(f"keyspace store already exists at {root}")
+        atomic_write_text(os.path.join(root, cls.STORE_FILE),
+                          json.dumps({"num_partitions": num_partitions}))
+        atomic_write_text(os.path.join(root, cls.WM_FILE),
+                          json.dumps({"gen": 0, "next_file_seq": 0}))
+        os.makedirs(os.path.join(root, "gen-00000000"), exist_ok=True)
+        return cls(root, num_partitions)
+
+    @classmethod
+    def open(cls, root: str) -> "RedisKeyspaceStore":
+        import json
+
+        with open(os.path.join(root, cls.STORE_FILE)) as f:
+            d = json.load(f)
+        return cls(root, d["num_partitions"])
+
+    def watermark(self) -> dict:
+        import json
+
+        with open(os.path.join(self.root, self.WM_FILE)) as f:
+            return json.load(f)
+
+    def _gen_dir(self, gen: int) -> str:
+        return os.path.join(self.root, f"gen-{gen:08d}")
+
+    def _part_path(self, gen: int, pid: int) -> str:
+        return os.path.join(self._gen_dir(gen), f"part-{pid:05d}.parquet")
+
+    # ---------- ingest ----------
+    def ingest(self, log_dir: str, fail_after_parts: int | None = None,
+               fail_before_commit: bool = False) -> dict:
+        """Consume every log file at or past the watermark; returns
+        {"files": n, "partitions": [...]} (empty no-op if none).
+
+        ``fail_after_parts`` (in-task, racy by nature under parallel folds)
+        and ``fail_before_commit`` (driver-side, deterministic: the new
+        generation is fully built but the watermark never publishes) are
+        test-only crash-injection hooks."""
+        import glob
+        import json
+        import shutil
+
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data as rd
+
+        from ape_dts_ray.state.manifest import (atomic_write_parquet,
+                                                atomic_write_text)
+
+        wm = self.watermark()
+        gen, next_seq = wm["gen"], wm["next_file_seq"]
+        all_files = sorted(glob.glob(os.path.join(log_dir, "*.resp")),
+                          key=_file_seq)
+        fresh = [f for f in all_files if _file_seq(f) >= next_seq]
+        if not fresh:
+            return {"files": 0, "partitions": []}
+        seqs = [_file_seq(f) for f in fresh]
+        if seqs[0] != next_seq or seqs != list(range(seqs[0],
+                                                     seqs[0] + len(seqs))):
+            raise ValueError(
+                f"resp log gap: watermark expects file seq {next_seq}, "
+                f"found {seqs} — a missed segment would fold out of order")
+        new_gen = gen + 1
+        # sweep crash leftovers: any gen dir that is neither current nor
+        # the one being built
+        for d in glob.glob(os.path.join(self.root, "gen-*")):
+            g = int(os.path.basename(d).split("-")[1])
+            if g != gen:
+                shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(self._gen_dir(new_gen), exist_ok=True)
+
+        base = next_seq * RESP_FILE_STRIDE - 1   # below every fresh offset,
+        root, P = self.root, self.num_partitions  # above every folded one
+
+        def fold_part(t: pa.Table):
+            pid = int(t.column(COL_SLOT_PART)[0].as_py())
+            if fail_after_parts is not None:
+                done_now = len(glob.glob(os.path.join(
+                    root, f"gen-{new_gen:08d}", "*.parquet")))
+                if done_now >= fail_after_parts:
+                    raise RuntimeError("injected ingest crash")
+            ev = t.drop_columns([COL_SLOT_PART])
+            prev = os.path.join(root, f"gen-{gen:08d}",
+                                f"part-{pid:05d}.parquet")
+            if os.path.exists(prev):
+                state_ev = keyspace_to_events(pq.read_table(prev), base)
+                ev = pa.concat_tables([state_ev, ev])
+            folded = fold_events(ev)
+            folded = folded.sort_by([(c, "ascending")
+                                     for c in ("db", "key", "rtype", "field",
+                                               "idx")])
+            atomic_write_parquet(folded, os.path.join(
+                root, f"gen-{new_gen:08d}", f"part-{pid:05d}.parquet"),
+                compression="zstd")
+            return pa.table({"part_id": pa.array([pid], pa.int32()),
+                             "rows": pa.array([folded.num_rows], pa.int64())})
+
+        lineage = (read_resp_log_files(fresh)
+                   .map_batches(lambda t: add_slot_partition(t, P),
+                                batch_format="pyarrow", batch_size=None)
+                   .groupby(COL_SLOT_PART)
+                   .map_groups(fold_part, batch_format="pyarrow")
+                   .take_all())
+        if fail_before_commit:
+            raise RuntimeError("injected ingest crash before commit")
+        touched = {r["part_id"] for r in lineage}
+        for pid in range(P):                 # copy-forward untouched parts
+            prev = self._part_path(gen, pid)
+            if pid not in touched and os.path.exists(prev):
+                dst = self._part_path(new_gen, pid)
+                try:
+                    os.link(prev, dst)       # no byte copy when possible
+                except OSError:
+                    shutil.copy2(prev, dst)
+        # the COMMIT point: watermark names the new generation
+        atomic_write_text(os.path.join(self.root, self.WM_FILE),
+                          json.dumps({"gen": new_gen,
+                                      "next_file_seq": seqs[-1] + 1}))
+        shutil.rmtree(self._gen_dir(gen), ignore_errors=True)
+        return {"files": len(fresh), "partitions": sorted(
+            {**{pid: 0 for pid in range(P)},
+             **{r["part_id"]: r["rows"] for r in lineage}}.items())}
+
+    # ---------- read path ----------
+    def keyspace_dataset(self):
+        import glob
+
+        import ray.data as rd
+
+        gen = self.watermark()["gen"]
+        files = sorted(glob.glob(os.path.join(self._gen_dir(gen),
+                                              "*.parquet")))
+        if not files:
+            return rd.from_arrow(KEYSPACE_SCHEMA.empty_table())
+        return rd.read_parquet(files)
+
+    def keyspace_table(self) -> pa.Table:
+        import glob
+
+        import pyarrow.parquet as pq
+
+        gen = self.watermark()["gen"]
+        files = sorted(glob.glob(os.path.join(self._gen_dir(gen),
+                                              "*.parquet")))
+        if not files:
+            return KEYSPACE_SCHEMA.empty_table()
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t.sort_by([(c, "ascending")
+                          for c in ("db", "key", "rtype", "field", "idx")])
+
+
+def read_resp_log_files(paths: list[str]):
+    """RESP log → element events for an explicit file list (the ingest
+    unit); same per-file parse tasks as read_resp_log."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def parse_file(batch: pa.Table) -> pa.Table:
+        tables = []
+        for path, data in zip(batch.column("path").to_pylist(),
+                              batch.column("bytes").to_pylist()):
+            base = _file_seq(path) * RESP_FILE_STRIDE
+            tables.append(commands_to_events(parse_resp(data, base)))
+        return pa.concat_tables(tables) if tables else \
+            _EVENT_SCHEMA.empty_table()
+
+    return ds.map_batches(parse_file, batch_format="pyarrow")

@@ -531,3 +531,142 @@ def test_calc_slots_sliced_arrays():
     c = pa.chunked_array([a.slice(1, 2), a.slice(4)])
     assert list(calc_slots(c)) == [
         calc_slot(b"bb"), calc_slot(b"ccc"), calc_slot(b"foo{tag}bar")]
+
+
+# ---------------- incremental keyspace store (psync committed-offset) -------
+
+def _sorted_rows(t: pa.Table):
+    return sorted((r["db"], r["key"], r["rtype"], r["field"], r["idx"],
+                   r["value"], r["score"], r["expire_ms"], r["field_ttl_ms"])
+                  for r in t.to_pylist())
+
+
+def _gen_cmd_stream(seed=29, n=600):
+    """Seeded mixed-type command stream exercising every fold rule across
+    segment boundaries: barriers (SET/DEL over containers), field-level LWW,
+    list appends, key TTLs (+ SET clearing them), hash-field TTLs."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cmds = []
+    for i in range(n):
+        k = f"k{rng.integers(0, 25)}".encode()
+        roll = rng.random()
+        if roll < 0.18:
+            cmds.append([b"SET", k, b"s%d" % i])
+        elif roll < 0.24:
+            cmds.append([b"DEL", k])
+        elif roll < 0.42:
+            cmds.append([b"HSET", k, b"f%d" % rng.integers(0, 6), b"h%d" % i])
+        elif roll < 0.50:
+            cmds.append([b"HDEL", k, b"f%d" % rng.integers(0, 6)])
+        elif roll < 0.60:
+            cmds.append([b"ZADD", k, b"%d" % rng.integers(0, 50),
+                         b"m%d" % rng.integers(0, 5)])
+        elif roll < 0.68:
+            cmds.append([b"SADD", k, b"e%d" % rng.integers(0, 8)])
+        elif roll < 0.74:
+            cmds.append([b"SREM", k, b"e%d" % rng.integers(0, 8)])
+        elif roll < 0.86:
+            cmds.append([b"RPUSH", k, b"x%d" % i])
+        elif roll < 0.93:
+            cmds.append([b"PEXPIREAT", k, b"%d" % (1_700_000_000_000 + i)])
+        else:
+            cmds.append([b"HPEXPIREAT", k, b"%d" % (1_800_000_000_000 + i),
+                         b"FIELDS", b"1", b"f%d" % rng.integers(0, 6)])
+    return cmds
+
+
+def test_incremental_ingest_equals_one_shot_fold(ray_session, tmp_path):
+    from ape_dts_ray.pipelines.redis_replay import (
+        RedisKeyspaceStore, read_resp_log, replay_redis, write_resp_log)
+
+    cmds = _gen_cmd_stream()
+    log_dir = str(tmp_path / "log")
+    # 4 segments of very different sizes (incl. a tiny one)
+    cuts = [0, 50, 51, 400, len(cmds)]
+    for seq in range(4):
+        write_resp_log(cmds[cuts[seq]:cuts[seq + 1]], log_dir, seq)
+
+    oneshot = _collect(replay_redis(read_resp_log(log_dir),
+                                    num_partitions=4))
+
+    store = RedisKeyspaceStore.create(str(tmp_path / "store"),
+                                      num_partitions=4)
+    # ingest in three calls: [file0], [file1, file2], [file3]
+    seg = str(tmp_path / "seg")
+    import shutil as _sh
+    os.makedirs(seg)
+    for group in ([0], [1, 2], [3]):
+        for s in group:
+            _sh.copy(os.path.join(log_dir, f"aof_{s:06d}.resp"), seg)
+        r = store.ingest(seg)
+        assert r["files"] == len(group)
+    assert _sorted_rows(store.keyspace_table()) == _sorted_rows(oneshot)
+
+    # watermark advanced; re-ingest of the same log is a no-op
+    assert store.watermark()["next_file_seq"] == 4
+    assert store.ingest(seg) == {"files": 0, "partitions": []}
+    assert _sorted_rows(store.keyspace_table()) == _sorted_rows(oneshot)
+
+    # a gap after the watermark refuses loudly
+    write_resp_log([[b"SET", b"late", b"x"]], seg, 6)   # seq 5 missing
+    with pytest.raises(ValueError, match="gap"):
+        store.ingest(seg)
+
+
+def test_incremental_ingest_crash_resume(ray_session, tmp_path):
+    from ape_dts_ray.pipelines.redis_replay import (RedisKeyspaceStore,
+                                                    write_resp_log)
+
+    cmds = _gen_cmd_stream(seed=31, n=400)
+    log_dir = str(tmp_path / "log")
+    write_resp_log(cmds[:250], log_dir, 0)
+    store = RedisKeyspaceStore.create(str(tmp_path / "store"),
+                                      num_partitions=4)
+    store.ingest(log_dir)
+    wm1 = store.watermark()
+    clean = RedisKeyspaceStore.create(str(tmp_path / "clean"),
+                                      num_partitions=4)
+
+    write_resp_log(cmds[250:], log_dir, 1)
+    with pytest.raises(Exception, match="injected ingest crash"):
+        store.ingest(log_dir, fail_before_commit=True)
+    # crash left the OLD generation live: watermark unmoved, state readable
+    assert store.watermark() == wm1
+    store.keyspace_table()
+
+    r = store.ingest(log_dir)                 # resume rebuilds the new gen
+    assert r["files"] == 1
+    clean.ingest(log_dir)
+    assert _sorted_rows(store.keyspace_table()) == \
+        _sorted_rows(clean.keyspace_table())
+    # exactly one generation dir remains (old one swept after commit)
+    import glob as _glob
+    assert len(_glob.glob(str(tmp_path / "store" / "gen-*"))) == 1
+
+
+def test_incremental_untouched_partition_copy_forward(ray_session, tmp_path):
+    """A second segment touching ONE key must not re-fold (or lose) the
+    other partitions — they are carried forward file-for-file."""
+    from ape_dts_ray.pipelines.redis_replay import (RedisKeyspaceStore,
+                                                    write_resp_log)
+    from ape_dts_ray.sources.resp import calc_slot
+
+    log_dir = str(tmp_path / "log")
+    keys = [b"alpha", b"beta", b"gamma", b"delta", b"epsilon"]
+    write_resp_log([[b"SET", k, b"v-" + k] for k in keys], log_dir, 0)
+    store = RedisKeyspaceStore.create(str(tmp_path / "store"),
+                                      num_partitions=8)
+    store.ingest(log_dir)
+    before = {r["key"]: r["value"]
+              for r in store.keyspace_table().to_pylist()}
+    assert before == {k: b"v-" + k for k in keys}
+
+    write_resp_log([[b"SET", b"alpha", b"updated"]], log_dir, 1)
+    store.ingest(log_dir)
+    after = {r["key"]: r["value"]
+             for r in store.keyspace_table().to_pylist()}
+    assert after[b"alpha"] == b"updated"
+    for k in keys[1:]:
+        assert after[k] == b"v-" + k
