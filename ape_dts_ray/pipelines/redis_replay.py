@@ -262,20 +262,10 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
 def read_resp_log(log_dir: str):
     """RESP log files → Dataset of element events. One parse task per file
     (the psync stream analog; file seq preserves replication order)."""
-    import ray
+    import glob
 
-    ds = ray.data.read_binary_files(log_dir, include_paths=True)
-
-    def parse_file(batch: pa.Table) -> pa.Table:
-        tables = []
-        for path, data in zip(batch.column("path").to_pylist(),
-                              batch.column("bytes").to_pylist()):
-            base = _file_seq(path) * RESP_FILE_STRIDE
-            tables.append(commands_to_events(parse_resp(data, base)))
-        return pa.concat_tables(tables) if tables else \
-            _EVENT_SCHEMA.empty_table()
-
-    return ds.map_batches(parse_file, batch_format="pyarrow")
+    return read_resp_log_files(
+        sorted(glob.glob(os.path.join(log_dir, "*.resp")), key=_file_seq))
 
 
 # ------------------------------------------------------------ the fold
@@ -733,7 +723,8 @@ def keyspace_to_events(t: pa.Table, base_offset: int) -> pa.Table:
                        pl.lit("set").alias("op"), "field", "value",
                        pl.lit(None, dtype=pl.Float64).alias("score"),
                        off_key, seq))
-    fields = (df.filter(pl.col("rtype").is_in(["hash", "set", "zset"]))
+    fields = (df.filter(pl.col("rtype").is_in(["hash", "set", "zset",
+                                               "stream"]))
               .select("db", "key", pl.lit("field").alias("level"), "rtype",
                       pl.lit("add").alias("op"), "field", "value", "score",
                       off, seq))
@@ -837,14 +828,16 @@ class RedisKeyspaceStore:
         import shutil
 
         import pyarrow.parquet as pq
-        import ray
-        import ray.data as rd
 
         from ape_dts_ray.state.manifest import (atomic_write_parquet,
                                                 atomic_write_text)
 
         wm = self.watermark()
         gen, next_seq = wm["gen"], wm["next_file_seq"]
+        if not os.path.isdir(log_dir):
+            # a typo'd path would otherwise be indistinguishable from
+            # "fully caught up" — same loud-refusal contract as gaps
+            raise FileNotFoundError(f"resp log dir does not exist: {log_dir}")
         all_files = sorted(glob.glob(os.path.join(log_dir, "*.resp")),
                           key=_file_seq)
         fresh = [f for f in all_files if _file_seq(f) >= next_seq]
@@ -946,8 +939,9 @@ class RedisKeyspaceStore:
 
 
 def read_resp_log_files(paths: list[str]):
-    """RESP log → element events for an explicit file list (the ingest
-    unit); same per-file parse tasks as read_resp_log."""
+    """RESP log → element events for an explicit file list — THE parse
+    path (read_resp_log delegates here): one parse task per file; offsets
+    carry the file-seq stride, so read order never matters."""
     import ray.data as rd
 
     ds = rd.read_binary_files(paths, include_paths=True)

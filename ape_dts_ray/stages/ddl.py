@@ -136,16 +136,40 @@ _RE_CREATE_HEAD = re.compile(
     rf"\(", re.I | re.S)
 
 
+def _skip_quoted(s: str, i: int) -> int | None:
+    """If ``s[i]`` opens a quoted literal/identifier, return the index just
+    past its closing quote (doubled-quote escapes honored); else None. Both
+    the paren-balance scan and the comma split use this so ',' '(' ')' in
+    DEFAULT/COMMENT strings never count as structure."""
+    q = s[i]
+    if q not in "'\"`":
+        return None
+    i += 1
+    while i < len(s):
+        if s[i] == q:
+            if i + 1 < len(s) and s[i + 1] == q:
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    raise UnsupportedDdlError(f"unterminated {q} quote in DDL")
+
+
 def _match_create_table(s: str):
-    """CREATE TABLE head + paren-BALANCED body scan (a greedy regex would
-    let parens in the options tail, e.g. PARTITION BY HASH(a), steal the
-    body's closing paren). Returns (if_not_exists, table, body, opts) or
-    None."""
+    """CREATE TABLE head + paren-BALANCED, quote-aware body scan (a greedy
+    regex would let parens in the options tail, e.g. PARTITION BY HASH(a),
+    steal the body's closing paren; a naive balance scan would miscount a
+    ')' inside DEFAULT 'x)'). Returns (if_not_exists, table, body, opts)
+    or None."""
     m = _RE_CREATE_HEAD.match(s)
     if not m:
         return None
     depth, i = 1, m.end()
     while i < len(s) and depth:
+        j = _skip_quoted(s, i)
+        if j is not None:
+            i = j
+            continue
         if s[i] == "(":
             depth += 1
         elif s[i] == ")":
@@ -183,7 +207,22 @@ _RE_PK_CLAUSE = re.compile(
 # parsed and surfaced in extra["skipped"], never silently vanished —
 # except UNIQUE KEY, which becomes a unique-constraint descriptor
 _RE_UNIQUE_CLAUSE = re.compile(
-    rf"^UNIQUE\s+(?:KEY|INDEX)?\s*(?:{_ID})?\s*\((?P<cols>[^)]*)\)\s*$", re.I)
+    rf"^UNIQUE\s+(?:KEY|INDEX)?\s*(?:{_ID})?\s*\((?P<cols>.*)\)"
+    rf"\s*(?:USING\s+\w+)?\s*$", re.I | re.S)
+_RE_KEYPART = re.compile(rf"^(?P<col>{_ID})\s*(?:\(\s*\d+\s*\))?"
+                         rf"(?:\s+(?:ASC|DESC))?$", re.I)
+
+
+def _key_cols(cols: str) -> list[str]:
+    """Index key-part list → column names (mysqldump prefix lengths like
+    `email`(20) and ASC/DESC are part of the key, not the name)."""
+    out = []
+    for part in _split_defs(cols):
+        m = _RE_KEYPART.match(part)
+        if not m:
+            raise UnsupportedDdlError(f"unparsed index key part: {part!r}")
+        out.append(_ident(m["col"]))
+    return out
 _RE_SKIP_CLAUSE = re.compile(
     rf"^(?:KEY|INDEX|FULLTEXT\s+KEY|SPATIAL\s+KEY|CONSTRAINT\s+{_ID}\s+"
     rf"FOREIGN\s+KEY|FOREIGN\s+KEY)\b", re.I)
@@ -207,10 +246,17 @@ def _parse_col_def(d: str) -> tuple[str, str, set[str]]:
 
 
 def _split_defs(body: str) -> list[str]:
-    """Split a CREATE TABLE body on top-level commas (paren-aware, so
-    DECIMAL(18,4) stays whole)."""
-    out, depth, cur = [], 0, []
-    for ch in body:
+    """Split a CREATE TABLE body on top-level commas — paren-aware (so
+    DECIMAL(18,4) stays whole) and quote-aware (so COMMENT 'total, cents'
+    does too)."""
+    out, depth, cur, i = [], 0, [], 0
+    while i < len(body):
+        j = _skip_quoted(body, i)
+        if j is not None:
+            cur.append(body[i:j])
+            i = j
+            continue
+        ch = body[i]
         if ch == "(":
             depth += 1
         elif ch == ")":
@@ -220,6 +266,7 @@ def _split_defs(body: str) -> list[str]:
             cur = []
         else:
             cur.append(ch)
+        i += 1
     tail = "".join(cur).strip()
     if tail:
         out.append(tail)
@@ -277,16 +324,18 @@ def parse_ddl(sql: str) -> ParsedDdl:
         ine, tb, body, opts = ct
         if opts and not _RE_TABLE_OPTS.match(opts):
             raise UnsupportedDdlError(f"unrecognized table options: {opts!r}")
+        ai = re.search(r"AUTO_INCREMENT\s*=?\s*(\d+)", opts, re.I)
+        ai_start = int(ai.group(1)) if ai else None
         cols, id_cols, not_null = [], [], []
         uniques, autoinc, skipped = [], [], []
         for d in _split_defs(body):
             pk = _RE_PK_CLAUSE.match(d)
             if pk:
-                id_cols.extend(_ident(c) for c in pk["cols"].split(","))
+                id_cols.extend(_key_cols(pk["cols"]))
                 continue
             uq = _RE_UNIQUE_CLAUSE.match(d)
             if uq:
-                uniques.append([_ident(c) for c in uq["cols"].split(",")])
+                uniques.append(_key_cols(uq["cols"]))
                 continue
             if _RE_SKIP_CLAUSE.match(d):
                 skipped.append(d)       # secondary indexes / FKs: no
@@ -310,8 +359,9 @@ def parse_ddl(sql: str) -> ParsedDdl:
         return ParsedDdl("create_table", tb, None,
                          {"columns": cols, "id_cols": id_cols,
                           "not_null": not_null, "unique": uniques,
-                          "auto_increment": autoinc, "skipped": skipped,
-                          "if_not_exists": ine})
+                          "auto_increment": autoinc,
+                          "auto_increment_start": ai_start,
+                          "skipped": skipped, "if_not_exists": ine})
     m = _RE_DROP_TABLE.match(s)
     if m:
         return ParsedDdl("drop_table", _ident(m["tb"]), None,
@@ -411,9 +461,14 @@ def apply_table_ddl(root: str, sql: str, config=None) -> ParsedDdl:
             lake.set_constraints([*lake.constraints, *cons])   # precheck
         if parsed.extra["auto_increment"]:
             # AUTO_INCREMENT → sequence descriptor (the migration's
-            # setval-handoff machinery, LakeTable.advance_sequences)
+            # setval-handoff machinery, LakeTable.advance_sequences); the
+            # table option AUTO_INCREMENT=N seeds the counter at the
+            # SOURCE's position — starting at 1 would re-issue ids the
+            # source already consumed for rows since deleted
+            start = parsed.extra["auto_increment_start"] or 1
             lake.set_sequences([
-                {"name": f"{parsed.table}_{c}_seq", "col": c}
+                {"name": f"{parsed.table}_{c}_seq", "col": c,
+                 "start_value": start, "next_value": start}
                 for c in parsed.extra["auto_increment"]])
     elif parsed.kind == "drop_table":
         _sweep_tombstones(root, parsed.table)

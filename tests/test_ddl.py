@@ -417,3 +417,27 @@ def test_create_table_mysqldump_shape(tmp_path):
     with pytest.raises(UnsupportedDdlError, match="table options"):
         parse_ddl("CREATE TABLE t (a INT, PRIMARY KEY (a)) "
                   "PARTITION BY HASH(a)")
+
+
+def test_create_table_quoted_literals_and_key_parts(tmp_path):
+    """Review r3: quoted DEFAULT/COMMENT values may contain ',' '(' ')';
+    unique keys may carry prefix lengths and USING BTREE; the table-option
+    AUTO_INCREMENT=N must seed the sequence counter."""
+    from ape_dts_ray.stages.ddl import apply_table_ddl, parse_ddl
+
+    p = parse_ddl("CREATE TABLE t (a INT PRIMARY KEY, "
+                  "b TEXT DEFAULT 'x)', c TEXT DEFAULT '(', "
+                  "d TEXT COMMENT 'order total, cents')")
+    assert [c for c, _ in p.extra["columns"]] == ["a", "b", "c", "d"]
+
+    p = parse_ddl("CREATE TABLE u (email VARCHAR(128), cust BIGINT, "
+                  "PRIMARY KEY (cust), "
+                  "UNIQUE KEY `uk` (`email`(20)) USING BTREE)")
+    assert p.extra["unique"] == [["email"]]
+
+    sql = ("CREATE TABLE seq_t (id INT AUTO_INCREMENT, v TEXT, "
+           "PRIMARY KEY (id)) ENGINE=InnoDB AUTO_INCREMENT=17")
+    assert parse_ddl(sql).extra["auto_increment_start"] == 17
+    apply_table_ddl(str(tmp_path), sql)
+    lake = LakeTable.open(str(tmp_path / "seq_t"))
+    assert lake.sequences[0]["next_value"] == 17

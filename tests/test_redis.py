@@ -670,3 +670,35 @@ def test_incremental_untouched_partition_copy_forward(ray_session, tmp_path):
     assert after[b"alpha"] == b"updated"
     for k in keys[1:]:
         assert after[k] == b"v-" + k
+
+
+def test_incremental_preserves_streams_and_refuses_missing_dir(ray_session,
+                                                               tmp_path):
+    """Review r3: stream rows (rtype='stream', composite <id>:<name>
+    fields) must survive an incremental re-fold of their partition, and
+    ingest on a nonexistent log dir must refuse rather than report
+    caught-up."""
+    from ape_dts_ray.pipelines.redis_replay import (RedisKeyspaceStore,
+                                                    write_resp_log)
+
+    log_dir = str(tmp_path / "log")
+    write_resp_log([
+        [b"XADD", b"st", b"1-1", b"temp", b"20"],
+        [b"XADD", b"st", b"1-2", b"temp", b"21"],
+        [b"SET", b"other", b"x"],
+    ], log_dir, 0)
+    store = RedisKeyspaceStore.create(str(tmp_path / "store"),
+                                      num_partitions=1)   # same partition —
+    store.ingest(log_dir)                                 # re-fold touches it
+    write_resp_log([[b"SET", b"other", b"y"],
+                    [b"XADD", b"st", b"2-1", b"temp", b"22"]], log_dir, 1)
+    store.ingest(log_dir)
+    rows = {(r["key"], r["field"]): r["value"]
+            for r in store.keyspace_table().to_pylist()}
+    assert rows[(b"st", b"1-1:temp")] == b"20"     # survived the re-fold
+    assert rows[(b"st", b"1-2:temp")] == b"21"
+    assert rows[(b"st", b"2-1:temp")] == b"22"
+    assert rows[(b"other", None)] == b"y"
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        store.ingest(str(tmp_path / "no_such_dir"))
