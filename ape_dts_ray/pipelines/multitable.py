@@ -83,6 +83,7 @@ def replay_mixed(
     table_filter: TableFilter | None = None,
     router: Router | None = None,
     group_epochs: int = 4,
+    max_offset: int | None = None,
 ) -> dict[str, list]:
     """ONE interleaved event log carrying a ``table`` column → N lakes, in a
     single pass — the TableParallelizer batch fan-out
@@ -159,16 +160,20 @@ def replay_mixed(
     paths = None
     if events_path is not None and events_ds is None:
         paths = [events_path] if isinstance(events_path, str) else events_path
-        mx = -1
-        for p in paths:                        # footer statistics only
-            f = pq.ParquetFile(p)
-            ci = f.schema_arrow.get_field_index(COL_OFFSET)
-            for rg in range(f.metadata.num_row_groups):
-                st = f.metadata.row_group(rg).column(ci).statistics
-                if st is not None and st.max is not None:
-                    mx = max(mx, st.max)
-        max_offset = mx
-    else:
+        if max_offset is None:
+            mx = -1
+            for p in paths:                    # footer statistics only
+                f = pq.ParquetFile(p)
+                ci = f.schema_arrow.get_field_index(COL_OFFSET)
+                for rg in range(f.metadata.num_row_groups):
+                    st = f.metadata.row_group(rg).column(ci).statistics
+                    if st is not None and st.max is not None:
+                        mx = max(mx, st.max)
+            max_offset = mx
+    elif max_offset is None:
+        # a full upstream execution — callers who know the stream's span
+        # (e.g. a derived log whose offsets mirror a parquet column) pass
+        # max_offset and skip it
         max_offset = events_ds.max(COL_OFFSET)
 
     windows = plan_epochs(max_offset, config.epoch_size)

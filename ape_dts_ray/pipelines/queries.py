@@ -39,12 +39,31 @@ def _fresh_lake(tag: str, **cfg) -> LakeTable:
     return LakeTable.create(root + "/lake", TableMeta(), EngineConfig(**defaults))
 
 
+def _events_max_offset(sf_dir: str) -> int:
+    """``log_offset == event_id`` in every derived change stream
+    (sources/derive.py), so a stream's max offset is free from the source
+    parquet's footer statistics. Passing it to replay() keeps a
+    known-small stream on the direct Dataset path (no max-discovery
+    execution, no scratch spill)."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/events.parquet")
+    col = f.schema_arrow.get_field_index("event_id")
+    mx = -1
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(col).statistics
+        if st is not None and st.max is not None:
+            mx = max(mx, st.max)
+    return mx
+
+
 def _replay_changes(sf_dir: str, tag: str, event_filter=None) -> LakeTable:
     from ape_dts_ray.pipelines.replay import replay
 
     lake = _fresh_lake(tag)
     ds = changes_dataset(sf_dir)
-    replay(lake, events_ds=ds, event_filter=event_filter)
+    replay(lake, events_ds=ds, event_filter=event_filter,
+           max_offset=_events_max_offset(sf_dir))
     return lake
 
 
@@ -246,7 +265,7 @@ def cdc_schema_evolution(sf_dir: str) -> pa.Table:
 
     lake = _fresh_lake("schemaevo")
     replay(lake, events_ds=changes_dataset(sf_dir), barriers=[(cut, 1)],
-           router_fn=with_channel)
+           router_fn=with_channel, max_offset=_events_max_offset(sf_dir))
     assert lake.schema_version == 1
     return _consume_lake(lake)
 
@@ -291,7 +310,7 @@ def cdc_schema_nonadditive(sf_dir: str) -> pa.Table:
         {"op": "widen", "col": "turn_idx", "type": "int64"},
     ])
     replay(lake, events_ds=changes_dataset(sf_dir), barriers=[(cut, 1)],
-           router_fn=rename_tool)
+           router_fn=rename_tool, max_offset=_events_max_offset(sf_dir))
     assert lake.schema_version == 1
     out = _consume_lake(lake)
     assert "role" not in out.column_names and "tool" not in out.column_names
@@ -322,7 +341,8 @@ def cdc_ddl_text(sf_dir: str) -> pa.Table:
     lake = LakeTable.open(lake.root)            # ops arrived via persistence
     assert len(lake.schema_ops) == 3
     replay(lake, events_ds=changes_dataset(sf_dir), barriers=[(cut, 1)],
-           router_fn=_rename_tool_router(cut))
+           router_fn=_rename_tool_router(cut),
+           max_offset=_events_max_offset(sf_dir))
     assert lake.schema_version == 1
     out = _consume_lake(lake)
     assert "role" not in out.column_names and "tool" not in out.column_names
@@ -357,7 +377,8 @@ def cdc_multitable(sf_dir: str) -> pa.Table:
     ds = changes_dataset(sf_dir).map_batches(add_table, batch_format="pyarrow")
     replay_mixed(root, ["tbl_even", "tbl_odd"], events_ds=ds,
                  config=EngineConfig(num_partitions=QUERY_PARTITIONS,
-                                     epoch_size=50_000))
+                                     epoch_size=50_000),
+                 max_offset=_events_max_offset(sf_dir))
     pieces = []
     for name in ("tbl_even", "tbl_odd"):
         t = LakeTable.open(os.path.join(root, name)).state_table()
@@ -475,7 +496,7 @@ def cdc_pk_change(sf_dir: str) -> pa.Table:
 
     lake = _fresh_lake("pkchange")
     ds = changes_dataset(sf_dir).map_batches(add_pk_change, batch_format="pyarrow")
-    replay(lake, events_ds=ds)
+    replay(lake, events_ds=ds, max_offset=_events_max_offset(sf_dir))
     return _consume_lake(lake)
 
 
@@ -558,9 +579,11 @@ def cdc_wide_types(sf_dir: str) -> pa.Table:
         {"op": "drop", "col": "note"},
     ])
     ds = wide_changes_dataset(sf_dir)
-    replay(lake, events_ds=ds, stop_after_epoch=0)      # crash after epoch 0
+    mx = _events_max_offset(sf_dir)
+    replay(lake, events_ds=ds, stop_after_epoch=0,      # crash after epoch 0
+           max_offset=mx)
     lake = LakeTable.open(lake.root)                    # fresh-process resume
-    replay(lake, events_ds=ds)
+    replay(lake, events_ds=ds, max_offset=mx)
     lake.compact()                                      # base rewrite incl. ops
     assert lake.committed_epochs() == []                # deltas folded away
     out = _consume_lake(lake)
