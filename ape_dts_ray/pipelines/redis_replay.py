@@ -597,7 +597,17 @@ def write_resp_sink(keyspace_ds, out_dir: str, num_partitions: int = 16,
     def write_part(t: pa.Table) -> pa.Table:
         pid = int(t.column(COL_SLOT_PART)[0].as_py())
         entries = _keyspace_to_entries(t.drop_columns([COL_SLOT_PART]))
-        cmds = to_cmds(entries)
+        # each db gets an explicit SELECT before its commands: every parse task
+        # starts a file at db 0 (the AOF-rewrite convention — files open
+        # with SELECT), so without it a multi-db keyspace would collapse
+        # into db 0 on re-replay, colliding keys across databases
+        cmds: list[list[bytes]] = []
+        by_db: dict[int, list[dict]] = {}
+        for e in entries:
+            by_db.setdefault(e.get("db", 0), []).append(e)
+        for db in sorted(by_db):
+            cmds.append([b"SELECT", b"%d" % db])
+            cmds.extend(to_cmds(by_db[db]))
         path = os.path.join(out_dir, f"aof_{pid:06d}.resp")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
@@ -941,7 +951,11 @@ class RedisKeyspaceStore:
 def read_resp_log_files(paths: list[str]):
     """RESP log → element events for an explicit file list — THE parse
     path (read_resp_log delegates here): one parse task per file; offsets
-    carry the file-seq stride, so read order never matters."""
+    carry the file-seq stride, so read order never matters. Each file
+    parses with an initial db context of 0 — a multi-db producer must
+    re-emit SELECT at file start (the AOF-rewrite convention; both our
+    sinkers do), since SELECT context cannot cross the file-parallel
+    boundary."""
     import ray.data as rd
 
     ds = rd.read_binary_files(paths, include_paths=True)

@@ -702,3 +702,35 @@ def test_incremental_preserves_streams_and_refuses_missing_dir(ray_session,
 
     with pytest.raises(FileNotFoundError, match="does not exist"):
         store.ingest(str(tmp_path / "no_such_dir"))
+
+
+def test_resp_sink_preserves_databases(ray_session, tmp_path):
+    """Review r3: the RESP sinkers emitted no SELECT frames, so a multi-db
+    keyspace collapsed into db 0 on re-replay — colliding the SAME key
+    living in two databases. Each partition file now opens every db group
+    with an explicit SELECT (the AOF-rewrite convention)."""
+    import ray.data as rd
+
+    from ape_dts_ray.pipelines.redis_replay import (
+        KEYSPACE_SCHEMA, read_resp_log, replay_redis, write_resp_sink)
+
+    ks = pa.table({
+        "db": pa.array([0, 2, 2], pa.int32()),
+        "key": pa.array([b"dup", b"dup", b"only2"], pa.binary()),
+        "rtype": ["string", "string", "string"],
+        "field": pa.array([None, None, None], pa.binary()),
+        "idx": pa.array([None, None, None], pa.int64()),
+        "value": pa.array([b"v0", b"v2", b"x"], pa.binary()),
+        "score": pa.array([None, None, None], pa.float64()),
+        "expire_ms": pa.array([0, 0, 0], pa.int64()),
+        "field_ttl_ms": pa.array([0, 0, 0], pa.int64()),
+    }, schema=KEYSPACE_SCHEMA)
+
+    for method in ("rewrite", "restore"):
+        out = str(tmp_path / f"sink_{method}")
+        _collect(write_resp_sink(rd.from_arrow(ks), out, num_partitions=2,
+                                 method=method))
+        back = _collect(replay_redis(read_resp_log(out), num_partitions=2))
+        got = {(r["db"], r["key"]): r["value"] for r in back.to_pylist()}
+        assert got == {(0, b"dup"): b"v0", (2, b"dup"): b"v2",
+                       (2, b"only2"): b"x"}, method
