@@ -141,3 +141,65 @@ def test_schema_ops_rename_chain_and_widen(vals):
         "n": pa.array(list(range(len(vals))), pa.int64())})
     m = apply_schema_ops(mixed, ops[1:2] + ops[:1])  # order-insensitive here
     assert "x" not in m.column_names
+
+
+# ---------- DDL CREATE TABLE round-trip (stages/ddl.py) ----------
+
+_SQL_TYPES = [("INT", "int32"), ("BIGINT", "int64"), ("SMALLINT", "int16"),
+              ("VARCHAR(64)", "string"), ("TEXT", "string"),
+              ("DOUBLE PRECISION", "float64"), ("BLOB", "binary"),
+              ("DECIMAL(18,4)", "decimal128(18,4)"),
+              ("TIMESTAMP", "timestamp[us]"), ("JSON", "string")]
+
+_ident_st = st.text(alphabet="abcdefghij_", min_size=1, max_size=8).filter(
+    lambda s: s[0] != "_")
+
+
+@st.composite
+def create_tables(draw):
+    names = draw(st.lists(_ident_st, min_size=1, max_size=6, unique=True))
+    cols = [(n, draw(st.sampled_from(_SQL_TYPES))) for n in names]
+    pk = draw(st.lists(st.sampled_from(names), min_size=1, max_size=2,
+                       unique=True))
+    quote = draw(st.sampled_from(["", "`", '"']))
+    not_null = draw(st.lists(st.sampled_from(names), max_size=3, unique=True))
+    defaults = {n: draw(st.sampled_from(
+        ["'x)'", "'a,b'", "'it''s'", "42", "NULL"]))
+        for n in draw(st.lists(st.sampled_from(names), max_size=2,
+                               unique=True))}
+
+    def q(n):
+        return f"{quote}{n}{quote}" if quote else n
+
+    defs = []
+    for n, (sql_t, _) in cols:
+        d = f"{q(n)} {sql_t}"
+        if n in defaults:
+            d += f" DEFAULT {defaults[n]}"
+        if n in not_null:
+            d += " NOT NULL"
+        defs.append(d)
+    defs.append(f"PRIMARY KEY ({', '.join(q(c) for c in pk)})")
+    opts = draw(st.sampled_from(
+        ["", " ENGINE=InnoDB", " ENGINE=InnoDB DEFAULT CHARSET=utf8mb4",
+         " AUTO_INCREMENT=99 COMMENT='tbl, (notes)'"]))
+    sql = f"CREATE TABLE {q('tb')} ({', '.join(defs)}){opts}"
+    return sql, cols, pk, set(not_null) | set(pk)
+
+
+@given(create_tables())
+@settings(max_examples=150, deadline=None)
+def test_create_table_roundtrip(case):
+    """Random column sets, quoting styles, tricky quoted defaults (')',
+    ',', doubled quotes) and option tails parse back to exactly the
+    declared columns, arrow types, PK and NOT-NULL set."""
+    from ape_dts_ray.stages.ddl import parse_ddl
+
+    sql, cols, pk, not_null = case
+    p = parse_ddl(sql)
+    assert p.kind == "create_table" and p.table == "tb"
+    assert p.extra["columns"] == [(n, at) for n, (_, at) in cols]
+    assert p.extra["id_cols"] == pk
+    assert set(p.extra["not_null"]) | set(pk) == not_null
+    if "AUTO_INCREMENT=99" in sql:
+        assert p.extra["auto_increment_start"] == 99
