@@ -161,15 +161,16 @@ def replay_mixed(
     if events_path is not None and events_ds is None:
         paths = [events_path] if isinstance(events_path, str) else events_path
         if max_offset is None:
-            mx = -1
-            for p in paths:                    # footer statistics only
-                f = pq.ParquetFile(p)
-                ci = f.schema_arrow.get_field_index(COL_OFFSET)
-                for rg in range(f.metadata.num_row_groups):
-                    st = f.metadata.row_group(rg).column(ci).statistics
-                    if st is not None and st.max is not None:
-                        mx = max(mx, st.max)
-            max_offset = mx
+            from ape_dts_ray.pipelines.replay import max_offset_from_footers
+            max_offset = max_offset_from_footers(paths)
+            if max_offset is None:             # stats-less files: one-column
+                mx = -1                        # scan, never a silent no-op
+                for p in paths:
+                    t = pq.read_table(p, columns=[COL_OFFSET])
+                    if t.num_rows:
+                        import pyarrow.compute as _pc
+                        mx = max(mx, _pc.max(t.column(COL_OFFSET)).as_py())
+                max_offset = mx
     elif max_offset is None:
         # a full upstream execution — callers who know the stream's span
         # (e.g. a derived log whose offsets mirror a parquet column) pass

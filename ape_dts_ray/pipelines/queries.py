@@ -39,22 +39,18 @@ def _fresh_lake(tag: str, **cfg) -> LakeTable:
     return LakeTable.create(root + "/lake", TableMeta(), EngineConfig(**defaults))
 
 
-def _events_max_offset(sf_dir: str) -> int:
+def _events_max_offset(sf_dir: str) -> int | None:
     """``log_offset == event_id`` in every derived change stream
     (sources/derive.py), so a stream's max offset is free from the source
     parquet's footer statistics. Passing it to replay() keeps a
     known-small stream on the direct Dataset path (no max-discovery
-    execution, no scratch spill)."""
-    import pyarrow.parquet as pq
+    execution, no scratch spill). Returns None (NOT a sentinel that plans
+    zero epochs) when the file carries no statistics — replay() then
+    discovers the span itself via the spill path."""
+    from ape_dts_ray.pipelines.replay import max_offset_from_footers
 
-    f = pq.ParquetFile(f"{sf_dir}/events.parquet")
-    col = f.schema_arrow.get_field_index("event_id")
-    mx = -1
-    for rg in range(f.metadata.num_row_groups):
-        st = f.metadata.row_group(rg).column(col).statistics
-        if st is not None and st.max is not None:
-            mx = max(mx, st.max)
-    return mx
+    return max_offset_from_footers(f"{sf_dir}/events.parquet",
+                                   col="event_id")
 
 
 def _replay_changes(sf_dir: str, tag: str, event_filter=None) -> LakeTable:

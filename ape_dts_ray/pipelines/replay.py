@@ -377,6 +377,26 @@ def replay(
         spill.cleanup()
 
 
+def max_offset_from_footers(paths, col: str = COL_OFFSET):
+    """Max of ``col`` across parquet files from ROW-GROUP STATISTICS only
+    (no data read). Returns None when no file carries statistics for the
+    column — callers must fall back to a real scan, not treat the absence
+    as an empty log."""
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, str):
+        paths = [paths]
+    mx, seen = -1, False
+    for p in paths:
+        f = pq.ParquetFile(p)
+        ci = f.schema_arrow.get_field_index(col)
+        for rg in range(f.metadata.num_row_groups):
+            st = f.metadata.row_group(rg).column(ci).statistics
+            if st is not None and st.max is not None:
+                mx, seen = max(mx, st.max), True
+    return mx if seen else None
+
+
 class _SpillState:
     """Scratch-parquet spill of a Dataset source (lifecycle = one replay)."""
 
@@ -415,16 +435,18 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
         if events_path is None:
             max_offset = events_ds.max(COL_OFFSET)
         else:
-            paths = [events_path] if isinstance(events_path, str) else events_path
-            mx = -1
-            for p in paths:  # footer statistics only — no data read
-                f = pq.ParquetFile(p)
-                col = f.schema_arrow.get_field_index(COL_OFFSET)
-                for rg in range(f.metadata.num_row_groups):
-                    st = f.metadata.row_group(rg).column(col).statistics
-                    if st is not None and st.max is not None:
-                        mx = max(mx, st.max)
-            max_offset = mx
+            max_offset = max_offset_from_footers(events_path)
+            if max_offset is None:
+                # stats-less files (write_statistics=False): scan the one
+                # offset column rather than silently planning zero epochs
+                paths = [events_path] if isinstance(events_path, str) \
+                    else events_path
+                mx = -1
+                for p in paths:
+                    t = pq.read_table(p, columns=[COL_OFFSET])
+                    if t.num_rows:
+                        mx = max(mx, pc.max(t.column(COL_OFFSET)).as_py())
+                max_offset = mx
 
     if lake.rotation_in_progress():
         raise RuntimeError(

@@ -155,6 +155,21 @@ def _skip_quoted(s: str, i: int) -> int | None:
     raise UnsupportedDdlError(f"unterminated {q} quote in DDL")
 
 
+def _strip_quoted(s: str) -> str:
+    """Blank out quoted spans (a COMMENT mentioning AUTO_INCREMENT must not
+    look like the table option)."""
+    out, i = [], 0
+    while i < len(s):
+        j = _skip_quoted(s, i)
+        if j is not None:
+            out.append(" " * (j - i))
+            i = j
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
 def _match_create_table(s: str):
     """CREATE TABLE head + paren-BALANCED, quote-aware body scan (a greedy
     regex would let parens in the options tail, e.g. PARTITION BY HASH(a),
@@ -187,7 +202,7 @@ _RE_TABLE_OPTS = re.compile(
     r"^(?:\s*(?:ENGINE|AUTO_INCREMENT|ROW_FORMAT|COLLATE|CHECKSUM|COMMENT|"
     r"KEY_BLOCK_SIZE|MAX_ROWS|MIN_ROWS|(?:DEFAULT\s+)?CHARSET|"
     r"(?:DEFAULT\s+)?CHARACTER\s+SET|(?:DEFAULT\s+)?COLLATE)"
-    r"\s*=?\s*(?:'[^']*'|\"[^\"]*\"|[\w.]+))*\s*$", re.I)
+    r"\s*=?\s*(?:'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|[\w.]+))*\s*$", re.I)
 _RE_DROP_TABLE = re.compile(
     rf"^DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<tb>{_QUALID})\s*;?\s*$",
     re.I)
@@ -196,12 +211,15 @@ _RE_RENAME_TABLE = re.compile(
     rf"|ALTER\s+TABLE\s+(?P<a2>{_QUALID})\s+RENAME\s+(?:TO\s+)?"
     rf"(?P<b2>{_QUALID}))\s*;?\s*$", re.I)
 _RE_COL_DEF = re.compile(rf"^(?P<col>{_ID})\s+(?P<rest>.+?)\s*$", re.I)
+_SQSTR = r"'(?:[^']|'')*'"        # quoted literal, '' escape honored
+_DQSTR = r'"(?:[^"]|"")*"'
 _RE_COL_TAIL = re.compile(
-    r"\s+(?P<tok>NOT\s+NULL|NULL|DEFAULT\s+(?:'[^']*'|\"[^\"]*\"|\S+)|"
-    r"ON\s+UPDATE\s+\S+|PRIMARY\s+KEY|AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|"
-    r"COMMENT\s+(?:'[^']*'|\"[^\"]*\"))\s*$", re.I)
+    rf"\s+(?P<tok>NOT\s+NULL|NULL|DEFAULT\s+(?:{_SQSTR}|{_DQSTR}|\S+)|"
+    rf"ON\s+UPDATE\s+\S+|PRIMARY\s+KEY|AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|"
+    rf"COMMENT\s+(?:{_SQSTR}|{_DQSTR}))\s*$", re.I)
 _RE_PK_CLAUSE = re.compile(
-    rf"^PRIMARY\s+KEY\s*\((?P<cols>[^)]*)\)\s*$", re.I)
+    rf"^PRIMARY\s+KEY\s*\((?P<cols>.*)\)\s*(?:USING\s+\w+)?\s*$",
+    re.I | re.S)
 # mysqldump bodies also carry secondary-index and FK clauses; a Parquet
 # lake has no indexes (COVERAGE.md: Index/Rbac out of scope) so these are
 # parsed and surfaced in extra["skipped"], never silently vanished —
@@ -324,7 +342,8 @@ def parse_ddl(sql: str) -> ParsedDdl:
         ine, tb, body, opts = ct
         if opts and not _RE_TABLE_OPTS.match(opts):
             raise UnsupportedDdlError(f"unrecognized table options: {opts!r}")
-        ai = re.search(r"AUTO_INCREMENT\s*=?\s*(\d+)", opts, re.I)
+        ai = re.search(r"AUTO_INCREMENT\s*=?\s*(\d+)",
+                       _strip_quoted(opts), re.I)
         ai_start = int(ai.group(1)) if ai else None
         cols, id_cols, not_null = [], [], []
         uniques, autoinc, skipped = [], [], []

@@ -441,3 +441,26 @@ def test_create_table_quoted_literals_and_key_parts(tmp_path):
     apply_table_ddl(str(tmp_path), sql)
     lake = LakeTable.open(str(tmp_path / "seq_t"))
     assert lake.sequences[0]["next_value"] == 17
+
+
+def test_create_table_escapes_pk_prefix_and_comment_autoincrement(tmp_path):
+    """Review r3 (2nd pass): '' escapes in COMMENT/DEFAULT literals, prefix
+    lengths in PRIMARY KEY, and AUTO_INCREMENT named inside a quoted
+    COMMENT must not leak into the table-option counter."""
+    from ape_dts_ray.stages.ddl import parse_ddl
+
+    p = parse_ddl("CREATE TABLE t (a INT PRIMARY KEY, "
+                  "b TEXT COMMENT 'can''t, retry', "
+                  "c TEXT DEFAULT 'it''s fine')")
+    assert [c for c, _ in p.extra["columns"]] == ["a", "b", "c"]
+
+    p = parse_ddl("CREATE TABLE t (email VARCHAR(64), "
+                  "PRIMARY KEY (email(20)))")
+    assert p.extra["id_cols"] == ["email"]
+
+    p = parse_ddl("CREATE TABLE t (id INT AUTO_INCREMENT, PRIMARY KEY (id)) "
+                  "COMMENT='migrated, old AUTO_INCREMENT=999'")
+    assert p.extra["auto_increment_start"] is None
+    p = parse_ddl("CREATE TABLE t (id INT AUTO_INCREMENT, PRIMARY KEY (id)) "
+                  "AUTO_INCREMENT=7 COMMENT='x'")
+    assert p.extra["auto_increment_start"] == 7

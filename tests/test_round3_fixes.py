@@ -732,3 +732,22 @@ def test_multi_chunk_events_ds_spills_once(ray_session, tmp_path, monkeypatch):
     spilled.clear()
     replay(lake_ds, events_ds=rd.read_parquet(path), max_offset=mx)
     assert spilled == []
+
+
+def test_statless_parquet_replay_not_silent_noop(ray_session, tmp_path):
+    """Review r3 (2nd pass): events parquet written WITHOUT column
+    statistics must still replay fully — the footer-max helper returns
+    None (not a zero-epoch sentinel) and replay falls back to a
+    one-column scan."""
+    from ape_dts_ray.pipelines.replay import max_offset_from_footers
+
+    events = gen_events(seed=83, n_convs=10, max_turns=5, n_events=3000)
+    path = str(tmp_path / "nostats.parquet")
+    pq.write_table(events, path, write_statistics=False)
+    assert max_offset_from_footers(path) is None
+
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path)
+    assert lake.state_table().num_rows > 0
+    assert lake.watermark() == int(
+        pa.compute.max(events.column("log_offset")).as_py())
