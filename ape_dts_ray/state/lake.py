@@ -397,17 +397,43 @@ class LakeTable:
 
     # ---------- compaction ----------
     def compact(self, new_hot_keys: tuple[str, ...] | None = None,
-                parallel: bool = True) -> int:
+                parallel: bool = True,
+                max_delta_files: int | None = None,
+                keep_epochs: int = 0) -> int:
         """Fold committed deltas into base, then drop them. Returns #epochs
-        folded. FoxlakeMerger analog (foxlake_merger.rs:82-104); runs offline
-        relative to replay. Tombstones are dropped at compaction (a key fully
-        deleted needs no base row; any later re-insert has a higher offset in a
-        newer epoch). Hot-key set may be rotated here only (partition.py).
+        folded (partial mode: #partitions folded — see below). FoxlakeMerger
+        analog (foxlake_merger.rs:82-104); runs offline relative to replay.
+        Tombstones are dropped at compaction (a key fully deleted needs no
+        base row; any later re-insert has a higher offset in a newer epoch).
+        Hot-key set may be rotated here only (partition.py).
+
+        PARTIAL / INCREMENTAL mode (``max_delta_files`` and/or
+        ``keep_epochs``): the 100-TB operational shape — the reference's
+        merger consumes only sealed epochs incrementally
+        (foxlake_parallelizer.rs:70-126, foxlake_merger.rs:82-104) instead of
+        rewriting the world. Only partitions whose delta-file count within
+        the horizon EXCEEDS ``max_delta_files`` are folded (bounding
+        merge-on-read amplification at ≤ max_delta_files + keep_epochs files
+        per untouched partition, and rewrite cost at one base file per hot
+        partition per tick); ``keep_epochs`` excludes the newest N committed
+        epochs from folding (the sealed-epoch horizon — their deltas stay as
+        files). Folded epochs are always an epoch-PREFIX per partition, so
+        base rows (``_epoch = -1``) still rank below every remaining delta.
+        Crash-safe WITHOUT a marker: each partition's new base is written
+        atomically before its consumed delta files are unlinked, and
+        re-folding committed deltas over a base that already contains them
+        picks identical LWW winners — rerunning after a SIGKILL at any point
+        converges. Epoch manifests are dropped only once they form a fully
+        consumed prefix, after publishing their watermark to
+        ``compacted.json`` (never regresses). Returns #partitions folded.
 
         ``parallel=True`` runs one Ray task per partition (the second, offline
         shuffle of SURVEY §7 — partition-pure, so no data exchange at all);
         ``False`` folds inline (tests / tiny lakes / no Ray session)."""
         if new_hot_keys is not None:
+            if max_delta_files is not None or keep_epochs:
+                raise ValueError("hot-key rotation requires a FULL compaction "
+                                 "(every row re-placed under the new salt)")
             # repartition-on-compact: fold full state, re-split by new salt
             return self._compact_rotate(tuple(new_hot_keys))
         if self.rotation_in_progress():
@@ -421,6 +447,8 @@ class LakeTable:
             raise RuntimeError(
                 "truncate in progress (truncate.json present) — re-run "
                 "truncate() to finish it before compacting")
+        if max_delta_files is not None or keep_epochs:
+            return self._compact_partial(max_delta_files, keep_epochs, parallel)
         epochs = self.committed_epochs()
         if not epochs:
             return 0
@@ -469,6 +497,97 @@ class LakeTable:
                 shutil.rmtree(ddir)
             os.remove(self.manifest_path(e))
         return len(epochs)
+
+    def delta_file_counts(self) -> dict[int, int]:
+        """Committed delta files per partition — the merge-on-read
+        amplification metric partial compaction bounds (a state read of
+        partition p folds 1 base + counts[p] delta files)."""
+        epochs = self.committed_epochs()
+        out = {}
+        for pid in range(self.config.num_partitions):
+            out[pid] = sum(1 for e in epochs
+                           if os.path.exists(self.delta_path(e, pid)))
+        return out
+
+    def _compact_partial(self, max_delta_files: int | None,
+                         keep_epochs: int, parallel: bool) -> int:
+        """Incremental compaction body — see compact() docstring. Folds a
+        strict subset: partitions over the delta-file threshold, epochs
+        before the sealed horizon. Per-partition protocol (no marker needed):
+
+            1. fold base + horizon delta files → atomic-write new base
+            2. unlink the consumed delta files (partition now reads 1 base
+               + only post-horizon deltas)
+
+        A crash between 1 and 2 leaves base ⊇ deltas — the fold is
+        idempotent (identical LWW winners), so any rerun converges. Epoch
+        manifests stay until every partition's file in them is consumed AND
+        they form a prefix of committed epochs; the prefix watermark is
+        published to compacted.json BEFORE manifests are removed so
+        watermark() never regresses (resume contract, replay.py)."""
+        epochs = self.committed_epochs()
+        horizon = epochs[:len(epochs) - keep_epochs] if keep_epochs else epochs
+        if not horizon:
+            return 0
+        threshold = int(max_delta_files) if max_delta_files is not None else 0
+
+        root, meta, cfg, sv = self.root, self.meta, self.config, self.schema_version
+        ops = self.schema_ops
+        hz = list(horizon)
+
+        def fold_partition(pid: int) -> bool:
+            lake = LakeTable(root, meta, cfg, sv, ops)
+            dfiles = [lake.delta_path(e, pid) for e in hz]
+            dfiles = [f for f in dfiles if os.path.exists(f)]
+            if len(dfiles) <= threshold:
+                return False
+            bp = lake.base_path(pid)
+            files = ([bp] if os.path.exists(bp) else []) + dfiles
+            folded = lake._fold_files(files, keep_tombstones=False)
+            if folded is None or folded.num_rows == 0:
+                if os.path.exists(bp):
+                    os.remove(bp)
+            else:
+                n = folded.num_rows
+                i = folded.column_names.index(COL_EPOCH)
+                folded = folded.set_column(
+                    i, COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
+                atomic_write_parquet(folded, bp, compression="zstd")
+            for f in dfiles:             # only after the new base is durable
+                os.remove(f)
+            return True
+
+        import ray
+        if parallel and ray.is_initialized():
+            task = ray.remote(num_cpus=1)(fold_partition)
+            done = ray.get([task.remote(p)
+                            for p in range(self.config.num_partitions)])
+        else:
+            done = [fold_partition(p)
+                    for p in range(self.config.num_partitions)]
+
+        # drop the fully-consumed epoch PREFIX (manifest watermark first)
+        removable = []
+        for e in epochs:
+            ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
+            if os.path.isdir(ddir) and os.listdir(ddir):
+                break
+            removable.append(e)
+        if removable:
+            wm = max(self.read_manifest(removable[-1]).offset_max,
+                     self.compacted_watermark())
+            m = EpochManifest(epoch=removable[-1], offset_min=-1,
+                              offset_max=wm,
+                              schema_version=self.schema_version, partitions=[])
+            atomic_write_text(
+                os.path.join(self.root, MANIFEST_DIR, "compacted.json"),
+                m.to_json())
+            for e in removable:
+                ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
+                if os.path.isdir(ddir):
+                    shutil.rmtree(ddir)
+                os.remove(self.manifest_path(e))
+        return sum(bool(d) for d in done)
 
     def rotation_in_progress(self) -> bool:
         return os.path.exists(os.path.join(self.root, MANIFEST_DIR,

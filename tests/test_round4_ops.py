@@ -1,0 +1,232 @@
+"""Round-4 operators: incremental/partial compaction (bounded read
+amplification), plus the crash probes that prove its markerless protocol.
+
+Reference semantics: the merger consumes only sealed epochs incrementally
+(foxlake_parallelizer.rs:70-126, foxlake_merger.rs:82-104) instead of
+rewriting the full base — partial compaction is this engine's analog.
+"""
+
+import hashlib
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+from ape_dts_ray.fixtures import gen_events, oracle_replay
+from ape_dts_ray.meta import EngineConfig, TableMeta
+from ape_dts_ray.pipelines.replay import replay
+from ape_dts_ray.state.lake import LakeTable
+
+
+def _mk_lake(tmp_path, **cfg):
+    defaults = dict(num_partitions=8, epoch_size=500)
+    defaults.update(cfg)
+    return LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(**defaults))
+
+
+def _md5(path):
+    with open(path, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
+
+
+def _base_hashes(lake):
+    out = {}
+    for pid in range(lake.config.num_partitions):
+        bp = lake.base_path(pid)
+        if os.path.exists(bp):
+            out[pid] = _md5(bp)
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partial_compaction_horizon_preserves_state(tmp_path):
+    """compact(keep_epochs=H) folds only the sealed prefix: state and
+    watermark unchanged, the newest H epochs' deltas stay as files, every
+    partition's merge-on-read amplification drops to ≤ 1 base + H deltas,
+    and replay resume stays a no-op."""
+    events = gen_events(seed=41, n_convs=40, max_turns=8, n_events=4000,
+                        delete_frac=0.2)
+    path = str(tmp_path / "e.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path)
+    epochs = lake.committed_epochs()
+    assert len(epochs) >= 8
+    before, wm = lake.state_table(), lake.watermark()
+    assert max(lake.delta_file_counts().values()) >= 4
+
+    folded = lake.compact(keep_epochs=2, parallel=False)
+    assert folded >= 1
+    assert lake.committed_epochs() == epochs[-2:]       # sealed horizon kept
+    assert all(c <= 2 for c in lake.delta_file_counts().values())
+    assert lake.watermark() == wm
+    assert lake.state_table().equals(before)
+
+    # resume is still a no-op, and the lake reopens clean
+    assert replay(LakeTable.open(lake.root), events_path=path) == []
+    assert LakeTable.open(lake.root).state_table().equals(before)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partial_compaction_threshold_is_strict_subset(tmp_path):
+    """compact(max_delta_files=K) touches ONLY partitions over the
+    threshold: after a hot-partition-only delta buildup, cold partitions'
+    base files are byte-identical (never rewritten) while hot ones fold."""
+    events = gen_events(seed=43, n_convs=40, max_turns=8, n_events=4000,
+                        delete_frac=0.1)
+    path = str(tmp_path / "e.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path)
+    lake.compact(parallel=False)                         # clean full base
+    cold_hashes = _base_hashes(lake)
+
+    # follow-on CDC burst touching ONE conversation → few partitions hot
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    n0 = events.num_rows
+    tail = gen_events(seed=44, n_convs=1, max_turns=8, n_events=1500,
+                      delete_frac=0.0)
+    tail = tail.set_column(
+        tail.column_names.index("log_offset"), "log_offset",
+        pc.add(tail.column("log_offset"), pa.scalar(n0, pa.int64())))
+    tpath = str(tmp_path / "tail.parquet")
+    pq.write_table(tail, tpath)
+    replay(LakeTable.open(lake.root), events_path=tpath, min_offset=n0)
+
+    lake = LakeTable.open(lake.root)
+    counts = lake.delta_file_counts()
+    hot = {p for p, c in counts.items() if c > 0}
+    assert 0 < len(hot) < lake.config.num_partitions     # genuinely a subset
+
+    folded = lake.compact(max_delta_files=0, parallel=False)
+    assert folded == len(hot)
+    after_hashes = _base_hashes(lake)
+    for pid in set(cold_hashes) - hot:                   # cold: untouched bytes
+        assert after_hashes[pid] == cold_hashes[pid], pid
+    for pid in hot:                                      # hot: rewritten
+        assert after_hashes.get(pid) != cold_hashes.get(pid), pid
+    assert lake.committed_epochs() == []                 # prefix fully consumed
+
+    full = pa.concat_tables([events, tail]).combine_chunks()
+    oracle = oracle_replay(full)
+    state = lake.state_table().to_pandas()
+    assert len(state) == len(oracle)
+    assert list(state["text"]) == list(oracle["text"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partial_compaction_below_threshold_noop(tmp_path):
+    events = gen_events(seed=45, n_convs=20, max_turns=6, n_events=2000)
+    path = str(tmp_path / "e.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path)
+    epochs = lake.committed_epochs()
+    before = lake.state_table()
+    assert lake.compact(max_delta_files=99, parallel=False) == 0
+    assert lake.committed_epochs() == epochs             # nothing consumed
+    assert lake.state_table().equals(before)
+    with pytest.raises(ValueError):                      # rotation needs full
+        lake.compact(new_hot_keys=("conv-000000",), max_delta_files=1)
+
+
+_CRASH_SCRIPT = r"""
+import os, sys
+import ape_dts_ray.state.lake as lake_mod
+from ape_dts_ray.state.lake import LakeTable
+
+orig = lake_mod.atomic_write_parquet
+n = [0]
+def dying_write(t, path, **kw):
+    orig(t, path, **kw)
+    n[0] += 1
+    if n[0] == int(sys.argv[2]):
+        os._exit(137)          # SIGKILL analog: no cleanup, no unlink
+lake_mod.atomic_write_parquet = dying_write
+LakeTable.open(sys.argv[1]).compact(max_delta_files=0, parallel=False)
+"""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partial_compaction_crash_midway_converges(tmp_path):
+    """Hard-kill partial compaction right after a partition's new base is
+    written but BEFORE its consumed deltas are unlinked (the widest crash
+    window of the markerless protocol): the overlap (base ⊇ deltas) folds
+    to identical LWW winners, so state is unchanged, and a rerun converges
+    to the clean-compaction result."""
+    events = gen_events(seed=46, n_convs=40, max_turns=8, n_events=4000,
+                        delete_frac=0.25)
+    path = str(tmp_path / "e.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path)
+    before, wm = lake.state_table(), lake.watermark()
+
+    r = subprocess.run([sys.executable, "-c", _CRASH_SCRIPT, lake.root, "3"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 137, r.stderr
+
+    crashed = LakeTable.open(lake.root)                  # overlap window:
+    assert crashed.state_table().equals(before)          # state unharmed
+    assert crashed.watermark() == wm
+
+    crashed.compact(max_delta_files=0, parallel=False)   # rerun converges
+    done = LakeTable.open(lake.root)
+    assert done.state_table().equals(before)
+    assert done.watermark() == wm
+    assert done.committed_epochs() == []
+    assert all(c == 0 for c in done.delta_file_counts().values())
+    assert replay(LakeTable.open(lake.root), events_path=path) == []
+
+
+_CLEANUP_CRASH_SCRIPT = r"""
+import os, sys
+from ape_dts_ray.state.lake import LakeTable
+
+orig_remove = os.remove
+def dying_remove(path):
+    orig_remove(path)
+    if path.endswith(".json"):    # first manifest removed → die
+        os._exit(137)
+os.remove = dying_remove
+LakeTable.open(sys.argv[1]).compact(max_delta_files=0, parallel=False)
+"""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partial_compaction_crash_during_manifest_cleanup(tmp_path):
+    """Crash window (c): compacted.json published, only SOME prefix
+    manifests removed. The watermark never regresses (compacted.json covers
+    the full removable prefix before any removal; surviving manifests only
+    raise it), surviving manifests with empty delta dirs are harmless, and a
+    rerun finishes the cleanup."""
+    events = gen_events(seed=47, n_convs=30, max_turns=6, n_events=3000,
+                        delete_frac=0.2)
+    path = str(tmp_path / "e.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=path)
+    before, wm = lake.state_table(), lake.watermark()
+    n_epochs = len(lake.committed_epochs())
+    assert n_epochs >= 3
+
+    r = subprocess.run([sys.executable, "-c", _CLEANUP_CRASH_SCRIPT,
+                        lake.root], capture_output=True, text=True,
+                       cwd="/root/repo")
+    assert r.returncode == 137, r.stderr
+
+    crashed = LakeTable.open(lake.root)
+    assert len(crashed.committed_epochs()) == n_epochs - 1  # torn cleanup
+    assert crashed.watermark() == wm                        # never regressed
+    assert crashed.state_table().equals(before)
+
+    crashed.compact(max_delta_files=0, parallel=False)      # rerun converges
+    done = LakeTable.open(lake.root)
+    assert done.committed_epochs() == []
+    assert done.watermark() == wm
+    assert done.state_table().equals(before)
+    assert replay(LakeTable.open(lake.root), events_path=path) == []
