@@ -15,7 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from ape_dts_ray.sources.derive import CHANGES_CTE, WIDE_CTE
+from ape_dts_ray.sources.derive import CHANGES_CTE, DCL_CTE, WIDE_CTE
 
 
 def _stopword_values() -> str:
@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lineage_totals": q.cdc_lineage_totals,
         "cdc_pk_change": q.cdc_pk_change,
         "cdc_sql_format": q.cdc_sql_format,
+        "cdc_dcl": q.cdc_dcl,
         "cdc_wide_types": q.cdc_wide_types,
         "redis_replay": q.redis_replay,
         "redis_incremental": q.redis_incremental,
@@ -407,6 +408,16 @@ def oracle_sql() -> dict[str, str]:
                      || COALESCE('''' || replace(tool, '''', '''''') || '''', 'NULL') || ');'
               END AS "sql"
             FROM changes
+        """,
+        # DCL statement log: classification ground truth comes from the
+        # template id (DCL_CTE, lockstep with derive_dcl_statements — the
+        # engine classifies from TEXT, the oracle declares by construction);
+        # DML rows carry NULL dcl_type, excluded by IN like the engine's
+        # dcl_simple_judgment rejection
+        "cdc_dcl": DCL_CTE + """
+            SELECT log_offset, dcl_type, statement
+            FROM dcl
+            WHERE dcl_type IN ('create_user', 'drop_user', 'grant', 'revoke')
         """,
         # Stopword-vote language id, mirrored from functions/text.py::LangId
         # (count stopword OCCURRENCES per language; winner = max count with

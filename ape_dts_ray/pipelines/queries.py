@@ -538,6 +538,24 @@ def cdc_sql_format(sf_dir: str):
         format_sql, batch_format="pyarrow")
 
 
+def cdc_dcl(sf_dir: str):
+    """DCL replication path (dcl_parser.rs:26-229 classification →
+    rdb_filter.rs:118-124 ``do_dcls`` filter → statement log, the SqlSinker
+    shape — a Parquet lake has no users/grants to apply, so the sink is the
+    deterministic statement log an operator replays by hand): classify the
+    derived raw statements (comments stripped, DML rejected, heads matched
+    case-insensitively — all vectorized), keep the migration-critical
+    subset, emit (log_offset, dcl_type, statement)."""
+    from ape_dts_ray.sources.derive import dcl_dataset
+    from ape_dts_ray.stages.dcl import DclFilter, classify_dcl_batch
+
+    f = DclFilter(do_dcls=("create_user", "drop_user", "grant", "revoke"))
+    return (dcl_dataset(sf_dir)
+            .map_batches(classify_dcl_batch, batch_format="pyarrow")
+            .map_batches(f, batch_format="pyarrow")
+            .select_columns(["log_offset", "dcl_type", "statement"]))
+
+
 def cdc_wide_types(sf_dir: str) -> pa.Table:
     """Column-type breadth through the FULL apply path (ColValue span,
     col_value.rs:15-46: Decimal/Blob/Enum/Json + a narrow int): the wide

@@ -212,3 +212,103 @@ def wide_changes_dataset(sf_dir: str, batch_size: int = 65_536):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet")
     return ds.map_batches(derive_wide_changes, batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# DCL statement stream — a deterministic mix of the statements the
+# reference's DclParser classifies (dcl_parser.rs:66-229 heads; scenario
+# shape from dt-tests mysql_to_mysql/cdc/dcl_test/src_test.sql), derived
+# from events so the oracle can rebuild it. ``derive_dcl_statements`` emits
+# the RAW text (comments included — the classifier must strip them);
+# DCL_CTE emits the post-strip text plus the ground-truth type per template,
+# with NULL dcl_type for the DML row (dropped by dcl_simple_judgment on the
+# engine side, by `dcl_type IN (...)` on the oracle side).
+# ---------------------------------------------------------------------------
+
+DCL_KINDS = 12
+
+DCL_CTE = f"""
+WITH dcl AS (
+  SELECT
+    event_id AS log_offset,
+    CASE CAST(event_id % {DCL_KINDS} AS INTEGER)
+      WHEN 0 THEN 'CREATE USER ''u' || CAST(user_id AS VARCHAR)
+        || '''@''localhost'' IDENTIFIED BY ''pw' || CAST(event_id AS VARCHAR) || ''''
+      WHEN 1 THEN 'create user if not exists ''u' || CAST(user_id AS VARCHAR)
+        || '''@''%'' identified by ''pw' || CAST(event_id AS VARCHAR) || ''''
+      WHEN 2 THEN 'ALTER USER ''u' || CAST(user_id AS VARCHAR)
+        || '''@''localhost'' IDENTIFIED BY ''pw' || CAST(event_id AS VARCHAR) || ''''
+      WHEN 3 THEN 'DROP USER IF EXISTS ''u' || CAST(user_id AS VARCHAR) || '''@''%'''
+      WHEN 4 THEN 'CREATE ROLE ''r' || CAST(user_id % 50 AS VARCHAR) || ''''
+      WHEN 5 THEN 'Drop Role ''r' || CAST(user_id % 50 AS VARCHAR) || ''''
+      WHEN 6 THEN 'GRANT SELECT, INSERT ON db' || CAST(user_id % 10 AS VARCHAR)
+        || '.tb1 TO ''u' || CAST(user_id AS VARCHAR) || '''@''%'''
+      WHEN 7 THEN 'Grant All On *.* To ''u' || CAST(user_id AS VARCHAR)
+        || '''@''localhost'' WITH GRANT OPTION'
+      WHEN 8 THEN 'REVOKE SELECT ON db' || CAST(user_id % 10 AS VARCHAR)
+        || '.tb1 FROM ''u' || CAST(user_id AS VARCHAR) || '''@''%'''
+      WHEN 9 THEN 'SET DEFAULT ROLE ''r' || CAST(user_id % 50 AS VARCHAR)
+        || ''' TO ''u' || CAST(user_id AS VARCHAR) || '''@''%'''
+      WHEN 10 THEN 'FLUSH PRIVILEGES'
+      ELSE 'INSERT INTO tb1 VALUES (' || CAST(event_id AS VARCHAR) || ')'
+    END AS statement,
+    CASE CAST(event_id % {DCL_KINDS} AS INTEGER)
+      WHEN 0 THEN 'create_user' WHEN 1 THEN 'create_user'
+      WHEN 2 THEN 'alter_user' WHEN 3 THEN 'drop_user'
+      WHEN 4 THEN 'create_role' WHEN 5 THEN 'drop_role'
+      WHEN 6 THEN 'grant' WHEN 7 THEN 'grant'
+      WHEN 8 THEN 'revoke' WHEN 9 THEN 'set_role'
+      WHEN 10 THEN 'unknown' ELSE NULL
+    END AS dcl_type
+  FROM events
+)
+"""
+
+
+def derive_dcl_statements(batch: pa.Table) -> pa.Table:
+    """Arrow map_batches body — must match DCL_CTE row for row AFTER the
+    classifier strips comments (templates 1 and 2 carry block comments here
+    that the CTE's post-strip text omits)."""
+    import pandas as pd
+
+    eid = batch.column("event_id").to_numpy(zero_copy_only=False)
+    uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+    kind = eid % DCL_KINDS
+    u = pd.Series(uid).astype(str)
+    e = pd.Series(eid).astype(str)
+    r = pd.Series(uid % 50).astype(str)
+    d = pd.Series(uid % 10).astype(str)
+    templates = [
+        "CREATE USER 'u" + u + "'@'localhost' IDENTIFIED BY 'pw" + e + "'",
+        # abutting comment: strip leaves exactly one space between keywords
+        "create /*c*/user if not exists 'u" + u + "'@'%' identified by 'pw"
+        + e + "'",
+        "ALTER /*multi\nline*/USER 'u" + u + "'@'localhost' IDENTIFIED BY 'pw"
+        + e + "'",
+        "DROP USER IF EXISTS 'u" + u + "'@'%'",
+        "CREATE ROLE 'r" + r + "'",
+        "Drop Role 'r" + r + "'",
+        "GRANT SELECT, INSERT ON db" + d + ".tb1 TO 'u" + u + "'@'%'",
+        "Grant All On *.* To 'u" + u + "'@'localhost' WITH GRANT OPTION",
+        "REVOKE SELECT ON db" + d + ".tb1 FROM 'u" + u + "'@'%'",
+        "SET DEFAULT ROLE 'r" + r + "' TO 'u" + u + "'@'%'",
+        pd.Series(np.full(len(eid), "FLUSH PRIVILEGES", dtype=object)),
+        "INSERT INTO tb1 VALUES (" + e + ")",
+    ]
+    stmt = np.select([kind == i for i in range(DCL_KINDS)],
+                     [t.to_numpy(dtype=object) for t in templates])
+    return pa.table({
+        "log_offset": batch.column("event_id").cast(pa.int64()),
+        "statement": pa.array(stmt, pa.string()),
+    })
+
+
+def dcl_dataset(sf_dir: str, batch_size: int = 65_536):
+    """events.parquet → raw DCL statement Dataset (pruned to the two
+    columns the derivation needs)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id"])
+    return ds.map_batches(derive_dcl_statements, batch_format="pyarrow",
+                          batch_size=batch_size)

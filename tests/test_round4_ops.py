@@ -183,6 +183,111 @@ def test_partial_compaction_crash_midway_converges(tmp_path):
     assert replay(LakeTable.open(lake.root), events_path=path) == []
 
 
+# ---------------------------------------------------------------------------
+# DCL classification (dcl_parser.rs:26-229 semantics; expect lists taken
+# from the reference's own test scenarios, dcl_parser.rs:264-553)
+# ---------------------------------------------------------------------------
+
+def test_dcl_classification_reference_cases():
+    from ape_dts_ray.stages.dcl import parse_dcl
+
+    cases = {
+        "create_user": [
+            "CREATE USER 'user1'@'localhost' IDENTIFIED BY 'password123'",
+            "CREATE /*comment1*/ USER /*comment2*/ 'user2'@'localhost' "
+            "IDENTIFIED BY 'pass123'",
+            "CREATE /*multi-line\ncomment*/ USER -- line comment\n"
+            "'user3'@'localhost' IDENTIFIED BY 'pass123'",
+            "Create User 'USER4'@'localhost' IDENTIFIED BY 'pass123'",
+            "CREATE    USER    \n'user5'@'localhost'    \n"
+            "IDENTIFIED    BY    'pass123'",
+            "CREATE USER IF NOT EXISTS 'user8'@'localhost' "
+            "IDENTIFIED BY 'pass123'",
+            "CREATE USER 'user10'@'localhost' IDENTIFIED BY 'pass123' "
+            "ACCOUNT LOCK",
+        ],
+        "alter_user": [
+            "ALTER USER 'user1'@'localhost' IDENTIFIED BY 'password123'",
+            "Alter User 'USER4'@'localhost' IDENTIFIED BY 'pass123'",
+            "ALTER USER IF EXISTS 'user8'@'localhost' IDENTIFIED BY 'p'",
+        ],
+        "create_role": ["CREATE ROLE role1", "Create Role ROLE4",
+                        "CREATE ROLE IF NOT EXISTS role8",
+                        "CREATE /*comment1*/ ROLE /*comment2*/ role2"],
+        "drop_user": ["DROP USER 'user1'@'localhost'",
+                      "Drop User 'USER4'@'localhost'",
+                      "DROP USER IF EXISTS 'user8'@'localhost'"],
+        "drop_role": ["DROP ROLE role1", "Drop Role ROLE4",
+                      "DROP ROLE \nrole6,\nrole7"],
+        "grant": ["GRANT ALL ON db.* TO 'user1'@'localhost'",
+                  "Grant All On db.* To 'USER4'@'localhost'",
+                  "GRANT SELECT, INSERT, UPDATE ON db.table TO 'u'@'l'",
+                  "GRANT ALL ON *.* TO 'user7'@'localhost' WITH GRANT OPTION"],
+        "revoke": ["REVOKE ALL ON db.* FROM 'user1'@'localhost'",
+                   "Revoke All On db.* From 'USER4'@'localhost'",
+                   "REVOKE GRANT OPTION ON *.* FROM 'user7'@'localhost'"],
+        "set_role": ["SET DEFAULT ROLE role1 TO 'user1'@'localhost'",
+                     "Set Default Role ROLE4 To 'USER4'@'localhost'",
+                     "SET DEFAULT ROLE ALL TO 'user9'@'localhost'"],
+    }
+    for expect, sqls in cases.items():
+        for sql in sqls:
+            got = parse_dcl(sql)
+            assert got is not None and got[0] == expect, (sql, got)
+
+    # non-DCL statements classify as something ELSE (the reference's
+    # not_expect lists): DDL → unknown, DML → None
+    assert parse_dcl('CREATE TABLE IF NOT EXISTS d.t(id int)')[0] == "unknown"
+    assert parse_dcl("alter table aaa.bbb add column value int")[0] == "unknown"
+    assert parse_dcl("/*alter user*/alter table a.b add column v int")[0] \
+        == "unknown"
+    assert parse_dcl("FLUSH PRIVILEGES")[0] == "unknown"
+    assert parse_dcl("INSERT INTO t VALUES (1)") is None
+    assert parse_dcl("update t set a = 1") is None
+    assert parse_dcl("delete from t") is None
+    assert parse_dcl("REPLACE INTO t VALUES (1)") is None
+    # origin = comment-stripped trimmed text (dcl_statement.rs to_sql)
+    assert parse_dcl("  GRANT /*x*/ALL ON db.* TO 'u'@'%'  ") == \
+        ("grant", "GRANT ALL ON db.* TO 'u'@'%'")
+
+
+def test_dcl_batch_classifier_and_filter():
+    import pyarrow as pa
+
+    from ape_dts_ray.stages.dcl import (DclFilter, classify_dcl_batch,
+                                        parse_dcl)
+
+    stmts = [
+        "CREATE USER 'a'@'%' IDENTIFIED BY 'x'",
+        "create /*c*/user if not exists 'b'@'%' identified by 'y'",
+        "GRANT SELECT ON d.t TO 'a'@'%'",
+        "REVOKE SELECT ON d.t FROM 'a'@'%'",
+        "DROP USER 'a'@'%'",
+        "SET DEFAULT ROLE r TO 'a'@'%'",
+        "INSERT INTO t VALUES (1)",          # DML: dropped pre-classification
+        "FLUSH PRIVILEGES",                  # unknown
+    ]
+    t = pa.table({"log_offset": pa.array(range(len(stmts)), pa.int64()),
+                  "statement": pa.array(stmts)})
+    out = classify_dcl_batch(t)
+    assert out.num_rows == len(stmts) - 1                    # DML gone
+    got = dict(zip(out.column("log_offset").to_pylist(),
+                   out.column("dcl_type").to_pylist()))
+    assert got == {0: "create_user", 1: "create_user", 2: "grant",
+                   3: "revoke", 4: "drop_user", 5: "set_role", 7: "unknown"}
+    # batch classifier ≡ scalar parser on every row
+    for off, stmt in zip(t.column("log_offset").to_pylist(), stmts):
+        scalar = parse_dcl(stmt)
+        assert (scalar[0] if scalar else None) == got.get(off)
+
+    # rdb_filter.rs:118-124: empty do_dcls drops everything; '*' keeps all;
+    # a set keeps exactly its members
+    assert DclFilter(())(out).num_rows == 0
+    assert DclFilter(("*",))(out).num_rows == out.num_rows
+    sub = DclFilter(("grant", "revoke"))(out)
+    assert sorted(sub.column("dcl_type").to_pylist()) == ["grant", "revoke"]
+
+
 _CLEANUP_CRASH_SCRIPT = r"""
 import os, sys
 from ape_dts_ray.state.lake import LakeTable
