@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redis_replay": q.redis_replay,
         "redis_incremental": q.redis_incremental,
         "redis_snapshot": q.redis_snapshot,
+        "redis_bigkeys": q.redis_bigkeys,
         "dedup_exact": q.dedup_exact,
         "dedup_minhash": q.dedup_minhash,
         "dedup_simhash": q.dedup_simhash,
@@ -352,6 +353,32 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'len:' || doc_id AS key, CAST(n_chars AS VARCHAR) AS value
             FROM documents
+        """,
+        # Big-key statistic: data_size = key bytes + Σ(field+value bytes)
+        # per key (get_data_malloc_size analog) over the doc-string +
+        # hash-bucket keyspace redis_bigkeys encodes through real RDB;
+        # threshold + top-40 under the (size desc, key asc) total order —
+        # unique keys make the LIMIT boundary deterministic on both sides
+        "redis_bigkeys": """
+            WITH sizes AS (
+              SELECT CAST(0 AS BIGINT) AS db_id, 'string' AS key_type,
+                     'doc:' || CAST(doc_id AS VARCHAR) AS key,
+                     CAST(length('doc:' || CAST(doc_id AS VARCHAR))
+                          + length(text) AS BIGINT) AS data_size
+              FROM documents
+              UNION ALL
+              SELECT CAST(0 AS BIGINT), 'hash',
+                     'bucket:' || CAST(b AS VARCHAR),
+                     CAST(length('bucket:' || CAST(b AS VARCHAR))
+                          + SUM(length('d' || CAST(doc_id AS VARCHAR))
+                                + length(text)) AS BIGINT)
+              FROM (SELECT doc_id % 29 AS b, doc_id, text FROM documents)
+              GROUP BY b
+            )
+            SELECT db_id, key_type, key, data_size FROM sizes
+            WHERE data_size >= 420
+            ORDER BY data_size DESC, key
+            LIMIT 40
         """,
         "dedup_exact": """
             SELECT doc_id, n_chars FROM (

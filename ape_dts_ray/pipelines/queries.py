@@ -1014,3 +1014,61 @@ def redis_snapshot(sf_dir: str) -> pa.Table:
         "key": pc.cast(out.column("key"), pa.string()),
         "value": pc.cast(out.column("value"), pa.string()),
     })
+
+
+def redis_bigkeys(sf_dir: str) -> pa.Table:
+    """Big-key statistic sink (redis_statistic_sinker.rs:20-53): encode a
+    mixed string+hash keyspace to real RDB shards, parse them back (the RDB
+    scan the reference's statistic task runs on), and emit the keys whose
+    serialized size crosses the threshold, largest first, top-40. Hash
+    buckets aggregate many documents, so they dominate the top — exactly
+    the pre-migration hotspot this diagnostic exists to find. Oracle-backed
+    (data_size is reproducible from documents in SQL)."""
+    import shutil
+
+    import ray
+
+    from ape_dts_ray.pipelines.redis_replay import (
+        KEYSPACE_SCHEMA, bigkey_statistics, read_rdb_snapshot,
+        write_rdb_snapshot)
+
+    snap_dir = tempfile.mkdtemp(prefix="ape_dts_ray_bigkeys_")
+    try:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+
+        def to_keyspace(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = t.to_pandas()
+            sid = df["doc_id"].astype(str)
+            n = len(df)
+            keys = pd.concat(["doc:" + sid,
+                              "bucket:" + (df["doc_id"] % 29).astype(str)])
+            fields = pd.concat([pd.Series([None] * n, dtype=object),
+                                "d" + sid])
+            vals = pd.concat([df["text"], df["text"]])
+            return pa.table({
+                "db": pa.array(np.zeros(2 * n, dtype=np.int32)),
+                "key": pc.cast(pa.array(keys, type=pa.string()), pa.binary()),
+                "rtype": pa.array(["string"] * n + ["hash"] * n),
+                "field": pc.cast(pa.array(fields, type=pa.string()),
+                                 pa.binary()),
+                "idx": pa.nulls(2 * n, pa.int64()),
+                "value": pc.cast(pa.array(vals, type=pa.string()), pa.binary()),
+                "score": pa.nulls(2 * n, pa.float64()),
+                "expire_ms": pa.array(np.zeros(2 * n, dtype=np.int64)),
+                "field_ttl_ms": pa.array(np.zeros(2 * n, dtype=np.int64)),
+            }, schema=KEYSPACE_SCHEMA)
+
+        ks = ds.map_batches(to_keyspace, batch_format="pyarrow")
+        write_rdb_snapshot(ks, snap_dir, num_partitions=QUERY_PARTITIONS,
+                           lzf_sample=16).materialize()
+        out_ds = bigkey_statistics(read_rdb_snapshot(snap_dir),
+                                   data_size_threshold=420, top_n=40,
+                                   num_partitions=QUERY_PARTITIONS)
+        batches = list(out_ds.iter_batches(batch_format="pyarrow"))
+        out = pa.concat_tables(batches).combine_chunks()
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+    return out

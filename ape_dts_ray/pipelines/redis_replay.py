@@ -630,6 +630,78 @@ MIN_RDB_VERSION = 1
 MAX_RDB_VERSION = 12
 
 
+def bigkey_statistics(keyspace_ds, data_size_threshold: int = 0,
+                      top_n: int | None = None, num_partitions: int = 16):
+    """RedisStatisticSinker BigKey analog (redis_statistic_sinker.rs:20-53)
+    — the diagnostic operators run over an RDB scan before a migration:
+    keys whose serialized payload exceeds ``data_size_threshold``, as rows
+    (db_id, key_type, key, data_size) in (size desc, key asc) order,
+    optionally truncated to the ``top_n`` largest.
+
+    data_size over exploded keyspace rows = len(key) + Σ per-row
+    (len(field) + len(value) + 8·has_score) — the get_data_malloc_size
+    analog (redis_entry.rs:53-61: key bytes + value malloc size; scores are
+    8-byte doubles). Shape: vectorized per-batch partial aggregation → ONE
+    shuffle on the cluster slot (a key's partials always co-locate) →
+    per-partition final fold + threshold filter → total order over the tiny
+    surviving set. No driver-side data path; the unfiltered keyspace never
+    leaves the partitions."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema([("db_id", pa.int64()), ("key_type", pa.string()),
+                            ("key", pa.string()), ("data_size", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("db", pa.int32()), ("key", pa.binary()),
+                              ("rtype", pa.string()),
+                              ("payload", pa.int64()),
+                              (COL_SLOT_PART, pa.int32())]).empty_table()
+        zero = pa.scalar(0, pa.int32())
+        payload = pc.add(
+            pc.add(pc.coalesce(pc.binary_length(t.column("field")), zero),
+                   pc.coalesce(pc.binary_length(t.column("value")), zero)),
+            pc.if_else(pc.is_null(t.column("score")), 0, 8))
+        narrow = pa.table({
+            "db": t.column("db"), "key": t.column("key"),
+            "rtype": t.column("rtype"),
+            "payload": payload.cast(pa.int64())})
+        agg = (pl.from_arrow(narrow)
+               .group_by(["db", "key", "rtype"])
+               .agg(pl.col("payload").sum())).to_arrow()
+        agg = agg.set_column(agg.column_names.index("key"), "key",
+                             agg.column("key").cast(pa.binary()))
+        return add_slot_partition(agg, num_partitions)
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        df = (pl.from_arrow(t.select(["db", "key", "rtype", "payload"]))
+              .group_by(["db", "key", "rtype"])
+              .agg(pl.col("payload").sum()))
+        out = df.to_arrow()
+        size = pc.add(pc.binary_length(out.column("key")).cast(pa.int64()),
+                      out.column("payload"))
+        out = pa.table({
+            "db_id": out.column("db").cast(pa.int64()),
+            "key_type": out.column("rtype"),
+            "key": out.column("key").cast(pa.string()),
+            "data_size": size})
+        return out.filter(pc.greater_equal(
+            out.column("data_size"),
+            pa.scalar(data_size_threshold, pa.int64())))
+
+    ds = (keyspace_ds
+          .map_batches(partial, batch_format="pyarrow", batch_size=None)
+          .groupby(COL_SLOT_PART)
+          .map_groups(lambda t: final(t), batch_format="pyarrow")
+          .sort(["data_size", "key"], descending=[True, False]))
+    if top_n is not None:
+        ds = ds.limit(top_n)
+    return ds
+
+
 def precheck_redis(rdb_dir: str | None = None, resp_dir: str | None = None,
                    sample_bytes: int = 1 << 16) -> dict:
     """RedisPrechecker analog (dt-precheck/src/prechecker/redis_prechecker.rs:

@@ -183,6 +183,49 @@ def test_partial_compaction_crash_midway_converges(tmp_path):
     assert replay(LakeTable.open(lake.root), events_path=path) == []
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_bigkey_statistics_sizes_and_topn():
+    """Big-key sink size semantics (redis_statistic_sinker.rs:20-53 via
+    redis_entry.rs:53-61): data_size = key bytes + Σ(field + value bytes +
+    8 per score); threshold filters, top_n truncates under the
+    (size desc, key asc) total order — including a key whose rows arrive
+    split across batches."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ape_dts_ray.pipelines.redis_replay import (KEYSPACE_SCHEMA,
+                                                    bigkey_statistics)
+
+    def row(key, rtype, field=None, value=None, score=None):
+        return {"db": 0, "key": key.encode(), "rtype": rtype,
+                "field": field.encode() if field else None, "idx": None,
+                "value": value.encode() if value else None, "score": score,
+                "expire_ms": 0, "field_ttl_ms": 0}
+
+    rows = [
+        row("s1", "string", value="x" * 100),          # 2 + 100 = 102
+        row("zbig", "zset", field="m1", score=1.0),    # 4 + (2+8)
+        row("zbig", "zset", field="m2", score=2.0),    # + (2+8) = 24
+        row("h", "hash", field="f1", value="v" * 50),  # 1 + 52
+        row("h", "hash", field="f2", value="v" * 50),  # + 52 = 105
+        row("tiny", "string", value="v"),              # 4 + 1 = 5
+    ]
+    # split the hash key across two input blocks: partials must re-combine
+    ds = rd.from_arrow([
+        pa.Table.from_pylist(rows[:4], schema=KEYSPACE_SCHEMA),
+        pa.Table.from_pylist(rows[4:], schema=KEYSPACE_SCHEMA)])
+    out = pa.concat_tables(bigkey_statistics(ds, data_size_threshold=24)
+                           .iter_batches(batch_format="pyarrow"))
+    got = {r["key"]: (r["key_type"], r["data_size"])
+           for r in out.to_pylist()}
+    assert got == {"s1": ("string", 102), "h": ("hash", 105),
+                   "zbig": ("zset", 24)}                 # tiny filtered out
+    top = pa.concat_tables(
+        bigkey_statistics(ds, data_size_threshold=0, top_n=2)
+        .iter_batches(batch_format="pyarrow")).to_pylist()
+    assert [r["key"] for r in top] == ["h", "s1"]        # size-desc order
+
+
 # ---------------------------------------------------------------------------
 # DCL classification (dcl_parser.rs:26-229 semantics; expect lists taken
 # from the reference's own test scenarios, dcl_parser.rs:264-553)
