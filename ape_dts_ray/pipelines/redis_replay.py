@@ -53,7 +53,10 @@ import numpy as np
 import pyarrow as pa
 
 from ape_dts_ray.sources import rdb as rdbmod
-from ape_dts_ray.sources.resp import calc_slots, encode_cmd, parse_resp
+import pyarrow.compute as pc
+
+from ape_dts_ray.sources.resp import (calc_slots, encode_cmd, parse_resp,
+                                      scan_resp)
 
 RESP_FILE_STRIDE = 1 << 40      # per-file offset namespace (total order)
 COL_SLOT_PART = "part_id"
@@ -259,6 +262,240 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=_EVENT_SCHEMA)
 
 
+# ------------------------------------------------------------ vectorized
+# scan_to_events: the columnar fast path over sources/resp.py::scan_resp.
+# Semantics are commands_to_events's, kept in lockstep by equality tests
+# (tests/test_redis_property.py) — hot commands expand vectorially, the
+# rare/stateful ones (RESTORE, XADD, HPEXPIREAT, SET with flags) fall back
+# to the per-command loop with their SELECT context re-synthesized.
+
+_CMD_NAMES = [b"SET", b"DEL", b"UNLINK", b"HSET", b"HMSET", b"HDEL",
+              b"SADD", b"SREM", b"ZADD", b"ZREM", b"RPUSH", b"PEXPIREAT",
+              b"SELECT", b"PING", b"REPLCONF", b"MULTI", b"EXEC",
+              b"XSETID", b"XGROUP", b"RESTORE", b"XADD", b"HPEXPIREAT"]
+_CMD_CODE = {n: i for i, n in enumerate(_CMD_NAMES)}
+_NAME_W = 12
+_NAME_MAT = np.zeros((len(_CMD_NAMES), _NAME_W), np.uint8)
+_NAME_LEN = np.zeros(len(_CMD_NAMES), np.int64)
+for _i, _n in enumerate(_CMD_NAMES):
+    _NAME_MAT[_i, :len(_n)] = np.frombuffer(_n, np.uint8)
+    _NAME_LEN[_i] = len(_n)
+
+
+def _gather_bin(a: np.ndarray, starts: np.ndarray,
+                lens: np.ndarray) -> pa.Array:
+    """Arrow binary array from sorted, disjoint (start, len) slices of one
+    byte buffer — scan_resp's arg layout. Called ONCE per file by
+    scan_to_events (every column is then an Arrow ``take`` against the
+    result): a +1/-1 delta at slice boundaries, one int8 cumsum, one
+    boolean take — O(covered bytes) C passes through reused workspace
+    buffers. The naive ``repeat+arange`` index gather is 8 bytes of fresh
+    index per PAYLOAD byte (hundreds of MB per 70 MB segment — measured
+    4-5 s/file on first-touch-pathological hosts). Unsorted/overlapping
+    slices (not produced by any caller today) take that fallback."""
+    from ape_dts_ray.sources.resp import _ws
+
+    n = len(starts)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    total = int(offs[-1])
+    if total == 0:
+        buf = np.zeros(0, np.uint8)
+    else:
+        ends = starts + lens
+        if n > 1 and not bool((starts[1:] >= ends[:-1]).all()):
+            idx = (np.repeat(starts, lens)
+                   + (np.arange(total, dtype=np.int64)
+                      - np.repeat(offs[:-1], lens)))
+            buf = a[idx]
+        else:
+            span = int(ends[-1])
+            delta = _ws("gb_delta", span + 1, np.int8)
+            delta.fill(0)
+            delta[starts] += 1
+            delta[ends] -= 1
+            inside = _ws("gb_inside", span, np.int8)
+            np.cumsum(delta[:-1], out=inside)
+            buf = a[:span][inside.view(np.bool_)]
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offs.astype(np.int32)), pa.py_buffer(buf)])
+
+
+def scan_to_events(data: bytes, base_offset: int = 0, db: int = 0) -> pa.Table:
+    """Columnar commands_to_events over a raw RESP buffer: scan_resp's
+    index arrays in, the element-event table out, with per-command Python
+    only for the rare complex commands. ~an order of magnitude faster than
+    parse_resp + commands_to_events on update-heavy streams."""
+    off, argc, apos, alen = scan_resp(data, base_offset)
+    ncmd = len(off)
+    if ncmd == 0:
+        return _EVENT_SCHEMA.empty_table()
+    a = np.frombuffer(data, np.uint8)
+    n = len(a)
+    cum0 = np.zeros(ncmd, np.int64)
+    np.cumsum(argc[:-1], out=cum0[1:])
+
+    # ---- command-name codes (padded gather + uppercase + table match)
+    has_args = argc > 0
+    if len(apos):
+        safe0 = np.minimum(cum0, len(apos) - 1)
+        n0 = np.where(has_args, apos[safe0], 0)
+        l0 = np.where(has_args, alen[safe0], 0)
+    else:
+        n0 = np.zeros(ncmd, np.int64)
+        l0 = np.zeros(ncmd, np.int64)
+    w = _NAME_W
+    colidx = np.arange(w, dtype=np.int32)[None, :]
+    gidx = np.minimum(n0[:, None].astype(np.int32) + colidx,
+                      max(n - 1, 0)).astype(np.int32, copy=False)
+    valid = colidx < np.minimum(l0, w)[:, None]
+    padded = np.where(valid, a[gidx], 0).astype(np.uint8)
+    lower = (padded >= 97) & (padded <= 122)
+    padded[lower] -= 32
+    code = np.full(ncmd, -1, np.int64)                 # -1 = unknown → slow
+    for i in range(len(_CMD_NAMES)):
+        m = (l0 == _NAME_LEN[i]) & (padded == _NAME_MAT[i]).all(axis=1)
+        code[m] = i
+    code[~has_args] = -2                               # argc==0: skipped
+
+    # ---- SELECT forward-fill (db context is sequential state)
+    db_per_cmd = np.full(ncmd, db, np.int64)
+    sel = np.flatnonzero(code == _CMD_CODE[b"SELECT"])
+    if len(sel):
+        sel_vals = np.zeros(len(sel), np.int64)
+        for si, i in enumerate(sel.tolist()):          # rare: once per db
+            s0 = int(cum0[i])                          # switch per file
+            args = [bytes(a[apos[j]:apos[j] + alen[j]])
+                    for j in range(s0, s0 + int(argc[i]))]
+            sel_vals[si] = int(args[1])
+        seg = np.searchsorted(sel, np.arange(ncmd), side="right")
+        db_per_cmd = np.where(seg > 0, sel_vals[np.maximum(seg - 1, 0)], db)
+
+    pieces: list[pa.Table] = []
+    # ALL arg payloads gathered once (one pair of C passes over the file);
+    # every column below is an Arrow take against this array — C-speed
+    # copies proportional to the column's bytes, duplicates included
+    all_args = _gather_bin(a, apos, alen)
+
+    def bincol(flat):
+        return all_args.take(pa.array(flat, pa.int64()))
+
+    def piece(ev_cmd, level, rtype, op, key_flat, field_flat=None,
+              value_flat=None, score=None, seq=None):
+        ne = len(ev_cmd)
+        cols = {
+            "db": pa.array(db_per_cmd[ev_cmd].astype(np.int32), pa.int32()),
+            "key": bincol(key_flat),
+            "level": pa.repeat(pa.scalar(level, pa.string()), ne),
+            "rtype": pa.repeat(pa.scalar(rtype, pa.string()), ne),
+            "op": pa.repeat(pa.scalar(op, pa.string()), ne),
+            "field": (bincol(field_flat) if field_flat is not None
+                      else pa.nulls(ne, pa.binary())),
+            "value": (bincol(value_flat) if value_flat is not None
+                      else pa.nulls(ne, pa.binary())),
+            "score": (score if score is not None
+                      else pa.nulls(ne, pa.float64())),
+            "log_offset": pa.array(off[ev_cmd], pa.int64()),
+            "seq": pa.array((seq if seq is not None
+                             else np.zeros(ne, np.int32)).astype(np.int32),
+                            pa.int32()),
+        }
+        pieces.append(pa.table(cols, schema=_EVENT_SCHEMA))
+
+    def members(g, skip):
+        """(ev_cmd, flat_idx, seq) for args[skip:] of each command in g."""
+        cnt = np.maximum(argc[g] - skip, 0)
+        tot = int(cnt.sum())
+        ev = np.repeat(g, cnt)
+        c0 = np.zeros(len(g), np.int64)
+        np.cumsum(cnt[:-1], out=c0[1:])
+        s = np.arange(tot, dtype=np.int64) - np.repeat(c0, cnt)
+        return ev, np.repeat(cum0[g] + skip, cnt) + s, s
+
+    def pairs(g):
+        """(ev_cmd, first_flat, second_flat, seq) for (args[2+2s],
+        args[3+2s]) pairs — commands_to_events's range(2, argc-1, 2)."""
+        cnt = np.maximum((argc[g] - 2) // 2, 0)
+        tot = int(cnt.sum())
+        ev = np.repeat(g, cnt)
+        c0 = np.zeros(len(g), np.int64)
+        np.cumsum(cnt[:-1], out=c0[1:])
+        s = np.arange(tot, dtype=np.int64) - np.repeat(c0, cnt)
+        first = np.repeat(cum0[g] + 2, cnt) + 2 * s
+        return ev, first, first + 1, s
+
+    slow = code == -1
+
+    g = np.flatnonzero((code == _CMD_CODE[b"SET"]) & (argc == 3))
+    if len(g):
+        piece(g, "key", "string", "set", cum0[g] + 1, value_flat=cum0[g] + 2)
+    slow |= (code == _CMD_CODE[b"SET"]) & (argc != 3)
+
+    g = np.flatnonzero((code == _CMD_CODE[b"DEL"])
+                       | (code == _CMD_CODE[b"UNLINK"]))
+    if len(g):
+        ev, flat, _ = members(g, 1)
+        piece(ev, "key", "key", "del", flat)          # seq 0 per key (loop
+                                                      # parity: emit default)
+    g = np.flatnonzero((code == _CMD_CODE[b"HSET"])
+                       | (code == _CMD_CODE[b"HMSET"]))
+    if len(g):
+        ev, f, v, s = pairs(g)
+        piece(ev, "field", "hash", "add", cum0[ev] + 1, field_flat=f,
+              value_flat=v, seq=s)
+
+    for nm, rtype, op in ((b"HDEL", "hash", "rem"), (b"SADD", "set", "add"),
+                          (b"SREM", "set", "rem"), (b"ZREM", "zset", "rem")):
+        g = np.flatnonzero(code == _CMD_CODE[nm])
+        if len(g):
+            ev, flat, s = members(g, 2)
+            piece(ev, "field", rtype, op, cum0[ev] + 1, field_flat=flat,
+                  seq=s)
+
+    g = np.flatnonzero(code == _CMD_CODE[b"ZADD"])
+    if len(g):
+        ev, sc_flat, m_flat, s = pairs(g)
+        sc = pc.cast(pc.cast(bincol(sc_flat), pa.string()), pa.float64())
+        piece(ev, "field", "zset", "add", cum0[ev] + 1, field_flat=m_flat,
+              score=sc, seq=s)
+
+    g = np.flatnonzero(code == _CMD_CODE[b"RPUSH"])
+    if len(g):
+        ev, flat, s = members(g, 2)
+        piece(ev, "list", "list", "push", cum0[ev] + 1, value_flat=flat,
+              seq=s)
+
+    g = np.flatnonzero((code == _CMD_CODE[b"PEXPIREAT"]) & (argc >= 3))
+    if len(g):
+        ms = pc.cast(pc.cast(pc.cast(bincol(cum0[g] + 2), pa.string()),
+                             pa.int64()), pa.float64())
+        piece(g, "expire", "key", "expire", cum0[g] + 1, score=ms)
+    slow |= (code == _CMD_CODE[b"PEXPIREAT"]) & (argc < 3)
+
+    # rare/stateful commands: exact per-command loop with SELECT context
+    slow |= np.isin(code, [_CMD_CODE[b"RESTORE"], _CMD_CODE[b"XADD"],
+                           _CMD_CODE[b"HPEXPIREAT"]])
+    slow_idx = np.flatnonzero(slow)
+    if len(slow_idx):
+        feed = []
+        cur_db = 0
+        for i in slow_idx.tolist():
+            s0 = int(cum0[i])
+            args = [bytes(a[apos[j]:apos[j] + alen[j]])
+                    for j in range(s0, s0 + int(argc[i]))]
+            d = int(db_per_cmd[i])
+            if d != cur_db:
+                feed.append((int(off[i]), [b"SELECT", b"%d" % d]))
+                cur_db = d
+            feed.append((int(off[i]), args))
+        pieces.append(commands_to_events(feed, db=0))
+
+    if not pieces:
+        return _EVENT_SCHEMA.empty_table()
+    return pa.concat_tables(pieces)
+
+
 def read_resp_log(log_dir: str):
     """RESP log files → Dataset of element events. One parse task per file
     (the psync stream analog; file seq preserves replication order)."""
@@ -426,7 +663,10 @@ def read_rdb_snapshot(path: str, verify_checksum: bool = True):
         return pa.concat_tables(tables) if tables else \
             KEYSPACE_SCHEMA.empty_table()
 
-    return ds.map_batches(parse_file, batch_format="pyarrow")
+    # batch_size=None: one batch per file block — the default bundles
+    # many files into ONE task and collapses the per-file parallelism
+    return ds.map_batches(parse_file, batch_format="pyarrow",
+                          batch_size=None)
 
 
 def _keyspace_to_entries(t: pa.Table) -> list[dict]:
@@ -1037,8 +1277,11 @@ def read_resp_log_files(paths: list[str]):
         for path, data in zip(batch.column("path").to_pylist(),
                               batch.column("bytes").to_pylist()):
             base = _file_seq(path) * RESP_FILE_STRIDE
-            tables.append(commands_to_events(parse_resp(data, base)))
+            tables.append(scan_to_events(data, base))
         return pa.concat_tables(tables) if tables else \
             _EVENT_SCHEMA.empty_table()
 
-    return ds.map_batches(parse_file, batch_format="pyarrow")
+    # batch_size=None: one batch per file block — the default bundles
+    # many files into ONE task and collapses the per-file parallelism
+    return ds.map_batches(parse_file, batch_format="pyarrow",
+                          batch_size=None)

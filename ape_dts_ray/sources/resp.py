@@ -125,6 +125,241 @@ class _Truncated(Exception):
     """Frame needs bytes past the end of the buffer (cut read, not corrupt)."""
 
 
+import threading as _threading
+
+_SCAN_WS = _threading.local()
+
+
+def _ws(name: str, size: int, dtype) -> np.ndarray:
+    """Per-thread reusable scratch array (grown geometrically, never
+    shrunk). Fresh multi-MB numpy allocations re-fault their pages on every
+    call and intermittently stall for SECONDS under THP/kcompactd reclaim
+    on this host class (measured; same mechanism as the minhash fix in
+    functions/dedup.py) — scan_resp routes all its O(tokens) temporaries
+    through this pool so a long-lived parse worker allocates once. Slices
+    handed out alias the pool: callers must fully overwrite before reading
+    and must copy (fancy-index) anything that outlives the call."""
+    pool = getattr(_SCAN_WS, "pool", None)
+    if pool is None:
+        pool = _SCAN_WS.pool = {}
+    buf = pool.get(name)
+    if buf is None or buf.size < size or buf.dtype != np.dtype(dtype):
+        cap = 1 << max(16, int(size - 1).bit_length())
+        buf = pool[name] = np.empty(cap, dtype)
+    return buf[:size]
+
+
+def _scalar_step(data: bytes, pos: int):
+    """Parse ONE frame at ``pos`` with the exact parse_resp semantics.
+    Returns (new_pos, cmd) where cmd is (start, [(arg_pos, arg_len), ...])
+    or None for skipped inline frames / keep-alives. Raises _Truncated /
+    ValueError exactly like the scalar walker — this is the fallback unit
+    of scan_resp for the irregular cases (inline frames, keep-alive
+    newlines, payloads containing CRLF, torn tails)."""
+    n = len(data)
+    t = data[pos:pos + 1]
+    if t in (b"+", b"-", b":"):
+        eol = data.find(b"\r\n", pos)
+        if eol < 0:
+            raise _Truncated
+        return eol + 2, None
+    if t == b"\n":                       # psync keep-alive newline
+        return pos + 1, None
+    if t != b"*":
+        raise ValueError(f"resp: unexpected byte {t!r} at {pos}")
+    start = pos
+    eol = data.find(b"\r\n", pos)
+    if eol < 0:
+        raise _Truncated
+    argc = int(data[pos + 1:eol])
+    pos = eol + 2
+    args = []
+    for _ in range(argc):
+        if pos >= n:
+            raise _Truncated
+        if data[pos:pos + 1] != b"$":
+            raise ValueError(f"resp: expected bulk string at {pos}")
+        eol = data.find(b"\r\n", pos)
+        if eol < 0:
+            raise _Truncated
+        ln = int(data[pos + 1:eol])
+        pos = eol + 2
+        if pos + ln + 2 > n:
+            raise _Truncated
+        args.append((pos, ln))
+        pos += ln + 2
+    return pos, (start, args)
+
+
+def scan_resp(data: bytes, base_offset: int = 0,
+              tolerate_truncation: bool = False,
+              window: int = 8 << 20):
+    """Columnar RESP scan — parse_resp's semantics without per-arg Python
+    objects. Returns four numpy int64 arrays:
+
+        (cmd_off[ncmd], argc[ncmd], arg_pos[nargs], arg_len[nargs])
+
+    where command i's arguments are the flat slice
+    ``arg_pos/arg_len[cum_argc[i] : cum_argc[i] + argc[i]]`` into ``data``
+    — consumers gather bytes vectorially (redis_replay.scan_to_events).
+
+    Fast path: one numpy pass per WINDOW finds every CRLF; header tokens
+    parse their decimal vectorially (only '*'/'$'-leading tokens, loop
+    bounded by their actual digit width); the command chain advances one
+    Python int per COMMAND (t += 1 + 2·argc) instead of per byte; every
+    declared bulk length is validated against the actual token layout. Any
+    irregular frame — inline status/error/integer, keep-alive newline, a
+    payload that itself contains CRLF, a torn tail, a frame spanning the
+    window boundary — fails validation and is handled by ``_scalar_step``
+    (exact parse_resp semantics, over the FULL buffer), after which the
+    fast scan resumes. Big temporaries live in a per-thread workspace
+    reused across calls AND windows — fresh multi-MB numpy allocations
+    fault pathologically on THP/reclaim-pressure hosts (seconds-long
+    stalls, same mechanism as the round-3 minhash fix in BASELINE.md);
+    windowing bounds the workspace (and so the one-time first-touch cost)
+    by ``window``, not by file size."""
+    n = len(data)
+
+    def _empty():
+        z = np.zeros(0, np.int64)
+        return z, z.copy(), z.copy(), z.copy()
+
+    if n == 0:
+        return _empty()
+    a = np.frombuffer(data, np.uint8)
+    seg_off, seg_argc, seg_apos, seg_alen = [], [], [], []
+
+    def emit_scalar(cmd) -> None:
+        st, args = cmd
+        seg_off.append(np.array([base_offset + st], np.int64))
+        seg_argc.append(np.array([len(args)], np.int64))
+        seg_apos.append(np.array([p for p, _ in args], np.int64))
+        seg_alen.append(np.array([l for _, l in args], np.int64))
+
+    pos = 0
+    try:
+        while pos < n:
+            w0, wend = pos, min(pos + window, n)
+            # ---- per-window token tables (positions are ABSOLUTE)
+            sub = a[w0:wend]
+            if wend - w0 > 1:
+                eq = _ws("eq", wend - w0 - 1, np.bool_)
+                np.equal(sub[:-1], 13, out=eq)
+                eq2 = _ws("eq2", wend - w0 - 1, np.bool_)
+                np.equal(sub[1:], 10, out=eq2)
+                eq &= eq2
+                crlf = np.flatnonzero(eq)
+                crlf += w0
+            else:
+                crlf = np.zeros(0, np.int64)
+            ntok = len(crlf)
+            # int32 throughout (windows ≪ 2 GB; the digit parse is capped
+            # at 9 digits so values stay in range) — halves the workspace
+            starts = _ws("starts", ntok, np.int32)
+            if ntok:
+                starts[0] = w0
+                np.add(crlf[:-1], 2, out=starts[1:], casting="unsafe")
+            tok_len = _ws("tok_len", ntok, np.int32)
+            np.subtract(crlf, starts, out=tok_len, casting="unsafe")
+            fb = a[starts] if ntok else np.zeros(0, np.uint8)  # empty→'\r'
+            # decimal parse, restricted to '*'/'$' tokens with 1-9 digits
+            # (a 10+-digit argc/bulk-len breaks validation → scalar path)
+            val = _ws("val", ntok, np.int32)
+            val.fill(-1)                  # -1 = not a parseable header
+            is_hdr = _ws("is_hdr", ntok, np.bool_)
+            np.equal(fb, 42, out=is_hdr)
+            eqd = _ws("eqd", ntok, np.bool_)
+            np.equal(fb, 36, out=eqd)
+            is_hdr |= eqd
+            is_hdr &= tok_len >= 2
+            is_hdr &= tok_len <= 10
+            cand = np.flatnonzero(is_hdr)
+            if len(cand):
+                cs = starts[cand] + 1
+                cdl = tok_len[cand] - 1
+                vc = np.zeros(len(cand), np.int32)
+                okc = np.ones(len(cand), np.bool_)
+                for j in range(int(cdl.max())):
+                    m = j < cdl
+                    d = a[np.minimum(cs + j, n - 1)].astype(np.int32)
+                    okc &= ~m | ((d >= 48) & (d <= 57))
+                    m &= okc
+                    vc[m] = vc[m] * 10 + (d[m] - 48)
+                vc[~okc] = -1
+                val[cand] = vc
+            chv = _ws("chv", ntok, np.int32)   # '*' headers: argc, else -1
+            np.copyto(chv, val)
+            chv[fb != 42] = -1
+            chv_l = chv.tolist()          # fast scalar access for the walk
+            hdr_ok = _ws("hdr_ok", ntok, np.bool_)  # '$' + valid length
+            np.equal(fb, 36, out=hdr_ok)
+            hdr_ok &= val >= 0
+
+            # ---- frames starting inside this window
+            while pos < wend:
+                t0 = int(np.searchsorted(crlf, pos))
+                if t0 >= ntok or starts[t0] != pos:
+                    # mid-token resume (after keep-alive), torn tail, or a
+                    # frame whose first line crosses the window boundary
+                    pos, cmd = _scalar_step(data, pos)
+                    if cmd is not None:
+                        emit_scalar(cmd)
+                    continue
+                # chain walk: one Python step per command
+                cmds = []
+                t = t0
+                while t < ntok:
+                    v = chv_l[t]
+                    nxt = t + 1 + 2 * v
+                    if v < 0 or nxt > ntok:
+                        break
+                    cmds.append(t)
+                    t = nxt
+                walked = len(cmds)
+                k = walked
+                if walked:
+                    ct = np.asarray(cmds, np.int64)
+                    ac = chv[ct].astype(np.int64)
+                    cum = np.cumsum(ac)
+                    cum0 = np.concatenate([np.zeros(1, np.int64), cum[:-1]])
+                    intra = (np.arange(int(cum[-1]), dtype=np.int64)
+                             - np.repeat(cum0, ac))
+                    hdr = np.repeat(ct, ac) + 1 + 2 * intra
+                    pay = hdr + 1
+                    valid = hdr_ok[hdr] & (val[hdr] == tok_len[pay])
+                    if not valid.all():
+                        # first structurally inconsistent command: all
+                        # before it are proven (every bulk length matched
+                        # the token layout); the chain past it is discarded
+                        bad_arg = int(np.argmax(~valid))
+                        k = int(np.searchsorted(cum, bad_arg, side="right"))
+                    if k:
+                        keep = int(cum[k - 1])
+                        seg_off.append(base_offset
+                                       + starts[ct[:k]].astype(np.int64))
+                        seg_argc.append(ac[:k])
+                        seg_apos.append(starts[pay[:keep]].astype(np.int64))
+                        seg_alen.append(tok_len[pay[:keep]].astype(np.int64))
+                        last = int(ct[k - 1] + 2 * ac[k - 1])  # last token
+                        pos = int(crlf[last]) + 2
+                if k == walked and walked and t >= ntok:
+                    break       # all accepted; next window (or torn tail)
+                # irregular frame at pos: command k failed validation, or
+                # the chain stopped on a non-'*' token (pos == its start
+                # either way) — exact scalar semantics for this one frame
+                pos, cmd = _scalar_step(data, pos)
+                if cmd is not None:
+                    emit_scalar(cmd)
+    except _Truncated:
+        if not tolerate_truncation:
+            raise ValueError(
+                f"resp: truncated frame at {pos} (torn write?)") from None
+    if not seg_off:
+        return _empty()
+    return (np.concatenate(seg_off), np.concatenate(seg_argc),
+            np.concatenate(seg_apos), np.concatenate(seg_alen))
+
+
 def parse_resp(data: bytes, base_offset: int = 0,
                tolerate_truncation: bool = False):
     """Parse a RESP command stream → list of (offset, [args]).

@@ -202,3 +202,66 @@ def test_fold_matches_sequential_model(cmds):
             r["score"], r["expire_ms"])
            for r in fold_events(ev).to_pylist()}
     assert got == _model(cmds)
+
+
+# -------------------------------------------- scan path ≡ per-command loop
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_cmd, max_size=25))
+def test_scan_to_events_matches_loop(cmds):
+    """The columnar fast path (scan_resp + vectorized expansion) emits the
+    exact event multiset of the per-command loop, for any command log the
+    fold strategy generates."""
+    from ape_dts_ray.pipelines.redis_replay import scan_to_events
+
+    data = encode_cmds(cmds)
+    loop = commands_to_events(parse_resp(data, 1 << 40))
+    fast = scan_to_events(data, 1 << 40)
+    assert loop.schema.equals(fast.schema)
+    assert sorted(map(str, loop.to_pylist())) == \
+        sorted(map(str, fast.to_pylist()))
+
+
+def test_scan_to_events_edges():
+    """Edges the strategy cannot reach: payloads containing CRLF, SELECT db
+    context for fast AND slow commands, inline frames + keep-alives, RESTORE
+    (slow path), empty/odd arities, error parity for unsupported commands."""
+    from ape_dts_ray.pipelines.redis_replay import scan_to_events
+    from ape_dts_ray.sources import rdb as rdbmod
+    from ape_dts_ray.sources.resp import encode_cmd
+
+    dump = rdbmod.dump_value({"type": "string", "value": b"hello"})
+    cmds = [
+        [b"SELECT", b"3"],
+        [b"SET", b"crlf", b"a\r\nb\r\n"],            # payload with CRLF
+        [b"set", b"lower", b"v"],                    # case-insensitive name
+        [b"HSET", b"h", b"f", b"v", b"odd"],         # dangling pair tail
+        [b"DEL", b"a", b"b", b"c"],
+        [b"RESTORE", b"rk", b"0", dump],             # slow path under db 3
+        [b"SELECT", b"0"],
+        [b"ZADD", b"z", b"2.5", b"m\r\nx"],          # CRLF in member
+        [b"PEXPIREAT", b"crlf", b"123456"],
+        [b"PING"], [b"MULTI"], [b"EXEC"], [b"XSETID", b"s", b"1-1"],
+    ]
+    data = b"+FULLRESYNC abc 0\r\n" + b"\n".join(
+        encode_cmd(c) for c in cmds) + b"\n"         # keep-alives interleaved
+    loop = commands_to_events(parse_resp(data, 7))
+    fast = scan_to_events(data, 7)
+    assert sorted(map(str, loop.to_pylist())) == \
+        sorted(map(str, fast.to_pylist()))
+    assert any(r["db"] == 3 for r in fast.to_pylist())   # SELECT reached both
+
+    for bad in ([[b"FLUSHALL"]], [[b"SET", b"k", b"v", b"EX", b"1"]],
+                [[b"XADD", b"s", b"*", b"f", b"v"]],
+                [[b"SET", b"k", b"v", b"KEEPTTL"]]):
+        raw = encode_cmds(bad)
+        e_loop = e_fast = None
+        try:
+            commands_to_events(parse_resp(raw))
+        except Exception as e:
+            e_loop = str(e)
+        try:
+            scan_to_events(raw)
+        except Exception as e:
+            e_fast = str(e)
+        assert e_loop and e_loop == e_fast
