@@ -15,7 +15,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from ape_dts_ray.sources.derive import CHANGES_CTE, DCL_CTE, WIDE_CTE
+from ape_dts_ray.sources.derive import (CHANGES_CTE, DCL_CTE, MONGO_CTE,
+                                        WIDE_CTE)
 
 
 def _stopword_values() -> str:
@@ -85,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_pk_change": q.cdc_pk_change,
         "cdc_sql_format": q.cdc_sql_format,
         "cdc_dcl": q.cdc_dcl,
+        "cdc_mongo_doc": q.cdc_mongo_doc,
+        "cdc_avro_transport": q.cdc_avro_transport,
         "cdc_wide_types": q.cdc_wide_types,
         "redis_replay": q.redis_replay,
         "redis_incremental": q.redis_incremental,
@@ -435,6 +438,22 @@ def oracle_sql() -> dict[str, str]:
                      || COALESCE('''' || replace(tool, '''', '''''') || '''', 'NULL') || ');'
               END AS "sql"
             FROM changes
+        """,
+        # Mongo-shaped oplog replay: per-_id LWW winners (mongo_merger.rs
+        # fold), docs derived in lockstep with derive_mongo_changes
+        "cdc_mongo_doc": MONGO_CTE + """,
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY _id ORDER BY log_offset DESC) AS rn
+              FROM mongo
+            )
+            SELECT _id, doc FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # Avro transport must be lossless: state after encode→decode→replay
+        # equals the direct replay's oracle
+        "cdc_avro_transport": CHANGES_CTE + "," + _LAST + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
         # DCL statement log: classification ground truth comes from the
         # template id (DCL_CTE, lockstep with derive_dcl_statements — the

@@ -538,6 +538,53 @@ def cdc_sql_format(sf_dir: str):
         format_sql, batch_format="pyarrow")
 
 
+def cdc_mongo_doc(sf_dir: str) -> pa.Table:
+    """Mongo oplog replay (MongoSnapshot/MongoCdc → MongoMerger,
+    mongo_merger.rs:17-100): a SINGLE-id-col (`_id`) table with JSON doc
+    payloads rides the generic engine path — partition AND salt fall back
+    to the id col itself — through the full apply, a mid-replay crash, a
+    fresh-process resume (oplog resume-token analog: committed epochs skip
+    wholesale), and merge-on-read. Oracle-backed: the final docs are the
+    per-_id LWW winners in SQL."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.sources.derive import mongo_changes_dataset
+
+    meta = TableMeta(name="docs", id_cols=("_id",), partition_col="_id",
+                     order_cols=("_id",), payload_cols=("doc",))
+    n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    epoch_size = max(1, min(n // 2, max(4000, n // 8)))
+    root = tempfile.mkdtemp(prefix="ape_dts_ray_mongo_")
+    lake = LakeTable.create(root + "/lake", meta,
+                            EngineConfig(num_partitions=QUERY_PARTITIONS,
+                                         epoch_size=epoch_size))
+    ds = mongo_changes_dataset(sf_dir)
+    mx = _events_max_offset(sf_dir)
+    replay(lake, events_ds=ds, stop_after_epoch=0, max_offset=mx)  # crash
+    lake = LakeTable.open(lake.root)                # fresh-process resume
+    replay(lake, events_ds=ds, max_offset=mx)
+    return _consume_lake(lake)
+
+
+def cdc_avro_transport(sf_dir: str) -> pa.Table:
+    """Kafka-envelope transport (avro_converter.rs:58-77 +
+    kafka_sinker/extractor semantics, no broker in this environment): the
+    change stream is encoded into REAL Avro single-object binary frames
+    (spec marker + CRC-64-AVRO schema fingerprint + zigzag varints),
+    decoded back, and replayed — the state after transport must equal the
+    direct replay's oracle exactly (shared with cdc_apply_lww)."""
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.stages.avro import avro_decode, avro_encode
+
+    lake = _fresh_lake("avrotrans")
+    ds = (changes_dataset(sf_dir)
+          .map_batches(avro_encode, batch_format="pyarrow")
+          .map_batches(avro_decode, batch_format="pyarrow"))
+    replay(lake, events_ds=ds, max_offset=_events_max_offset(sf_dir))
+    return _consume_lake(lake)
+
+
 def cdc_dcl(sf_dir: str):
     """DCL replication path (dcl_parser.rs:26-229 classification →
     rdb_filter.rs:118-124 ``do_dcls`` filter → statement log, the SqlSinker

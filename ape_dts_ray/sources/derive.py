@@ -215,6 +215,72 @@ def wide_changes_dataset(sf_dir: str, batch_size: int = 65_536):
 
 
 # ---------------------------------------------------------------------------
+# Mongo-shaped change stream — the MongoMerger semantics (dt-parallelizer/
+# src/mongo_merger.rs:17-100: LWW by the single `_id` key; the oplog's
+# update/delete carry the doc after-image or just the key) as a derived
+# stream: one id column, one JSON doc payload. MONGO_CTE is the lockstep
+# DuckDB derivation. `% 359` churns ids so updates/deletes overwrite.
+# ---------------------------------------------------------------------------
+
+MONGO_ID_MOD = 359
+
+MONGO_CTE = f"""
+WITH mongo AS (
+  SELECT
+    event_id AS log_offset,
+    CASE WHEN event_type = 'error' THEN 'delete'
+         WHEN event_type IN ('click', 'view') THEN 'update'
+         ELSE 'insert' END AS op,
+    'oid-' || CAST(user_id % {MONGO_ID_MOD} AS VARCHAR) AS _id,
+    CASE WHEN event_type = 'error' THEN NULL
+         ELSE '{{"et":"' || event_type || '","uid":' ||
+              CAST(user_id AS VARCHAR) || ',"ev":' ||
+              CAST(event_id AS VARCHAR) || '}}' END AS doc
+  FROM events
+)
+"""
+
+
+def derive_mongo_changes(batch: pa.Table) -> pa.Table:
+    """Arrow map_batches body — must match MONGO_CTE row for row."""
+    et = batch.column("event_type")
+    is_del = pc.equal(et, pa.scalar("error"))
+    is_upd = pc.is_in(et, value_set=pa.array(["click", "view"]))
+    op = pc.if_else(is_del, pa.scalar("delete"),
+                    pc.if_else(is_upd, pa.scalar("update"),
+                               pa.scalar("insert")))
+    n = batch.num_rows
+    uid = batch.column("user_id")
+    uid_np = uid.to_numpy(zero_copy_only=False)
+    oid = pc.binary_join_element_wise(
+        pa.array(np.full(n, "oid-", dtype=object), type=pa.string()),
+        pa.array((uid_np % MONGO_ID_MOD).astype(str)), "")
+    doc = pc.binary_join_element_wise(
+        pa.array(np.full(n, '{"et":"', dtype=object), type=pa.string()), et,
+        pa.array(np.full(n, '","uid":', dtype=object), type=pa.string()),
+        pc.cast(uid, pa.string()),
+        pa.array(np.full(n, ',"ev":', dtype=object), type=pa.string()),
+        pc.cast(batch.column("event_id"), pa.string()),
+        pa.array(np.full(n, "}", dtype=object), type=pa.string()), "")
+    return pa.table({
+        "log_offset": batch.column("event_id").cast(pa.int64()),
+        "op": op,
+        "_id": oid,
+        "doc": pc.if_else(is_del, pa.nulls(n, pa.string()), doc),
+    })
+
+
+def mongo_changes_dataset(sf_dir: str, batch_size: int = 65_536):
+    """events.parquet → Mongo-shaped change-event Dataset."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type"])
+    return ds.map_batches(derive_mongo_changes, batch_format="pyarrow",
+                          batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
 # DCL statement stream — a deterministic mix of the statements the
 # reference's DclParser classifies (dcl_parser.rs:66-229 heads; scenario
 # shape from dt-tests mysql_to_mysql/cdc/dcl_test/src_test.sql), derived
