@@ -144,6 +144,28 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(a & b) / max(1, len(a | b))
 
 
+def _shingle_frame(d: pd.DataFrame, k: int):
+    """Per-doc UNIQUE shingle hashes as one exploded frame + per-doc set
+    sizes — the precomputation that lets the broadcast verify compute every
+    pair's intersection with one merge instead of re-shingling both texts
+    per pair. Empty-shingle docs have no rows (sizes reindex to 0; the
+    both-empty pair is Jaccard 1.0 by jaccard()'s convention)."""
+    ids, hs = [], []
+    for doc_id, text in zip(d["doc_id"].to_numpy(np.int64), d["text"]):
+        u = np.unique(_shingles(text or "", k))
+        if len(u):
+            ids.append(np.full(len(u), doc_id, dtype=np.int64))
+            hs.append(u)
+    if ids:
+        sf = pd.DataFrame({"doc_id": np.concatenate(ids),
+                           "sh": np.concatenate(hs)})
+    else:
+        sf = pd.DataFrame({"doc_id": np.array([], np.int64),
+                           "sh": np.array([], np.uint64)})
+    sizes = sf.groupby("doc_id").size()
+    return sf, sizes
+
+
 _EMPTY_PAIRS = {"a": pd.array([], dtype="int64"),
                 "b": pd.array([], dtype="int64")}
 
@@ -358,14 +380,30 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, bands: int = 32,
 
                 def attach_verify(batch: pd.DataFrame) -> pd.DataFrame:
                     d = ray.get(dref)   # zero-copy plasma after first fetch
-                    da = d.rename(columns={"doc_id": "a", "text": "text_a"})
-                    db = d.rename(columns={"doc_id": "b", "text": "text_b"})
-                    m = batch.merge(da, on="a").merge(db, on="b")
-                    ok = np.fromiter(
-                        (jaccard(ta or "", tb or "", shingle_k) >= threshold
-                         for ta, tb in zip(m["text_a"], m["text_b"])),
-                        dtype=bool, count=len(m))
-                    out = m.loc[ok, ["a", "b"]]
+                    # shingle sets computed ONCE PER DOC (the pair loop used
+                    # to recompute them per pair); intersection sizes come
+                    # from one exploded merge — no per-pair Python at all
+                    sf, sizes = _shingle_frame(d, shingle_k)
+                    keep = []
+                    step = 8192         # bounds the exploded merge frames
+                    for lo in range(0, len(batch), step):
+                        m = batch.iloc[lo:lo + step].reset_index(drop=True)
+                        m = m.assign(pair=np.arange(len(m), dtype=np.int64))
+                        left = m[["pair", "a", "b"]].merge(
+                            sf.rename(columns={"doc_id": "a"}), on="a")
+                        inter = left.merge(
+                            sf.rename(columns={"doc_id": "b"}),
+                            on=["b", "sh"])
+                        icnt = (inter.groupby("pair").size()
+                                .reindex(np.arange(len(m)), fill_value=0)
+                                .to_numpy())
+                        sa = sizes.reindex(m["a"]).fillna(0).to_numpy()
+                        sb = sizes.reindex(m["b"]).fillna(0).to_numpy()
+                        union = np.maximum(sa + sb - icnt, 1)
+                        jac = np.where((sa == 0) & (sb == 0), 1.0,
+                                       icnt / union)     # jaccard() exact:
+                        keep.append(m.loc[jac >= threshold, ["a", "b"]])
+                    out = pd.concat(keep) if keep else pd.DataFrame(_EMPTY_PAIRS)
                     return (pd.DataFrame(_EMPTY_PAIRS) if out.empty
                             else out.astype("int64"))
 

@@ -37,11 +37,14 @@ def detect_hot_keys(events_ds, threshold: float = 0.05,
 
     partials = events_ds.map_batches(partial_counts, batch_format="pyarrow")
     counts = partials.groupby(conv_col).aggregate(Sum("n", alias_name="n"))
-    df = counts.to_pandas()                   # one row per conversation — small
-    if df.empty or "n" not in df.columns:     # empty stream → no schema/rows
+    total = counts.sum("n")                   # distributed reduce
+    if not total:                             # empty stream (None) or 0
         return ()
-    total = int(df["n"].sum())
-    if total == 0:
-        return ()
-    hot = df[df["n"] > threshold * total][conv_col]
+    # Σ counts == total, so at most ⌊1/threshold⌋ keys can exceed
+    # threshold·total — land only the top-K candidate rows on the driver,
+    # never one row per conversation (a high-cardinality sample prefix
+    # would otherwise ship millions of rows here)
+    k = int(1.0 / threshold) + 1
+    top = counts.sort("n", descending=True).limit(k).to_pandas()
+    hot = top[top["n"] > threshold * total][conv_col]
     return tuple(sorted(hot))

@@ -226,6 +226,34 @@ def test_bigkey_statistics_sizes_and_topn():
     assert [r["key"] for r in top] == ["h", "s1"]        # size-desc order
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_hot_key_detection_high_cardinality_bounded():
+    """A stream with 50k UNIQUE conversations plus one hot key: detection
+    still finds exactly the hot key, and the driver only ever receives the
+    top-⌊1/threshold⌋+1 candidate rows (structural bound in hotkeys.py —
+    this stream would previously land 50k rows)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ape_dts_ray.stages.hotkeys import detect_hot_keys
+
+    n_unique, n_hot = 50_000, 30_000
+    conv = np.concatenate([
+        np.char.add("conv-", np.arange(n_unique).astype(str)),
+        np.full(n_hot, "conv-hot", dtype=object)])
+    rng = np.random.default_rng(4)
+    rng.shuffle(conv)
+    ds = rd.from_arrow(pa.table({"conv_id": pa.array(conv, pa.string())}))
+    assert detect_hot_keys(ds, threshold=0.05) == ("conv-hot",)
+    # sub-threshold world (unique ids only): nothing hot, empty tuple —
+    # not a 50k-row driver landing
+    uniform = np.char.add("conv-", np.arange(n_unique).astype(str))
+    ds2 = rd.from_arrow(pa.table({"conv_id": pa.array(uniform, pa.string())}))
+    assert detect_hot_keys(ds2, threshold=0.05) == ()
+    assert detect_hot_keys(ds2.limit(0), threshold=0.05) == ()
+
+
 # ---------------------------------------------------------------------------
 # DCL classification (dcl_parser.rs:26-229 semantics; expect lists taken
 # from the reference's own test scenarios, dcl_parser.rs:264-553)
