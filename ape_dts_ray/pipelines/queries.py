@@ -578,7 +578,11 @@ def cdc_avro_transport(sf_dir: str) -> pa.Table:
     from ape_dts_ray.stages.avro import avro_decode, avro_encode
 
     lake = _fresh_lake("avrotrans")
+    # the sf events parquet is ONE row group → one read block; without a
+    # repartition the per-record codec (sequential by format, like the
+    # broker's per-message framing) would run in a single task
     ds = (changes_dataset(sf_dir)
+          .repartition(QUERY_PARTITIONS * 2)
           .map_batches(avro_encode, batch_format="pyarrow")
           .map_batches(avro_decode, batch_format="pyarrow"))
     replay(lake, events_ds=ds, max_offset=_events_max_offset(sf_dir))

@@ -164,11 +164,25 @@ def scaling() -> None:
         time.sleep(10)   # let the previous Ray session's processes fully exit
         return json.loads(out.stdout.strip().splitlines()[-1])
 
+    def wait_quiet(limit: float = 1.5, timeout: float = 600.0) -> float:
+        """BASELINE.md measurement protocol: this sandbox loses up to 2-3×
+        throughput to residual load from just-finished Ray sessions, so a
+        level is only recordable on a quiet machine. Returns the 1-min
+        loadavg the level actually started at (recorded alongside it)."""
+        t0 = time.time()
+        load = os.getloadavg()[0]
+        while load >= limit and time.time() - t0 < timeout:
+            time.sleep(15)
+            load = os.getloadavg()[0]
+        return load
+
     report = {}
     for n in (2, 8, 6, 24, 32):
+        load = wait_quiet()
         r = run(n)
         report[f"sec_{n}cpu"] = r["value"]
         report[f"events_per_sec_{n}cpu"] = r["events_per_sec"]
+        report[f"load1_{n}cpu"] = round(load, 2)
         report["events"] = r["events"]
     for lo, hi in ((2, 8), (6, 24), (8, 32)):
         report[f"scaling_efficiency_{lo}_{hi}"] = round(
