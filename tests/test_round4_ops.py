@@ -227,6 +227,55 @@ def test_bigkey_statistics_sizes_and_topn():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_partial_compaction_random_sequences_converge(tmp_path):
+    """Randomized schedules: any interleaving of partial compactions
+    (random thresholds/horizons), CDC continuation, and full compaction
+    preserves the oracle state at every step — the maintenance policy can
+    fire WHENEVER it wants between replays."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    events = gen_events(seed=48, n_convs=30, max_turns=8, n_events=3000,
+                        delete_frac=0.2)
+    half = events.num_rows // 2
+    p1, p2 = str(tmp_path / "e1.parquet"), str(tmp_path / "e2.parquet")
+    pq.write_table(events.slice(0, half), p1)
+    pq.write_table(events.slice(half), p2)
+    oracle_half = oracle_replay(events.slice(0, half))
+    oracle_full = oracle_replay(events)
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        root = str(tmp_path / f"lake{trial}")
+        lake = LakeTable.create(root, TableMeta(),
+                                EngineConfig(num_partitions=8, epoch_size=300))
+        replay(lake, events_path=p1)
+
+        def check(expect):
+            got = LakeTable.open(root).state_table().to_pandas()
+            assert len(got) == len(expect)
+            assert list(got["text"]) == list(expect["text"])
+
+        for _ in range(int(rng.integers(1, 4))):        # random maintenance
+            lake = LakeTable.open(root)
+            lake.compact(max_delta_files=int(rng.integers(0, 4)),
+                         keep_epochs=int(rng.integers(0, 4)),
+                         parallel=False)
+            check(oracle_half)
+        replay(LakeTable.open(root), events_path=p2, min_offset=half)
+        check(oracle_full)
+        lake = LakeTable.open(root)
+        if rng.random() < 0.5:
+            lake.compact(max_delta_files=0, parallel=False)
+        else:
+            lake.compact(parallel=False)
+        check(oracle_full)
+        assert replay(LakeTable.open(root), events_path=p2,
+                      min_offset=half) == []             # resume no-op
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hot_key_detection_high_cardinality_bounded():
     """A stream with 50k UNIQUE conversations plus one hot key: detection
     still finds exactly the hot key, and the driver only ever receives the
