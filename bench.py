@@ -49,6 +49,19 @@ NARROW = os.environ.get("BENCH_NARROW") == "1"
 TEXT_LEN = int(os.environ.get("BENCH_TEXT_LEN", "80"))
 
 
+def _compact_host_memory() -> None:
+    """Best-effort defragmentation before measuring (BASELINE.md round-4
+    finding: THP allocation stalls from accumulated memory fragmentation
+    degrade the identical bench ~2-3× late in a host session; one write to
+    vm.compact_memory recovers most of it). No-op without permission."""
+    try:
+        with open("/proc/sys/vm/compact_memory", "w") as f:
+            f.write("1")
+        time.sleep(2)
+    except OSError:
+        pass
+
+
 def run_replay_bench() -> dict:
     import ray
 
@@ -128,6 +141,7 @@ def main() -> None:
     # trivial groupby().map_groups hangs under it in this Ray build — the
     # engine stays on SORT_SHUFFLE_PULL_BASED (details in BASELINE.md).
 
+    _compact_host_memory()
     replay_res = run_replay_bench()
     queries = {} if os.environ.get("BENCH_QUERIES") == "0" else run_query_bench()
 
