@@ -1119,7 +1119,13 @@ def redis_bigkeys(sf_dir: str) -> pa.Table:
                                    data_size_threshold=420, top_n=40,
                                    num_partitions=QUERY_PARTITIONS)
         batches = list(out_ds.iter_batches(batch_format="pyarrow"))
-        out = pa.concat_tables(batches).combine_chunks()
+        if batches:
+            out = pa.concat_tables(batches).combine_chunks()
+        else:                       # nothing over the threshold: empty table
+            out = pa.schema([("db_id", pa.int64()),
+                             ("key_type", pa.string()),
+                             ("key", pa.string()),
+                             ("data_size", pa.int64())]).empty_table()
     finally:
         shutil.rmtree(snap_dir, ignore_errors=True)
     return out

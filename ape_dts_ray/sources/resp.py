@@ -183,6 +183,12 @@ def _scalar_step(data: bytes, pos: int):
         if eol < 0:
             raise _Truncated
         ln = int(data[pos + 1:eol])
+        if ln < 0:
+            # $-1 (null bulk) is a REPLY form — a command stream's args are
+            # plain bulk strings (cmd_encoder.rs emits no nulls), and the
+            # length-driven walk cannot represent a null arg. Loud refusal
+            # beats the silent frame misalignment a -1 stride would cause.
+            raise ValueError(f"resp: null/negative bulk length at {pos}")
         pos = eol + 2
         if pos + ln + 2 > n:
             raise _Truncated
@@ -226,6 +232,13 @@ def scan_resp(data: bytes, base_offset: int = 0,
 
     if n == 0:
         return _empty()
+    if n >= 1 << 31:
+        # int32 fast-path positions (here and in scan_to_events' gathers /
+        # Arrow binary offsets) would wrap — refuse loudly rather than
+        # corrupt. Log segments are the parallel read unit; split them
+        # (the per-file offset stride supports any segment count).
+        raise ValueError("scan_resp: segment exceeds 2 GiB — split the "
+                         "RESP log into smaller segment files")
     a = np.frombuffer(data, np.uint8)
     seg_off, seg_argc, seg_apos, seg_alen = [], [], [], []
 
@@ -375,6 +388,9 @@ def parse_resp(data: bytes, base_offset: int = 0,
     far are returned (head-sample prechecks over an arbitrary byte cut);
     without it truncation raises like corruption — a torn trailing bulk
     string must never silently yield a shortened argument.
+
+    The frame grammar lives ONCE in ``_scalar_step`` — this walker and
+    scan_resp's fallback share it structurally, not by hand-kept lockstep.
     """
     out = []
     pos = 0
@@ -382,42 +398,13 @@ def parse_resp(data: bytes, base_offset: int = 0,
     while pos < n:
         start = pos
         try:
-            t = data[pos:pos + 1]
-            if t in (b"+", b"-", b":"):
-                eol = data.find(b"\r\n", pos)
-                if eol < 0:
-                    raise _Truncated
-                pos = eol + 2
-                continue
-            if t == b"\n":                   # psync keep-alive newline
-                pos += 1
-                continue
-            if t != b"*":
-                raise ValueError(f"resp: unexpected byte {t!r} at {pos}")
-            eol = data.find(b"\r\n", pos)
-            if eol < 0:
-                raise _Truncated
-            argc = int(data[pos + 1:eol])
-            pos = eol + 2
-            args = []
-            for _ in range(argc):
-                if pos >= n:
-                    raise _Truncated
-                if data[pos:pos + 1] != b"$":
-                    raise ValueError(f"resp: expected bulk string at {pos}")
-                eol = data.find(b"\r\n", pos)
-                if eol < 0:
-                    raise _Truncated
-                ln = int(data[pos + 1:eol])
-                pos = eol + 2
-                if pos + ln + 2 > n:
-                    raise _Truncated
-                args.append(data[pos:pos + ln])
-                pos += ln + 2                # skip trailing \r\n
-            out.append((base_offset + start, args))
+            pos, cmd = _scalar_step(data, pos)
         except _Truncated:
             if tolerate_truncation:
                 return out
             raise ValueError(
                 f"resp: truncated frame at {start} (torn write?)") from None
+        if cmd is not None:
+            st, args = cmd
+            out.append((base_offset + st, [data[p:p + l] for p, l in args]))
     return out

@@ -35,10 +35,14 @@ def detect_hot_keys(events_ds, threshold: float = 0.05,
         return out.to_arrow().cast(pa.schema([
             (conv_col, pa.string()), ("n", pa.int64())]))
 
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (the top-⌊1/threshold⌋ "
+                         "candidate bound needs a positive fraction)")
     partials = events_ds.map_batches(partial_counts, batch_format="pyarrow")
-    counts = partials.groupby(conv_col).aggregate(Sum("n", alias_name="n"))
-    total = counts.sum("n")                   # distributed reduce
-    if not total:                             # empty stream (None) or 0
+    counts = partials.groupby(conv_col).aggregate(
+        Sum("n", alias_name="n")).materialize()   # consumed twice below —
+    total = counts.sum("n")                       # never re-run the sample
+    if not total:                                 # empty stream (None) or 0
         return ()
     # Σ counts == total, so at most ⌊1/threshold⌋ keys can exceed
     # threshold·total — land only the top-K candidate rows on the driver,

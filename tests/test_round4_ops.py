@@ -303,6 +303,49 @@ def test_hot_key_detection_high_cardinality_bounded():
     assert detect_hot_keys(ds2.limit(0), threshold=0.05) == ()
 
 
+def test_resp_null_bulk_and_scalar_lockstep():
+    """Review findings: $-1 (null bulk — a reply form, never a command
+    arg) refuses loudly in BOTH walkers instead of misaligning; parse_resp
+    is now structurally built on _scalar_step, so the two cannot drift."""
+    from ape_dts_ray.pipelines.redis_replay import scan_to_events
+    from ape_dts_ray.sources.resp import parse_resp, scan_resp
+
+    null_bulk = b"*3\r\n$3\r\nSET\r\n$1\r\nq\r\n$-1\r\n"
+    for fn in (parse_resp, lambda d: scan_resp(d), scan_to_events):
+        with pytest.raises(ValueError, match="null/negative bulk"):
+            fn(null_bulk)
+    with pytest.raises(ValueError, match="2 GiB"):
+        from unittest import mock
+
+        import ape_dts_ray.sources.resp as respmod
+        big = mock.MagicMock()
+        big.__len__ = lambda self: 1 << 31
+        respmod.scan_resp(big)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigkeys_empty_threshold_and_hotkeys_guard():
+    """redis_bigkeys with nothing over the threshold returns an EMPTY table
+    (not a concat crash); detect_hot_keys validates threshold > 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ape_dts_ray.pipelines.redis_replay import (KEYSPACE_SCHEMA,
+                                                    bigkey_statistics)
+    from ape_dts_ray.stages.hotkeys import detect_hot_keys
+
+    rows = [{"db": 0, "key": b"k", "rtype": "string", "field": None,
+             "idx": None, "value": b"v", "score": None, "expire_ms": 0,
+             "field_ttl_ms": 0}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=KEYSPACE_SCHEMA))
+    out = list(bigkey_statistics(ds, data_size_threshold=10**9)
+               .iter_batches(batch_format="pyarrow"))
+    assert sum(t.num_rows for t in out) == 0
+
+    with pytest.raises(ValueError, match="threshold"):
+        detect_hot_keys(ds, threshold=0)
+
+
 # ---------------------------------------------------------------------------
 # DCL classification (dcl_parser.rs:26-229 semantics; expect lists taken
 # from the reference's own test scenarios, dcl_parser.rs:264-553)
