@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redis_incremental": q.redis_incremental,
         "redis_snapshot": q.redis_snapshot,
         "redis_bigkeys": q.redis_bigkeys,
+        "redis_hotkeys": q.redis_hotkeys,
         "dedup_exact": q.dedup_exact,
         "dedup_minhash": q.dedup_minhash,
         "dedup_simhash": q.dedup_simhash,
@@ -382,6 +383,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE data_size >= 420
             ORDER BY data_size DESC, key
             LIMIT 40
+        """,
+        # Hot-key statistic: freq = (doc_id·7) % 256 rides the RDB LFU
+        # prefix through encode → parse; threshold keeps the hottest set
+        "redis_hotkeys": """
+            SELECT CAST(0 AS BIGINT) AS db_id,
+                   'doc:' || CAST(doc_id AS VARCHAR) AS key,
+                   CAST((doc_id * 7) % 256 AS BIGINT) AS freq
+            FROM documents
+            WHERE (doc_id * 7) % 256 >= 200
         """,
         "dedup_exact": """
             SELECT doc_id, n_chars FROM (

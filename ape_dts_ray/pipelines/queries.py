@@ -538,6 +538,67 @@ def cdc_sql_format(sf_dir: str):
         format_sql, batch_format="pyarrow")
 
 
+def redis_hotkeys(sf_dir: str) -> pa.Table:
+    """Hot-key statistic sink (redis_statistic_sinker.rs:55-66): encode a
+    document keyspace into RDB shards WITH per-key LFU frequency prefixes
+    (0xF9, rdb_parser.rs:107-110), parse them back, and emit every key
+    whose freq reaches the threshold, hottest first. freq is derived
+    deterministically from doc_id so the oracle can recompute the exact
+    set. Oracle-backed."""
+    import shutil
+
+    import ray
+
+    from ape_dts_ray.pipelines.redis_replay import (COL_SLOT_PART,
+                                                    add_slot_partition,
+                                                    hotkey_statistics,
+                                                    rdb_key_statistics)
+    from ape_dts_ray.sources import rdb as rdbmod
+    from ape_dts_ray.state.manifest import atomic_write_text  # noqa: F401
+
+    snap_dir = tempfile.mkdtemp(prefix="ape_dts_ray_hotkeys_")
+    try:
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+
+        def to_rows(t: pa.Table) -> pa.Table:
+            did = t.column("doc_id").to_numpy(zero_copy_only=False)
+            keys = pa.array(np.char.add("doc:", did.astype(str)))
+            return add_slot_partition(pa.table({
+                "key": keys.cast(pa.binary()),
+                "value": t.column("text").cast(pa.binary()),
+                "freq": pa.array((did * 7) % 256, pa.int64()),
+            }), QUERY_PARTITIONS)
+
+        def write_shard(t: pa.Table) -> pa.Table:
+            pid = int(t.column(COL_SLOT_PART)[0].as_py())
+            entries = [{"db": 0, "key": k, "type": "string", "expire_ms": 0,
+                        "value": v, "freq": int(f)}
+                       for k, v, f in zip(t.column("key").to_pylist(),
+                                          t.column("value").to_pylist(),
+                                          t.column("freq").to_pylist())]
+            path = os.path.join(snap_dir, f"rdb_part_{pid:05d}.rdb")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(rdbmod.encode_rdb(entries, lzf_sample=16))
+            os.replace(tmp, path)
+            return pa.table({"part_id": pa.array([pid], pa.int32())})
+
+        (ds.map_batches(to_rows, batch_format="pyarrow")
+           .groupby(COL_SLOT_PART)
+           .map_groups(write_shard, batch_format="pyarrow")
+           .materialize())
+        hot = hotkey_statistics(rdb_key_statistics(snap_dir),
+                                freq_threshold=200)
+        batches = list(hot.iter_batches(batch_format="pyarrow"))
+        out = pa.concat_tables(batches).combine_chunks() if batches else \
+            pa.schema([("db_id", pa.int64()), ("key", pa.string()),
+                       ("freq", pa.int64())]).empty_table()
+    finally:
+        shutil.rmtree(snap_dir, ignore_errors=True)
+    return out
+
+
 def cdc_mongo_doc(sf_dir: str) -> pa.Table:
     """Mongo oplog replay (MongoSnapshot/MongoCdc → MongoMerger,
     mongo_merger.rs:17-100): a SINGLE-id-col (`_id`) table with JSON doc

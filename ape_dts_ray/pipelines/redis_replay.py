@@ -942,6 +942,83 @@ def bigkey_statistics(keyspace_ds, data_size_threshold: int = 0,
     return ds
 
 
+def rdb_key_statistics(path: str):
+    """Per-KEY statistic rows straight from RDB shards — the scan the
+    reference's statistic task runs over (redis_statistic_sinker.rs feeds
+    on parsed RedisEntry items). One row per key:
+    (db_id, key_type, key, data_size, freq); data_size per
+    redis_entry.rs:53-61 (key bytes + Σ element payload bytes, scores as
+    8-byte doubles), freq = the LFU prefix (rdb_parser.rs:107-110), -1
+    when the image carries none. A key's rows are whole within its shard
+    file, so the aggregation is file-local — NO shuffle at all."""
+    import polars as pl
+    import ray
+
+    ds = ray.data.read_binary_files(path)
+    schema = pa.schema([("db_id", pa.int64()), ("key_type", pa.string()),
+                        ("key", pa.binary()), ("data_size", pa.int64()),
+                        ("freq", pa.int64())])
+
+    def stat_file(batch: pa.Table) -> pa.Table:
+        zero = pa.scalar(0, pa.int32())
+        out = []
+        for data in batch.column("bytes").to_pylist():
+            _, entries = rdbmod.parse_rdb(data)
+            if not entries:
+                continue
+            t = _entries_table(entries)
+            payload = pc.add(
+                pc.add(pc.coalesce(pc.binary_length(t.column("field")), zero),
+                       pc.coalesce(pc.binary_length(t.column("value")), zero)),
+                pc.if_else(pc.is_null(t.column("score")), 0, 8))
+            narrow = pa.table({
+                "db_id": t.column("db").cast(pa.int64()),
+                "key": t.column("key").cast(pa.binary()),
+                "key_type": t.column("rtype"),
+                "payload": payload.cast(pa.int64())})
+            agg = (pl.from_arrow(narrow)
+                   .group_by(["db_id", "key", "key_type"])
+                   .agg(pl.col("payload").sum())).to_arrow()
+            fr = pa.Table.from_pylist(
+                [{"db_id": e.get("db", 0), "key": e["key"],
+                  "freq": e.get("freq", -1)} for e in entries],
+                schema=pa.schema([("db_id", pa.int64()),
+                                  ("key", pa.binary()),
+                                  ("freq", pa.int64())]))
+            j = (pl.from_arrow(agg)
+                 .join(pl.from_arrow(fr), on=["db_id", "key"], how="left")
+                 .with_columns(pl.col("freq").fill_null(-1))).to_arrow()
+            size = pc.add(pc.binary_length(j.column("key")).cast(pa.int64()),
+                          j.column("payload"))
+            out.append(pa.table({
+                "db_id": j.column("db_id"), "key_type": j.column("key_type"),
+                "key": j.column("key").cast(pa.binary()), "data_size": size,
+                "freq": j.column("freq")}, schema=schema))
+        return pa.concat_tables(out) if out else schema.empty_table()
+
+    return ds.map_batches(stat_file, batch_format="pyarrow", batch_size=None)
+
+
+def hotkey_statistics(stats_ds, freq_threshold: int,
+                      top_n: int | None = None):
+    """RedisStatisticSinker HotKey mode (redis_statistic_sinker.rs:55-66):
+    keys whose LFU frequency reaches ``freq_threshold``, as
+    (db_id, key, freq) in (freq desc, key asc) order, optionally the
+    top_n hottest. Input = rdb_key_statistics rows."""
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("freq"),
+                                      pa.scalar(freq_threshold, pa.int64())))
+        return pa.table({"db_id": t.column("db_id"),
+                         "key": t.column("key").cast(pa.string()),
+                         "freq": t.column("freq")})
+
+    ds = (stats_ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+          .sort(["freq", "key"], descending=[True, False]))
+    if top_n is not None:
+        ds = ds.limit(top_n)
+    return ds
+
+
 def precheck_redis(rdb_dir: str | None = None, resp_dir: str | None = None,
                    sample_bytes: int = 1 << 16) -> dict:
     """RedisPrechecker analog (dt-precheck/src/prechecker/redis_prechecker.rs:

@@ -411,6 +411,7 @@ def parse_rdb(data: bytes, verify_checksum: bool = True):
     entries: list[dict] = []
     db = 0
     expire_ms = 0
+    freq = -1
     while True:
         tb = r.read_u8()
         if tb == OP_EOF:
@@ -435,7 +436,10 @@ def parse_rdb(data: bytes, verify_checksum: bool = True):
         if tb == OP_IDLE:
             r.read_length(); continue
         if tb == OP_FREQ:
-            r.read_u8(); continue
+            # LFU access frequency (rdb_parser.rs:107-110) — carried on the
+            # entry so hot-key statistics can filter on it (the reference's
+            # RedisStatisticSinker HotKey mode)
+            freq = r.read_u8(); continue
         if tb == OP_SLOT_INFO:
             r.read_length(); r.read_length(); r.read_length(); continue
         if tb not in _VALUE_TYPE_BYTES:
@@ -443,7 +447,10 @@ def parse_rdb(data: bytes, verify_checksum: bool = True):
                              "(modules(6,7) are out of scope)")
         key = r.read_string()
         entry = {"db": db, "key": key, "expire_ms": expire_ms}
+        if freq >= 0:
+            entry["freq"] = freq
         expire_ms = 0
+        freq = -1
         _parse_value(r, tb, entry)
         entries.append(entry)
     return meta, entries
@@ -796,6 +803,9 @@ def encode_rdb(entries: list[dict], version: int = 11,
         if e.get("expire_ms"):
             out.append(OP_EXPIRETIME_MS)
             out += struct.pack("<Q", e["expire_ms"])
+        if e.get("freq", -1) >= 0:          # LFU frequency prefix (0xF9)
+            out.append(OP_FREQ)
+            out.append(int(e["freq"]) & 0xFF)
         _encode_value(out, e, packed_threshold, lzf_sample)
     out.append(OP_EOF)
     out += struct.pack("<Q", crc64_redis(bytes(out)))

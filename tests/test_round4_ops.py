@@ -346,6 +346,45 @@ def test_bigkeys_empty_threshold_and_hotkeys_guard():
         detect_hot_keys(ds, threshold=0)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_hotkey_statistics_freq_and_topn(tmp_path):
+    """HotKey statistic semantics (redis_statistic_sinker.rs:55-66): the
+    LFU freq prefix rides encode→parse per key (absent → -1, never hot);
+    the filter keeps freq ≥ threshold; top_n orders hottest-first."""
+    import pyarrow as pa
+
+    from ape_dts_ray.pipelines.redis_replay import (hotkey_statistics,
+                                                    rdb_key_statistics)
+    from ape_dts_ray.sources import rdb as rdbmod
+
+    entries = [
+        {"db": 0, "key": b"hot1", "type": "string", "expire_ms": 0,
+         "value": b"v", "freq": 250},
+        {"db": 0, "key": b"hot2", "type": "hash", "expire_ms": 0,
+         "fields": [(b"f", b"vv", 0)], "freq": 230},
+        {"db": 0, "key": b"warm", "type": "string", "expire_ms": 0,
+         "value": b"v", "freq": 100},
+        {"db": 0, "key": b"nofreq", "type": "string", "expire_ms": 0,
+         "value": b"v"},
+    ]
+    p = tmp_path / "rdb_part_00000.rdb"
+    p.write_bytes(rdbmod.encode_rdb(entries))
+    stats = pa.concat_tables(rdb_key_statistics(str(tmp_path))
+                             .iter_batches(batch_format="pyarrow"))
+    by_key = {r["key"]: r for r in stats.to_pylist()}
+    assert by_key[b"hot1"]["freq"] == 250
+    assert by_key[b"nofreq"]["freq"] == -1
+    assert by_key[b"hot2"]["data_size"] == 4 + 1 + 2       # key + f + vv
+    hot = pa.concat_tables(
+        hotkey_statistics(rdb_key_statistics(str(tmp_path)), 200)
+        .iter_batches(batch_format="pyarrow")).to_pylist()
+    assert [r["key"] for r in hot] == ["hot1", "hot2"]     # freq desc
+    top1 = pa.concat_tables(
+        hotkey_statistics(rdb_key_statistics(str(tmp_path)), 0, top_n=1)
+        .iter_batches(batch_format="pyarrow")).to_pylist()
+    assert [r["key"] for r in top1] == ["hot1"]
+
+
 # ---------------------------------------------------------------------------
 # DCL classification (dcl_parser.rs:26-229 semantics; expect lists taken
 # from the reference's own test scenarios, dcl_parser.rs:264-553)
