@@ -550,11 +550,10 @@ def redis_hotkeys(sf_dir: str) -> pa.Table:
     import ray
 
     from ape_dts_ray.pipelines.redis_replay import (COL_SLOT_PART,
+                                                    _write_rdb_shard,
                                                     add_slot_partition,
                                                     hotkey_statistics,
                                                     rdb_key_statistics)
-    from ape_dts_ray.sources import rdb as rdbmod
-    from ape_dts_ray.state.manifest import atomic_write_text  # noqa: F401
 
     snap_dir = tempfile.mkdtemp(prefix="ape_dts_ray_hotkeys_")
     try:
@@ -577,11 +576,7 @@ def redis_hotkeys(sf_dir: str) -> pa.Table:
                        for k, v, f in zip(t.column("key").to_pylist(),
                                           t.column("value").to_pylist(),
                                           t.column("freq").to_pylist())]
-            path = os.path.join(snap_dir, f"rdb_part_{pid:05d}.rdb")
-            tmp = path + ".tmp"
-            with open(tmp, "wb") as f:
-                f.write(rdbmod.encode_rdb(entries, lzf_sample=16))
-            os.replace(tmp, path)
+            _write_rdb_shard(entries, snap_dir, pid, lzf_sample=16)
             return pa.table({"part_id": pa.array([pid], pa.int32())})
 
         (ds.map_batches(to_rows, batch_format="pyarrow")

@@ -740,23 +740,33 @@ def _keyspace_to_entries(t: pa.Table) -> list[dict]:
     return entries
 
 
+def _write_rdb_shard(entries: list[dict], out_dir: str, pid: int,
+                     lzf_sample: int = 1) -> str:
+    """THE atomic RDB shard write (deterministic name, tmp+rename — a
+    failed run overwrites its partial shard, the resume contract of every
+    sink in this engine). Shared by the keyspace snapshot writer and any
+    entries-level producer (e.g. the hot-key statistic query's
+    freq-carrying shards)."""
+    path = os.path.join(out_dir, f"rdb_part_{pid:05d}.rdb")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(rdbmod.encode_rdb(entries, lzf_sample=lzf_sample))
+    os.replace(tmp, path)
+    return path
+
+
 def write_rdb_snapshot(keyspace_ds, out_dir: str, num_partitions: int = 16,
                        lzf_sample: int = 1):
-    """Keyspace Dataset → partitioned RDB shard files (deterministic names,
-    atomic writes — a failed run overwrites its partial shard, the resume
-    contract of every sink in this engine). Returns per-shard lineage.
-    ``lzf_sample``: see sources/rdb.py::write_string (bulk sinks sample the
-    pure-Python LZF instead of paying it per value)."""
+    """Keyspace Dataset → partitioned RDB shard files (atomic protocol in
+    _write_rdb_shard). Returns per-shard lineage. ``lzf_sample``: see
+    sources/rdb.py::write_string (bulk sinks sample the pure-Python LZF
+    instead of paying it per value)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def write_part(t: pa.Table) -> pa.Table:
         pid = int(t.column(COL_SLOT_PART)[0].as_py())
         entries = _keyspace_to_entries(t.drop_columns([COL_SLOT_PART]))
-        path = os.path.join(out_dir, f"rdb_part_{pid:05d}.rdb")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(rdbmod.encode_rdb(entries, lzf_sample=lzf_sample))
-        os.replace(tmp, path)
+        _write_rdb_shard(entries, out_dir, pid, lzf_sample)
         return pa.table({"part_id": [pid], "keys": [len(entries)],
                          "rows": [t.num_rows]})
 
@@ -870,6 +880,20 @@ MIN_RDB_VERSION = 1
 MAX_RDB_VERSION = 12
 
 
+def _row_payload_bytes(t: pa.Table) -> pa.Array:
+    """Per-row payload bytes of exploded keyspace rows — the
+    get_data_malloc_size element term (redis_entry.rs:53-61): field bytes +
+    value bytes + 8 per score (doubles). ONE definition, used by both
+    statistic sinks; key bytes are added once per key after aggregation."""
+    zero = pa.scalar(0, pa.int32())
+    payload = pc.add(
+        pc.add(pc.coalesce(pc.binary_length(t.column("field")), zero),
+               pc.coalesce(pc.binary_length(t.column("value")), zero)),
+        pc.if_else(pc.is_null(t.column("score")), 0, 8))
+    out = payload.cast(pa.int64())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
 def bigkey_statistics(keyspace_ds, data_size_threshold: int = 0,
                       top_n: int | None = None, num_partitions: int = 16):
     """RedisStatisticSinker BigKey analog (redis_statistic_sinker.rs:20-53)
@@ -898,15 +922,10 @@ def bigkey_statistics(keyspace_ds, data_size_threshold: int = 0,
                               ("rtype", pa.string()),
                               ("payload", pa.int64()),
                               (COL_SLOT_PART, pa.int32())]).empty_table()
-        zero = pa.scalar(0, pa.int32())
-        payload = pc.add(
-            pc.add(pc.coalesce(pc.binary_length(t.column("field")), zero),
-                   pc.coalesce(pc.binary_length(t.column("value")), zero)),
-            pc.if_else(pc.is_null(t.column("score")), 0, 8))
         narrow = pa.table({
             "db": t.column("db"), "key": t.column("key"),
             "rtype": t.column("rtype"),
-            "payload": payload.cast(pa.int64())})
+            "payload": _row_payload_bytes(t)})
         agg = (pl.from_arrow(narrow)
                .group_by(["db", "key", "rtype"])
                .agg(pl.col("payload").sum())).to_arrow()
@@ -960,34 +979,33 @@ def rdb_key_statistics(path: str):
                         ("freq", pa.int64())])
 
     def stat_file(batch: pa.Table) -> pa.Table:
-        zero = pa.scalar(0, pa.int32())
         out = []
         for data in batch.column("bytes").to_pylist():
             _, entries = rdbmod.parse_rdb(data)
             if not entries:
                 continue
             t = _entries_table(entries)
-            payload = pc.add(
-                pc.add(pc.coalesce(pc.binary_length(t.column("field")), zero),
-                       pc.coalesce(pc.binary_length(t.column("value")), zero)),
-                pc.if_else(pc.is_null(t.column("score")), 0, 8))
             narrow = pa.table({
                 "db_id": t.column("db").cast(pa.int64()),
                 "key": t.column("key").cast(pa.binary()),
-                "key_type": t.column("rtype"),
-                "payload": payload.cast(pa.int64())})
+                "payload": _row_payload_bytes(t)})
             agg = (pl.from_arrow(narrow)
-                   .group_by(["db_id", "key", "key_type"])
-                   .agg(pl.col("payload").sum())).to_arrow()
-            fr = pa.Table.from_pylist(
+                   .group_by(["db_id", "key"])
+                   .agg(pl.col("payload").sum()))
+            # base frame = one row per ENTRY (key_type + freq straight from
+            # the entry) so a key with zero exploded rows — an empty
+            # collection — still surfaces with payload 0
+            base = pa.Table.from_pylist(
                 [{"db_id": e.get("db", 0), "key": e["key"],
-                  "freq": e.get("freq", -1)} for e in entries],
+                  "key_type": e["type"], "freq": e.get("freq", -1)}
+                 for e in entries],
                 schema=pa.schema([("db_id", pa.int64()),
                                   ("key", pa.binary()),
+                                  ("key_type", pa.string()),
                                   ("freq", pa.int64())]))
-            j = (pl.from_arrow(agg)
-                 .join(pl.from_arrow(fr), on=["db_id", "key"], how="left")
-                 .with_columns(pl.col("freq").fill_null(-1))).to_arrow()
+            j = (pl.from_arrow(base)
+                 .join(agg, on=["db_id", "key"], how="left")
+                 .with_columns(pl.col("payload").fill_null(0))).to_arrow()
             size = pc.add(pc.binary_length(j.column("key")).cast(pa.int64()),
                           j.column("payload"))
             out.append(pa.table({

@@ -803,9 +803,13 @@ def encode_rdb(entries: list[dict], version: int = 11,
         if e.get("expire_ms"):
             out.append(OP_EXPIRETIME_MS)
             out += struct.pack("<Q", e["expire_ms"])
-        if e.get("freq", -1) >= 0:          # LFU frequency prefix (0xF9)
+        freq = int(e.get("freq", -1))
+        if freq >= 0:                       # LFU frequency prefix (0xF9)
+            if freq > 255:
+                raise ValueError(f"rdb: LFU freq {freq} out of the u8 "
+                                 "range (0-255)")
             out.append(OP_FREQ)
-            out.append(int(e["freq"]) & 0xFF)
+            out.append(freq)
         _encode_value(out, e, packed_threshold, lzf_sample)
     out.append(OP_EOF)
     out += struct.pack("<Q", crc64_redis(bytes(out)))

@@ -172,6 +172,10 @@ def _scalar_step(data: bytes, pos: int):
     if eol < 0:
         raise _Truncated
     argc = int(data[pos + 1:eol])
+    if argc < 0:
+        # *-1 (null array) is a reply form, like $-1 below — same loud
+        # refusal instead of emitting a phantom empty command
+        raise ValueError(f"resp: null/negative array header at {start}")
     pos = eol + 2
     args = []
     for _ in range(argc):

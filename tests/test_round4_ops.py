@@ -311,9 +311,13 @@ def test_resp_null_bulk_and_scalar_lockstep():
     from ape_dts_ray.sources.resp import parse_resp, scan_resp
 
     null_bulk = b"*3\r\n$3\r\nSET\r\n$1\r\nq\r\n$-1\r\n"
+    null_array = b"*-1\r\n*1\r\n$4\r\nPING\r\n"
     for fn in (parse_resp, lambda d: scan_resp(d), scan_to_events):
         with pytest.raises(ValueError, match="null/negative bulk"):
             fn(null_bulk)
+        with pytest.raises(ValueError, match="null/negative array"):
+            fn(null_array)
+    assert parse_resp(b"*0\r\n") == [(0, [])]    # empty command stays legal
     with pytest.raises(ValueError, match="2 GiB"):
         from unittest import mock
 
