@@ -265,3 +265,76 @@ def test_scan_to_events_edges():
         except Exception as e:
             e_fast = str(e)
         assert e_loop and e_loop == e_fast
+
+
+def _materialize_scan(data, scan, base=0):
+    off, argc, apos, alen = scan
+    out, j = [], 0
+    for i in range(len(off)):
+        args = [data[apos[j + k]:apos[j + k] + alen[j + k]]
+                for k in range(argc[i])]
+        j += argc[i]
+        out.append((int(off[i]), args))
+    return out
+
+
+def test_scan_resp_equivalence_adversarial():
+    """scan_resp ≡ parse_resp on adversarial streams: random binary args
+    (CRLF injected mid-payload, empty args, pure-CRLF args), inline frames
+    and keep-alives interleaved, EVERY truncation cut of a mixed stream
+    (same results under tolerate_truncation, same raise/no-raise strict),
+    tiny window sizes forcing frame spans across window boundaries."""
+    import numpy as np
+
+    from ape_dts_ray.sources.resp import encode_cmd, scan_resp
+
+    rng = np.random.default_rng(3)
+
+    def rand_cmds(n, crlf_frac=0.0):
+        cmds = []
+        for _ in range(n):
+            args = []
+            for _ in range(int(rng.integers(1, 6))):
+                b = bytes(rng.integers(32, 127, int(rng.integers(0, 40)),
+                                       dtype=np.uint8))
+                if crlf_frac and rng.random() < crlf_frac:
+                    b = b[:len(b) // 2] + b"\r\n" + b[len(b) // 2:]
+                if rng.random() < 0.1:
+                    b = b""
+                if rng.random() < 0.05:
+                    b = b"\r\n" * int(rng.integers(1, 3))
+                args.append(b)
+            cmds.append(args)
+        return cmds
+
+    parts = []
+    for i, c in enumerate(rand_cmds(200, crlf_frac=0.25)):
+        if i % 7 == 0:
+            parts.append(b"+OK\r\n")
+        if i % 11 == 0:
+            parts.append(b"\n")
+        if i % 13 == 0:
+            parts.append(b":42\r\n-ERR boom\r\n")
+        parts.append(encode_cmd(c))
+    data = b"".join(parts)
+    assert _materialize_scan(data, scan_resp(data, 9)) == parse_resp(data, 9)
+    for wsz in (7, 64, 300):
+        assert _materialize_scan(
+            data, scan_resp(data, 9, window=wsz)) == parse_resp(data, 9)
+
+    small = b"+OK\r\n\n" + encode_cmds(rand_cmds(25, crlf_frac=0.3))
+    for cut in range(len(small) + 1):
+        d = small[:cut]
+        assert _materialize_scan(
+            d, scan_resp(d, 5, tolerate_truncation=True)) == \
+            parse_resp(d, 5, tolerate_truncation=True), cut
+        e1 = e2 = None
+        try:
+            parse_resp(d, 5)
+        except ValueError as e:
+            e1 = str(e)
+        try:
+            _materialize_scan(d, scan_resp(d, 5))
+        except ValueError as e:
+            e2 = str(e)
+        assert (e1 is None) == (e2 is None), (cut, e1, e2)
