@@ -323,6 +323,7 @@ def replay(
     commit_offsets=None,
     max_rps: float | None = None,
     heartbeat: bool = True,
+    auto_compact_max_deltas: int | None = None,
 ) -> list[EpochManifest]:
     """Full replay driver: plan windows, skip committed epochs (resume), apply
     + commit the rest in order, ``group_epochs`` windows per pipeline
@@ -351,6 +352,17 @@ def replay(
     (task_runner.rs:531-556 joins both tokio tasks) at group granularity.
     Exactly-once is unaffected: a group is visible only once every EARLIER
     epoch committed, and delta names stay deterministic.
+
+    ``auto_compact_max_deltas``: ONLINE incremental compaction — the
+    reference's merger consumes sealed epochs continuously alongside the
+    pusher (foxlake_parallelizer.rs:70-126); here, after each committed
+    chunk whose delta buildup exceeds the threshold, a partial compaction
+    (state/lake.py::compact(max_delta_files=...)) folds the over-threshold
+    partitions inline, bounding merge-on-read amplification for the WHOLE
+    replay instead of requiring an offline pass at the end. Safe under
+    ``pipeline_depth`` > 1: partial compaction touches only COMMITTED
+    epochs' files, in-flight groups write uncommitted epochs it never
+    reads, and commits are serialized on the driver.
     """
     import pyarrow.parquet as pq
 
@@ -372,7 +384,7 @@ def replay(
             lake, events_path, events_ds, events_factory, max_offset,
             min_offset, barriers, event_filter, router_fn, stop_after_epoch,
             group_epochs, pipeline_depth, narrow_shuffle, commit_offsets,
-            max_rps, heartbeat, spill)
+            max_rps, heartbeat, auto_compact_max_deltas, spill)
     finally:
         spill.cleanup()
 
@@ -427,8 +439,9 @@ class _SpillState:
 def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
                   min_offset, barriers, event_filter, router_fn,
                   stop_after_epoch, group_epochs, pipeline_depth,
-                  narrow_shuffle, commit_offsets, max_rps,
-                  heartbeat, spill: _SpillState) -> list[EpochManifest]:
+                  narrow_shuffle, commit_offsets, max_rps, heartbeat,
+                  auto_compact_max_deltas,
+                  spill: _SpillState) -> list[EpochManifest]:
     import pyarrow.parquet as pq
 
     if max_offset is None:
@@ -564,6 +577,15 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
         nonlocal applied_events
         if heartbeat:
             lake.write_heartbeat()
+        if auto_compact_max_deltas is not None:
+            # online incremental compaction (see replay docstring): fold
+            # partitions whose committed delta buildup crossed the
+            # threshold; a no-op when none did
+            counts = lake.delta_file_counts()
+            if counts and max(counts.values()) > auto_compact_max_deltas:
+                import ray
+                lake.compact(max_delta_files=auto_compact_max_deltas,
+                             parallel=ray.is_initialized())
         if max_rps is not None:
             applied_events += sum(p.events for m in ms for p in m.partitions)
             min_elapsed = applied_events / max_rps

@@ -227,6 +227,40 @@ def test_bigkey_statistics_sizes_and_topn():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_online_auto_compaction_during_replay(tmp_path):
+    """replay(auto_compact_max_deltas=K): the continuous-merger mode
+    (foxlake_parallelizer.rs:70-126 — merge runs ALONGSIDE the pusher).
+    Delta buildup stays bounded at K for the whole replay, the state is
+    oracle-exact, a mid-replay crash resumes exactly-once under the same
+    policy, and depth-2 overlapped groups are safe."""
+    events = gen_events(seed=49, n_convs=40, max_turns=8, n_events=6000,
+                        delete_frac=0.2)
+    path = str(tmp_path / "e.parquet")
+    pq.write_table(events, path)
+    lake = _mk_lake(tmp_path, epoch_size=250)   # 24+ epochs of buildup
+    replay(lake, events_path=path, group_epochs=2, pipeline_depth=2,
+           auto_compact_max_deltas=3)
+    counts = lake.delta_file_counts()
+    assert max(counts.values()) <= 3            # bounded THROUGHOUT
+    oracle = oracle_replay(events)
+    state = lake.state_table().to_pandas()
+    assert len(state) == len(oracle)
+    assert list(state["text"]) == list(oracle["text"])
+
+    # crash mid-replay, resume under the same policy → identical state
+    lake2 = LakeTable.create(str(tmp_path / "lake2"), TableMeta(),
+                             EngineConfig(num_partitions=8, epoch_size=250))
+    replay(lake2, events_path=path, stop_after_epoch=7,
+           auto_compact_max_deltas=3)
+    lake2 = LakeTable.open(lake2.root)
+    replay(lake2, events_path=path, auto_compact_max_deltas=3)
+    state2 = lake2.state_table().to_pandas()
+    assert list(state2["text"]) == list(oracle["text"])
+    assert max(lake2.delta_file_counts().values(), default=0) <= 3
+    assert replay(LakeTable.open(lake2.root), events_path=path) == []
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_partial_compaction_random_sequences_converge(tmp_path):
     """Randomized schedules: any interleaving of partial compactions
     (random thresholds/horizons), CDC continuation, and full compaction
