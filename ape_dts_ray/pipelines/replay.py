@@ -362,7 +362,11 @@ def replay(
     replay instead of requiring an offline pass at the end. Safe under
     ``pipeline_depth`` > 1: partial compaction touches only COMMITTED
     epochs' files, in-flight groups write uncommitted epochs it never
-    reads, and commits are serialized on the driver.
+    reads, and commits are serialized on the driver. SIZE THE THRESHOLD
+    for the reader, not the writer: every tick re-folds the full base of
+    each over-threshold partition (write-amp ≈ state/K per tick — the
+    size-tiered tradeoff), so pick K several× group_epochs; an aggressive
+    K=4 over 16 epochs measured 2.2× replay wall (BASELINE.md round 4).
     """
     import pyarrow.parquet as pq
 
