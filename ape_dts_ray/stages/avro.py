@@ -220,23 +220,169 @@ def decode_event(data: bytes) -> dict:
     return row
 
 
+# ---- columnar codec kernels (the batch path; encode_event/decode_event
+# above stay the per-record reference — property tests pin byte equality)
+
+def _zigzag_vec(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64, copy=False)
+    return ((v << 1) ^ (v >> 63)).view(np.uint64)
+
+
+def _varint_len_vec(z: np.ndarray) -> np.ndarray:
+    nb = np.ones(len(z), np.int64)
+    for k in range(1, 10):
+        nb += (z >= np.uint64(1) << np.uint64(7 * k))
+    return nb
+
+
+def _write_varints(out: np.ndarray, dst: np.ndarray, z: np.ndarray,
+                   nb: np.ndarray) -> None:
+    """Scatter each z's zigzag-varint bytes at byte offset dst (vectors)."""
+    if not len(z):
+        return
+    for j in range(int(nb.max())):
+        m = nb > j
+        b = ((z[m] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        b |= ((nb[m] - 1 > j).astype(np.uint8) << np.uint8(7))
+        out[dst[m] + j] = b
+
+
+def _scatter_bytes(out: np.ndarray, dst: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray, data: np.ndarray) -> None:
+    total = int(lens.sum())
+    if not total:
+        return
+    cum0 = np.zeros(len(lens), np.int64)
+    np.cumsum(lens[:-1], out=cum0[1:])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(cum0, lens)
+    out[np.repeat(dst, lens) + intra] = data[np.repeat(starts, lens) + intra]
+
+
+def _col_bytes(arr):
+    """(starts, lens, data, valid) views of a string/binary Arrow column;
+    null rows get len 0."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type):
+        arr = arr.cast(pa.binary())
+    n = len(arr)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], np.int32, count=n + 1,
+                         offset=arr.offset * 4).astype(np.int64)
+    data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
+        else np.zeros(0, np.uint8)
+    starts, lens = offs[:-1], offs[1:] - offs[:-1]
+    import pyarrow.compute as pc
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False) \
+        if arr.null_count else np.ones(n, bool)
+    return starts, np.where(valid, lens, 0), data, valid
+
+
 def avro_encode(batch: pa.Table, key_cols=("conv_id", "turn_idx")) -> pa.Table:
     """map_batches body: change events → (key, log_offset, value) envelope
-    rows with Avro single-object payloads."""
-    rows = batch.to_pylist()
-    values, keys = [], []
-    for r in rows:
-        ts = r.get("ts")
-        if ts is not None and not isinstance(ts, (int, np.integer)):
-            # pandas/py datetime → micros since epoch
-            ts64 = np.datetime64(ts, "us").astype(np.int64)
-            r = {**r, "ts": int(ts64)}
-        values.append(encode_event(r))
-        keys.append("\x1f".join(str(r[c]) for c in key_cols))
+    rows with Avro single-object payloads. Fully columnar — per-field
+    zigzag-varints and string payloads are scattered into ONE output buffer
+    at vector-computed offsets (byte-identical to encode_event per row; the
+    property suite pins it). ~20× the per-record loop."""
+    import pandas as pd
+
+    n = batch.num_rows
+    if n == 0:
+        return pa.table({"key": pa.array([], pa.string()),
+                         "log_offset": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.binary())})
+    names = batch.column_names
+
+    def ints(col, default=0):
+        if col not in names:
+            return np.full(n, default, np.int64)
+        return batch.column(col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    z_off = _zigzag_vec(ints(COL_OFFSET))
+    z_seq = _zigzag_vec(ints(COL_SEQ))
+    z_turn = _zigzag_vec(ints("turn_idx"))
+    l_off, l_seq, l_turn = (_varint_len_vec(z) for z in (z_off, z_seq, z_turn))
+
+    op_s, op_l, op_d, _ = _col_bytes(batch.column(COL_OP))
+    cv_s, cv_l, cv_d, _ = _col_bytes(batch.column("conv_id"))
+    z_opl, z_cvl = _zigzag_vec(op_l), _zigzag_vec(cv_l)
+    l_opl, l_cvl = _varint_len_vec(z_opl), _varint_len_vec(z_cvl)
+
+    nul = []                              # (starts, lens, data, valid, z_l, l_l)
+    for c in _NULLABLE:
+        if c in names:
+            s, l, d, v = _col_bytes(batch.column(c))
+        else:
+            s = np.zeros(n, np.int64); l = np.zeros(n, np.int64)
+            d = np.zeros(0, np.uint8); v = np.zeros(n, bool)
+        zl = _zigzag_vec(l)
+        nul.append((s, l, d, v, zl, np.where(v, _varint_len_vec(zl), 0)))
+
+    if "ts" in names:
+        ts_col = batch.column("ts")
+        if pa.types.is_timestamp(ts_col.type):
+            ts_col = ts_col.cast(pa.timestamp("us")).cast(pa.int64())
+        else:
+            ts_col = ts_col.cast(pa.int64())
+        import pyarrow.compute as pc
+        ts_valid = pc.is_valid(ts_col).to_numpy(zero_copy_only=False) \
+            if ts_col.null_count else np.ones(n, bool)
+        ts_v = ts_col.to_numpy(zero_copy_only=False)
+        ts_v = np.where(ts_valid, ts_v, 0)
+    else:
+        ts_valid = np.zeros(n, bool)
+        ts_v = np.zeros(n, np.int64)
+    z_ts = _zigzag_vec(ts_v)
+    l_ts = np.where(ts_valid, _varint_len_vec(z_ts), 0)
+
+    sizes = (10 + l_off + l_seq + l_opl + op_l + l_cvl + cv_l + l_turn
+             + sum(1 + f[5] + f[1] for f in nul) + 1 + l_ts)
+    row_start = np.zeros(n, np.int64)
+    np.cumsum(sizes[:-1], out=row_start[1:])
+    total = int(row_start[-1] + sizes[-1])
+    out = np.empty(total, np.uint8)
+
+    hdr = np.frombuffer(_MARKER + schema_fingerprint(), np.uint8)
+    dst = row_start
+    for j in range(10):
+        out[dst + j] = hdr[j]
+    dst = dst + 10
+    for z, nb in ((z_off, l_off), (z_seq, l_seq)):
+        _write_varints(out, dst, z, nb)
+        dst = dst + nb
+    for zl, ll, s, l, d in ((z_opl, l_opl, op_s, op_l, op_d),
+                            (z_cvl, l_cvl, cv_s, cv_l, cv_d)):
+        _write_varints(out, dst, zl, ll)
+        dst = dst + ll
+        _scatter_bytes(out, dst, s, l, d)
+        dst = dst + l
+    _write_varints(out, dst, z_turn, l_turn)
+    dst = dst + l_turn
+    for s, l, d, v, zl, ll in nul:
+        out[dst] = np.where(v, 2, 0).astype(np.uint8)   # union branch byte
+        dst = dst + 1
+        _write_varints(out, dst[v], zl[v], ll[v])
+        dst = dst + ll
+        _scatter_bytes(out, dst, s, l, d)               # null rows: len 0
+        dst = dst + l
+    out[dst] = np.where(ts_valid, 2, 0).astype(np.uint8)
+    dst = dst + 1
+    _write_varints(out, dst[ts_valid], z_ts[ts_valid], l_ts[ts_valid])
+
+    v_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(sizes, out=v_offs[1:])
+    value = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(v_offs.astype(np.int32)), pa.py_buffer(out)])
+    key = None
+    for c in key_cols:                    # "\x1f".join(str(...)) per row
+        part = pd.Series(batch.column(c).to_pandas()).astype(str)
+        key = part if key is None else key + "\x1f" + part
     return pa.table({
-        "key": pa.array(keys, pa.string()),
+        "key": pa.array(key.to_numpy(dtype=object), pa.string()),
         "log_offset": batch.column(COL_OFFSET),
-        "value": pa.array(values, pa.binary()),
+        "value": value,
     })
 
 
@@ -248,11 +394,128 @@ _DECODED_SCHEMA = pa.schema(
      ("ts", pa.timestamp("us"))])
 
 
+def _read_varints_vec(a: np.ndarray, pos: np.ndarray):
+    """Vectorized zigzag-varint read at per-row cursors. Returns
+    (values int64, advanced cursors)."""
+    n = len(pos)
+    acc = np.zeros(n, np.uint64)
+    shift = np.zeros(n, np.uint64)
+    p = pos.copy()
+    active = np.ones(n, bool)
+    guard = 0
+    while active.any():
+        idx = np.flatnonzero(active)
+        b = a[p[idx]].astype(np.uint64)
+        acc[idx] |= (b & np.uint64(0x7F)) << shift[idx]
+        p[idx] += 1
+        shift[idx] += np.uint64(7)
+        active[idx[(b & np.uint64(0x80)) == 0]] = False
+        guard += 1
+        if guard > 10:
+            raise ValueError("avro: varint longer than 10 bytes")
+    val = ((acc >> np.uint64(1))
+           ^ (np.uint64(0) - (acc & np.uint64(1)))).view(np.int64)
+    return val, p
+
+
+def _take_strings(a: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                  valid: np.ndarray) -> pa.Array:
+    """Arrow string array from per-row (start, len) slices + validity —
+    one index gather, no per-row Python."""
+    n = len(starts)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(np.where(valid, lens, 0), out=offs[1:])
+    total = int(offs[-1])
+    if total:
+        l = np.where(valid, lens, 0)
+        intra = (np.arange(total, dtype=np.int64)
+                 - np.repeat(offs[:-1], l))
+        buf = a[np.repeat(starts, l) + intra]
+    else:
+        buf = np.zeros(0, np.uint8)
+    bitmap = pa.py_buffer(np.packbits(valid, bitorder="little"))
+    return pa.Array.from_buffers(
+        pa.string(), n,
+        [None if valid.all() else bitmap,
+         pa.py_buffer(offs.astype(np.int32)), pa.py_buffer(buf)],
+        null_count=int((~valid).sum()))
+
+
 def avro_decode(batch: pa.Table) -> pa.Table:
-    """Inverse: Avro envelope rows → normalized change events. The schema is
-    PINNED for every block — inference would type an all-null column (e.g. a
-    batch of tool-less turns, or an empty block after an upstream filter) as
-    null instead of string, and the first downstream concat/union across
-    blocks would fail on the mismatch."""
-    rows = [decode_event(v) for v in batch.column("value").to_pylist()]
-    return pa.Table.from_pylist(rows, schema=_DECODED_SCHEMA)
+    """Inverse: Avro envelope rows → normalized change events, fully
+    columnar (a per-row cursor vector walks the fixed field sequence; each
+    varint field is ≤10 masked numpy passes, strings are one gather). The
+    schema is PINNED for every block — inference would type an all-null
+    column (e.g. a batch of tool-less turns, or an empty block after an
+    upstream filter) as null instead of string, and the first downstream
+    concat/union across blocks would fail on the mismatch."""
+    col = batch.column("value")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return _DECODED_SCHEMA.empty_table()
+    col = col.cast(pa.binary()) if not pa.types.is_binary(col.type) else col
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], np.int32, count=n + 1,
+                         offset=col.offset * 4).astype(np.int64)
+    a = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
+        else np.zeros(0, np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    if ((ends - starts) < 10).any():
+        raise ValueError("not Avro single-object encoding")
+    hdr = np.frombuffer(_MARKER + schema_fingerprint(), np.uint8)
+    for j in range(2):
+        if (a[starts + j] != hdr[j]).any():
+            raise ValueError("not Avro single-object encoding")
+    for j in range(2, 10):
+        if (a[starts + j] != hdr[j]).any():
+            raise ValueError("unknown writer schema fingerprint")
+
+    pos = starts + 10
+    log_offset, pos = _read_varints_vec(a, pos)
+    seq, pos = _read_varints_vec(a, pos)
+
+    def rd_str(pos, valid=None):
+        if valid is None:
+            ln, pos = _read_varints_vec(a, pos)
+            arr = _take_strings(a, pos, ln, np.ones(n, bool))
+            return arr, pos + ln
+        ln = np.zeros(n, np.int64)
+        if valid.any():
+            lnv, pv = _read_varints_vec(a, pos[valid])
+            ln[valid] = lnv
+            newpos = pos.copy()
+            newpos[valid] = pv
+        else:
+            newpos = pos
+        arr = _take_strings(a, newpos, ln, valid)
+        return arr, newpos + np.where(valid, ln, 0)
+
+    op, pos = rd_str(pos)
+    conv, pos = rd_str(pos)
+    turn, pos = _read_varints_vec(a, pos)
+    nullable = {}
+    for c in _NULLABLE:
+        branch, pos = _read_varints_vec(a, pos)
+        nullable[c], pos = rd_str(pos, valid=branch != 0)
+    branch, pos = _read_varints_vec(a, pos)
+    ts_valid = branch != 0
+    ts = np.zeros(n, np.int64)
+    if ts_valid.any():
+        tsv, _ = _read_varints_vec(a, pos[ts_valid])
+        ts[ts_valid] = tsv
+    ts_arr = pa.Array.from_buffers(
+        pa.timestamp("us"), n,
+        [None if ts_valid.all()
+         else pa.py_buffer(np.packbits(ts_valid, bitorder="little")),
+         pa.py_buffer(ts)],
+        null_count=int((~ts_valid).sum()))
+    return pa.table({
+        COL_OFFSET: pa.array(log_offset, pa.int64()),
+        COL_SEQ: pa.array(seq.astype(np.int32), pa.int32()),
+        "op": op, "conv_id": conv,
+        "turn_idx": pa.array(turn.astype(np.int32), pa.int32()),
+        "role": nullable["role"], "text": nullable["text"],
+        "tool": nullable["tool"], "ts": ts_arr,
+    }, schema=_DECODED_SCHEMA)
