@@ -585,10 +585,21 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
             # online incremental compaction (see replay docstring): fold
             # partitions whose committed delta buildup crossed the
             # threshold; a no-op when none did
+            import ray
             counts = lake.delta_file_counts()
             if counts and max(counts.values()) > auto_compact_max_deltas:
-                import ray
                 lake.compact(max_delta_files=auto_compact_max_deltas,
+                             parallel=ray.is_initialized())
+            # COLD partitions under the threshold pin the manifest prefix
+            # (their epoch-0 file keeps every later manifest alive), which
+            # would grow both committed_epochs() and the per-chunk scan
+            # above linearly over a long run — once the retained span
+            # exceeds 4× the threshold anyway, fold every partition with
+            # files, clearing the prefix and bounding the scan at
+            # partitions × O(threshold)
+            if len(lake.committed_epochs()) > max(8,
+                                                  4 * auto_compact_max_deltas):
+                lake.compact(max_delta_files=0,
                              parallel=ray.is_initialized())
         if max_rps is not None:
             applied_events += sum(p.events for m in ms for p in m.partitions)

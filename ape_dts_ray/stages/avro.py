@@ -260,22 +260,24 @@ def _scatter_bytes(out: np.ndarray, dst: np.ndarray, starts: np.ndarray,
 
 def _col_bytes(arr):
     """(starts, lens, data, valid) views of a string/binary Arrow column;
-    null rows get len 0."""
+    null rows get len 0. Normalized through large_binary so int64 offsets
+    are read for EVERY input width — reading a large_string's int64
+    offsets as int32 silently corrupts the wire bytes."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    if pa.types.is_string(arr.type):
-        arr = arr.cast(pa.binary())
+    if arr.type != pa.large_binary():
+        arr = arr.cast(pa.large_binary())
     n = len(arr)
     bufs = arr.buffers()
-    offs = np.frombuffer(bufs[1], np.int32, count=n + 1,
-                         offset=arr.offset * 4).astype(np.int64)
+    offs = np.frombuffer(bufs[1], np.int64, count=n + 1,
+                         offset=arr.offset * 8)
     data = np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None \
         else np.zeros(0, np.uint8)
     starts, lens = offs[:-1], offs[1:] - offs[:-1]
     import pyarrow.compute as pc
     valid = pc.is_valid(arr).to_numpy(zero_copy_only=False) \
         if arr.null_count else np.ones(n, bool)
-    return starts, np.where(valid, lens, 0), data, valid
+    return starts.astype(np.int64), np.where(valid, lens, 0), data, valid
 
 
 def avro_encode(batch: pa.Table, key_cols=("conv_id", "turn_idx")) -> pa.Table:
@@ -284,14 +286,18 @@ def avro_encode(batch: pa.Table, key_cols=("conv_id", "turn_idx")) -> pa.Table:
     zigzag-varints and string payloads are scattered into ONE output buffer
     at vector-computed offsets (byte-identical to encode_event per row; the
     property suite pins it). ~20× the per-record loop."""
-    import pandas as pd
-
     n = batch.num_rows
     if n == 0:
         return pa.table({"key": pa.array([], pa.string()),
                          "log_offset": pa.array([], pa.int64()),
                          "value": pa.array([], pa.binary())})
     names = batch.column_names
+    for c in (COL_OFFSET, COL_SEQ, "turn_idx", COL_OP, "conv_id"):
+        # required (non-union) record fields — the scalar reference raised
+        # on a null here; silence would launder bad data into valid-looking
+        # wire records
+        if c in names and batch.column(c).null_count:
+            raise ValueError(f"avro: null in required field {c!r}")
 
     def ints(col, default=0):
         if col not in names:
@@ -370,17 +376,31 @@ def avro_encode(batch: pa.Table, key_cols=("conv_id", "turn_idx")) -> pa.Table:
     dst = dst + 1
     _write_varints(out, dst[ts_valid], z_ts[ts_valid], l_ts[ts_valid])
 
+    if total >= 1 << 31:
+        # int32 Arrow binary offsets would wrap — same loud refusal as
+        # scan_resp's segment guard; split the batch upstream
+        raise ValueError("avro: encoded batch exceeds 2 GiB — use a "
+                         "smaller batch_size")
     v_offs = np.zeros(n + 1, np.int64)
     np.cumsum(sizes, out=v_offs[1:])
     value = pa.Array.from_buffers(
         pa.binary(), n,
         [None, pa.py_buffer(v_offs.astype(np.int32)), pa.py_buffer(out)])
+
+    import pyarrow.compute as pc
     key = None
     for c in key_cols:                    # "\x1f".join(str(...)) per row
-        part = pd.Series(batch.column(c).to_pandas()).astype(str)
-        key = part if key is None else key + "\x1f" + part
+        col = batch.column(c)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
+                or pa.types.is_integer(col.type):
+            part = pc.coalesce(pc.cast(col, pa.string()),
+                               pa.scalar("None"))     # str(None) parity
+        else:                             # rare exotic key types: exact str()
+            part = pa.array([str(v) for v in col.to_pylist()], pa.string())
+        key = part if key is None else pc.binary_join_element_wise(
+            key, part, "\x1f")
     return pa.table({
-        "key": pa.array(key.to_numpy(dtype=object), pa.string()),
+        "key": key,
         "log_offset": batch.column(COL_OFFSET),
         "value": value,
     })
@@ -394,8 +414,11 @@ _DECODED_SCHEMA = pa.schema(
      ("ts", pa.timestamp("us"))])
 
 
-def _read_varints_vec(a: np.ndarray, pos: np.ndarray):
-    """Vectorized zigzag-varint read at per-row cursors. Returns
+def _read_varints_vec(a: np.ndarray, pos: np.ndarray, limit: np.ndarray):
+    """Vectorized zigzag-varint read at per-row cursors, bounds-enforced
+    against each row's own end (``limit``) — a torn/corrupt row must fail
+    loudly, never walk into a NEIGHBORING row's bytes (the scalar
+    decode_event confined reads to its row; so does this). Returns
     (values int64, advanced cursors)."""
     n = len(pos)
     acc = np.zeros(n, np.uint64)
@@ -405,6 +428,8 @@ def _read_varints_vec(a: np.ndarray, pos: np.ndarray):
     guard = 0
     while active.any():
         idx = np.flatnonzero(active)
+        if (p[idx] >= limit[idx]).any():
+            raise ValueError("avro: corrupt record (varint overruns row)")
         b = a[p[idx]].astype(np.uint64)
         acc[idx] |= (b & np.uint64(0x7F)) << shift[idx]
         p[idx] += 1
@@ -426,6 +451,9 @@ def _take_strings(a: np.ndarray, starts: np.ndarray, lens: np.ndarray,
     offs = np.zeros(n + 1, np.int64)
     np.cumsum(np.where(valid, lens, 0), out=offs[1:])
     total = int(offs[-1])
+    if total >= 1 << 31:
+        raise ValueError("avro: decoded batch exceeds 2 GiB — use a "
+                         "smaller batch_size")
     if total:
         l = np.where(valid, lens, 0)
         intra = (np.arange(total, dtype=np.int64)
@@ -473,37 +501,43 @@ def avro_decode(batch: pa.Table) -> pa.Table:
             raise ValueError("unknown writer schema fingerprint")
 
     pos = starts + 10
-    log_offset, pos = _read_varints_vec(a, pos)
-    seq, pos = _read_varints_vec(a, pos)
+    log_offset, pos = _read_varints_vec(a, pos, ends)
+    seq, pos = _read_varints_vec(a, pos, ends)
 
     def rd_str(pos, valid=None):
         if valid is None:
-            ln, pos = _read_varints_vec(a, pos)
+            ln, pos = _read_varints_vec(a, pos, ends)
+            if ((ln < 0) | (pos + ln > ends)).any():
+                raise ValueError("avro: corrupt record (string overruns row)")
             arr = _take_strings(a, pos, ln, np.ones(n, bool))
             return arr, pos + ln
         ln = np.zeros(n, np.int64)
         if valid.any():
-            lnv, pv = _read_varints_vec(a, pos[valid])
+            lnv, pv = _read_varints_vec(a, pos[valid], ends[valid])
             ln[valid] = lnv
             newpos = pos.copy()
             newpos[valid] = pv
         else:
             newpos = pos
+        if valid.any() and ((ln[valid] < 0)
+                            | (newpos[valid] + ln[valid]
+                               > ends[valid])).any():
+            raise ValueError("avro: corrupt record (string overruns row)")
         arr = _take_strings(a, newpos, ln, valid)
         return arr, newpos + np.where(valid, ln, 0)
 
     op, pos = rd_str(pos)
     conv, pos = rd_str(pos)
-    turn, pos = _read_varints_vec(a, pos)
+    turn, pos = _read_varints_vec(a, pos, ends)
     nullable = {}
     for c in _NULLABLE:
-        branch, pos = _read_varints_vec(a, pos)
+        branch, pos = _read_varints_vec(a, pos, ends)
         nullable[c], pos = rd_str(pos, valid=branch != 0)
-    branch, pos = _read_varints_vec(a, pos)
+    branch, pos = _read_varints_vec(a, pos, ends)
     ts_valid = branch != 0
     ts = np.zeros(n, np.int64)
     if ts_valid.any():
-        tsv, _ = _read_varints_vec(a, pos[ts_valid])
+        tsv, _ = _read_varints_vec(a, pos[ts_valid], ends[ts_valid])
         ts[ts_valid] = tsv
     ts_arr = pa.Array.from_buffers(
         pa.timestamp("us"), n,

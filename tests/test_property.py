@@ -94,15 +94,18 @@ def test_oracle_replay_agrees_with_brute_force(t):
 @st.composite
 def avro_rows(draw):
     return {
-        "log_offset": draw(st.integers(0, 2**62)),
-        "seq": draw(st.integers(0, 3)),
+        # negative magnitudes exercise the zigzag sign propagation and
+        # 9-10-byte varints — the trickiest vector branches of the
+        # columnar codec
+        "log_offset": draw(st.integers(-2**62, 2**62)),
+        "seq": draw(st.integers(-3, 3)),
         "op": draw(st.sampled_from(OPS)),
         "conv_id": draw(st.text(min_size=1, max_size=20)),
-        "turn_idx": draw(st.integers(0, 10_000)),
+        "turn_idx": draw(st.integers(-10_000, 10_000)),
         "role": draw(st.one_of(st.none(), st.text(max_size=12))),
         "text": draw(st.one_of(st.none(), st.text(max_size=64))),
         "tool": draw(st.one_of(st.none(), st.text(max_size=8))),
-        "ts": draw(st.one_of(st.none(), st.integers(0, 2**52))),
+        "ts": draw(st.one_of(st.none(), st.integers(-2**52, 2**52))),
     }
 
 
