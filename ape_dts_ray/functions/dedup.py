@@ -152,7 +152,8 @@ def _shingle_frame(d: pd.DataFrame, k: int):
     both-empty pair is Jaccard 1.0 by jaccard()'s convention)."""
     ids, hs = [], []
     for doc_id, text in zip(d["doc_id"].to_numpy(np.int64), d["text"]):
-        u = np.unique(_shingles(text or "", k))
+        # NA-safe: pandas "string" dtype yields pd.NA (no truthiness)
+        u = np.unique(_shingles(text if isinstance(text, str) else "", k))
         if len(u):
             ids.append(np.full(len(u), doc_id, dtype=np.int64))
             hs.append(u)
@@ -298,15 +299,39 @@ def join_pair_texts(pairs_ds, docs_ds, num_partitions: int = 64):
 
 def verify_pairs_jaccard(joined_ds, threshold: float, shingle_k: int = 5):
     """(a, b, text_a, text_b) → (a, b) where true Jaccard ≥ threshold.
-    Per-pair scalar reduction over the batch (the shingle sets are per-pair
-    state; candidates are a tiny fraction of the corpus by LSH construction)."""
+    Vectorized: each batch's DISTINCT docs are shingled once
+    (_shingle_frame) and every pair's intersection size comes from one
+    exploded merge — the same kernel as the broadcast fast path, so the
+    streaming-join fallback (candidates beyond the broadcast cap) carries
+    no per-pair Python either. Frames are chunked so the exploded merge
+    stays bounded regardless of a join group's size."""
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        ok = np.fromiter(
-            (jaccard(ta or "", tb or "", shingle_k) >= threshold
-             for ta, tb in zip(batch["text_a"], batch["text_b"])),
-            dtype=bool, count=len(batch))
-        out = batch.loc[ok, ["a", "b"]]
+        if len(batch) == 0:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        docs = pd.DataFrame({
+            "doc_id": np.concatenate([batch["a"].to_numpy(np.int64),
+                                      batch["b"].to_numpy(np.int64)]),
+            "text": pd.concat([batch["text_a"], batch["text_b"]],
+                              ignore_index=True),
+        }).drop_duplicates("doc_id")
+        sf, sizes = _shingle_frame(docs, shingle_k)
+        keep = []
+        step = 8192
+        for lo in range(0, len(batch), step):
+            m = batch.iloc[lo:lo + step, :][["a", "b"]].reset_index(drop=True)
+            m = m.assign(pair=np.arange(len(m), dtype=np.int64))
+            left = m.merge(sf.rename(columns={"doc_id": "a"}), on="a")
+            inter = left.merge(sf.rename(columns={"doc_id": "b"}),
+                               on=["b", "sh"])
+            icnt = (inter.groupby("pair").size()
+                    .reindex(np.arange(len(m)), fill_value=0).to_numpy())
+            sa = sizes.reindex(m["a"]).fillna(0).to_numpy()
+            sb = sizes.reindex(m["b"]).fillna(0).to_numpy()
+            union = np.maximum(sa + sb - icnt, 1)
+            jac = np.where((sa == 0) & (sb == 0), 1.0, icnt / union)
+            keep.append(m.loc[jac >= threshold, ["a", "b"]])
+        out = pd.concat(keep) if keep else pd.DataFrame(_EMPTY_PAIRS)
         if out.empty:
             return pd.DataFrame(_EMPTY_PAIRS)
         return out.astype("int64")

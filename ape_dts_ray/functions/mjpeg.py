@@ -1,0 +1,481 @@
+"""MJPEG-in-AVI — pure stdlib/numpy, written from the public specs
+(ITU-T T.81 baseline JPEG: DQT/DHT/SOF0/SOS marker segments, Annex K tables,
+Annex F entropy coding; Microsoft RIFF/AVI container layout).
+
+This is the one realistically implementable step up from Y4M for the video
+branch of ``SampleFrames`` (functions/multimodal.py): an AVI whose frames
+are baseline JPEGs decodes for real — RIFF ``movi`` walk, per-frame Huffman
+decode, dequantize, IDCT, luma plane out. Compressed inter-frame codecs
+(H.264 &c.) remain a strict-raise stub — no stdlib entropy/bitstream
+machinery exists for them.
+
+Scope, stated honestly:
+- decode: baseline sequential DCT (SOF0), 8-bit, any number of components /
+  sampling factors; ONLY the luma plane is reconstructed (chroma
+  coefficients are entropy-decoded to keep stream position, then dropped) —
+  the video stage's features are luma-based. Progressive (SOF2) and
+  arithmetic coding raise.
+- encode (fixture writer): grayscale baseline with the Annex K luminance
+  quant table (quality-scaled) and the Annex K standard Huffman tables.
+- container: RIFF AVI with ``movi`` ``00dc``/``00db`` frame chunks (also
+  inside ``rec `` lists); the writer emits plausible ``hdrl`` headers.
+
+The decoder reads its quant/Huffman tables from the stream (DQT/DHT), not
+from the writer's constants, so decode is exercised against real bytes the
+same way sources/rdb.py and the PNG codec are.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------- constants
+
+ZIGZAG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
+
+# Annex K.1 luminance quantization table (natural order via ZIGZAG below)
+STD_LUM_QUANT = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+
+# Annex K.3 standard Huffman tables (luminance)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+
+def _dct_matrix() -> np.ndarray:
+    x = np.arange(8)
+    t = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
+    t[0, :] *= 1 / np.sqrt(2)
+    return t
+
+
+_DCT = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """{symbol: (code, length)} for canonical JPEG Huffman tables."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict:
+    """{(length, code): symbol} for the bit-serial decoder."""
+    enc = _canonical_codes(bits, vals)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+def scale_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (libjpeg's public jpeg_quality_scaling curve)."""
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - quality * 2
+    return np.clip((base * s + 50) // 100, 1, 255).astype(np.int64)
+
+
+# ------------------------------------------------------------ bit stream
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)       # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)   # 1-fill to byte boundary
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Reads the entropy-coded segment: 0xFF00 unstuffed to 0xFF; any other
+    0xFF-marker ends the segment (RSTn are handled by the caller via
+    align+skip)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise EOFError("jpeg: marker inside entropy segment")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_and_skip_rst(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+        if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _huff_decode(r: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+# ---------------------------------------------------------------- decode
+
+def decode_baseline_jpeg_luma(data: bytes) -> np.ndarray:
+    """Baseline JPEG → luma plane, uint8 (h, w). Chroma components are
+    entropy-decoded (stream position) and discarded."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    qt: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart = 0
+    i = 2
+    while True:
+        if data[i] != 0xFF:
+            raise ValueError(f"jpeg: expected marker at {i}")
+        m = data[i + 1]
+        i += 2
+        if m == 0xD9:                      # EOI
+            raise ValueError("jpeg: EOI before SOS")
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue                       # parameterless
+        ln = struct.unpack(">H", data[i:i + 2])[0]
+        seg = data[i + 2:i + ln]
+        if m == 0xDB:                      # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    tab = np.frombuffer(seg[p:p + 64], np.uint8).astype(np.int64)
+                    p += 64
+                else:
+                    tab = np.frombuffer(seg[p:p + 128], ">u2").astype(np.int64)
+                    p += 128
+                nat = np.zeros(64, np.int64)
+                nat[ZIGZAG] = tab
+                qt[tq] = nat.reshape(8, 8)
+        elif m == 0xC0 or m == 0xC1:       # SOF0/1 (baseline / ext. seq.)
+            h, w = struct.unpack(">HH", seg[1:5])
+            for c in range(seg[5]):
+                cid, samp, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF,
+                              "tq": tq})
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            raise NotImplementedError("jpeg: only baseline (SOF0) supported")
+        elif m == 0xC4:                    # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
+                p += 17 + n
+        elif m == 0xDD:                    # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:                    # SOS
+            scan = []
+            for c in range(seg[0]):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 0xF})
+            i += ln
+            break
+        i += ln
+
+    if not comps or h == 0 or w == 0:
+        raise ValueError("jpeg: no frame header")
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    luma = scan[0]                          # first scan component = Y
+    plane = np.zeros((mcuy * luma["v"] * 8, mcux * luma["h"] * 8), np.float64)
+
+    r = _BitReader(data, i)
+    pred = {c["id"]: 0 for c in scan}
+    idct_t = _DCT.T
+
+    def decode_block(c) -> np.ndarray | None:
+        sym = _huff_decode(r, dc_tabs[c["dc"]])
+        diff = _extend(r.bits(sym), sym) if sym else 0
+        pred[c["id"]] += diff
+        coef = np.zeros(64, np.int64)
+        coef[0] = pred[c["id"]]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(r, ac_tabs[c["ac"]])
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:
+                    k += 16
+                    continue
+                break                       # EOB
+            k += run
+            if k > 63:
+                raise ValueError("jpeg: AC index overflow")
+            coef[k] = _extend(r.bits(size), size)
+            k += 1
+        nat = np.zeros(64, np.float64)
+        nat[ZIGZAG] = coef
+        return idct_t @ (nat.reshape(8, 8) * qt[c["tq"]]) @ _DCT
+
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                r.align_and_skip_rst()
+                for cid in pred:
+                    pred[cid] = 0
+            try:
+                for c in scan:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            blk = decode_block(c)
+                            if c is luma:
+                                y0 = (my * c["v"] + v) * 8
+                                x0 = (mx * c["h"] + hh) * 8
+                                plane[y0:y0 + 8, x0:x0 + 8] = blk
+            except _RestartMarker:
+                raise ValueError("jpeg: unexpected restart marker")
+            n_mcu += 1
+    return np.clip(plane[:h, :w] + 128, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- encode
+
+def encode_baseline_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w) → grayscale baseline JPEG (fixture writer)."""
+    img = np.asarray(img, np.uint8)
+    h, w = img.shape
+    q = scale_quant(STD_LUM_QUANT, quality)
+    qmat = np.zeros(64, np.int64)
+    qmat[ZIGZAG] = q                        # q given in zigzag order already
+    qmat = qmat.reshape(8, 8)
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img.astype(np.float64) - 128,
+                    ((0, ph - h), (0, pw - w)), mode="edge")
+    dc_enc = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_enc = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    bw = _BitWriter()
+    pred = 0
+
+    def size_of(v: int) -> int:
+        return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            blk = padded[by:by + 8, bx:bx + 8]
+            coef = np.round((_DCT @ blk @ _DCT.T) / qmat).astype(np.int64)
+            zz = coef.reshape(64)[ZIGZAG]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = size_of(diff)
+            code, ln = dc_enc[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+            run = 0
+            nz = np.flatnonzero(zz[1:]) + 1
+            last = nz[-1] if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_enc[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                t = size_of(v)
+                code, ln = ac_enc[(run << 4) | t]
+                bw.write(code, ln)
+                bw.write(v if v > 0 else v + (1 << t) - 1, t)
+                run = 0
+            if last < 63:
+                code, ln = ac_enc[0x00]     # EOB
+                bw.write(code, ln)
+    entropy = bw.flush()
+
+    out = bytearray(b"\xff\xd8")            # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"      # DQT, pq=0 tq=0
+    out += bytes(int(x) for x in q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)  # SOF0, 1 comp
+    out += bytes([1, 0x11, 0])              # id=1, 1x1 sampling, qtable 0
+    for tc, bits, vals in ((0, DC_LUM_BITS, DC_LUM_VALS),
+                           (1, AC_LUM_BITS, AC_LUM_VALS)):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
+        out += bytes([tc << 4]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    out += entropy + b"\xff\xd9"            # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------ AVI (RIFF)
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _riff_list(listtype: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", listtype + payload)
+
+
+def encode_avi_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Minimal but well-formed MJPEG AVI: hdrl (avih + one vids stream with
+    fourcc MJPG) + movi with one 00dc chunk per frame."""
+    usec = 1_000_000 // max(1, fps)
+    maxbytes = max((len(j) for j in jpeg_frames), default=0)
+    avih = struct.pack("<14I", usec, maxbytes * fps, 0, 0x10,  # HASINDEX-less
+                       len(jpeg_frames), 0, 1, maxbytes, width, height,
+                       0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<I", 0)
+            + struct.pack("<HHI", 0, 0, 0)
+            + struct.pack("<5I", 1, fps, 0, len(jpeg_frames), maxbytes)
+            + struct.pack("<iI", -1, 0) + struct.pack("<4H", 0, 0,
+                                                      width, height))
+    strf = struct.pack("<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+                       width * height * 3, 0, 0, 0, 0)
+    strl = _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                      + _riff_chunk(b"strf", strf))
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strl)
+    movi = _riff_list(b"movi",
+                      b"".join(_riff_chunk(b"00dc", j) for j in jpeg_frames))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def is_avi(data: bytes) -> bool:
+    return data[:4] == b"RIFF" and data[8:12] == b"AVI "
+
+
+def avi_frame_chunks(data: bytes) -> list[bytes]:
+    """Walk the RIFF tree and return every video frame payload
+    (``..dc``/``..db`` chunks inside ``movi``, descending into ``rec ``)."""
+    if not is_avi(data):
+        raise ValueError("avi: not a RIFF AVI")
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int, in_movi: bool) -> None:
+        pos = lo
+        while pos + 8 <= hi:
+            fourcc = data[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_lo = pos + 8
+            body_hi = min(body_lo + size, hi)
+            if fourcc in (b"LIST", b"RIFF"):
+                listtype = data[body_lo:body_lo + 4]
+                walk(body_lo + 4, body_hi,
+                     in_movi or listtype in (b"movi", b"rec "))
+            elif in_movi and fourcc[2:4] in (b"dc", b"db"):
+                frames.append(data[body_lo:body_hi])
+            pos = body_lo + size + (size & 1)
+
+    walk(12, len(data), False)
+    return frames
+
+
+def decode_avi_mjpeg_frame(chunk: bytes) -> np.ndarray:
+    """One movi frame chunk → luma plane. Non-JPEG payloads (a non-MJPEG
+    AVI) raise NotImplementedError — the caller's strict/stub split decides
+    what to do with that."""
+    if chunk[:2] != b"\xff\xd8":
+        raise NotImplementedError("avi: frame is not a baseline JPEG "
+                                  "(non-MJPEG codecs unsupported)")
+    return decode_baseline_jpeg_luma(chunk)

@@ -324,9 +324,24 @@ class DecodeImage:
             img = resize_nearest(img.astype(np.float64),
                                  self.out_size, self.out_size)
             return img / 255.0
+        if payload[:2] == b"\xff\xd8":              # baseline JPEG → luma
+            from ape_dts_ray.functions.mjpeg import decode_baseline_jpeg_luma
+
+            try:
+                img = decode_baseline_jpeg_luma(payload)
+            except (ValueError, NotImplementedError, IndexError,
+                    struct.error, EOFError, KeyError):
+                # progressive / malformed: strict keeps the error,
+                # non-strict falls back to the deterministic fake
+                if self.strict:
+                    raise
+                return self._fake_decode(payload)
+            img = resize_nearest(img.astype(np.float64),
+                                 self.out_size, self.out_size)
+            return img / 255.0
         if self.strict:
             raise NotImplementedError(
-                "no codec for this payload (PIL absent; not a PNG)")
+                "no codec for this payload (PIL absent; not a PNG/JPEG)")
         return self._fake_decode(payload)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -449,10 +464,37 @@ class SampleFrames:
                 info = offs = None
             if offs is not None:
                 return self._y4m_rows(payload, info, offs)
+        from ape_dts_ray.functions import mjpeg as _mjpeg
+
+        if _mjpeg.is_avi(payload):
+            try:
+                chunks = _mjpeg.avi_frame_chunks(payload)
+                if chunks:
+                    return self._mjpeg_rows(chunks)
+            except (ValueError, NotImplementedError, IndexError,
+                    struct.error):
+                # non-MJPEG codec / malformed container: strict raises,
+                # non-strict keeps the deterministic stub
+                if self.strict:
+                    raise
         if self.strict:
             raise NotImplementedError(
-                "no codec for this payload (strict mode decodes Y4M only)")
+                "no codec for this payload (strict mode decodes Y4M and "
+                "MJPEG-in-AVI only)")
         return self._stub_rows(payload)
+
+    def _mjpeg_rows(self, chunks: list[bytes]):
+        from ape_dts_ray.functions.mjpeg import decode_avi_mjpeg_frame
+
+        pick = np.unique(np.linspace(0, len(chunks) - 1, self.n_frames,
+                                     dtype=np.int64))
+        out = []
+        for fi, idx in enumerate(pick):
+            luma = decode_avi_mjpeg_frame(chunks[idx])
+            small = resize_nearest(luma.astype(np.float64),
+                                   self.feat_size, self.feat_size)
+            out.append((fi, (small.mean(axis=0) / 255.0).tolist()))
+        return out
 
     def _y4m_rows(self, payload: bytes, info: dict, offs: list[int]):
         if not offs:

@@ -1,0 +1,203 @@
+"""Continuous tail mode: follow a growing event-log directory as a daemon.
+
+The reference is a long-running service — its CDC extractor tails a live log
+indefinitely and the pipeline drains micro-batches forever
+(dt-pipeline/src/base_pipeline.rs:59-141 drain loop;
+dt-connector/src/extractor/mysql/mysql_cdc_extractor.rs:149-299 binlog tail),
+resuming from the committed position on restart
+(dt-task/src/task_runner.rs + cdc_resumer.rs:24-89).
+
+Here the "live log" is a directory into which immutable Parquet segments are
+appended (the lake-native analog of binlog file rotation). Each poll round:
+
+    1. discover new/changed segments; read ONLY their footers (row-group
+       statistics) to learn each file's max offset — cached by (path, size),
+       so a long-running follower pays O(new files) per round, not O(log);
+    2. if the log's max offset is past the lake's committed watermark, run
+       the ordinary batch ``replay`` over just the segments that can still
+       contain pending offsets — resume, exactly-once, growing-log tail
+       recommit, DDL barriers and ONLINE compaction are all inherited from
+       ``replay`` (pipelines/replay.py), follow adds only the loop;
+    3. write a liveness heartbeat (also on idle rounds) and check the
+       shutdown conditions (stop file / idle limit / round limit).
+
+Crash safety is replay's: a SIGKILL anywhere leaves committed epochs + a
+re-runnable tail; a restarted follower (or a one-shot ``replay`` of the full
+log) converges to the identical state (tests/test_follow.py drives the
+SIGKILL probe in a separate process).
+
+SCALE NOTE: segments are assumed immutable once visible (the writer must
+write-then-rename, as every sink in this repo does); a file whose size
+changed is re-footered, never partially trusted. Pruned segments (footer max
+below the pending floor) cost nothing per round. With
+``auto_compact_max_deltas`` set, merge-on-read amplification stays bounded
+for the whole (unbounded) run.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import time
+from dataclasses import dataclass, field
+
+from ape_dts_ray.state.lake import LakeTable
+
+
+@dataclass
+class FollowStats:
+    rounds: int = 0                 # poll rounds (idle + replaying)
+    replay_rounds: int = 0          # rounds that ran a replay
+    epochs_committed: int = 0
+    events_applied: int = 0
+    stopped_by: str = ""            # "stop_file" | "idle_limit" | "max_rounds"
+    manifests: list = field(default_factory=list)
+
+
+def _file_offset_span(path: str, offset_col: str) -> tuple[int, int]:
+    """(min, max) offset in one segment from footer statistics only; falls
+    back to a single-column scan for stats-less files (never treats the
+    absence of statistics as an empty file). (-1, -1) for a 0-row segment."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    ci = f.schema_arrow.get_field_index(offset_col)
+    mn, mx, seen = None, None, False
+    for rg in range(f.metadata.num_row_groups):
+        st = f.metadata.row_group(rg).column(ci).statistics
+        if st is not None and st.max is not None and st.min is not None:
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+            seen = True
+    if not seen:
+        import pyarrow.compute as pc
+
+        t = pq.read_table(path, columns=[offset_col])
+        if t.num_rows == 0:
+            return (-1, -1)
+        mn = pc.min(t.column(offset_col)).as_py()
+        mx = pc.max(t.column(offset_col)).as_py()
+    return (int(mn), int(mx))
+
+
+def _pending_floor(lake: LakeTable) -> int:
+    """Lowest offset any pending window can start at. Commits are strictly
+    epoch-ordered (replay.py), so everything below the highest committed
+    epoch's offset_min is committed-and-skipped; only that tail epoch can be
+    re-run by the growing-log recommit. Compaction markers carry
+    offset_min == -1 and are fully covered by the compacted watermark."""
+    committed = lake.committed_epochs()
+    lo = 0
+    if committed:
+        m = lake.read_manifest(max(committed))
+        lo = m.offset_min if m.offset_min != -1 else m.offset_max + 1
+    return max(lo, lake.compacted_watermark() + 1, lake.truncate_offset + 1, 0)
+
+
+def replay_follow(
+    lake: LakeTable,
+    log_dir: str,
+    pattern: str = "*.parquet",
+    poll_interval: float = 0.25,
+    stop_file: str | None = None,
+    max_idle_rounds: int | None = None,
+    max_rounds: int | None = None,
+    group_epochs: int = 4,
+    pipeline_depth: int = 2,
+    auto_compact_max_deltas: int | None = None,
+    heartbeat: bool = True,
+    event_filter=None,
+    router_fn=None,
+    narrow_shuffle: bool = False,
+    barriers: list[tuple[int, int]] | None = None,
+    offset_col: str | None = None,
+) -> FollowStats:
+    """Tail ``log_dir`` forever (or until a stop condition), replaying every
+    offset past the lake's watermark as it appears.
+
+    Shutdown, in priority order (checked between rounds — a round in flight
+    always finishes, so stop is always clean):
+      * ``stop_file`` exists (touch it to request shutdown; the follower
+        deletes it on exit so a restart doesn't immediately stop);
+      * ``max_idle_rounds`` consecutive rounds saw no new offsets
+        (drain-then-exit mode for tests / bounded backfills);
+      * ``max_rounds`` total rounds ran.
+    With all three unset the loop is the reference's daemon: it never
+    returns.
+    """
+    from ape_dts_ray.meta import COL_OFFSET
+    from ape_dts_ray.pipelines.replay import replay
+
+    if stop_file is None:
+        stop_file = os.path.join(lake.root, "follow.stop")
+    ocol = offset_col or COL_OFFSET
+    # path -> (size, min_off, max_off); footer statistics only, re-read when
+    # the size changes (segments are immutable once visible — write+rename)
+    footer_cache: dict[str, tuple[int, int, int]] = {}
+    stats = FollowStats()
+    idle = 0
+    first_scan = True
+
+    while True:
+        if os.path.exists(stop_file):
+            stats.stopped_by = "stop_file"
+            try:
+                os.unlink(stop_file)
+            except OSError:
+                pass
+            return stats
+        if max_rounds is not None and stats.rounds >= max_rounds:
+            stats.stopped_by = "max_rounds"
+            return stats
+        if max_idle_rounds is not None and idle >= max_idle_rounds:
+            stats.stopped_by = "idle_limit"
+            return stats
+
+        stats.rounds += 1
+        floor = _pending_floor(lake)
+        for p in sorted(glob.glob(os.path.join(log_dir, pattern))):
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                continue                    # raced with a writer's rename
+            hit = footer_cache.get(p)
+            if hit is not None and hit[0] == size:
+                continue
+            mn, mx = _file_offset_span(p, ocol)
+            if hit is None and not first_scan and mn != -1 and mn < floor:
+                # GAP REFUSAL (the log is consumed positionally, like the
+                # reference's binlog): a segment appearing AFTER the follower
+                # already committed past its offsets means the writer appended
+                # out of order — replaying it would double-apply or silently
+                # skip committed epochs' events, so refuse loudly. Round-1
+                # catch-up over a pre-existing log is exempt (committed
+                # offsets in old segments are skipped by resume, by design).
+                raise RuntimeError(
+                    f"late segment {p}: min offset {mn} is below the pending "
+                    f"floor {floor} — segments must be appended to the log "
+                    "in nondecreasing offset order")
+            footer_cache[p] = (size, mn, mx)
+        first_scan = False
+
+        log_max = max((mx for _, _, mx in footer_cache.values()), default=-1)
+        wm = lake.watermark()
+        if log_max <= wm:
+            idle += 1
+            if heartbeat:
+                lake.write_heartbeat()
+            time.sleep(poll_interval)
+            continue
+
+        idle = 0
+        paths = sorted(p for p, (_, _, mx) in footer_cache.items()
+                       if mx >= floor)
+        ms = replay(lake, events_path=paths, max_offset=log_max,
+                    barriers=barriers, event_filter=event_filter,
+                    router_fn=router_fn, group_epochs=group_epochs,
+                    pipeline_depth=pipeline_depth,
+                    narrow_shuffle=narrow_shuffle, heartbeat=heartbeat,
+                    auto_compact_max_deltas=auto_compact_max_deltas)
+        stats.replay_rounds += 1
+        stats.epochs_committed += len(ms)
+        stats.events_applied += sum(p.events for m in ms for p in m.partitions)
+        stats.manifests.extend(ms)

@@ -108,6 +108,23 @@ def _file_seq(path: str) -> int:
     return int(base.split("_")[1].split(".")[0])
 
 
+def _strict_f64(b: bytes) -> float:
+    """Numeric arg parse with EXACT parity to scan_to_events' Arrow cast
+    chain (binary → string → float64): both event derivations must
+    accept/reject identical byte forms (the event-multiset-equality
+    contract) — Python float() is laxer (b"1_0" → 10.0, leading '+',
+    surrounding whitespace) and would make only one side raise."""
+    return pc.cast(pa.array([b], pa.binary()).cast(pa.string()),
+                   pa.float64())[0].as_py()
+
+
+def _strict_ms(b: bytes) -> float:
+    """Millisecond arg parse — parity with the fast path's
+    binary → string → int64 → float64 chain."""
+    return pc.cast(pc.cast(pa.array([b], pa.binary()).cast(pa.string()),
+                           pa.int64()), pa.float64())[0].as_py()
+
+
 def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
     """Expand parsed commands into columnar element events. The per-command
     loop is the sequential tail of the per-file parse task (same unit as the
@@ -183,7 +200,7 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
         elif cmd == b"ZADD":
             for s, i in enumerate(range(2, len(args) - 1, 2)):
                 emit(args[1], "field", "zset", "add", field=args[i + 1],
-                     score=float(args[i]), off=off, seq=s)
+                     score=_strict_f64(args[i]), off=off, seq=s)
         elif cmd == b"ZREM":
             for s, m in enumerate(args[2:]):
                 emit(args[1], "field", "zset", "rem", field=m, off=off, seq=s)
@@ -192,7 +209,7 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
                 emit(args[1], "list", "list", "push", value=v, off=off, seq=s)
         elif cmd == b"PEXPIREAT":
             emit(args[1], "expire", "key", "expire",
-                 score=float(int(args[2])), off=off)
+                 score=_strict_ms(args[2]), off=off)
         elif cmd == b"HPEXPIREAT":
             # HPEXPIREAT key unix-ms FIELDS n f1 .. fn — the absolute form
             # Redis propagates for every hash-field TTL variant (HEXPIRE
@@ -947,9 +964,17 @@ def bigkey_statistics(keyspace_ds, data_size_threshold: int = 0,
             "key_type": out.column("rtype"),
             "key": out.column("key").cast(pa.string()),
             "data_size": size})
-        return out.filter(pc.greater_equal(
+        out = out.filter(pc.greater_equal(
             out.column("data_size"),
             pa.scalar(data_size_threshold, pa.int64())))
+        # partial top-N: the global top_n under (size desc, key asc) is a
+        # subset of the union of per-partition top_n — truncate HERE so the
+        # final total-order sort sees ≤ partitions × top_n rows even with
+        # threshold=0 over a huge keyspace (never a full-keyspace sort)
+        if top_n is not None and out.num_rows > top_n:
+            out = out.sort_by([("data_size", "descending"),
+                               ("key", "ascending")]).slice(0, top_n)
+        return out
 
     ds = (keyspace_ds
           .map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -1026,9 +1051,16 @@ def hotkey_statistics(stats_ds, freq_threshold: int,
     def keep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater_equal(t.column("freq"),
                                       pa.scalar(freq_threshold, pa.int64())))
-        return pa.table({"db_id": t.column("db_id"),
-                         "key": t.column("key").cast(pa.string()),
-                         "freq": t.column("freq")})
+        out = pa.table({"db_id": t.column("db_id"),
+                        "key": t.column("key").cast(pa.string()),
+                        "freq": t.column("freq")})
+        # partial top-N per shard batch (keys are whole within a shard): the
+        # global top_n is a subset of the union of per-batch top_n, so the
+        # final sort sees ≤ shards × top_n rows even at threshold 0
+        if top_n is not None and out.num_rows > top_n:
+            out = out.sort_by([("freq", "descending"),
+                               ("key", "ascending")]).slice(0, top_n)
+        return out
 
     ds = (stats_ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
           .sort(["freq", "key"], descending=[True, False]))

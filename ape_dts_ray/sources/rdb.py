@@ -10,8 +10,11 @@ Closes the last SURVEY §2 coverage gap (the Redis family):
   zset(3/5/12/17), hash(4/9/13/16/22-25 — incl. pre-2.6 zipmap, which the
   reference bails on, and the 7.4-RC pre-GA TTL variants), stream(15/19/21)
   and opcodes SELECT/EXPIRE/EXPIRE_MS/AUX/RESIZEDB/IDLE/FREQ/EOF. Unknown
-  types raise (honest, like the reference's bail) — modules(6,7) are
-  documented out of scope in COVERAGE.md.
+  types raise (honest, like the reference's bail); module2(7) values are
+  SKIP-PARSED positionally — the key is dropped with a warning row in
+  ``meta["skipped_modules"]`` and the rest of the keyspace parses
+  (module2_parser.rs:26-73 parity) — while module v1(6) stays a hard error
+  (no framing to skip by).
 - ``encode_rdb``    — writer used by the RDB sinker/fixtures so every decode
   path (int strings, LZF, intset, ziplist, listpack, quicklist2, binary
   doubles, field TTLs) is exercised against real bytes, the same
@@ -137,6 +140,8 @@ RDB_TYPE_SET = 2
 RDB_TYPE_ZSET = 3
 RDB_TYPE_HASH = 4
 RDB_TYPE_ZSET_2 = 5
+RDB_TYPE_MODULE = 6        # pre-GA module format: unparseable without the module
+RDB_TYPE_MODULE_2 = 7      # opcode-framed: skip-parseable positionally
 RDB_TYPE_HASH_ZIPMAP = 9
 RDB_TYPE_LIST_ZIPLIST = 10
 RDB_TYPE_SET_INTSET = 11
@@ -442,9 +447,26 @@ def parse_rdb(data: bytes, verify_checksum: bool = True):
             freq = r.read_u8(); continue
         if tb == OP_SLOT_INFO:
             r.read_length(); r.read_length(); r.read_length(); continue
+        if tb == RDB_TYPE_MODULE:
+            # v1 module values carry no framing — without the module itself
+            # the stream position is lost, so this stays a hard error
+            # (module2_parser.rs:19-25 bails identically)
+            raise ValueError("rdb: module type v1 (type byte 6) is "
+                             "unparseable without the module")
+        if tb == RDB_TYPE_MODULE_2:
+            # skip-parse parity (module2_parser.rs:26-73): consume the
+            # opcode stream positionally, DROP the key with a warning row in
+            # meta, and keep parsing — one module key must not abort the
+            # rest of the keyspace
+            key = r.read_string()
+            name = _skip_module2(r)
+            meta.setdefault("skipped_modules", []).append(
+                {"db": db, "key": key, "module": name})
+            expire_ms = 0
+            freq = -1
+            continue
         if tb not in _VALUE_TYPE_BYTES:
-            raise ValueError(f"rdb: unsupported type byte {tb} "
-                             "(modules(6,7) are out of scope)")
+            raise ValueError(f"rdb: unsupported type byte {tb}")
         key = r.read_string()
         entry = {"db": db, "key": key, "expire_ms": expire_ms}
         if freq >= 0:
@@ -454,6 +476,44 @@ def parse_rdb(data: bytes, verify_checksum: bool = True):
         _parse_value(r, tb, entry)
         entries.append(entry)
     return meta, entries
+
+
+_MODULE_NAME_CHARSET = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-_")
+
+
+def module_type_name(module_id: int) -> str:
+    """9-char module type name from the 64-bit module id: the id's top 54
+    bits (above the 10-bit encoding version) are nine 6-bit indexes into
+    the charset (module2_parser.rs:35-46)."""
+    mid = module_id >> 10
+    chars = [""] * 9
+    for i in range(8, -1, -1):
+        chars[i] = _MODULE_NAME_CHARSET[mid & 63]
+        mid >>= 6
+    return "".join(chars)
+
+
+def _skip_module2(r: "RdbReader") -> str:
+    """Consume a MODULE_2 value's opcode stream without interpreting it
+    (module2_parser.rs:48-73): EOF=0 terminates; 1|2 = length-encoded int,
+    3 = len-prefixed ASCII float, 4 = 8-byte double, 5 = string. Returns
+    the decoded module type name for the warning row."""
+    module_id = r.read_length()
+    opcode = r.read_length()
+    while opcode != 0:
+        if opcode in (1, 2):
+            r.read_length()
+        elif opcode == 3:
+            r.read_float()
+        elif opcode == 4:
+            r.read_double()
+        elif opcode == 5:
+            r.read_string()
+        else:
+            raise ValueError(f"rdb: unknown module opcode {opcode}")
+        opcode = r.read_length()
+    return module_type_name(module_id)
 
 
 def _pairs(flat: list[bytes]) -> list[tuple[bytes, bytes]]:

@@ -299,14 +299,22 @@ def avro_encode(batch: pa.Table, key_cols=("conv_id", "turn_idx")) -> pa.Table:
         if c in names and batch.column(c).null_count:
             raise ValueError(f"avro: null in required field {c!r}")
 
-    def ints(col, default=0):
+    def ints(col, default=None):
         if col not in names:
+            # scalar parity (encode_event): offset/turn_idx are required
+            # record fields and raise KeyError when absent; ONLY seq
+            # defaults (row.get(COL_SEQ, 0)) — a silent 0 for the others
+            # would launder a malformed batch into valid-looking wire
+            # records, exactly what the null-check above refuses
+            if default is None:
+                raise KeyError(f"avro: required field {col!r} missing "
+                               "from batch")
             return np.full(n, default, np.int64)
         return batch.column(col).cast(pa.int64()).to_numpy(
             zero_copy_only=False).astype(np.int64)
 
     z_off = _zigzag_vec(ints(COL_OFFSET))
-    z_seq = _zigzag_vec(ints(COL_SEQ))
+    z_seq = _zigzag_vec(ints(COL_SEQ, default=0))
     z_turn = _zigzag_vec(ints("turn_idx"))
     l_off, l_seq, l_turn = (_varint_len_vec(z) for z in (z_off, z_seq, z_turn))
 

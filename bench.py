@@ -53,10 +53,16 @@ def _compact_host_memory() -> None:
     """Best-effort defragmentation before measuring (BASELINE.md round-4
     finding: THP allocation stalls from accumulated memory fragmentation
     degrade the identical bench ~2-3× late in a host session; one write to
-    vm.compact_memory recovers most of it). No-op without permission."""
+    vm.compact_memory recovers most of it). Host-global side effect, so it
+    only runs when explicitly requested via BENCH_COMPACT_MEM=1, and says so
+    on stderr so recorded numbers carry whether compaction preceded them."""
+    if os.environ.get("BENCH_COMPACT_MEM") != "1":
+        return
     try:
         with open("/proc/sys/vm/compact_memory", "w") as f:
             f.write("1")
+        print("bench: vm.compact_memory triggered before measurement",
+              file=sys.stderr)
         time.sleep(2)
     except OSError:
         pass
@@ -208,8 +214,91 @@ def scaling() -> None:
     print(json.dumps(report))
 
 
+def _psi(kind: str) -> dict:
+    """/proc/pressure/{kind} cumulative stall totals (µs), keyed some/full."""
+    out = {}
+    try:
+        with open(f"/proc/pressure/{kind}") as f:
+            for line in f:
+                parts = line.split()
+                out[parts[0]] = int(parts[-1].split("=")[1])
+    except OSError:
+        pass
+    return out
+
+
+def _vmstat(keys=("compact_stall", "compact_fail", "thp_fault_fallback",
+                  "compact_migrate_scanned", "allocstall_normal")) -> dict:
+    out = {}
+    try:
+        with open("/proc/vmstat") as f:
+            for line in f:
+                k, _, v = line.partition(" ")
+                if k in keys:
+                    out[k] = int(v)
+    except OSError:
+        pass
+    return out
+
+
+def weak_scaling() -> None:
+    """WEAK-scaling ladder: fixed events PER CORE, so under perfect engine
+    scaling every level's wall time is identical — a rising wall time with
+    core count is, by construction, a shared-resource (memory-bus/allocator)
+    effect, not an engine serial section. This is the direct within-run
+    separation of engine-vs-machine the strong-scaling pairs cannot give on
+    one socket (no `perf` binary in this sandbox, so the counter evidence is
+    PSI stall totals + /proc/vmstat compaction/THP counters per level).
+
+    Output adds, per level: wall secs, events/s/core, and the DELTAS of
+    cpu/memory pressure-stall totals and vmstat counters across the level's
+    subprocess (warmups included — deltas are attribution evidence, not a
+    per-event rate)."""
+    per_core = int(os.environ.get("BENCH_WEAK_PER_CORE", "500000"))
+
+    def wait_quiet(limit: float = 1.5, timeout: float = 600.0) -> float:
+        t0 = time.time()
+        load = os.getloadavg()[0]
+        while load >= limit and time.time() - t0 < timeout:
+            time.sleep(15)
+            load = os.getloadavg()[0]
+        return load
+
+    report = {"mode": "weak_scaling", "events_per_core": per_core}
+    for n in (2, 8, 32):
+        load = wait_quiet()
+        cpu0, mem0, vm0 = _psi("cpu"), _psi("memory"), _vmstat()
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_QUERIES="0",
+                   BENCH_TRIALS="2", BENCH_EVENTS=str(per_core * n))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True)
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        cpu1, mem1, vm1 = _psi("cpu"), _psi("memory"), _vmstat()
+        report[f"sec_{n}cpu"] = r["value"]
+        report[f"events_{n}cpu"] = r["events"]
+        report[f"events_per_sec_per_core_{n}cpu"] = round(
+            r["events_per_sec"] / n, 1)
+        report[f"load1_{n}cpu"] = round(load, 2)
+        report[f"psi_cpu_some_us_{n}cpu"] = cpu1.get("some", 0) - cpu0.get("some", 0)
+        report[f"psi_mem_some_us_{n}cpu"] = mem1.get("some", 0) - mem0.get("some", 0)
+        report[f"psi_mem_full_us_{n}cpu"] = mem1.get("full", 0) - mem0.get("full", 0)
+        for k in vm0:
+            report[f"vm_{k}_{n}cpu"] = vm1.get(k, 0) - vm0.get(k, 0)
+        time.sleep(10)
+    # flat wall time across levels = the engine scales; <1 quantifies the
+    # shared-resource inflation at 16× the cores on 16× the work
+    report["weak_efficiency_2_32"] = round(
+        report["sec_2cpu"] / report["sec_32cpu"], 3)
+    report["weak_efficiency_2_8"] = round(
+        report["sec_2cpu"] / report["sec_8cpu"], 3)
+    print(json.dumps(report))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--weak" in sys.argv:
+        weak_scaling()
     else:
         main()

@@ -1,0 +1,246 @@
+"""Continuous tail mode (pipelines/follow.py): a follower drains a growing
+segment directory, shuts down cleanly, survives SIGKILL + restart with state
+identical to a one-shot replay, refuses out-of-order segments, and resumes
+over a pre-existing log without re-applying (base_pipeline.rs:59-141 drain
+loop + cdc_resumer.rs:24-89 semantics)."""
+
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from ape_dts_ray.fixtures import gen_events, oracle_replay
+from ape_dts_ray.meta import EngineConfig, TableMeta
+from ape_dts_ray.pipelines.follow import replay_follow
+from ape_dts_ray.pipelines.replay import replay
+from ape_dts_ray.state.lake import LakeTable
+
+
+def _mk_lake(tmp_path, name="lake", parts=8, epoch=1000):
+    return LakeTable.create(str(tmp_path / name), TableMeta(),
+                            EngineConfig(num_partitions=parts,
+                                         epoch_size=epoch))
+
+
+def _append_segment(tmp_path, log_dir, table, idx):
+    """Write-then-rename, the immutability contract follow assumes."""
+    tmpf = str(tmp_path / f"_seg{idx}.tmp")
+    pq.write_table(table, tmpf)
+    os.rename(tmpf, os.path.join(log_dir, f"seg{idx:04d}.parquet"))
+
+
+def _segments(events, k):
+    """Split the event table into k contiguous segments; returns
+    (segments, per-segment max offsets). gen_events' row count is inserts +
+    changes, so segment by ACTUAL rows, never by n_events."""
+    n = events.num_rows
+    bounds = [round(i * n / k) for i in range(k + 1)]
+    segs = [events.slice(bounds[i], bounds[i + 1] - bounds[i])
+            for i in range(k)]
+    maxes = [int(pc.max(s.column("log_offset")).as_py()) for s in segs]
+    return segs, maxes
+
+
+def _wait_watermark(root, target, timeout=120.0, exc_box=None):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if exc_box and exc_box.get("exc") is not None:
+            raise exc_box["exc"]
+        if LakeTable.open(root).watermark() >= target:
+            return
+        time.sleep(0.1)
+    raise TimeoutError(f"watermark never reached {target}")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_drains_growing_log(tmp_path):
+    events = gen_events(seed=71, n_convs=40, max_turns=8, n_events=6000,
+                        delete_frac=0.2)
+    segs, maxes = _segments(events, 4)
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path)
+    stop = str(tmp_path / "stop")
+    box = {"stats": None, "exc": None}
+
+    def run():
+        try:
+            box["stats"] = replay_follow(lake, str(log), poll_interval=0.05,
+                                         stop_file=stop, pipeline_depth=1)
+        except BaseException as e:          # surfaced by _wait_watermark
+            box["exc"] = e
+
+    th = threading.Thread(target=run)
+    th.start()
+    try:
+        for i, seg in enumerate(segs):
+            _append_segment(tmp_path, str(log), seg, i)
+            _wait_watermark(lake.root, maxes[i], exc_box=box)
+    finally:
+        open(stop, "w").close()
+        th.join(timeout=120)
+    assert not th.is_alive()
+    assert box["exc"] is None
+    stats = box["stats"]
+    assert stats.stopped_by == "stop_file"
+    assert stats.replay_rounds >= 4            # one per appended segment
+    assert stats.events_applied >= events.num_rows  # tail recommit re-applies
+    assert not os.path.exists(stop)            # consumed on shutdown
+
+    state = LakeTable.open(lake.root).state_table().to_pandas()
+    oracle = oracle_replay(events)
+    assert len(state) == len(oracle)
+    assert list(state["text"]) == list(oracle["text"])
+    hb = LakeTable.open(lake.root).heartbeat()
+    assert hb is not None and hb["watermark"] == maxes[-1]
+
+
+_FOLLOW_SCRIPT = r"""
+import sys
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ape_dts_ray.pipelines.follow import replay_follow
+from ape_dts_ray.state.lake import LakeTable
+lake = LakeTable.open(sys.argv[1])
+print("FOLLOWER_READY", flush=True)
+replay_follow(lake, sys.argv[2], poll_interval=0.05, stop_file=sys.argv[3],
+              pipeline_depth=1, group_epochs=2, auto_compact_max_deltas=4)
+"""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_sigkill_restart_converges(tmp_path):
+    """The verdict's soak probe: segments appended while a separate-process
+    follower runs, SIGKILL mid-follow, restart (fresh process here = the
+    pytest process), final state equal to a one-shot replay of the full
+    log — the daemon's crash contract is exactly replay's."""
+    events = gen_events(seed=72, n_convs=60, max_turns=8, n_events=8000,
+                        delete_frac=0.25)
+    segs, maxes = _segments(events, 4)
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path, epoch=1000)
+    stop = str(tmp_path / "stop")
+
+    _append_segment(tmp_path, str(log), segs[0], 0)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _FOLLOW_SCRIPT, lake.root, str(log), stop],
+        cwd="/root/repo", stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        _wait_watermark(lake.root, maxes[0], timeout=180)  # seg0 applied
+        _append_segment(tmp_path, str(log), segs[1], 1)
+        _wait_watermark(lake.root, maxes[1], timeout=120)  # mid-follow
+    finally:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+    assert proc.returncode == -signal.SIGKILL
+
+    # the log keeps growing while the follower is down
+    _append_segment(tmp_path, str(log), segs[2], 2)
+    _append_segment(tmp_path, str(log), segs[3], 3)
+
+    # restart: catch-up replays the backlog, then drains to idle and exits
+    lake2 = LakeTable.open(lake.root)
+    stats = replay_follow(lake2, str(log), poll_interval=0.05,
+                          max_idle_rounds=3, pipeline_depth=1,
+                          group_epochs=2, auto_compact_max_deltas=4)
+    assert stats.stopped_by == "idle_limit"
+    assert stats.replay_rounds >= 1
+    assert LakeTable.open(lake.root).watermark() == maxes[-1]
+
+    oneshot = _mk_lake(tmp_path, name="oneshot", epoch=1000)
+    full = str(tmp_path / "full.parquet")
+    pq.write_table(events, full)
+    replay(oneshot, events_path=full)
+
+    got = LakeTable.open(lake.root).state_table().to_pandas()
+    want = oneshot.state_table().to_pandas()
+    assert len(got) == len(want)
+    assert list(got["text"]) == list(want["text"])
+    assert list(got["conv_id"]) == list(want["conv_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_idle_limit_and_heartbeat(tmp_path):
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path)
+    stats = replay_follow(lake, str(log), poll_interval=0.01,
+                          max_idle_rounds=3)
+    assert stats.stopped_by == "idle_limit"
+    assert stats.rounds == 3 and stats.replay_rounds == 0
+    assert lake.heartbeat() is not None       # liveness even when idle
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_max_rounds(tmp_path):
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path)
+    stats = replay_follow(lake, str(log), poll_interval=0.01, max_rounds=2)
+    assert stats.stopped_by == "max_rounds" and stats.rounds == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_gap_refusal(tmp_path):
+    """A segment appearing AFTER the follower committed past its offsets is
+    an out-of-order append — refused loudly (positional-log contract), never
+    silently skipped or double-applied."""
+    events = gen_events(seed=73, n_convs=20, max_turns=6, n_events=3000)
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path)
+    stop = str(tmp_path / "stop")
+    box = {"exc": None, "stats": None}
+
+    def run():
+        try:
+            box["stats"] = replay_follow(lake, str(log), poll_interval=0.05,
+                                         stop_file=stop, pipeline_depth=1)
+        except BaseException as e:
+            box["exc"] = e
+
+    seg0 = events.slice(0, 2000)
+    _append_segment(tmp_path, str(log), seg0, 0)
+    th = threading.Thread(target=run)
+    th.start()
+    try:
+        _wait_watermark(lake.root,
+                        int(pc.max(seg0.column("log_offset")).as_py()),
+                        exc_box=box)
+        # late segment: offsets far below the committed watermark
+        _append_segment(tmp_path, str(log), events.slice(500, 400), 1)
+        th.join(timeout=60)
+    finally:
+        open(stop, "w").close()
+        th.join(timeout=60)
+    assert isinstance(box["exc"], RuntimeError)
+    assert "late segment" in str(box["exc"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_resumes_existing_log_without_reapply(tmp_path):
+    """Round-1 catch-up over a fully committed log is a no-op (committed
+    epochs skip wholesale) — no replay round runs, state bytes untouched."""
+    events = gen_events(seed=74, n_convs=20, max_turns=6, n_events=2000)
+    log = tmp_path / "log"
+    log.mkdir()
+    _append_segment(tmp_path, str(log), events, 0)
+    lake = _mk_lake(tmp_path)
+    replay(lake, events_path=str(log / "seg0000.parquet"))
+    before = lake.state_table()
+    wm = lake.watermark()
+
+    stats = replay_follow(LakeTable.open(lake.root), str(log),
+                          poll_interval=0.01, max_idle_rounds=2)
+    assert stats.replay_rounds == 0 and stats.stopped_by == "idle_limit"
+    after = LakeTable.open(lake.root)
+    assert after.watermark() == wm
+    assert after.state_table().equals(before)

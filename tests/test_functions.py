@@ -388,8 +388,11 @@ def test_decode_strict_raises_on_unknown_format():
     dec = multimodal.DecodeImage(out_size=4, strict=True)
     if dec._pil is not None:
         pytest.skip("PIL present; it may handle arbitrary formats")
-    with pytest.raises(NotImplementedError):
+    # JPEG-SOI prefix but malformed body: the real baseline decoder rejects it
+    with pytest.raises((NotImplementedError, ValueError, IndexError)):
         dec._decode(b"\xff\xd8\xff not actually jpeg")
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"GIF89a not a supported codec")
 
 
 def test_y4m_nonstrict_malformed_falls_back(ray_session):

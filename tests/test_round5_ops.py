@@ -1,0 +1,400 @@
+"""Round-5 operator additions and fixes: RDB module2 skip-parse parity,
+scale-safe top-N statistic sinks, avro required-field parity, strict numeric
+parse parity between the scalar and columnar RESP event derivations, and the
+vectorized streaming-join Jaccard fallback edge cases."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ape_dts_ray.sources import rdb as rdbmod
+
+
+# ------------------------------------------------ RDB module2 skip-parse
+
+def _module2_bytes(key: bytes, module_id: int) -> bytes:
+    """A MODULE_2 entry exercising every skip opcode (1/2 ints, 3 float,
+    4 double, 5 string, 0 EOF)."""
+    out = bytearray()
+    out.append(rdbmod.RDB_TYPE_MODULE_2)
+    rdbmod.write_string(out, key, try_int=False)
+    rdbmod.write_length(out, module_id)
+    rdbmod.write_length(out, 1); rdbmod.write_length(out, 7)        # sint
+    rdbmod.write_length(out, 2); rdbmod.write_length(out, 999999)   # uint
+    out.append(3); out.append(3); out += b"2.5"                     # float
+    rdbmod.write_length(out, 4); out += struct.pack("<d", 3.5)      # double
+    rdbmod.write_length(out, 5)
+    rdbmod.write_string(out, b"opaque module payload", try_int=False)
+    rdbmod.write_length(out, 0)                                     # EOF
+    return bytes(out)
+
+
+def _img(body: bytes) -> bytes:
+    out = bytearray(b"REDIS0011") + body
+    out.append(rdbmod.OP_EOF)
+    out += struct.pack("<Q", rdbmod.crc64_redis(bytes(out)))
+    return bytes(out)
+
+
+def test_module2_skip_parse_keeps_rest_of_keyspace():
+    """module2_parser.rs:26-73 parity: a module key is consumed positionally
+    and dropped with a warning row; keys BEFORE and AFTER it parse."""
+    body = bytearray()
+    body.append(rdbmod.RDB_TYPE_STRING)
+    rdbmod.write_string(body, b"k1", try_int=False)
+    rdbmod.write_string(body, b"v1")
+    body += _module2_bytes(b"modkey", (12345 << 10) | 1)
+    body.append(rdbmod.RDB_TYPE_STRING)
+    rdbmod.write_string(body, b"k2", try_int=False)
+    rdbmod.write_string(body, b"v2")
+
+    meta, entries = rdbmod.parse_rdb(_img(bytes(body)))
+    assert [e["key"] for e in entries] == [b"k1", b"k2"]
+    assert [e["value"] for e in entries] == [b"v1", b"v2"]
+    skipped = meta["skipped_modules"]
+    assert len(skipped) == 1
+    assert skipped[0]["key"] == b"modkey" and skipped[0]["db"] == 0
+    assert skipped[0]["module"] == rdbmod.module_type_name((12345 << 10) | 1)
+    assert len(skipped[0]["module"]) == 9
+
+
+def test_module2_expire_and_freq_do_not_leak_to_next_key():
+    """An expire/LFU prefix attached to a skipped module key must not bleed
+    onto the following entry."""
+    body = bytearray()
+    body.append(rdbmod.OP_EXPIRETIME_MS)
+    body += struct.pack("<Q", 1234567890123)
+    body.append(rdbmod.OP_FREQ)
+    body.append(42)
+    body += _module2_bytes(b"m", 1 << 10)
+    body.append(rdbmod.RDB_TYPE_STRING)
+    rdbmod.write_string(body, b"after", try_int=False)
+    rdbmod.write_string(body, b"x")
+
+    _, entries = rdbmod.parse_rdb(_img(bytes(body)))
+    assert len(entries) == 1
+    assert entries[0]["key"] == b"after"
+    assert entries[0]["expire_ms"] == 0
+    assert "freq" not in entries[0]
+
+
+def test_module_v1_still_raises():
+    body = bytearray()
+    body.append(rdbmod.RDB_TYPE_MODULE)
+    rdbmod.write_string(body, b"old", try_int=False)
+    with pytest.raises(ValueError, match="module type v1"):
+        rdbmod.parse_rdb(_img(bytes(body)))
+
+
+def test_module2_unknown_opcode_raises():
+    body = bytearray()
+    body.append(rdbmod.RDB_TYPE_MODULE_2)
+    rdbmod.write_string(body, b"m", try_int=False)
+    rdbmod.write_length(body, 1 << 10)
+    rdbmod.write_length(body, 9)            # not a module opcode
+    with pytest.raises(ValueError, match="module opcode"):
+        rdbmod.parse_rdb(_img(bytes(body)))
+
+
+# --------------------------------------- scale-safe top-N statistic sinks
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigkey_topn_partial_reduce_bounds_sort_input(monkeypatch):
+    """threshold=0, top_n=K over a large keyspace: the rows entering the
+    final total-order sort are bounded by partitions × K (per-partition
+    partial top-N), and the result equals the brute-force top-K."""
+    import ray.data as rd
+
+    from ape_dts_ray.pipelines.redis_replay import (KEYSPACE_SCHEMA,
+                                                    bigkey_statistics)
+
+    n_keys, top_n, parts = 600, 3, 8
+    rows = [{"db": 0, "key": f"key{i:05d}".encode(), "rtype": "string",
+             "field": None, "idx": None, "value": b"v" * (i % 97 + 1),
+             "score": None, "expire_ms": 0, "field_ttl_ms": 0}
+            for i in range(n_keys)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=KEYSPACE_SCHEMA))
+
+    captured = {}
+    orig_sort = rd.Dataset.sort
+
+    def spy_sort(self, *a, **k):
+        captured["rows"] = self.count()
+        return orig_sort(self, *a, **k)
+
+    monkeypatch.setattr(rd.Dataset, "sort", spy_sort)
+    out = pa.concat_tables(
+        bigkey_statistics(ds, data_size_threshold=0, top_n=top_n,
+                          num_partitions=parts)
+        .iter_batches(batch_format="pyarrow")).to_pylist()
+    monkeypatch.setattr(rd.Dataset, "sort", orig_sort)
+
+    assert captured["rows"] <= parts * top_n       # never a full-keyspace sort
+    brute = sorted(
+        ((len(r["key"]) + len(r["value"]), r["key"].decode()) for r in rows),
+        key=lambda t: (-t[0], t[1]))[:top_n]
+    assert [(r["data_size"], r["key"]) for r in out] == brute
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hotkey_topn_partial_reduce(monkeypatch):
+    import ray.data as rd
+
+    from ape_dts_ray.pipelines.redis_replay import hotkey_statistics
+
+    schema = pa.schema([("db_id", pa.int64()), ("key_type", pa.string()),
+                        ("key", pa.binary()), ("data_size", pa.int64()),
+                        ("freq", pa.int64())])
+    blocks = []
+    for b in range(4):
+        blocks.append(pa.Table.from_pylist(
+            [{"db_id": 0, "key_type": "string",
+              "key": f"k{b}_{i:04d}".encode(), "data_size": 10,
+              "freq": (i * 7 + b) % 200} for i in range(300)],
+            schema=schema))
+    ds = rd.from_arrow(blocks)
+
+    captured = {}
+    orig_sort = rd.Dataset.sort
+
+    def spy_sort(self, *a, **k):
+        captured["rows"] = self.count()
+        return orig_sort(self, *a, **k)
+
+    monkeypatch.setattr(rd.Dataset, "sort", spy_sort)
+    out = pa.concat_tables(
+        hotkey_statistics(ds, freq_threshold=0, top_n=5)
+        .iter_batches(batch_format="pyarrow")).to_pylist()
+    monkeypatch.setattr(rd.Dataset, "sort", orig_sort)
+
+    assert captured["rows"] <= 4 * 5
+    all_rows = [r for t in blocks for r in t.to_pylist()]
+    brute = sorted(((r["freq"], r["key"].decode()) for r in all_rows),
+                   key=lambda t: (-t[0], t[1]))[:5]
+    assert [(r["freq"], r["key"]) for r in out] == brute
+
+
+# --------------------------------------------- avro required-field parity
+
+def test_avro_encode_missing_required_int_field_raises():
+    """Scalar parity (encode_event raises KeyError on absent turn_idx /
+    offset); only seq defaults to 0."""
+    from ape_dts_ray.stages.avro import avro_decode, avro_encode
+
+    base = {"log_offset": [1, 2], "op": ["insert", "update"],
+            "conv_id": ["c1", "c2"], "turn_idx": [0, 1]}
+    ok = avro_encode(pa.table(base))                   # seq absent → 0
+    dec = avro_decode(ok.select(["value"]))
+    assert dec.column("seq").to_pylist() == [0, 0]
+
+    for missing in ("turn_idx", "log_offset"):
+        cols = {k: v for k, v in base.items() if k != missing}
+        with pytest.raises(KeyError, match=missing):
+            avro_encode(pa.table(cols))
+
+
+# --------------------------- strict numeric parity (scalar ≡ columnar RESP)
+
+def test_numeric_parse_parity_nonclean_forms():
+    """Both event derivations must accept/reject IDENTICAL byte forms for
+    ZADD scores and PEXPIREAT ms (the event-multiset-equality contract);
+    Python float()/int() used to be laxer than the fast path's Arrow casts
+    (b'1_0' → 10.0, b'+5', padded numbers)."""
+    from ape_dts_ray.pipelines.redis_replay import (commands_to_events,
+                                                    scan_to_events)
+    from ape_dts_ray.sources.resp import encode_cmds, parse_resp
+
+    def outcomes(data):
+        res = []
+        for fn in (lambda: commands_to_events(parse_resp(data)),
+                   lambda: scan_to_events(data)):
+            try:
+                res.append(("ok", sorted(map(str, fn().to_pylist()))))
+            except Exception as e:
+                res.append(("err", type(e).__name__))
+        return res
+
+    zadd_forms = [b"1_0", b"+5", b" 5", b"5 ", b"1e3", b"2.5", b"-0",
+                  b"nan", b"inf", b"0x10", b"", b"12"]
+    for arg in zadd_forms:
+        got = outcomes(encode_cmds([[b"ZADD", b"z", arg, b"m"]]))
+        assert got[0] == got[1], (arg, got)
+    assert outcomes(encode_cmds([[b"ZADD", b"z", b"1_0", b"m"]]))[0][0] == "err"
+
+    ms_forms = [b"1_0", b"+5", b" 5", b"5.0", b"99", b"", b"-1"]
+    for arg in ms_forms:
+        got = outcomes(encode_cmds([[b"PEXPIREAT", b"k", arg]]))
+        assert got[0] == got[1], (arg, got)
+    assert outcomes(encode_cmds([[b"PEXPIREAT", b"k", b"99"]]))[0][0] == "ok"
+
+
+# ------------------------------------------------------- MJPEG-in-AVI video
+
+def _gradient_clip(n, h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return [np.clip(128 + 60 * np.sin(xx / 9 + k + seed)
+                    + 40 * np.cos(yy / 7 - k), 0, 255).astype(np.uint8)
+            for k in range(n)]
+
+
+def test_baseline_jpeg_codec_roundtrip():
+    """Pure-numpy baseline JPEG: encode (Annex K tables) → decode (tables
+    read from the stream) with bounded quantization error, including odd
+    dimensions, flat blocks, ZRL runs and noise at low quality."""
+    from ape_dts_ray.functions import mjpeg
+
+    rng = np.random.default_rng(11)
+    for (h, w), q, tol in [((48, 64), 90, 6), ((17, 23), 85, 40),
+                           ((8, 8), 50, 64), ((1, 70), 95, 8)]:
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8) if q < 90 else \
+            _gradient_clip(1, h, w)[0]
+        dec = mjpeg.decode_baseline_jpeg_luma(
+            mjpeg.encode_baseline_jpeg_gray(img, q))
+        assert dec.shape == (h, w)
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= tol
+    # sparse high-frequency block exercises the ZRL path
+    img = np.zeros((8, 8), np.uint8)
+    img[7, 7] = 255
+    dec = mjpeg.decode_baseline_jpeg_luma(
+        mjpeg.encode_baseline_jpeg_gray(img, 95))
+    assert dec.shape == (8, 8)
+    with pytest.raises(ValueError):
+        mjpeg.decode_baseline_jpeg_luma(b"not a jpeg")
+
+
+def test_avi_container_walk():
+    from ape_dts_ray.functions import mjpeg
+
+    frames = _gradient_clip(7, 24, 32)
+    jpegs = [mjpeg.encode_baseline_jpeg_gray(f, 90) for f in frames]
+    avi = mjpeg.encode_avi_mjpeg(jpegs, 32, 24, fps=5)
+    assert mjpeg.is_avi(avi)
+    chunks = mjpeg.avi_frame_chunks(avi)
+    assert chunks == jpegs                   # byte-exact payload recovery
+    with pytest.raises(ValueError):
+        mjpeg.avi_frame_chunks(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_video_mjpeg_avi_strict_frame_sampling_end_to_end():
+    """The Y4M end-to-end contract now holds for MJPEG AVIs too: strict
+    SampleFrames decodes real frames (RIFF walk → JPEG luma), even spacing,
+    features recomputed locally within quantization tolerance."""
+    import ray.data as rd
+
+    from ape_dts_ray.functions import mjpeg, multimodal
+
+    clips = [_gradient_clip(10, 24, 32, seed=0), _gradient_clip(3, 16, 16,
+                                                                seed=5)]
+    payloads = [mjpeg.encode_avi_mjpeg(
+        [mjpeg.encode_baseline_jpeg_gray(f, 92) for f in c],
+        c[0].shape[1], c[0].shape[0]) for c in clips]
+    tbl = pa.table({"media_id": pa.array([0, 1], pa.int64()),
+                    "payload": pa.array(payloads, type=pa.binary())})
+    out = rd.from_arrow(tbl).map_batches(
+        multimodal.SampleFrames, fn_constructor_args=(4, 8, True),
+        batch_format="pyarrow", batch_size=1, concurrency=2).take_all()
+    assert {(r["media_id"], r["frame_idx"]) for r in out} == \
+        {(0, f) for f in range(4)} | {(1, f) for f in range(3)}
+    pick = np.unique(np.linspace(0, 9, 4, dtype=np.int64))
+    luma = clips[0][pick[1]]
+    want = (multimodal.resize_nearest(luma.astype(np.float64), 8, 8)
+            .mean(axis=0) / 255.0)
+    got = np.array([r for r in out
+                    if r["media_id"] == 0 and r["frame_idx"] == 1][0]["feature"])
+    assert np.abs(got - want).max() < 0.05   # JPEG quantization tolerance
+
+
+def test_non_mjpeg_avi_strict_raises_nonstrict_stubs():
+    from ape_dts_ray.functions import mjpeg, multimodal
+
+    avi = mjpeg.encode_avi_mjpeg([b"\x00\x01h264-ish payload"], 8, 8)
+    with pytest.raises(NotImplementedError):
+        multimodal.SampleFrames(2, 4, strict=True)._frame_rows(avi)
+    rows = multimodal.SampleFrames(2, 4, strict=False)._frame_rows(avi)
+    assert len(rows) == 2 and all(len(f) == 4 for _, f in rows)
+
+
+def test_decode_image_jpeg_path():
+    from ape_dts_ray.functions import mjpeg, multimodal
+
+    dec = multimodal.DecodeImage(out_size=8, strict=True)
+    if dec._pil is not None:
+        pytest.skip("PIL present")
+    img = _gradient_clip(1, 32, 32)[0]
+    feat = dec._decode(mjpeg.encode_baseline_jpeg_gray(img, 92))
+    want = multimodal.resize_nearest(img.astype(np.float64), 8, 8) / 255.0
+    assert np.abs(feat - want).max() < 0.05
+
+
+# --------------------------------------------- DCL routing (filter→route→log)
+
+def test_dcl_filter_route_log_chain():
+    """DCL composes with the Router like every other statement family: the
+    classified+filtered statements' default_schema is mapped through the
+    schema map (route_ddl's tail, rdb_router.rs:184-186 — per-statement DCL
+    rewrite is a marked TODO in the reference, base_extractor.rs:126-128),
+    the statement text stays the untouched sink payload, and reverse()
+    routes the log back to source schemas."""
+    from ape_dts_ray.stages.dcl import DclFilter, classify_dcl_batch
+    from ape_dts_ray.stages.router import Router
+
+    t = pa.table({
+        "log_offset": [1, 2, 3, 4, 5],
+        "default_schema": ["app", "app", "legacy", "other", "app"],
+        "statement": [
+            "CREATE USER 'u'@'%' IDENTIFIED BY 'x'",
+            "GRANT SELECT ON app.* TO 'u'@'%'",
+            "DROP USER 'old'@'%'",
+            "INSERT INTO t VALUES (1)",          # DML: dropped pre-filter
+            "SET DEFAULT ROLE r TO 'u'@'%'",     # filtered by do_dcls
+        ]})
+    router = Router(schema_map={"app": "app_v2", "legacy": "archive"})
+    filt = DclFilter(do_dcls=("create_user", "grant", "drop_user"))
+    out = router.dcl_batch_fn()(filt(classify_dcl_batch(t)))
+
+    assert out.column("dcl_type").to_pylist() == \
+        ["create_user", "grant", "drop_user"]
+    assert out.column("default_schema").to_pylist() == \
+        ["app_v2", "app_v2", "archive"]
+    assert out.column("statement").to_pylist()[0].startswith("CREATE USER")
+
+    back = router.reverse().dcl_batch_fn()(out)
+    assert back.column("default_schema").to_pylist() == \
+        ["app", "app", "legacy"]
+    # unmapped schemas pass through untouched
+    t2 = pa.table({"default_schema": ["unmapped"], "statement": ["GRANT x"]})
+    routed = router.dcl_batch_fn()(classify_dcl_batch(t2))
+    assert routed.column("default_schema").to_pylist() == ["unmapped"]
+
+
+# ------------------------------ vectorized Jaccard fallback edge semantics
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_pairs_jaccard_vectorized_edges():
+    """Empty/None texts keep jaccard()'s conventions (both-empty → 1.0,
+    one-empty → 0.0) through the exploded-merge kernel, and the output
+    matches the scalar jaccard() on every pair."""
+    import ray.data as rd
+
+    from ape_dts_ray.functions.dedup import jaccard, verify_pairs_jaccard
+
+    texts = {0: "the quick brown fox jumps over the lazy dog",
+             1: "the quick brown fox jumps over the lazy cat",
+             2: "completely different content here",
+             3: "", 4: None, 5: "the quick brown fox jumps over the lazy dog"}
+    pairs = [(0, 1), (0, 2), (3, 4), (0, 3), (0, 5), (1, 5)]
+    df = pd.DataFrame({
+        "a": [a for a, _ in pairs], "b": [b for _, b in pairs],
+        "text_a": pd.array([texts[a] for a, _ in pairs], dtype="string"),
+        "text_b": pd.array([texts[b] for _, b in pairs], dtype="string")})
+    thr = 0.6
+    out = verify_pairs_jaccard(rd.from_pandas(df), thr, shingle_k=5).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    want = {(a, b) for a, b in pairs
+            if jaccard(texts[a] or "", texts[b] or "", 5) >= thr}
+    assert got == want
+    assert (3, 4) in got                       # both-empty pair is 1.0
