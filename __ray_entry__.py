@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "cdc_apply_lww": q.cdc_apply_lww,
+        "cdc_follow": q.cdc_follow,
         "cdc_merge_batch": q.cdc_merge_batch,
         "cdc_filter_events": q.cdc_filter_events,
         "cdc_route_rename": q.cdc_route_rename,
@@ -140,6 +141,12 @@ _REDIS_FOLD_SQL = """
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_apply_lww": CHANGES_CTE + "," + _LAST + """
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # continuous tail mode drains the identical stream in two growing-log
+        # waves — the daemon's final state must equal the one-shot replay's
+        "cdc_follow": CHANGES_CTE + "," + _LAST + """
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,

@@ -39,19 +39,21 @@ from __future__ import annotations
 import glob
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ape_dts_ray.state.lake import LakeTable
 
 
 @dataclass
 class FollowStats:
+    """Counts only — a daemon may run for months, so nothing here grows
+    with the number of rounds (per-epoch manifests live in the lake)."""
+
     rounds: int = 0                 # poll rounds (idle + replaying)
     replay_rounds: int = 0          # rounds that ran a replay
     epochs_committed: int = 0
     events_applied: int = 0
     stopped_by: str = ""            # "stop_file" | "idle_limit" | "max_rounds"
-    manifests: list = field(default_factory=list)
 
 
 def _file_offset_span(path: str, offset_col: str) -> tuple[int, int]:
@@ -200,4 +202,3 @@ def replay_follow(
         stats.replay_rounds += 1
         stats.epochs_committed += len(ms)
         stats.events_applied += sum(p.events for m in ms for p in m.partitions)
-        stats.manifests.extend(ms)

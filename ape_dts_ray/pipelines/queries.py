@@ -475,6 +475,75 @@ def cdc_two_way(sf_dir: str) -> pa.Table:
     return state["A"]
 
 
+def cdc_follow(sf_dir: str) -> pa.Table:
+    """Continuous tail mode (pipelines/follow.py — the reference's daemon
+    drain loop, base_pipeline.rs:59-141 + cdc_resumer.rs:24-89): the change
+    stream is staged as parquet segments and revealed to a RUNNING follower
+    in two waves (write-then-rename appends in offset order). The follower
+    drains each wave as it appears, heartbeats, and stops on the stop file;
+    the final state must equal the one-shot replay's, so the oracle is
+    exactly ``cdc_apply_lww``'s."""
+    import glob
+    import shutil
+    import threading
+    import time
+
+    from ape_dts_ray.pipelines.follow import (_file_offset_span,
+                                              replay_follow)
+
+    root = tempfile.mkdtemp(prefix="ape_dts_ray_follow_")
+    stage = os.path.join(root, "stage")
+    log = os.path.join(root, "log")
+    os.makedirs(log)
+    lake = _fresh_lake("follow")
+    try:
+        # order-preserving split: ≥2 segments per wave even when the sf
+        # events parquet is a single row group
+        changes_dataset(sf_dir).repartition(8).write_parquet(stage)
+        files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+        spans = {p: _file_offset_span(p, "log_offset") for p in files}
+        files.sort(key=lambda p: spans[p][0])     # offset-ordered appends
+        cut = max(1, len(files) // 2)
+        wave_max = [max(spans[p][1] for p in files[:cut]),
+                    max(spans[p][1] for p in files)]
+
+        stop = os.path.join(root, "stop")
+        box: dict = {}
+
+        def run():
+            try:
+                box["stats"] = replay_follow(lake, log, poll_interval=0.05,
+                                             stop_file=stop,
+                                             pipeline_depth=1)
+            except BaseException as e:
+                box["exc"] = e
+
+        th = threading.Thread(target=run)
+        th.start()
+        try:
+            for wave, names in enumerate((files[:cut], files[cut:])):
+                for i, p in enumerate(names):
+                    os.rename(p, os.path.join(
+                        log, f"seg{wave}_{i:04d}.parquet"))
+                t0 = time.time()
+                while (LakeTable.open(lake.root).watermark() < wave_max[wave]
+                       and "exc" not in box and time.time() - t0 < 300):
+                    time.sleep(0.05)
+        finally:
+            open(stop, "w").close()
+            th.join(timeout=300)
+        if "exc" in box:
+            raise box["exc"]
+        stats = box["stats"]
+        assert stats.stopped_by == "stop_file" and stats.replay_rounds >= 2
+        assert LakeTable.open(lake.root).heartbeat() is not None
+        out = LakeTable.open(lake.root).state_table()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(lake.root), ignore_errors=True)
+    return out
+
+
 def cdc_pk_change(sf_dir: str) -> pa.Table:
     """PK-change updates (uk_changed_test analog): 'view' updates renumber
     turn_idx by +40; the engine splits each into delete(old)+insert(new)
@@ -1002,26 +1071,39 @@ def _write_redis_log(sf_dir: str, log_dir: str) -> None:
         write_chunk, batch_format="pyarrow").materialize()
 
 
+_REDIS_LOG_CACHE: dict[str, str] = {}
+
+
+def _shared_redis_log(sf_dir: str) -> str:
+    """The derived RESP log is a PURE function of events.parquet, and both
+    ``redis_replay`` and ``redis_incremental`` consume the identical bytes
+    (the latter's oracle IS the former's) — derive it once per process and
+    share, instead of paying the distributed log generation twice per suite
+    run. Cleaned up at process exit."""
+    import atexit
+    import shutil
+
+    d = _REDIS_LOG_CACHE.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="ape_dts_ray_redislog_")
+        _write_redis_log(sf_dir, d)
+        _REDIS_LOG_CACHE[sf_dir] = d
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def redis_replay(sf_dir: str) -> pa.Table:
     """Full Redis CDC path: derive a RESP replication log from events
     (distributed, one file per event-id chunk = psync segment), tail it back
     (RedisPsyncExtractor analog), slot-partition (RedisParallelizer), fold to
     the final keyspace (RedisSinker apply semantics). Oracle-backed."""
-    import shutil
-
-    import ray
-
     from ape_dts_ray.pipelines.redis_replay import read_resp_log, replay_redis
 
-    log_dir = tempfile.mkdtemp(prefix="ape_dts_ray_redislog_")
-    try:
-        _write_redis_log(sf_dir, log_dir)
-        state = replay_redis(read_resp_log(log_dir),
-                             num_partitions=QUERY_PARTITIONS)
-        out = pa.concat_tables(
-            state.iter_batches(batch_format="pyarrow")).combine_chunks()
-    finally:
-        shutil.rmtree(log_dir, ignore_errors=True)
+    log_dir = _shared_redis_log(sf_dir)
+    state = replay_redis(read_resp_log(log_dir),
+                         num_partitions=QUERY_PARTITIONS)
+    out = pa.concat_tables(
+        state.iter_batches(batch_format="pyarrow")).combine_chunks()
     return pa.table({
         "key": pc.cast(out.column("key"), pa.string()),
         "field": pc.cast(out.column("field"), pa.string()),
@@ -1044,21 +1126,21 @@ def redis_incremental(sf_dir: str) -> pa.Table:
     from ape_dts_ray.pipelines.redis_replay import RedisKeyspaceStore
 
     root = tempfile.mkdtemp(prefix="ape_dts_ray_redisinc_")
-    stage = os.path.join(root, "stage")
     live = os.path.join(root, "live")
-    os.makedirs(stage)
     os.makedirs(live)
     try:
-        _write_redis_log(sf_dir, stage)
+        # the SAME log bytes as redis_replay (shared derivation); hard-link
+        # segments into the live dir in two waves to model log growth
+        stage = _shared_redis_log(sf_dir)
         files = sorted(glob.glob(os.path.join(stage, "*.resp")))
         store = RedisKeyspaceStore.create(os.path.join(root, "store"),
                                           num_partitions=QUERY_PARTITIONS)
         cut = max(1, len(files) // 2)
         for f in files[:cut]:
-            os.rename(f, os.path.join(live, os.path.basename(f)))
+            os.link(f, os.path.join(live, os.path.basename(f)))
         r1 = store.ingest(live)
         for f in files[cut:]:
-            os.rename(f, os.path.join(live, os.path.basename(f)))
+            os.link(f, os.path.join(live, os.path.basename(f)))
         r2 = store.ingest(live)
         assert r1["files"] + r2["files"] == len(files)
         assert store.ingest(live)["files"] == 0      # consumed log = no-op

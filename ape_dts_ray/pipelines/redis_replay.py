@@ -896,6 +896,11 @@ def write_resp_sink(keyspace_ds, out_dir: str, num_partitions: int = 16,
 MIN_RDB_VERSION = 1
 MAX_RDB_VERSION = 12
 
+# rdb_key_statistics reads each shard whole (keys must stay intact within a
+# file); the writer's per-slot shards are far below this, the bound exists to
+# refuse a foreign monolithic dump before it balloons one task's heap
+MAX_RDB_SHARD_BYTES = 1 << 30
+
 
 def _row_payload_bytes(t: pa.Table) -> pa.Array:
     """Per-row payload bytes of exploded keyspace rows — the
@@ -1006,6 +1011,16 @@ def rdb_key_statistics(path: str):
     def stat_file(batch: pa.Table) -> pa.Table:
         out = []
         for data in batch.column("bytes").to_pylist():
+            # one shard = one task's working set: this engine's RDB writer
+            # partitions the keyspace into bounded shards, but a FOREIGN
+            # monolithic dump would balloon a single task — refuse with
+            # guidance instead of OOMing the worker
+            if len(data) > MAX_RDB_SHARD_BYTES:
+                raise ValueError(
+                    f"rdb shard is {len(data)} bytes (> "
+                    f"{MAX_RDB_SHARD_BYTES}); split the dump into "
+                    "per-slot shards (write_rdb_snapshot layout) before "
+                    "running statistics")
             _, entries = rdbmod.parse_rdb(data)
             if not entries:
                 continue

@@ -264,8 +264,11 @@ def weak_scaling() -> None:
             load = os.getloadavg()[0]
         return load
 
-    report = {"mode": "weak_scaling", "events_per_core": per_core}
-    for n in (2, 8, 32):
+    levels = tuple(int(x) for x in os.environ.get(
+        "BENCH_WEAK_LEVELS", "2,8,32").split(","))
+    report = {"mode": "weak_scaling", "events_per_core": per_core,
+              "levels": list(levels)}
+    for n in levels:
         load = wait_quiet()
         cpu0, mem0, vm0 = _psi("cpu"), _psi("memory"), _vmstat()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_QUERIES="0",
@@ -287,11 +290,12 @@ def weak_scaling() -> None:
             report[f"vm_{k}_{n}cpu"] = vm1.get(k, 0) - vm0.get(k, 0)
         time.sleep(10)
     # flat wall time across levels = the engine scales; <1 quantifies the
-    # shared-resource inflation at 16× the cores on 16× the work
-    report["weak_efficiency_2_32"] = round(
-        report["sec_2cpu"] / report["sec_32cpu"], 3)
-    report["weak_efficiency_2_8"] = round(
-        report["sec_2cpu"] / report["sec_8cpu"], 3)
+    # shared-resource inflation at k× the cores on k× the work
+    for lo in levels:
+        for hi in levels:
+            if hi > lo:
+                report[f"weak_efficiency_{lo}_{hi}"] = round(
+                    report[f"sec_{lo}cpu"] / report[f"sec_{hi}cpu"], 3)
     print(json.dumps(report))
 
 

@@ -42,8 +42,10 @@ SF01_NAMES = ["cdc_apply_lww", "cdc_lineage_totals", "dedup_embedding",
               "dedup_minhash", "cdc_wide_types", "redis_replay",
               "redis_incremental",  # multi-segment watermark advance at scale
               "cdc_mongo_doc",  # crash+resume crosses real epoch boundaries
-              "cdc_two_way"]   # two_way: growing-log tail only bites with
+              "cdc_two_way",   # two_way: growing-log tail only bites with
                                # multi-epoch windows (n > epoch_size)
+              "cdc_follow"]    # follow: wave boundaries mid-epoch → tail
+                               # recommit path only exercised at sf0.1
 
 
 @pytest.fixture(scope="module")

@@ -134,8 +134,15 @@ def test_rdb_checksum_detects_corruption():
 
 def test_rdb_unknown_type_raises():
     img = bytearray(b"REDIS0011")
-    img.append(7)            # RDB_TYPE_MODULE_2: out of scope
+    img.append(99)           # not a known type byte or opcode
     with pytest.raises(ValueError, match="unsupported type"):
+        rdbmod.parse_rdb(bytes(img), verify_checksum=False)
+    # module v1 (6) stays a hard error — no framing to skip by
+    # (module2(7) now SKIP-PARSES; see test_round5_ops.py)
+    img = bytearray(b"REDIS0011")
+    img.append(6)
+    rdbmod.write_string(img, b"k", try_int=False)
+    with pytest.raises(ValueError, match="module type v1"):
         rdbmod.parse_rdb(bytes(img), verify_checksum=False)
 
 

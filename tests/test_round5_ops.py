@@ -99,6 +99,68 @@ def test_module2_unknown_opcode_raises():
         rdbmod.parse_rdb(_img(bytes(body)))
 
 
+def test_module2_skip_property():
+    """Random opcode streams: the skip walk must recover the exact stream
+    position (the key AFTER the module entry always parses)."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(25):
+        body = bytearray()
+        body.append(rdbmod.RDB_TYPE_MODULE_2)
+        rdbmod.write_string(body, b"m%d" % trial, try_int=False)
+        rdbmod.write_length(body, rng.getrandbits(62))
+        for _ in range(rng.randrange(0, 12)):
+            op = rng.choice((1, 2, 3, 4, 5))
+            rdbmod.write_length(body, op)
+            if op in (1, 2):
+                rdbmod.write_length(body, rng.getrandbits(40))
+            elif op == 3:
+                s = b"%g" % rng.uniform(-1e6, 1e6)
+                body.append(len(s)); body += s
+            elif op == 4:
+                body += struct.pack("<d", rng.uniform(-1e9, 1e9))
+            else:
+                rdbmod.write_string(
+                    body, bytes(rng.randrange(256)
+                                for _ in range(rng.randrange(0, 300))),
+                    try_int=False)
+        rdbmod.write_length(body, 0)
+        body.append(rdbmod.RDB_TYPE_STRING)
+        rdbmod.write_string(body, b"sentinel", try_int=False)
+        rdbmod.write_string(body, b"ok")
+        meta, entries = rdbmod.parse_rdb(_img(bytes(body)))
+        assert [e["key"] for e in entries] == [b"sentinel"], trial
+        assert meta["skipped_modules"][0]["key"] == b"m%d" % trial
+
+
+def test_jpeg_codec_property():
+    """Randomized images × quality levels: decode never desyncs, shape is
+    exact, error bounded by ~max quant step (spec-level bound for baseline
+    roundtrip of uint8 data)."""
+    rng = np.random.default_rng(23)
+    from ape_dts_ray.functions import mjpeg
+
+    for _ in range(12):
+        h = int(rng.integers(1, 50))
+        w = int(rng.integers(1, 50))
+        q = int(rng.integers(10, 100))
+        kind = rng.integers(0, 3)
+        if kind == 0:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        elif kind == 1:
+            img = np.full((h, w), int(rng.integers(0, 256)), np.uint8)
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+        dec = mjpeg.decode_baseline_jpeg_luma(
+            mjpeg.encode_baseline_jpeg_gray(img, q))
+        assert dec.shape == (h, w)
+        err = np.abs(dec.astype(int) - img.astype(int)).max()
+        qmax = int(mjpeg.scale_quant(mjpeg.STD_LUM_QUANT, q).max())
+        assert err <= max(8, 2 * qmax), (h, w, q, err, qmax)
+
+
 # --------------------------------------- scale-safe top-N statistic sinks
 
 @pytest.mark.usefixtures("ray_session")
