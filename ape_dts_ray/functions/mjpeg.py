@@ -82,6 +82,36 @@ AC_LUM_VALS = [
     0xF9, 0xFA]
 
 
+# Annex K.3 standard Huffman tables (chrominance) — used ONLY as the
+# default-table fallback below (real-world MJPEG frames often omit DHT and
+# rely on the Annex K defaults, per the de-facto AVI MJPEG convention)
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+
 def _dct_matrix() -> np.ndarray:
     x = np.arange(8)
     t = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * 0.5
@@ -273,6 +303,18 @@ def decode_baseline_jpeg_luma(data: bytes) -> np.ndarray:
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 comp = next(x for x in comps if x["id"] == cid)
                 scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 0xF})
+            # default-table fallback: real-world MJPEG frames commonly omit
+            # DHT and rely on the Annex K standard tables (the de-facto AVI
+            # MJPEG convention: table 0 = luminance, table 1 = chrominance)
+            for c in scan:
+                if c["dc"] not in dc_tabs:
+                    dc_tabs[c["dc"]] = _decode_table(
+                        *((DC_LUM_BITS, DC_LUM_VALS) if c["dc"] == 0
+                          else (DC_CHROM_BITS, DC_CHROM_VALS)))
+                if c["ac"] not in ac_tabs:
+                    ac_tabs[c["ac"]] = _decode_table(
+                        *((AC_LUM_BITS, AC_LUM_VALS) if c["ac"] == 0
+                          else (AC_CHROM_BITS, AC_CHROM_VALS)))
             i += ln
             break
         i += ln

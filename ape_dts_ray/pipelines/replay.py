@@ -194,6 +194,17 @@ def apply_windows(
         with _DS_BUILD_LOCK:
             events_ds = rd.read_parquet(events_path, filter=expr,
                                         columns=read_columns)
+        if bs is None:
+            # Parquet sources: Ray splits compressed files into ~30k-row
+            # sub-blocks (SplitBlocks) to hit its parallelism target, and
+            # those tiny blocks flood the sort shuffle with P² intermediate
+            # objects — measured 9.0 s vs 2.3 s for the same chunk's sort
+            # (the round-1 tiny-generator-block pitfall, BASELINE.md).
+            # Re-bundle REAL event rows to the tuned ~18 MB/125k-row unit.
+            # (The batch_size=None rule protects few-row DESCRIPTOR streams
+            # — factory mode — where bundling collapses parallelism; a
+            # parquet event log is actual rows, the opposite regime.)
+            bs = 131_072
     else:
         events_ds = events_ds.map_batches(
             lambda t: t.filter(pc.and_(

@@ -299,10 +299,122 @@ def weak_scaling() -> None:
     print(json.dumps(report))
 
 
+def follow_bench() -> None:
+    """Sustained-follow probe: stage the bench stream as parquet segments,
+    reveal them to a RUNNING ``replay_follow`` in waves, and measure pure
+    catch-up time (reveal → watermark reaches the wave's max). Reports
+    sustained events/s through the daemon loop (poll + footer scan + replay
+    + commit + online compaction) vs the one-shot replay of the same files.
+    Env: BENCH_FOLLOW_EVENTS (default 16M), BENCH_FOLLOW_WAVES (default 4)."""
+    import shutil
+    import threading
+
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.bench_gen import stream_factory
+    from ape_dts_ray.pipelines.follow import replay_follow
+    from ape_dts_ray.pipelines.replay import EpochWindow, replay
+    from ape_dts_ray.state.lake import LakeTable
+
+    n_events = int(os.environ.get("BENCH_FOLLOW_EVENTS", str(16_000_000)))
+    n_events = (n_events // EPOCH) * EPOCH or EPOCH
+    waves = int(os.environ.get("BENCH_FOLLOW_WAVES", "4"))
+    factory = stream_factory(SEED, n_events, BLOCK, N_CONVS, MAX_TURNS,
+                             delete_frac=0.1, hot_frac=0.05,
+                             text_len=TEXT_LEN)
+    root = tempfile.mkdtemp(prefix="ape_dts_follow_bench_")
+    try:
+        stage = os.path.join(root, "stage")
+        log = os.path.join(root, "log")
+        os.makedirs(log)
+        segs = []
+        for e in range(n_events // EPOCH):     # one segment file per epoch
+            w = EpochWindow(e, e * EPOCH, (e + 1) * EPOCH - 1)
+            d = os.path.join(stage, f"ep{e:04d}")
+            factory(w).write_parquet(d)
+            segs.append((d, w.hi))
+
+        lake = LakeTable.create(
+            os.path.join(root, "lake"), TableMeta(),
+            EngineConfig(num_partitions=64, epoch_size=EPOCH,
+                         hot_keys=("conv-0000000",)))
+        stop = os.path.join(root, "stop")
+        box: dict = {}
+
+        def run():
+            try:
+                box["stats"] = replay_follow(
+                    lake, log, poll_interval=0.05, stop_file=stop,
+                    group_epochs=4, pipeline_depth=2,
+                    auto_compact_max_deltas=16)
+            except BaseException as exc:
+                box["exc"] = exc
+
+        th = threading.Thread(target=run)
+        th.start()
+        per_wave = []
+        chunk = max(1, len(segs) // waves)
+        k = 0
+        try:
+            for lo in range(0, len(segs), chunk):
+                wave = segs[lo:lo + chunk]
+                for d, _ in wave:
+                    for f in sorted(os.listdir(d)):
+                        os.rename(os.path.join(d, f), os.path.join(
+                            log, f"seg{k:06d}.parquet"))
+                        k += 1
+                target = wave[-1][1]
+                t0 = time.perf_counter()
+                while LakeTable.open(lake.root).watermark() < target:
+                    if "exc" in box:
+                        raise box["exc"]
+                    time.sleep(0.02)
+                per_wave.append(time.perf_counter() - t0)
+        finally:
+            open(stop, "w").close()
+            th.join(timeout=600)
+        if "exc" in box:
+            raise box["exc"]
+        catchup = sum(per_wave)
+
+        one = LakeTable.create(
+            os.path.join(root, "oneshot"), TableMeta(),
+            EngineConfig(num_partitions=64, epoch_size=EPOCH,
+                         hot_keys=("conv-0000000",)))
+        t0 = time.perf_counter()
+        replay(one, events_path=sorted(
+            os.path.join(log, f) for f in os.listdir(log)),
+            group_epochs=4, pipeline_depth=2)
+        oneshot = time.perf_counter() - t0
+
+        print(json.dumps({
+            "mode": "follow", "events": n_events, "waves": waves,
+            "catchup_sec": round(catchup, 3),
+            "events_per_sec_follow": round(n_events / catchup, 1),
+            "per_wave_sec": [round(x, 3) for x in per_wave],
+            "oneshot_sec": round(oneshot, 3),
+            "events_per_sec_oneshot": round(n_events / oneshot, 1),
+            "follow_overhead": round(catchup / oneshot, 3),
+            "replay_rounds": box["stats"].replay_rounds,
+            "num_cpus": NCPU,
+        }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     elif "--weak" in sys.argv:
         weak_scaling()
+    elif "--follow" in sys.argv:
+        follow_bench()
     else:
         main()

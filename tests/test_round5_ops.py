@@ -327,6 +327,38 @@ def test_baseline_jpeg_codec_roundtrip():
         mjpeg.decode_baseline_jpeg_luma(b"not a jpeg")
 
 
+def test_jpeg_default_huffman_tables():
+    """Real-world MJPEG frames commonly omit DHT and rely on the Annex K
+    defaults — strip the DHT segments from an encoded frame and the decoder
+    must reconstruct via the standard tables (identical bytes to the
+    DHT-carrying decode). All four default tables must be self-consistent."""
+    from ape_dts_ray.functions import mjpeg
+
+    for bits, vals in ((mjpeg.DC_LUM_BITS, mjpeg.DC_LUM_VALS),
+                       (mjpeg.AC_LUM_BITS, mjpeg.AC_LUM_VALS),
+                       (mjpeg.DC_CHROM_BITS, mjpeg.DC_CHROM_VALS),
+                       (mjpeg.AC_CHROM_BITS, mjpeg.AC_CHROM_VALS)):
+        assert sum(bits) == len(vals)
+        mjpeg._decode_table(bits, vals)      # canonical build, no collisions
+
+    img = _gradient_clip(1, 32, 40)[0]
+    full = mjpeg.encode_baseline_jpeg_gray(img, 88)
+    out, i = bytearray(full[:2]), 2
+    while i < len(full):                     # drop every DHT segment
+        m = full[i + 1]
+        if m == 0xDA or m == 0xD9:
+            out += full[i:]
+            break
+        ln = struct.unpack(">H", full[i + 2:i + 4])[0]
+        if m != 0xC4:
+            out += full[i:i + 2 + ln]
+        i += 2 + ln
+    stripped = bytes(out)
+    assert b"\xff\xc4" not in stripped[:stripped.find(b"\xff\xda")]
+    dec = mjpeg.decode_baseline_jpeg_luma(stripped)
+    assert (dec == mjpeg.decode_baseline_jpeg_luma(full)).all()
+
+
 def test_avi_container_walk():
     from ape_dts_ray.functions import mjpeg
 
