@@ -43,7 +43,8 @@ ZIGZAG = np.array([
     58, 59, 52, 45, 38, 31, 39, 46,
     53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int64)
 
-# Annex K.1 luminance quantization table (natural order via ZIGZAG below)
+# Annex K.1 luminance quantization table (NATURAL row-major order, as
+# printed in the spec; the DQT wire payload is zigzag-serialized from it)
 STD_LUM_QUANT = np.array([
     16, 11, 10, 16, 24, 40, 51, 61,
     12, 12, 14, 19, 26, 58, 60, 55,
@@ -301,7 +302,10 @@ def decode_baseline_jpeg_luma(data: bytes) -> np.ndarray:
             scan = []
             for c in range(seg[0]):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cid)
+                comp = next((x for x in comps if x["id"] == cid), None)
+                if comp is None:
+                    raise ValueError(
+                        f"jpeg: SOS component id {cid} not declared in SOF")
                 scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 0xF})
             # default-table fallback: real-world MJPEG frames commonly omit
             # DHT and rely on the Annex K standard tables (the de-facto AVI
@@ -332,7 +336,7 @@ def decode_baseline_jpeg_luma(data: bytes) -> np.ndarray:
     pred = {c["id"]: 0 for c in scan}
     idct_t = _DCT.T
 
-    def decode_block(c) -> np.ndarray | None:
+    def decode_block(c, want_pixels: bool) -> np.ndarray | None:
         sym = _huff_decode(r, dc_tabs[c["dc"]])
         diff = _extend(r.bits(sym), sym) if sym else 0
         pred[c["id"]] += diff
@@ -352,6 +356,9 @@ def decode_baseline_jpeg_luma(data: bytes) -> np.ndarray:
                 raise ValueError("jpeg: AC index overflow")
             coef[k] = _extend(r.bits(size), size)
             k += 1
+        if not want_pixels:
+            return None     # chroma: entropy decode keeps stream position,
+                            # dequant/IDCT would be thrown away
         nat = np.zeros(64, np.float64)
         nat[ZIGZAG] = coef
         return idct_t @ (nat.reshape(8, 8) * qt[c["tq"]]) @ _DCT
@@ -367,7 +374,7 @@ def decode_baseline_jpeg_luma(data: bytes) -> np.ndarray:
                 for c in scan:
                     for v in range(c["v"]):
                         for hh in range(c["h"]):
-                            blk = decode_block(c)
+                            blk = decode_block(c, want_pixels=c is luma)
                             if c is luma:
                                 y0 = (my * c["v"] + v) * 8
                                 x0 = (mx * c["h"] + hh) * 8
@@ -384,10 +391,9 @@ def encode_baseline_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
     """uint8 (h, w) → grayscale baseline JPEG (fixture writer)."""
     img = np.asarray(img, np.uint8)
     h, w = img.shape
-    q = scale_quant(STD_LUM_QUANT, quality)
-    qmat = np.zeros(64, np.int64)
-    qmat[ZIGZAG] = q                        # q given in zigzag order already
-    qmat = qmat.reshape(8, 8)
+    q = scale_quant(STD_LUM_QUANT, quality)     # natural (row-major) order
+    qmat = q.reshape(8, 8)
+    dqt_payload = q[ZIGZAG]                     # DQT wire form is zigzag
 
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(img.astype(np.float64) - 128,
@@ -436,7 +442,7 @@ def encode_baseline_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
 
     out = bytearray(b"\xff\xd8")            # SOI
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"      # DQT, pq=0 tq=0
-    out += bytes(int(x) for x in q)
+    out += bytes(int(x) for x in dqt_payload)
     out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)  # SOF0, 1 comp
     out += bytes([1, 0x11, 0])              # id=1, 1x1 sampling, qtable 0
     for tc, bits, vals in ((0, DC_LUM_BITS, DC_LUM_VALS),

@@ -472,9 +472,10 @@ class SampleFrames:
                 if chunks:
                     return self._mjpeg_rows(chunks)
             except (ValueError, NotImplementedError, IndexError,
-                    struct.error):
-                # non-MJPEG codec / malformed container: strict raises,
-                # non-strict keeps the deterministic stub
+                    struct.error, EOFError, KeyError):
+                # non-MJPEG codec / malformed container / truncated entropy
+                # segment (EOFError) / missing quant table (KeyError):
+                # strict raises, non-strict keeps the deterministic stub
                 if self.strict:
                     raise
         if self.strict:

@@ -57,21 +57,24 @@ class FollowStats:
 
 
 def _file_offset_span(path: str, offset_col: str) -> tuple[int, int]:
-    """(min, max) offset in one segment from footer statistics only; falls
-    back to a single-column scan for stats-less files (never treats the
-    absence of statistics as an empty file). (-1, -1) for a 0-row segment."""
+    """(min, max) offset in one segment from footer statistics; falls back
+    to a single-column scan unless EVERY row group carries statistics — a
+    foreign writer mixing stats-bearing and stats-less row groups in one
+    file would otherwise under-report max (events past the reported max
+    would silently never replay). (-1, -1) for a 0-row segment."""
     import pyarrow.parquet as pq
 
     f = pq.ParquetFile(path)
     ci = f.schema_arrow.get_field_index(offset_col)
-    mn, mx, seen = None, None, False
+    mn, mx, complete = None, None, True
     for rg in range(f.metadata.num_row_groups):
         st = f.metadata.row_group(rg).column(ci).statistics
-        if st is not None and st.max is not None and st.min is not None:
-            mn = st.min if mn is None else min(mn, st.min)
-            mx = st.max if mx is None else max(mx, st.max)
-            seen = True
-    if not seen:
+        if st is None or st.max is None or st.min is None:
+            complete = False
+            break
+        mn = st.min if mn is None else min(mn, st.min)
+        mx = st.max if mx is None else max(mx, st.max)
+    if not complete or mn is None:
         import pyarrow.compute as pc
 
         t = pq.read_table(path, columns=[offset_col])
@@ -157,6 +160,11 @@ def replay_follow(
 
         stats.rounds += 1
         floor = _pending_floor(lake)
+        # rebuild the live set from THIS round's glob (footer_cache is a
+        # memo): a vanished segment must not keep inflating log_max or feed
+        # a dead path to replay — deleting fully-committed segments is a
+        # legitimate retention policy, so eviction, not error
+        present: dict[str, tuple[int, int, int]] = {}
         for p in sorted(glob.glob(os.path.join(log_dir, pattern))):
             try:
                 size = os.path.getsize(p)
@@ -164,6 +172,7 @@ def replay_follow(
                 continue                    # raced with a writer's rename
             hit = footer_cache.get(p)
             if hit is not None and hit[0] == size:
+                present[p] = hit
                 continue
             mn, mx = _file_offset_span(p, ocol)
             if hit is None and not first_scan and mn != -1 and mn < floor:
@@ -178,7 +187,8 @@ def replay_follow(
                     f"late segment {p}: min offset {mn} is below the pending "
                     f"floor {floor} — segments must be appended to the log "
                     "in nondecreasing offset order")
-            footer_cache[p] = (size, mn, mx)
+            present[p] = (size, mn, mx)
+        footer_cache = present
         first_scan = False
 
         log_max = max((mx for _, _, mx in footer_cache.values()), default=-1)

@@ -290,12 +290,16 @@ def weak_scaling() -> None:
             report[f"vm_{k}_{n}cpu"] = vm1.get(k, 0) - vm0.get(k, 0)
         time.sleep(10)
     # flat wall time across levels = the engine scales; <1 quantifies the
-    # shared-resource inflation at k× the cores on k× the work
+    # shared-resource inflation at k× the cores on k× the work. Computed as
+    # the PER-CORE-THROUGHPUT ratio, which stays exact even when main()'s
+    # EPOCH rounding nudges a level's actual event count off n × per_core
+    # (e.g. BENCH_WEAK_PER_CORE=250000 at 2 cpus rounds 500k up to 1M).
     for lo in levels:
         for hi in levels:
             if hi > lo:
                 report[f"weak_efficiency_{lo}_{hi}"] = round(
-                    report[f"sec_{lo}cpu"] / report[f"sec_{hi}cpu"], 3)
+                    report[f"events_per_sec_per_core_{hi}cpu"]
+                    / report[f"events_per_sec_per_core_{lo}cpu"], 3)
     print(json.dumps(report))
 
 

@@ -3,6 +3,7 @@ scale-safe top-N statistic sinks, avro required-field parity, strict numeric
 parse parity between the scalar and columnar RESP event derivations, and the
 vectorized streaming-join Jaccard fallback edge cases."""
 
+import os
 import struct
 
 import numpy as np
@@ -357,6 +358,113 @@ def test_jpeg_default_huffman_tables():
     assert b"\xff\xc4" not in stripped[:stripped.find(b"\xff\xda")]
     dec = mjpeg.decode_baseline_jpeg_luma(stripped)
     assert (dec == mjpeg.decode_baseline_jpeg_luma(full)).all()
+
+
+def test_jpeg_dqt_wire_order_and_malformed_frames():
+    """Review findings: (a) the DQT payload must be ZIGZAG-serialized from
+    the natural-order Annex K table (a self-consistently-permuted codec
+    would still roundtrip — check the wire bytes independently); (b) a
+    truncated entropy segment and an SOS referencing an undeclared
+    component must raise catchable errors, and non-strict SampleFrames must
+    stub, not crash."""
+    from ape_dts_ray.functions import mjpeg, multimodal
+
+    img = _gradient_clip(1, 16, 16)[0]
+    j = mjpeg.encode_baseline_jpeg_gray(img, 75)
+    i = j.find(b"\xff\xdb")
+    payload = np.frombuffer(j[i + 5:i + 5 + 64], np.uint8).astype(np.int64)
+    nat = np.zeros(64, np.int64)
+    nat[mjpeg.ZIGZAG] = payload             # descramble the wire bytes
+    want = mjpeg.scale_quant(mjpeg.STD_LUM_QUANT, 75)
+    assert (nat == want).all()              # natural order recovered exactly
+
+    # truncated entropy segment → catchable error, and non-strict stubs
+    trunc = j[:-6]
+    with pytest.raises((EOFError, ValueError, IndexError)):
+        mjpeg.decode_baseline_jpeg_luma(trunc)
+    avi = mjpeg.encode_avi_mjpeg([trunc], 16, 16)
+    with pytest.raises((EOFError, ValueError, IndexError)):
+        multimodal.SampleFrames(2, 4, strict=True)._frame_rows(avi)
+    rows = multimodal.SampleFrames(2, 4, strict=False)._frame_rows(avi)
+    assert len(rows) == 2
+
+    # SOS referencing a component not in SOF → ValueError, not StopIteration
+    s = j.find(b"\xff\xda")
+    bad = bytearray(j)
+    bad[s + 5] = 9                          # scan component id 9, SOF has 1
+    with pytest.raises(ValueError, match="not declared"):
+        mjpeg.decode_baseline_jpeg_luma(bytes(bad))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_vanished_segment_evicted(tmp_path):
+    """Review finding: a segment deleted after being footer-cached (retention
+    of fully-committed segments) must be evicted — no dead path handed to
+    replay, no phantom log_max — and the follower keeps consuming new
+    segments normally."""
+    import threading
+    import time as _time
+
+    from ape_dts_ray.fixtures import gen_events, oracle_replay
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.follow import replay_follow
+    from ape_dts_ray.state.lake import LakeTable
+
+    events = gen_events(seed=75, n_convs=20, max_turns=6, n_events=3000)
+    n = events.num_rows
+    bounds = [0, n // 3, 2 * n // 3, n]
+    segs = [events.slice(bounds[i], bounds[i + 1] - bounds[i])
+            for i in range(3)]
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    maxes = [int(pc.max(s.column("log_offset")).as_py()) for s in segs]
+
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(num_partitions=4, epoch_size=500))
+    stop = str(tmp_path / "stop")
+    box = {}
+
+    def run():
+        try:
+            box["stats"] = replay_follow(lake, str(log), poll_interval=0.05,
+                                         stop_file=stop, pipeline_depth=1)
+        except BaseException as e:
+            box["exc"] = e
+
+    th = threading.Thread(target=run)
+    th.start()
+    try:
+        for i in (0, 1):
+            pq.write_table(segs[i], str(tmp_path / f"s{i}.tmp"))
+            os.rename(str(tmp_path / f"s{i}.tmp"),
+                      str(log / f"seg{i:04d}.parquet"))
+        t0 = _time.time()
+        while (LakeTable.open(lake.root).watermark() < maxes[1]
+               and _time.time() - t0 < 120):
+            _time.sleep(0.05)
+        # retention: delete BOTH committed segments, incl. the log_max holder
+        os.unlink(str(log / "seg0000.parquet"))
+        os.unlink(str(log / "seg0001.parquet"))
+        _time.sleep(0.5)                    # several idle scans post-eviction
+        assert "exc" not in box
+        pq.write_table(segs[2], str(tmp_path / "s2.tmp"))
+        os.rename(str(tmp_path / "s2.tmp"), str(log / "seg0002.parquet"))
+        t0 = _time.time()
+        while (LakeTable.open(lake.root).watermark() < maxes[2]
+               and _time.time() - t0 < 120):
+            if "exc" in box:
+                raise box["exc"]
+            _time.sleep(0.05)
+    finally:
+        open(stop, "w").close()
+        th.join(timeout=120)
+    assert "exc" not in box, box.get("exc")
+    state = LakeTable.open(lake.root).state_table().to_pandas()
+    oracle = oracle_replay(events)
+    assert len(state) == len(oracle)
+    assert list(state["text"]) == list(oracle["text"])
 
 
 def test_avi_container_walk():
