@@ -226,6 +226,76 @@ def test_follow_gap_refusal(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_follow_with_schema_barrier(tmp_path):
+    """Daemon + DDL barrier: a schema-change offset mid-log (additive column
+    under version 1) cuts epoch windows identically whether the log is
+    consumed by a follower in waves or by one-shot replay — the barrier
+    plan is a pure function of (epoch_size, barriers), not of arrival."""
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    events = gen_events(seed=76, n_convs=20, max_turns=6, n_events=3000)
+    n = events.num_rows
+    cut = (n // 2) // 7 * 7 + 3              # deliberately not epoch-aligned
+    segs, maxes = _segments(events, 3)
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path, parts=4, epoch=700)
+
+    def add_channel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or pc2.max(t.column("log_offset")).as_py() < cut:
+            return t
+        is_v1 = pc2.greater_equal(t.column("log_offset"),
+                                  pa.scalar(cut, pa.int64()))
+        ch = pc2.if_else(
+            pc2.and_(is_v1, pc2.not_equal(t.column("op"),
+                                          pa.scalar("delete"))),
+            pa.scalar("v1"), pa.nulls(t.num_rows, pa.string()))
+        return t.append_column("channel", ch)
+
+    stop = str(tmp_path / "stop")
+    box = {}
+
+    def run():
+        try:
+            box["stats"] = replay_follow(
+                lake, str(log), poll_interval=0.05, stop_file=stop,
+                pipeline_depth=1, barriers=[(cut, 1)], router_fn=add_channel)
+        except BaseException as e:
+            box["exc"] = e
+
+    th = threading.Thread(target=run)
+    th.start()
+    try:
+        for i, seg in enumerate(segs):
+            _append_segment(tmp_path, str(log), seg, i)
+            _wait_watermark(lake.root, maxes[i], exc_box=box)
+    finally:
+        open(stop, "w").close()
+        th.join(timeout=120)
+    assert box.get("exc") is None, box.get("exc")
+
+    full = str(tmp_path / "full.parquet")
+    pq.write_table(events, full)
+    oneshot = _mk_lake(tmp_path, name="oneshot", parts=4, epoch=700)
+    replay(oneshot, events_path=full, barriers=[(cut, 1)],
+           router_fn=add_channel)
+
+    cols = ["conv_id", "turn_idx", "text", "channel"]
+    got = (LakeTable.open(lake.root).state_table().select(cols)
+           .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    want = (oneshot.state_table().select(cols)
+            .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")]))
+    assert got.equals(want)
+    # the barrier actually split an epoch window in BOTH paths
+    ep = sorted(LakeTable.open(lake.root).committed_epochs())
+    assert ep == sorted(oneshot.committed_epochs())
+    ends = [LakeTable.open(lake.root).read_manifest(e).offset_max
+            for e in ep]
+    assert cut - 1 in ends                   # window cut exactly at barrier
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_follow_resumes_existing_log_without_reapply(tmp_path):
     """Round-1 catch-up over a fully committed log is a no-op (committed
     epochs skip wholesale) — no replay round runs, state bytes untouched."""
