@@ -23,6 +23,12 @@ Scope, stated honestly:
 The decoder reads its quant/Huffman tables from the stream (DQT/DHT), not
 from the writer's constants, so decode is exercised against real bytes the
 same way sources/rdb.py and the PNG codec are.
+
+SCALE NOTE: the entropy decode is a sequential bit-walk per frame (Huffman
+is inherently serial within a scan); parallelism comes from the actor-pool
+stage decoding many frames/payloads concurrently (SampleFrames — one task
+per small batch of binary rows), which is the unit that matters at corpus
+scale. IDCT/dequant are vectorized per block, and chroma blocks skip both.
 """
 
 from __future__ import annotations
