@@ -48,6 +48,7 @@ polars. At 100 TB, files are the resume/retry unit and slots bound skew to
 from __future__ import annotations
 
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -1400,6 +1401,63 @@ class RedisKeyspaceStore:
         t = pa.concat_tables([pq.read_table(f) for f in files])
         return t.sort_by([(c, "ascending")
                           for c in ("db", "key", "rtype", "field", "idx")])
+
+    def write_heartbeat(self) -> dict:
+        """Liveness write-back, mirroring LakeTable's (state/lake.py)."""
+        import json
+        import time as _time
+
+        from ape_dts_ray.state.manifest import atomic_write_text
+
+        hb = {"monotonic": _time.monotonic(), **self.watermark()}
+        atomic_write_text(os.path.join(self.root, "heartbeat.json"),
+                          json.dumps(hb))
+        return hb
+
+    def follow(self, log_dir: str, poll_interval: float = 0.25,
+               stop_file: str | None = None,
+               max_idle_rounds: int | None = None,
+               max_rounds: int | None = None):
+        """Daemon tail over a growing RESP log — the Redis-family twin of
+        ``replay_follow`` (pipelines/follow.py; the reference's psync loop
+        keeps consuming the replication stream forever,
+        redis_psync_extractor.rs:48-142). One round = one ``ingest`` call:
+        consume every file at or past the committed file-seq watermark
+        (no-op when caught up; out-of-sequence files are ingest's own loud
+        gap refusal), heartbeat, check shutdown. Crash contract is
+        ingest's: the watermark publishes only after a complete state
+        generation, so SIGKILL anywhere leaves the previous generation
+        live and a restarted follower converges."""
+        from ape_dts_ray.pipelines.follow import FollowStats
+
+        if stop_file is None:
+            stop_file = os.path.join(self.root, "follow.stop")
+        stats = FollowStats()
+        idle = 0
+        while True:
+            if os.path.exists(stop_file):
+                stats.stopped_by = "stop_file"
+                try:
+                    os.unlink(stop_file)
+                except OSError:
+                    pass
+                return stats
+            if max_rounds is not None and stats.rounds >= max_rounds:
+                stats.stopped_by = "max_rounds"
+                return stats
+            if max_idle_rounds is not None and idle >= max_idle_rounds:
+                stats.stopped_by = "idle_limit"
+                return stats
+            stats.rounds += 1
+            r = self.ingest(log_dir)
+            self.write_heartbeat()
+            if r["files"] == 0:
+                idle += 1
+                time.sleep(poll_interval)
+                continue
+            idle = 0
+            stats.replay_rounds += 1
+            stats.epochs_committed += r["files"]
 
 
 def read_resp_log_files(paths: list[str]):

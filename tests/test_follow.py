@@ -296,6 +296,68 @@ def test_follow_with_schema_barrier(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_redis_store_follow_drains_growing_log(tmp_path):
+    """The Redis-family daemon twin: RedisKeyspaceStore.follow tails a
+    growing RESP log (one ingest per round, ingest's own gap refusal and
+    generation-watermark crash contract), stops on the stop file, and the
+    final keyspace equals a one-shot ingest of the full log."""
+    from ape_dts_ray.pipelines.redis_replay import (RedisKeyspaceStore,
+                                                    write_resp_log)
+
+    cmds = ([[b"SET", b"k%d" % i, b"v%d" % i] for i in range(300)]
+            + [[b"HSET", b"h%d" % (i % 7), b"f%d" % i, b"x"]
+               for i in range(200)]
+            + [[b"DEL", b"k%d" % i] for i in range(0, 300, 3)])
+    cuts = [0, 150, 350, len(cmds)]
+
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    store = RedisKeyspaceStore.create(str(tmp_path / "store"),
+                                      num_partitions=4)
+    stop = str(tmp_path / "stop")
+    box = {}
+
+    def run():
+        try:
+            box["stats"] = store.follow(log, poll_interval=0.05,
+                                        stop_file=stop)
+        except BaseException as e:
+            box["exc"] = e
+
+    th = threading.Thread(target=run)
+    th.start()
+    try:
+        for seq in range(3):
+            write_resp_log(cmds[cuts[seq]:cuts[seq + 1]], log, seq)
+            t0 = time.time()
+            while (RedisKeyspaceStore.open(store.root)
+                   .watermark()["next_file_seq"] <= seq
+                   and time.time() - t0 < 120):
+                if box.get("exc") is not None:
+                    raise box["exc"]
+                time.sleep(0.05)
+    finally:
+        open(stop, "w").close()
+        th.join(timeout=120)
+    assert box.get("exc") is None, box.get("exc")
+    stats = box["stats"]
+    assert stats.stopped_by == "stop_file"
+    assert stats.replay_rounds >= 3 and stats.epochs_committed == 3
+    assert os.path.exists(os.path.join(store.root, "heartbeat.json"))
+
+    oneshot = RedisKeyspaceStore.create(str(tmp_path / "oneshot"),
+                                        num_partitions=4)
+    oneshot.ingest(log)
+    got = store.keyspace_table()
+    want = oneshot.keyspace_table()
+    assert got.num_rows == want.num_rows and got.equals(want)
+    # idle drain mode exits cleanly on a consumed log
+    s2 = RedisKeyspaceStore.open(store.root).follow(
+        log, poll_interval=0.01, max_idle_rounds=2)
+    assert s2.stopped_by == "idle_limit" and s2.replay_rounds == 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_follow_resumes_existing_log_without_reapply(tmp_path):
     """Round-1 catch-up over a fully committed log is a no-op (committed
     epochs skip wholesale) — no replay round runs, state bytes untouched."""
