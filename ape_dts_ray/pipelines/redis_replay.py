@@ -1403,15 +1403,17 @@ class RedisKeyspaceStore:
                           for c in ("db", "key", "rtype", "field", "idx")])
 
     def write_heartbeat(self) -> dict:
-        """Liveness write-back, mirroring LakeTable's (state/lake.py)."""
+        """Liveness write-back, same shape as LakeTable's
+        (state/lake.py:801): wall-clock ``time_unix`` (cross-process lag is
+        the point of a heartbeat) + the nested watermark, so one monitoring
+        consumer reads both families."""
         import json
-        import time as _time
 
         from ape_dts_ray.state.manifest import atomic_write_text
 
-        hb = {"monotonic": _time.monotonic(), **self.watermark()}
+        hb = {"time_unix": time.time(), "watermark": self.watermark()}
         atomic_write_text(os.path.join(self.root, "heartbeat.json"),
-                          json.dumps(hb))
+                          json.dumps(hb, indent=1))
         return hb
 
     def follow(self, log_dir: str, poll_interval: float = 0.25,
@@ -1449,6 +1451,15 @@ class RedisKeyspaceStore:
                 stats.stopped_by = "idle_limit"
                 return stats
             stats.rounds += 1
+            if not os.path.isdir(log_dir):
+                # daemon started before the producer created the log dir
+                # (normal tail-before-write order): idle and poll, like the
+                # lake twin — ingest()'s loud FileNotFoundError stays for
+                # one-shot calls, where a typo'd path must not look caught-up
+                self.write_heartbeat()
+                idle += 1
+                time.sleep(poll_interval)
+                continue
             r = self.ingest(log_dir)
             self.write_heartbeat()
             if r["files"] == 0:
@@ -1457,7 +1468,10 @@ class RedisKeyspaceStore:
                 continue
             idle = 0
             stats.replay_rounds += 1
-            stats.epochs_committed += r["files"]
+            # one ingest = ONE atomic commit point (a single new state
+            # generation), however many queued files it consumed;
+            # events_applied stays 0 — ingest reports files, not events
+            stats.epochs_committed += 1
 
 
 def read_resp_log_files(paths: list[str]):

@@ -4,6 +4,7 @@ identical to a one-shot replay, refuses out-of-order segments, and resumes
 over a pre-existing log without re-applying (base_pipeline.rs:59-141 drain
 loop + cdc_resumer.rs:24-89 semantics)."""
 
+import json
 import os
 import signal
 import subprocess
@@ -310,10 +311,9 @@ def test_redis_store_follow_drains_growing_log(tmp_path):
             + [[b"DEL", b"k%d" % i] for i in range(0, 300, 3)])
     cuts = [0, 150, 350, len(cmds)]
 
-    log = str(tmp_path / "log")
-    os.makedirs(log)
-    store = RedisKeyspaceStore.create(str(tmp_path / "store"),
-                                      num_partitions=4)
+    log = str(tmp_path / "log")      # NOT created yet: the daemon starts
+    store = RedisKeyspaceStore.create(str(tmp_path / "store"),  # first and
+                                      num_partitions=4)         # idles
     stop = str(tmp_path / "stop")
     box = {}
 
@@ -327,14 +327,17 @@ def test_redis_store_follow_drains_growing_log(tmp_path):
     th = threading.Thread(target=run)
     th.start()
     try:
+        time.sleep(0.3)              # several missing-dir idle rounds
+        assert box.get("exc") is None
         for seq in range(3):
             write_resp_log(cmds[cuts[seq]:cuts[seq + 1]], log, seq)
             t0 = time.time()
             while (RedisKeyspaceStore.open(store.root)
-                   .watermark()["next_file_seq"] <= seq
-                   and time.time() - t0 < 120):
+                   .watermark()["next_file_seq"] <= seq):
                 if box.get("exc") is not None:
                     raise box["exc"]
+                if time.time() - t0 > 120:
+                    raise TimeoutError(f"store never consumed seq {seq}")
                 time.sleep(0.05)
     finally:
         open(stop, "w").close()
@@ -342,8 +345,10 @@ def test_redis_store_follow_drains_growing_log(tmp_path):
     assert box.get("exc") is None, box.get("exc")
     stats = box["stats"]
     assert stats.stopped_by == "stop_file"
-    assert stats.replay_rounds >= 3 and stats.epochs_committed == 3
-    assert os.path.exists(os.path.join(store.root, "heartbeat.json"))
+    # one commit point (generation) per consumed wave
+    assert stats.replay_rounds == 3 and stats.epochs_committed == 3
+    hb = json.load(open(os.path.join(store.root, "heartbeat.json")))
+    assert hb["watermark"]["next_file_seq"] == 3 and "time_unix" in hb
 
     oneshot = RedisKeyspaceStore.create(str(tmp_path / "oneshot"),
                                         num_partitions=4)
