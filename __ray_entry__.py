@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_pk_change": q.cdc_pk_change,
         "cdc_sql_format": q.cdc_sql_format,
         "cdc_dcl": q.cdc_dcl,
+        "cdc_rbac_state": q.cdc_rbac_state,
         "cdc_mongo_doc": q.cdc_mongo_doc,
         "cdc_avro_transport": q.cdc_avro_transport,
         "cdc_wide_types": q.cdc_wide_types,
@@ -481,6 +482,123 @@ def oracle_sql() -> dict[str, str]:
             SELECT log_offset, dcl_type, statement
             FROM dcl
             WHERE dcl_type IN ('create_user', 'drop_user', 'grant', 'revoke')
+        """,
+        # RBAC state fold (stages/rbac.py): the engine parses the statement
+        # TEXT; the oracle declares each event by template construction
+        # (lockstep with DCL_CTE / derive_dcl_statements — k = event_id % 12
+        # selects the template, hosts/objects/privileges per template), then
+        # folds with windows: last create/drop decides survival, last
+        # create/alter carries the password, DROP USER wipes older grants
+        # and default-role bindings (g.log_offset > last_drop), grants fold
+        # per (user, host, object, privilege) after the multi-privilege
+        # GRANT template explodes via unnest
+        "cdc_rbac_state": """
+            WITH ev AS (
+              SELECT event_id AS log_offset,
+                     CAST(event_id % 12 AS INTEGER) AS k,
+                     user_id AS uid
+              FROM events
+            ), rx AS (
+              SELECT log_offset, 'user' AS kind,
+                     CASE k WHEN 2 THEN 'alter' WHEN 3 THEN 'drop'
+                            ELSE 'create' END AS action,
+                     'u' || CAST(uid AS VARCHAR) AS user_name,
+                     CASE WHEN k IN (1, 3) THEN '%' ELSE 'localhost' END AS host,
+                     '' AS role_name, '' AS grant_object, '' AS privilege,
+                     false AS with_grant,
+                     CASE WHEN k IN (0, 1, 2)
+                          THEN 'pw' || CAST(log_offset AS VARCHAR)
+                          ELSE '' END AS password
+              FROM ev WHERE k IN (0, 1, 2, 3)
+              UNION ALL
+              SELECT log_offset, 'role',
+                     CASE k WHEN 4 THEN 'create' ELSE 'drop' END,
+                     '', '', 'r' || CAST(uid % 50 AS VARCHAR), '', '', false, ''
+              FROM ev WHERE k IN (4, 5)
+              UNION ALL
+              SELECT log_offset, 'grant', 'grant',
+                     'u' || CAST(uid AS VARCHAR), '%', '',
+                     'db' || CAST(uid % 10 AS VARCHAR) || '.tb1',
+                     unnest(['SELECT', 'INSERT']), false, ''
+              FROM ev WHERE k = 6
+              UNION ALL
+              SELECT log_offset, 'grant', 'grant',
+                     'u' || CAST(uid AS VARCHAR), 'localhost', '', '*.*',
+                     'ALL', true, ''
+              FROM ev WHERE k = 7
+              UNION ALL
+              SELECT log_offset, 'grant', 'revoke',
+                     'u' || CAST(uid AS VARCHAR), '%', '',
+                     'db' || CAST(uid % 10 AS VARCHAR) || '.tb1', 'SELECT',
+                     false, ''
+              FROM ev WHERE k = 8
+              UNION ALL
+              SELECT log_offset, 'default_role', 'set',
+                     'u' || CAST(uid AS VARCHAR), '%',
+                     'r' || CAST(uid % 50 AS VARCHAR), '', '', false, ''
+              FROM ev WHERE k = 9
+            ), ucd AS (
+              SELECT user_name, host, action, log_offset,
+                     row_number() OVER (PARTITION BY user_name, host
+                                        ORDER BY log_offset DESC) AS rn
+              FROM rx WHERE kind = 'user' AND action IN ('create', 'drop')
+            ), usurv AS (
+              SELECT user_name, host FROM ucd WHERE rn = 1 AND action = 'create'
+            ), udrop AS (
+              SELECT user_name, host, max(log_offset) AS last_drop
+              FROM rx WHERE kind = 'user' AND action = 'drop' GROUP BY 1, 2
+            ), upw AS (
+              SELECT user_name, host, password, log_offset,
+                     row_number() OVER (PARTITION BY user_name, host
+                                        ORDER BY log_offset DESC) AS rn
+              FROM rx WHERE kind = 'user' AND action IN ('create', 'alter')
+            ), users AS (
+              SELECT 'user' AS kind, p.user_name, p.host, '' AS role_name,
+                     '' AS grant_object, '' AS privilege, false AS with_grant,
+                     p.password, p.log_offset
+              FROM upw p JOIN usurv u USING (user_name, host) WHERE p.rn = 1
+            ), rlast AS (
+              SELECT role_name, action, log_offset,
+                     row_number() OVER (PARTITION BY role_name
+                                        ORDER BY log_offset DESC) AS rn
+              FROM rx WHERE kind = 'role'
+            ), roles AS (
+              SELECT 'role' AS kind, '' AS user_name, '' AS host, role_name,
+                     '' AS grant_object, '' AS privilege, false AS with_grant,
+                     '' AS password, log_offset
+              FROM rlast WHERE rn = 1 AND action = 'create'
+            ), glast AS (
+              SELECT user_name, host, grant_object, privilege, action,
+                     with_grant, log_offset,
+                     row_number() OVER (PARTITION BY user_name, host,
+                                        grant_object, privilege
+                                        ORDER BY log_offset DESC) AS rn
+              FROM rx WHERE kind = 'grant'
+            ), grants AS (
+              SELECT 'grant' AS kind, g.user_name, g.host, '' AS role_name,
+                     g.grant_object, g.privilege, g.with_grant,
+                     '' AS password, g.log_offset
+              FROM glast g
+              JOIN usurv u USING (user_name, host)
+              LEFT JOIN udrop d USING (user_name, host)
+              WHERE g.rn = 1 AND g.action = 'grant'
+                AND g.log_offset > coalesce(d.last_drop, -1)
+            ), slast AS (
+              SELECT user_name, host, role_name, log_offset,
+                     row_number() OVER (PARTITION BY user_name, host
+                                        ORDER BY log_offset DESC) AS rn
+              FROM rx WHERE kind = 'default_role'
+            ), defaults AS (
+              SELECT 'default_role' AS kind, s.user_name, s.host, s.role_name,
+                     '' AS grant_object, '' AS privilege, false AS with_grant,
+                     '' AS password, s.log_offset
+              FROM slast s
+              JOIN usurv u USING (user_name, host)
+              LEFT JOIN udrop d USING (user_name, host)
+              WHERE s.rn = 1 AND s.log_offset > coalesce(d.last_drop, -1)
+            )
+            SELECT * FROM users UNION ALL SELECT * FROM roles
+            UNION ALL SELECT * FROM grants UNION ALL SELECT * FROM defaults
         """,
         # Stopword-vote language id, mirrored from functions/text.py::LangId
         # (count stopword OCCURRENCES per language; winner = max count with

@@ -170,7 +170,12 @@ def check_constraints(lake_root: str, events_path: str | list[str],
     from ape_dts_ray.state.lake import LakeTable
 
     lake = LakeTable.open(lake_root)
-    if not lake.constraints:
+    # unique-kind INDEXES are enforced exactly like unique constraints
+    # (structure/index.rs analog; lake.unique_column_sets)
+    checks = list(lake.constraints) + [
+        {"type": "unique", "cols": i["cols"]}
+        for i in lake.indexes if i["kind"] == "unique"]
+    if not checks:
         return [CheckResult("constraints", True, "none declared")]
     paths = [events_path] if isinstance(events_path, str) else list(events_path)
     f = pq.ParquetFile(paths[0])
@@ -180,7 +185,7 @@ def check_constraints(lake_root: str, events_path: str | list[str],
         sample = sample.filter(
             pc.not_equal(sample.column(COL_OP), pa.scalar("delete")))
     out = []
-    for c in lake.constraints:
+    for c in checks:
         if c["type"] == "not_null":
             col = c["col"]
             if col not in sample.column_names:

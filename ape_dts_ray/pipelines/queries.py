@@ -732,6 +732,29 @@ def cdc_dcl(sf_dir: str):
             .select_columns(["log_offset", "dcl_type", "statement"]))
 
 
+def cdc_rbac_state(sf_dir: str):
+    """RBAC structure migration (pg_create_rbac_statement.rs analog, the
+    last structure_type.rs member): classify the DCL stream, extract
+    normalized role/user/grant/default-role events (vectorized regex +
+    privilege explosion), and fold them into the SURVIVING catalog state —
+    last create/drop wins per principal, DROP USER wipes earlier grants,
+    multi-privilege GRANTs explode to one row per privilege. One hash
+    shuffle keyed by owning principal; shuffle rows bounded by live-entity
+    count via a per-batch partial reduce (stages/rbac.py)."""
+    from ape_dts_ray.sources.derive import dcl_dataset
+    from ape_dts_ray.stages.dcl import DclFilter, classify_dcl_batch
+    from ape_dts_ray.stages.rbac import extract_rbac_batch, fold_rbac
+
+    f = DclFilter(do_dcls=("create_user", "alter_user", "drop_user",
+                           "create_role", "drop_role", "grant", "revoke",
+                           "set_role"))
+    ds = (dcl_dataset(sf_dir)
+          .map_batches(classify_dcl_batch, batch_format="pyarrow")
+          .map_batches(f, batch_format="pyarrow")
+          .map_batches(extract_rbac_batch, batch_format="pyarrow"))
+    return fold_rbac(ds)    # map_groups output is already STATE_COLS-only
+
+
 def cdc_wide_types(sf_dir: str) -> pa.Table:
     """Column-type breadth through the FULL apply path (ColValue span,
     col_value.rs:15-46: Decimal/Blob/Enum/Json + a narrow int): the wide

@@ -80,8 +80,8 @@ def load_snapshot(lake: LakeTable, snapshot_ds, batch_size: int | None = None,
     done = snapshot_done_partitions(lake)
     not_null_cols = tuple(c["col"] for c in lake.constraints
                           if c["type"] == "not_null")
-    unique_sets = tuple(tuple(c["cols"]) for c in lake.constraints
-                        if c["type"] == "unique")
+    # unique constraints + unique-kind indexes (structure/index.rs analog)
+    unique_sets = lake.unique_column_sets()
 
     def to_events(t: pa.Table) -> pa.Table:
         for c in not_null_cols:          # constraint enforcement (hard):

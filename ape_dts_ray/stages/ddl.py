@@ -524,3 +524,122 @@ def apply_table_ddl(root: str, sql: str, config=None) -> ParsedDdl:
         raise DdlError(f"{parsed.kind} is a single-table statement — "
                        "apply it to the lake via apply_ddl")
     return parsed
+
+
+# ---------------------------------------------------------------------------
+# Structure emission — struct_statement.rs::to_sqls analog
+# ---------------------------------------------------------------------------
+
+_ARROW_TO_SQL = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT",
+    "int64": "BIGINT", "float": "FLOAT", "float32": "FLOAT",
+    "double": "DOUBLE", "float64": "DOUBLE", "bool": "BOOLEAN",
+    "string": "TEXT", "large_string": "TEXT",
+    "binary": "BLOB", "large_binary": "BLOB",
+    "date32[day]": "DATE", "timestamp[us]": "DATETIME",
+}
+
+
+def _sql_type_of(t) -> str:
+    s = str(t)
+    if s in _ARROW_TO_SQL:
+        return _ARROW_TO_SQL[s]
+    m = re.match(r"^decimal128\((\d+),\s*(\d+)\)$", s)
+    if m:
+        return f"DECIMAL({m.group(1)},{m.group(2)})"
+    if s.startswith("dictionary"):       # dict-encoded enum analog rides as
+        return "TEXT"                    # plain text on a server target
+    raise UnsupportedDdlError(f"no SQL emission for Arrow type {s!r}")
+
+
+def struct_sqls(lake, schema=None,
+                do_structures: tuple[str, ...] = ("*",)
+                ) -> list[tuple[str, str]]:
+    """Emit the structure-migration script for a lake table as ordered
+    ``(key, sql)`` pairs — the mysql_create_table_statement.rs::to_sqls
+    analog (:36-105), gated per structure type by
+    ``RdbFilter::filter_structure`` semantics (rdb_filter.rs:126-129, via
+    stages/rbac.filter_structure):
+
+    - ``table``: CREATE TABLE from the Arrow ``schema`` (engine columns
+      excluded) + PRIMARY KEY over ``meta.id_cols``. UNIQUE-kind indexes are
+      gated under ``table`` exactly like the reference (:50-55 — a unique
+      index is part of the table's key structure, not decoration).
+    - ``index``: plain (btree) and unique indexes JOIN into one
+      ``ALTER TABLE .. ADD [UNIQUE] INDEX ..`` per table (:63-67, 77-91);
+      fulltext/spatial emit standalone CREATE statements (:68-74).
+    - ``constraint`` / ``sequence`` / ``comment``: one statement per
+      descriptor (constraint_to_sql shape; sequences carry the
+      setval-to-max handoff in START WITH; comments use the PG COMMENT ON
+      form like structure/comment.rs).
+
+    RBAC is emitted separately by ``stages/rbac.rbac_to_sqls`` (it needs the
+    folded DCL state, not table metadata). ``schema`` (the state dataset's
+    Arrow schema) is only required when the table statement itself survives
+    the filter."""
+    from ape_dts_ray.meta import COL_EPOCH, COL_OFFSET, COL_OP, COL_SEQ
+    from ape_dts_ray.stages.rbac import filter_structure
+
+    tb = lake.meta.name
+    sqls: list[tuple[str, str]] = []
+
+    if not filter_structure("table", do_structures):
+        if schema is None:
+            raise ValueError("struct_sqls needs the state Arrow schema to "
+                             "emit the CREATE TABLE statement")
+        engine_cols = {COL_EPOCH, COL_OFFSET, COL_SEQ, COL_OP}
+        defs = [f"`{f.name}` {_sql_type_of(f.type)}"
+                for f in schema if f.name not in engine_cols]
+        defs.append("PRIMARY KEY (" +
+                    ", ".join(f"`{c}`" for c in lake.meta.id_cols) + ")")
+        sqls.append((f"table.{tb}",
+                     f"CREATE TABLE `{tb}` (" + ", ".join(defs) + ")"))
+
+    appends: list[str] = []
+    for i in lake.indexes:
+        gate = "table" if i["kind"] == "unique" else "index"
+        if filter_structure(gate, do_structures):
+            continue
+        cols = ", ".join(f"`{c}`" for c in i["cols"])
+        if i["kind"] in ("fulltext", "spatial"):
+            sqls.append((f"index.{tb}.{i['name']}",
+                         f"CREATE {i['kind'].upper()} INDEX `{i['name']}` "
+                         f"ON `{tb}` ({cols})"))
+        else:
+            uq = "UNIQUE " if i["kind"] == "unique" else ""
+            appends.append(f"ADD {uq}INDEX `{i['name']}` ({cols})")
+    if appends:
+        sqls.append((f"index.{tb}",
+                     f"ALTER TABLE `{tb}` " + ", ".join(appends)))
+
+    if not filter_structure("constraint", do_structures):
+        for c in lake.constraints:
+            if c["type"] == "not_null":
+                name = f"nn_{c['col']}"
+                sqls.append((f"constraint.{tb}.{name}",
+                             f"ALTER TABLE `{tb}` ADD CONSTRAINT `{name}` "
+                             f"CHECK (`{c['col']}` IS NOT NULL)"))
+            else:
+                name = "uq_" + "_".join(c["cols"])
+                cols = ", ".join(f"`{x}`" for x in c["cols"])
+                sqls.append((f"constraint.{tb}.{name}",
+                             f"ALTER TABLE `{tb}` ADD CONSTRAINT `{name}` "
+                             f"UNIQUE ({cols})"))
+
+    if not filter_structure("sequence", do_structures):
+        for s in lake.sequences:
+            sqls.append((f"sequence.{s['name']}",
+                         f"CREATE SEQUENCE \"{s['name']}\" START WITH "
+                         f"{s['next_value']} INCREMENT BY {s['increment']}"))
+
+    if not filter_structure("comment", do_structures):
+        for c in lake.comments:
+            txt = c["comment"].replace("'", "''")
+            if c["type"] == "table":
+                sqls.append((f"comment.{tb}",
+                             f"COMMENT ON TABLE \"{tb}\" IS '{txt}'"))
+            else:
+                sqls.append((f"comment.{tb}.{c['column']}",
+                             f"COMMENT ON COLUMN \"{tb}\".\"{c['column']}\" "
+                             f"IS '{txt}'"))
+    return sqls

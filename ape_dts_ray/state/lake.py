@@ -45,6 +45,15 @@ MANIFEST_DIR = "_manifests"
 TABLE_FILE = "_table.json"
 
 
+def _cluster_sorted(t: "pa.Table", cols: list[str]) -> "pa.Table":
+    """Sort a folded partition by the clustering key (cluster_sort_cols) so
+    base-file row groups carry tight min/max stats on the indexed columns.
+    Columns renamed away by schema_ops are skipped; the id-col tiebreak
+    keeps the order total → byte-deterministic across re-folds."""
+    keys = [(c, "ascending") for c in cols if c in t.column_names]
+    return t.sort_by(keys) if keys else t
+
+
 class LakeTable:
     def __init__(self, root: str, meta: TableMeta, config: EngineConfig,
                  schema_version: int = 0,
@@ -75,6 +84,16 @@ class LakeTable:
         # Arrow schema/field metadata so they ride INSIDE the Parquet files.
         # {"type": "table"|"column", "column"?: c, "comment": str}
         self.comments: list[dict] = []
+        # index descriptors (structure/index.rs analog: name, columns,
+        # IndexKind Unique/FullText/Spatial/plain-Btree=""). A Parquet lake
+        # has no live B-tree, so an index means two real things here:
+        # "unique" kinds are ENFORCED like unique constraints (precheck +
+        # load_snapshot), and the FIRST index is the CLUSTERING key —
+        # compact() sorts each partition's base file by it, so Parquet
+        # row-group min/max stats prune reads on those columns (the lake
+        # analog of what a B-tree buys a server).
+        # {"name": n, "cols": [...], "kind": ""|"unique"|"fulltext"|"spatial"}
+        self.indexes: list[dict] = []
 
     # ---------- lifecycle ----------
     @classmethod
@@ -122,6 +141,7 @@ class LakeTable:
         t.constraints = d.get("constraints", [])
         t.sequences = d.get("sequences", [])
         t.comments = d.get("comments", [])
+        t.indexes = d.get("indexes", [])
         return t
 
     def _save_table_json(self) -> None:
@@ -142,6 +162,7 @@ class LakeTable:
             "constraints": self.constraints,
             "sequences": self.sequences,
             "comments": self.comments,
+            "indexes": self.indexes,
         }
         atomic_write_text(os.path.join(self.root, TABLE_FILE),
                           json.dumps(d, indent=1, sort_keys=True))
@@ -269,6 +290,48 @@ class LakeTable:
                 raise ValueError(f"comment needs 'comment': {c}")
         self.comments = list(comments)
         self._save_table_json()
+
+    def set_indexes(self, indexes: list[dict]) -> None:
+        """Register (and persist) index descriptors
+        (struct_meta/structure/index.rs analog — index_name, columns,
+        IndexKind where "" is the plain/Btree default). See the __init__
+        note for what an index MEANS on a Parquet lake: "unique" kinds are
+        enforced with the unique constraints (``unique_column_sets``), and
+        the first index is compact()'s clustering key."""
+        out = []
+        for i in indexes:
+            if not i.get("name") or not i.get("cols"):
+                raise ValueError(f"index needs 'name' and 'cols': {i}")
+            kind = str(i.get("kind", "")).lower()
+            if kind not in ("", "unique", "fulltext", "spatial"):
+                raise ValueError(f"unknown index kind: {i}")
+            out.append({"name": i["name"], "cols": list(i["cols"]),
+                        "kind": kind})
+        self.indexes = out
+        self._save_table_json()
+
+    def unique_column_sets(self) -> tuple[tuple[str, ...], ...]:
+        """Column sets under uniqueness enforcement: declared unique
+        constraints plus unique-kind indexes (the reference treats a unique
+        index as part of the table structure — mysql_create_table_statement
+        .rs:50-55 gates them under StructureType::Table, and its key-column
+        derivation reads them as candidate keys, rdb_meta_manager.rs:82-96)."""
+        sets = [tuple(c["cols"]) for c in self.constraints
+                if c["type"] == "unique"]
+        sets += [tuple(i["cols"]) for i in self.indexes
+                 if i["kind"] == "unique"]
+        return tuple(sets)
+
+    def cluster_sort_cols(self) -> list[str]:
+        """compact()'s clustering key: the FIRST registered index's columns
+        with the id cols appended as a tiebreak — rows are unique per id
+        after the LWW fold, so the sort is total and the base file bytes
+        stay deterministic across crash+resume re-folds."""
+        if not self.indexes:
+            return []
+        cols = list(self.indexes[0]["cols"])
+        cols += [c for c in self.meta.id_cols if c not in cols]
+        return cols
 
     def _with_comment_metadata(self, t: "pa.Table") -> "pa.Table":
         if not self.comments:
@@ -456,6 +519,7 @@ class LakeTable:
 
         root, meta, cfg, sv = self.root, self.meta, self.config, self.schema_version
         ops = self.schema_ops
+        cluster = self.cluster_sort_cols()
 
         def compact_partition(pid: int) -> None:
             lake = LakeTable(root, meta, cfg, sv, ops)
@@ -473,6 +537,7 @@ class LakeTable:
             i = folded.column_names.index(COL_EPOCH)
             folded = folded.set_column(
                 i, COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
+            folded = _cluster_sorted(folded, cluster)
             atomic_write_parquet(folded, bp, compression="zstd")
 
         import ray
@@ -534,6 +599,7 @@ class LakeTable:
         root, meta, cfg, sv = self.root, self.meta, self.config, self.schema_version
         ops = self.schema_ops
         hz = list(horizon)
+        cluster = self.cluster_sort_cols()
 
         def fold_partition(pid: int) -> bool:
             lake = LakeTable(root, meta, cfg, sv, ops)
@@ -552,6 +618,7 @@ class LakeTable:
                 i = folded.column_names.index(COL_EPOCH)
                 folded = folded.set_column(
                     i, COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
+                folded = _cluster_sorted(folded, cluster)
                 atomic_write_parquet(folded, bp, compression="zstd")
             for f in dfiles:             # only after the new base is durable
                 os.remove(f)

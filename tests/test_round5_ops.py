@@ -600,3 +600,292 @@ def test_verify_pairs_jaccard_vectorized_edges():
             if jaccard(texts[a] or "", texts[b] or "", 5) >= thr}
     assert got == want
     assert (3, 4) in got                       # both-empty pair is 1.0
+
+
+# ------------------------------------------------ RBAC structure-state fold
+
+def _rbac_fold_frame(df):
+    """Simulate the distributed fold path (prefold per batch → group fold)
+    on a plain DataFrame, mirroring fold_rbac()'s stages without Ray."""
+    from ape_dts_ray.stages.rbac import fold_rbac_group, prefold_rbac_batch
+
+    pre = prefold_rbac_batch(df)
+    groups = [fold_rbac_group(g) for _, g in pre.groupby("rbac_key")]
+    out = pd.concat(groups, ignore_index=True) if groups else pre.iloc[:0]
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+def _rbac_events(stmts):
+    from ape_dts_ray.stages.dcl import classify_dcl_batch
+    from ape_dts_ray.stages.rbac import extract_rbac_batch
+
+    t = pa.table({"log_offset": pa.array(range(len(stmts)), pa.int64()),
+                  "statement": pa.array(stmts, pa.string())})
+    return extract_rbac_batch(classify_dcl_batch(t))
+
+
+def test_rbac_fold_scenario():
+    """pg_create_rbac_statement.rs analog over a statement log: DROP USER
+    wipes prior grants and bindings, a re-created account starts clean,
+    revoke kills one privilege of an exploded multi-grant, password follows
+    the last create/alter, role lifecycle is last-create/drop-wins."""
+    ev = _rbac_events([
+        "CREATE USER 'a'@'%' IDENTIFIED BY 'p0'",            # 0
+        "GRANT SELECT, INSERT ON db.t TO 'a'@'%'",           # 1 explode
+        "REVOKE INSERT ON db.t FROM 'a'@'%'",                # 2
+        "Grant All On *.* To 'a'@'%' WITH GRANT OPTION",     # 3
+        "ALTER USER 'a'@'%' IDENTIFIED BY 'p4'",             # 4
+        "DROP USER IF EXISTS 'a'@'%'",                       # 5 wipes 1,3
+        "CREATE USER 'a'@'%' IDENTIFIED BY 'p6'",            # 6 clean slate
+        "GRANT SELECT ON db2.t TO 'a'@'%'",                  # 7 survives
+        "SET DEFAULT ROLE 'r9' TO 'a'@'%'",                  # 8 survives
+        "CREATE ROLE 'r9'",                                  # 9
+        "CREATE ROLE 'dead'",                                # 10
+        "Drop Role 'dead'",                                  # 11
+        "CREATE USER 'gone'@'h' IDENTIFIED BY 'x'",          # 12
+        "GRANT SELECT ON g.t TO 'gone'@'h'",                 # 13
+        "DROP USER 'gone'@'h'",                              # 14 kills both
+    ])
+    out = _rbac_fold_frame(ev.to_pandas())
+    got = {(r.kind, r.user_name, r.host, r.role_name, r.grant_object,
+            r.privilege, r.with_grant, r.password)
+           for r in out.itertuples(index=False)}
+    assert got == {
+        ("user", "a", "%", "", "", "", False, "p6"),
+        ("grant", "a", "%", "", "db2.t", "SELECT", False, ""),
+        ("default_role", "a", "%", "r9", "", "", False, ""),
+        ("role", "", "", "r9", "", "", False, ""),
+    }
+    # password came from the post-recreate create (p6), not the wiped alter
+    assert out.loc[out.kind == "user", "log_offset"].iat[0] == 6
+
+
+def test_rbac_prefold_is_lossless_and_bounding():
+    """The per-batch partial reduce keeps fold results identical under any
+    batch split AND bounds shuffle rows by entity count, not log length."""
+    from ape_dts_ray.stages.rbac import prefold_rbac_batch
+
+    rng = np.random.default_rng(7)
+    stmts = []
+    for i in range(600):
+        u, r, db = rng.integers(4), rng.integers(3), rng.integers(2)
+        stmts.append(rng.choice([
+            f"CREATE USER 'u{u}'@'%' IDENTIFIED BY 'pw{i}'",
+            f"DROP USER 'u{u}'@'%'",
+            f"ALTER USER 'u{u}'@'%' IDENTIFIED BY 'pw{i}'",
+            f"CREATE ROLE 'r{r}'",
+            f"DROP ROLE 'r{r}'",
+            f"GRANT SELECT, INSERT ON db{db}.t TO 'u{u}'@'%'",
+            f"REVOKE SELECT ON db{db}.t FROM 'u{u}'@'%'",
+            f"SET DEFAULT ROLE 'r{r}' TO 'u{u}'@'%'",
+        ]))
+    df = _rbac_events(stmts).to_pandas()
+    whole = _rbac_fold_frame(df)
+    # arbitrary 3-way split, batches prefolded independently then combined
+    cut1, cut2 = len(df) // 3, 2 * len(df) // 3
+    pre = pd.concat([prefold_rbac_batch(df.iloc[:cut1]),
+                     prefold_rbac_batch(df.iloc[cut1:cut2]),
+                     prefold_rbac_batch(df.iloc[cut2:])])
+    split = _rbac_fold_frame(pre)
+    pd.testing.assert_frame_equal(whole, split)
+    # 600 events over ≤4 users × ≤3 roles × few grains → far fewer rows
+    assert len(prefold_rbac_batch(df)) < len(df) / 4
+
+
+def test_rbac_malformed_statement_ignored():
+    """dcl_parser.rs:175-180 policy: a statement its family regex cannot
+    extract is ignored, never an error, and neighbors still fold."""
+    ev = _rbac_events([
+        "CREATE USER 'ok'@'%' IDENTIFIED BY 'p'",
+        "GRANT broken syntax with no account",       # classified grant, no TO
+        "CREATE USER missing_quotes@nohost",         # no 'x'@'y' literal
+    ])
+    df = ev.to_pandas()
+    assert set(zip(df.kind, df.action)) == {("user", "create")}
+    assert df.user_name.tolist() == ["ok"]
+
+
+def test_rbac_to_sqls_order_and_structure_filter():
+    """to_sqls parity: dependency order (roles → users → grants →
+    default-role) and rdb_filter.rs:126-129 structure gating — '*' keeps,
+    a set without 'rbac' drops everything, empty set drops everything."""
+    from ape_dts_ray.stages.rbac import filter_structure, rbac_to_sqls
+
+    ev = _rbac_events([
+        "CREATE ROLE 'r1'",
+        "CREATE USER 'b'@'%' IDENTIFIED BY 'p'",
+        "GRANT ALL ON *.* TO 'b'@'%' WITH GRANT OPTION",
+        "SET DEFAULT ROLE 'r1' TO 'b'@'%'",
+    ])
+    state = _rbac_fold_frame(ev.to_pandas())
+    sqls = rbac_to_sqls(state, do_structures=("*",))
+    kinds = [k.split(".")[1] for k, _ in sqls]
+    assert kinds == ["role", "user", "grant", "default_role"]
+    assert sqls[2][1] == "GRANT ALL ON *.* TO 'b'@'%' WITH GRANT OPTION"
+    assert rbac_to_sqls(state, do_structures=("table", "index")) == []
+    assert rbac_to_sqls(state, do_structures=()) == []
+    assert not filter_structure("rbac", ("rbac",))
+    assert filter_structure("rbac", ("constraint",))
+
+
+# ------------------------------------------- index structures + struct_sqls
+
+def _idx_lake(tmp_path, name="ilake"):
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.state.lake import LakeTable
+
+    return LakeTable.create(str(tmp_path / name), TableMeta(),
+                            EngineConfig(num_partitions=4, epoch_size=500))
+
+
+def test_index_descriptors_roundtrip_and_unique_sets(tmp_path):
+    """structure/index.rs analog: descriptors persist through _table.json,
+    kinds validate against the IndexKind set, and unique-kind indexes join
+    the unique constraints in unique_column_sets()."""
+    from ape_dts_ray.state.lake import LakeTable
+
+    lake = _idx_lake(tmp_path)
+    lake.set_constraints([{"type": "unique", "cols": ["conv_id", "turn_idx"]}])
+    lake.set_indexes([
+        {"name": "ix_ts", "cols": ["ts"]},
+        {"name": "uq_role_ts", "cols": ["role", "ts"], "kind": "UNIQUE"},
+        {"name": "ft_text", "cols": ["text"], "kind": "fulltext"},
+    ])
+    re_open = LakeTable.open(lake.root)
+    assert re_open.indexes == [
+        {"name": "ix_ts", "cols": ["ts"], "kind": ""},
+        {"name": "uq_role_ts", "cols": ["role", "ts"], "kind": "unique"},
+        {"name": "ft_text", "cols": ["text"], "kind": "fulltext"},
+    ]
+    assert re_open.unique_column_sets() == (("conv_id", "turn_idx"),
+                                            ("role", "ts"))
+    assert re_open.cluster_sort_cols() == ["ts", "conv_id", "turn_idx"]
+    with pytest.raises(ValueError):
+        lake.set_indexes([{"name": "x", "cols": ["a"], "kind": "hashish"}])
+    with pytest.raises(ValueError):
+        lake.set_indexes([{"name": "x", "cols": []}])
+
+
+def test_struct_sqls_emission_and_structure_filter(tmp_path):
+    """to_sqls parity (mysql_create_table_statement.rs:36-105): btree and
+    unique indexes JOIN into one ALTER, fulltext emits standalone, UNIQUE
+    kind is gated under 'table' (not 'index') exactly like the reference,
+    and every family honors filter_structure."""
+    from ape_dts_ray.meta import transcript_schema
+    from ape_dts_ray.stages.ddl import struct_sqls
+
+    lake = _idx_lake(tmp_path)
+    lake.set_constraints([{"type": "not_null", "col": "role"}])
+    lake.set_sequences([{"name": "seq_turn", "col": "turn_idx",
+                         "next_value": 41}])
+    lake.set_comments([{"type": "table", "comment": "conv transcripts"}])
+    lake.set_indexes([
+        {"name": "ix_ts", "cols": ["ts"]},
+        {"name": "uq_role_ts", "cols": ["role", "ts"], "kind": "unique"},
+        {"name": "ft_text", "cols": ["text"], "kind": "fulltext"},
+    ])
+    schema = transcript_schema()
+
+    sqls = dict(struct_sqls(lake, schema, do_structures=("*",)))
+    assert sqls["table.transcripts"].startswith(
+        "CREATE TABLE `transcripts` (`conv_id` TEXT, `turn_idx` INT,")
+    assert sqls["table.transcripts"].endswith(
+        "PRIMARY KEY (`conv_id`, `turn_idx`))")
+    assert sqls["index.transcripts"] == (
+        "ALTER TABLE `transcripts` ADD INDEX `ix_ts` (`ts`), "
+        "ADD UNIQUE INDEX `uq_role_ts` (`role`, `ts`)")
+    assert sqls["index.transcripts.ft_text"] == (
+        "CREATE FULLTEXT INDEX `ft_text` ON `transcripts` (`text`)")
+    assert sqls["constraint.transcripts.nn_role"] == (
+        "ALTER TABLE `transcripts` ADD CONSTRAINT `nn_role` "
+        "CHECK (`role` IS NOT NULL)")
+    assert sqls["sequence.seq_turn"] == (
+        'CREATE SEQUENCE "seq_turn" START WITH 41 INCREMENT BY 1')
+    assert sqls["comment.transcripts"] == (
+        "COMMENT ON TABLE \"transcripts\" IS 'conv transcripts'")
+
+    # index-only view: table CREATE and the unique index are gated OUT
+    # under 'table' (reference :50-55), plain+fulltext stay
+    only_idx = dict(struct_sqls(lake, None, do_structures=("index",)))
+    assert set(only_idx) == {"index.transcripts",
+                             "index.transcripts.ft_text"}
+    assert "UNIQUE" not in only_idx["index.transcripts"]
+    # table view carries the unique index append but not the plain one
+    only_tb = dict(struct_sqls(lake, schema, do_structures=("table",)))
+    assert only_tb["index.transcripts"] == (
+        "ALTER TABLE `transcripts` ADD UNIQUE INDEX `uq_role_ts` "
+        "(`role`, `ts`)")
+    assert struct_sqls(lake, None, do_structures=()) == []
+    with pytest.raises(ValueError):
+        struct_sqls(lake, None, do_structures=("table",))   # schema needed
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_clusters_base_by_first_index(tmp_path):
+    """A registered index makes compact() cluster each base partition by the
+    index columns (+ id tiebreak): row-group stats become prunable on the
+    indexed column, state is unchanged, and the clustered re-fold stays
+    byte-deterministic."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.pipelines.replay import replay
+
+    events = gen_events(seed=43, n_convs=30, max_turns=6, n_events=2500,
+                        delete_frac=0.1)
+    path = str(tmp_path / "e.parquet")
+    pq.write_table(events, path)
+
+    plain = _idx_lake(tmp_path, "plain")
+    replay(plain, events_path=path)
+    plain.compact(parallel=False)
+
+    lake = _idx_lake(tmp_path, "clustered")
+    lake.set_indexes([{"name": "ix_role_ts", "cols": ["role", "ts"]}])
+    replay(lake, events_path=path)
+    lake.compact(parallel=False)
+
+    import pandas as pd
+    hashes = {}
+    seen_base = 0
+    for pid in range(lake.config.num_partitions):
+        bp = lake.base_path(pid)
+        if not os.path.exists(bp):
+            continue
+        seen_base += 1
+        df = pq.read_table(bp).to_pandas()
+        key = df[["role", "ts", "conv_id", "turn_idx"]]
+        assert (pd.MultiIndex.from_frame(key).is_monotonic_increasing
+                ), f"partition {pid} not clustered"
+        with open(bp, "rb") as f:
+            hashes[pid] = hashlib.md5(f.read()).hexdigest()
+    assert seen_base > 0
+    # same live state as the unclustered lake (order-insensitive)
+    a = plain.state_table().to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = lake.state_table().to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unique_index_enforced_at_snapshot_load(tmp_path):
+    """A unique-kind index is enforced exactly like a unique constraint
+    (rdb_meta_manager.rs:82-96 reads unique indexes as candidate keys):
+    load_snapshot rejects a snapshot violating it within a partition."""
+    import ray.data as rd
+
+    from ape_dts_ray.pipelines.snapshot import load_snapshot
+
+    lake = _idx_lake(tmp_path, "uniq")
+    lake.set_indexes([{"name": "uq_role_ts", "cols": ["role", "ts"],
+                       "kind": "unique"}])
+    snap = pd.DataFrame({
+        "conv_id": ["c1", "c1"], "turn_idx": np.array([0, 1], np.int32),
+        "role": ["user", "user"], "text": ["a", "b"], "tool": ["", ""],
+        "ts": pd.to_datetime(["2026-01-01", "2026-01-01"]),
+    })
+    with pytest.raises(Exception, match="(?i)unique"):
+        load_snapshot(lake, rd.from_pandas(snap))
