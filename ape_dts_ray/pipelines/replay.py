@@ -619,6 +619,14 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
             if wait > 0:
                 _time.sleep(wait)
 
+    if not chunks and auto_compact_max_deltas is not None:
+        # resume after a kill that landed BETWEEN the final manifest commit
+        # and its auto-compact tick: there is nothing to apply, but an
+        # invocation under the compaction policy must still restore the
+        # bound — otherwise the torn tick's delta buildup (threshold+1
+        # files) survives every subsequent no-op resume
+        after_commit([])
+
     if pipeline_depth <= 1 or len(chunks) <= 1 or max_rps is not None:
         for chunk in chunks:
             ms = run_chunk(chunk)

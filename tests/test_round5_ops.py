@@ -889,3 +889,39 @@ def test_unique_index_enforced_at_snapshot_load(tmp_path):
     })
     with pytest.raises(Exception, match="(?i)unique"):
         load_snapshot(lake, rd.from_pandas(snap))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_compact_policy_enforced_on_noop_resume(tmp_path):
+    """The torn-final-tick window, deterministically: all epochs committed
+    (auto-compact off → delta buildup), then a resume under
+    auto_compact_max_deltas with NOTHING to apply must still restore the
+    bound — the policy belongs to the invocation, not to the windows it
+    happens to apply."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events, oracle_replay
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable
+
+    events = gen_events(seed=51, n_convs=25, max_turns=6, n_events=3000,
+                        delete_frac=0.15)
+    path = str(tmp_path / "e.parquet")
+    pq.write_table(events, path)
+    lake = LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(num_partitions=4, epoch_size=300))
+    replay(lake, events_path=path)                   # no policy: buildup
+    assert max(lake.delta_file_counts().values()) > 2
+    wm = lake.watermark()
+
+    out = replay(LakeTable.open(lake.root), events_path=path,
+                 group_epochs=1, auto_compact_max_deltas=2)
+    assert out == []                                 # nothing to apply...
+    lake = LakeTable.open(lake.root)
+    assert max(lake.delta_file_counts().values(), default=0) <= 2   # ...bound restored
+    assert lake.watermark() == wm
+    state = lake.state_table().to_pandas()
+    oracle = oracle_replay(events)
+    assert len(state) == len(oracle)
+    assert list(state["text"]) == list(oracle["text"])
