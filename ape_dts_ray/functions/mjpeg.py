@@ -1,13 +1,14 @@
-"""MJPEG-in-AVI — pure stdlib/numpy, written from the public specs
-(ITU-T T.81 baseline JPEG: DQT/DHT/SOF0/SOS marker segments, Annex K tables,
-Annex F entropy coding; Microsoft RIFF/AVI container layout).
+"""Motion-JPEG in AVI and MP4 containers — pure stdlib/numpy, written from
+the public specs (ITU-T T.81 baseline JPEG: DQT/DHT/SOF0/SOS marker
+segments, Annex K tables, Annex F entropy coding; Microsoft RIFF/AVI
+container layout; ISO/IEC 14496-12 box structure + sample tables).
 
-This is the one realistically implementable step up from Y4M for the video
-branch of ``SampleFrames`` (functions/multimodal.py): an AVI whose frames
-are baseline JPEGs decodes for real — RIFF ``movi`` walk, per-frame Huffman
-decode, dequantize, IDCT, luma plane out. Compressed inter-frame codecs
-(H.264 &c.) remain a strict-raise stub — no stdlib entropy/bitstream
-machinery exists for them.
+This is the realistically implementable step up from Y4M for the video
+branch of ``SampleFrames`` (functions/multimodal.py): an AVI or MP4 whose
+frames are baseline JPEGs decodes for real — RIFF ``movi`` walk or ISO-BMFF
+stbl sample-table walk, per-frame Huffman decode, dequantize, IDCT, luma
+plane out. Compressed inter-frame codecs (H.264 &c.) remain a strict-raise
+stub — no stdlib entropy/bitstream machinery exists for them.
 
 Scope, stated honestly:
 - decode: baseline sequential DCT (SOF0), 8-bit, any number of components /
@@ -18,7 +19,11 @@ Scope, stated honestly:
 - encode (fixture writer): grayscale baseline with the Annex K luminance
   quant table (quality-scaled) and the Annex K standard Huffman tables.
 - container: RIFF AVI with ``movi`` ``00dc``/``00db`` frame chunks (also
-  inside ``rec `` lists); the writer emits plausible ``hdrl`` headers.
+  inside ``rec `` lists); the writer emits plausible ``hdrl`` headers. MP4:
+  box-tree walk with stsc/stsz/stco(co64) sample placement — the sample
+  tables ARE the frame index, so frames slice straight out of ``mdat``
+  without scanning it; the writer emits a one-sample-per-chunk layout with
+  a trailing ``moov`` so offsets never depend on moov size.
 
 The decoder reads its quant/Huffman tables from the stream (DQT/DHT), not
 from the writer's constants, so decode is exercised against real bytes the
@@ -533,3 +538,188 @@ def decode_avi_mjpeg_frame(chunk: bytes) -> np.ndarray:
         raise NotImplementedError("avi: frame is not a baseline JPEG "
                                   "(non-MJPEG codecs unsupported)")
     return decode_baseline_jpeg_luma(chunk)
+
+
+# ------------------------------------------------------------ MP4 (ISO BMFF)
+# Written from the public ISO/IEC 14496-12 base-media-file-format spec: a
+# box tree (size + fourcc), sample tables under moov/trak/mdia/minf/stbl
+# (stsd codec entry, stsz sample sizes, stsc sample-to-chunk runs, stco /
+# co64 chunk offsets). Motion-JPEG rides in MP4 as a 'jpeg' (or 'mjpa' /
+# 'AVDJ') VisualSampleEntry whose samples are plain JPEG codestreams, so the
+# same baseline decoder serves both containers. Compressed sample entries
+# ('avc1' &c.) raise NotImplementedError — same honest limit as AVI.
+
+_MP4_JPEG_ENTRIES = (b"jpeg", b"mjpa", b"mjpb", b"AVDJ", b"avdj", b"MJPG")
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _fullbox(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def encode_mp4_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Minimal but well-formed MJPEG MP4: ftyp + mdat (samples back to back)
+    + trailing moov whose stbl places one sample per chunk. mdat precedes
+    moov so stco offsets depend only on the fixed-size prefix."""
+    fps = max(1, fps)
+    n = len(jpeg_frames)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(jpeg_frames))
+    sizes = [len(j) for j in jpeg_frames]
+    offs, pos = [], len(ftyp) + 8
+    for s in sizes:
+        offs.append(pos)
+        pos += s
+
+    mvhd = _fullbox(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, 1000, n * 1000 // fps)
+        + struct.pack(">iH", 0x00010000, 0x0100) + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2))
+    tkhd = _fullbox(b"tkhd", 0, 3, struct.pack(
+        ">IIIII", 0, 0, 1, 0, n * 1000 // fps) + b"\x00" * 12
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16))
+    mdhd = _fullbox(b"mdhd", 0, 0,
+                    struct.pack(">IIIIHH", 0, 0, fps, n, 0x55C4, 0))
+    hdlr = _fullbox(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 12
+                    + b"VideoHandler\x00")
+    # 'jpeg' VisualSampleEntry (14496-12 §12.1.3): reserved+dref index, then
+    # dimensions, 72 dpi, frame_count 1, 32-byte compressorname, depth 24
+    entry = (b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 16
+             + struct.pack(">HH", width, height)
+             + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+             + bytes([5]) + b"mjpeg" + b"\x00" * 26
+             + struct.pack(">Hh", 24, -1))
+    stsd = _fullbox(b"stsd", 0, 0,
+                    struct.pack(">I", 1) + _box(b"jpeg", entry))
+    stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1))
+    stsz = _fullbox(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                    + struct.pack(f">{n}I", *sizes))
+    stco = _fullbox(b"stco", 0, 0, struct.pack(">I", n)
+                    + struct.pack(f">{n}I", *offs))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    dinf = _box(b"dinf", _fullbox(b"dref", 0, 0, struct.pack(">I", 1)
+                                  + _fullbox(b"url ", 0, 1, b"")))
+    vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def is_mp4(data: bytes) -> bool:
+    return len(data) >= 12 and data[4:8] == b"ftyp"
+
+
+def _mp4_children(data: bytes, lo: int, hi: int):
+    """Yield (fourcc, body_lo, body_hi) for each box in [lo, hi); handles
+    64-bit largesize (size==1) and to-end-of-enclosing (size==0)."""
+    pos = lo
+    while pos + 8 <= hi:
+        (size,) = struct.unpack_from(">I", data, pos)
+        fourcc = data[pos + 4:pos + 8]
+        body_lo = pos + 8
+        if size == 1:
+            if pos + 16 > hi:
+                raise ValueError("mp4: truncated largesize box header")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body_lo = pos + 16
+        end = hi if size == 0 else pos + size
+        if end < body_lo or end > hi:
+            raise ValueError(f"mp4: box {fourcc!r} overruns its parent")
+        yield fourcc, body_lo, end
+        if size == 0:
+            break
+        pos = end
+
+
+def _mp4_find(data: bytes, lo: int, hi: int, path: tuple[bytes, ...]):
+    """Descend a fourcc path; returns (body_lo, body_hi) of the first match
+    or None."""
+    if not path:
+        return lo, hi
+    for fourcc, blo, bhi in _mp4_children(data, lo, hi):
+        if fourcc == path[0]:
+            return _mp4_find(data, blo, bhi, path[1:])
+    return None
+
+
+def mp4_frame_chunks(data: bytes) -> list[bytes]:
+    """Walk the box tree of an MJPEG MP4 and return every video sample's
+    bytes, in track order — the stbl sample tables (stsc runs × stco chunk
+    offsets × stsz sizes) ARE the frame index, so no mdat scan is needed.
+    Non-JPEG sample entries raise NotImplementedError; a structurally
+    broken tree raises ValueError."""
+    if not is_mp4(data):
+        raise ValueError("mp4: no ftyp box")
+    moov = _mp4_find(data, 0, len(data), (b"moov",))
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    for fourcc, tlo, thi in _mp4_children(data, *moov):
+        if fourcc != b"trak":
+            continue
+        hdlr = _mp4_find(data, tlo, thi, (b"mdia", b"hdlr"))
+        if hdlr is None or data[hdlr[0] + 8:hdlr[0] + 12] != b"vide":
+            continue
+        stbl = _mp4_find(data, tlo, thi, (b"mdia", b"minf", b"stbl"))
+        if stbl is None:
+            raise ValueError("mp4: video trak has no stbl")
+        boxes = {f: (lo, hi) for f, lo, hi in _mp4_children(data, *stbl)}
+
+        lo, hi = boxes[b"stsd"]
+        entries = list(_mp4_children(data, lo + 8, hi))
+        if not entries:
+            raise ValueError("mp4: empty stsd")
+        codec = entries[0][0]
+        if codec not in _MP4_JPEG_ENTRIES:
+            raise NotImplementedError(
+                f"mp4: sample entry {codec!r} unsupported (MJPEG only)")
+
+        lo, hi = boxes[b"stsz"]
+        fixed, count = struct.unpack_from(">II", data, lo + 4)
+        if fixed:
+            sizes = [fixed] * count
+        else:
+            sizes = list(struct.unpack_from(f">{count}I", data, lo + 12))
+
+        if b"stco" in boxes:
+            lo, hi = boxes[b"stco"]
+            (nch,) = struct.unpack_from(">I", data, lo + 4)
+            chunk_offs = struct.unpack_from(f">{nch}I", data, lo + 8)
+        elif b"co64" in boxes:
+            lo, hi = boxes[b"co64"]
+            (nch,) = struct.unpack_from(">I", data, lo + 4)
+            chunk_offs = struct.unpack_from(f">{nch}Q", data, lo + 8)
+        else:
+            raise ValueError("mp4: no stco/co64")
+
+        lo, hi = boxes[b"stsc"]
+        (nruns,) = struct.unpack_from(">I", data, lo + 4)
+        runs = [struct.unpack_from(">III", data, lo + 8 + 12 * i)
+                for i in range(nruns)]
+
+        # expand stsc runs → samples-per-chunk for each chunk, slice samples
+        frames: list[bytes] = []
+        si = 0
+        for ri, (first, per_chunk, _desc) in enumerate(runs):
+            last = (runs[ri + 1][0] - 1) if ri + 1 < len(runs) else nch
+            for ci in range(first - 1, last):
+                pos = chunk_offs[ci]
+                for _ in range(per_chunk):
+                    if si >= count:
+                        break
+                    frames.append(bytes(data[pos:pos + sizes[si]]))
+                    pos += sizes[si]
+                    si += 1
+        if si != count:
+            raise ValueError(f"mp4: sample tables inconsistent "
+                             f"({si} placed of {count})")
+        return frames
+    raise ValueError("mp4: no video track")

@@ -438,7 +438,9 @@ class SampleFrames:
     features. Y4M (YUV4MPEG2) payloads are REALLY decoded — header parse,
     frame-offset walk (no full-stream decode), luma extraction, nearest
     resize, column-mean feature — so ``strict=True`` works end-to-end on
-    uncompressed video. Compressed codecs (H.264 &c.) are not expressible
+    uncompressed video; MJPEG in an AVI or MP4 container likewise (RIFF
+    ``movi`` walk / ISO-BMFF sample tables → per-frame baseline-JPEG luma,
+    functions/mjpeg.py). Inter-frame codecs (H.264 &c.) are not expressible
     with the stdlib: strict mode raises for them; otherwise the payload is
     split into even byte spans whose digests seed deterministic fake frame
     features, keeping the plumbing (even spacing, per-frame rows, batch
@@ -466,9 +468,11 @@ class SampleFrames:
                 return self._y4m_rows(payload, info, offs)
         from ape_dts_ray.functions import mjpeg as _mjpeg
 
-        if _mjpeg.is_avi(payload):
+        if _mjpeg.is_avi(payload) or _mjpeg.is_mp4(payload):
             try:
-                chunks = _mjpeg.avi_frame_chunks(payload)
+                chunks = (_mjpeg.avi_frame_chunks(payload)
+                          if _mjpeg.is_avi(payload)
+                          else _mjpeg.mp4_frame_chunks(payload))
                 if chunks:
                     return self._mjpeg_rows(chunks)
             except (ValueError, NotImplementedError, IndexError,
@@ -480,8 +484,8 @@ class SampleFrames:
                     raise
         if self.strict:
             raise NotImplementedError(
-                "no codec for this payload (strict mode decodes Y4M and "
-                "MJPEG-in-AVI only)")
+                "no codec for this payload (strict mode decodes Y4M, "
+                "MJPEG-in-AVI and MJPEG-in-MP4 only)")
         return self._stub_rows(payload)
 
     def _mjpeg_rows(self, chunks: list[bytes]):

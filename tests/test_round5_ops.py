@@ -925,3 +925,67 @@ def test_auto_compact_policy_enforced_on_noop_resume(tmp_path):
     oracle = oracle_replay(events)
     assert len(state) == len(oracle)
     assert list(state["text"]) == list(oracle["text"])
+
+
+def test_mp4_container_walk():
+    """ISO-BMFF walk: byte-exact sample recovery, multi-sample-per-chunk
+    stsc expansion, co64 offsets, and the honest error surfaces."""
+    from ape_dts_ray.functions import mjpeg
+
+    frames = _gradient_clip(7, 24, 32)
+    jpegs = [mjpeg.encode_baseline_jpeg_gray(f, 90) for f in frames]
+    mp4 = mjpeg.encode_mp4_mjpeg(jpegs, 32, 24, fps=5)
+    assert mjpeg.is_mp4(mp4)
+    assert mjpeg.mp4_frame_chunks(mp4) == jpegs   # byte-exact recovery
+
+    # same samples re-tabled as ONE chunk holding all 7 (stsc run expansion)
+    # and 64-bit co64 offsets — the layouts a real muxer commonly emits
+    ftyp = mjpeg._box(b"ftyp", b"isom" + b"\x00" * 4 + b"isom")
+    mdat = mjpeg._box(b"mdat", b"".join(jpegs))
+    base = len(ftyp) + 8
+    sizes = [len(j) for j in jpegs]
+    stsd = mjpeg._fullbox(
+        b"stsd", 0, 0, struct.pack(">I", 1)
+        + mjpeg._box(b"jpeg", b"\x00" * 6 + struct.pack(">H", 1)
+                     + b"\x00" * 70))
+    stsz = mjpeg._fullbox(b"stsz", 0, 0, struct.pack(">II", 0, 7)
+                          + struct.pack(">7I", *sizes))
+    stsc = mjpeg._fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 7, 1))
+    co64 = mjpeg._fullbox(b"co64", 0, 0, struct.pack(">IQ", 1, base))
+    stbl = mjpeg._box(b"stbl", stsd + stsc + stsz + co64)
+    hdlr = mjpeg._fullbox(b"hdlr", 0, 0, b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    mdia = mjpeg._box(b"mdia", hdlr + mjpeg._box(b"minf", stbl))
+    moov = mjpeg._box(b"moov", mjpeg._box(b"trak", mdia))
+    assert mjpeg.mp4_frame_chunks(ftyp + mdat + moov) == jpegs
+
+    with pytest.raises(ValueError, match="no ftyp"):
+        mjpeg.mp4_frame_chunks(b"\x00" * 16)
+    with pytest.raises(ValueError, match="no moov"):
+        mjpeg.mp4_frame_chunks(ftyp + mdat)
+    # non-MJPEG sample entry (an H.264 track) raises the strict stub error
+    avc = mp4.replace(b"jpeg", b"avc1")
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mjpeg.mp4_frame_chunks(avc)
+
+
+def test_video_mjpeg_mp4_strict_frame_sampling():
+    """SampleFrames strict mode decodes MJPEG-in-MP4 for real (sample-table
+    walk → JPEG luma), with the same even spacing and locally recomputable
+    features as the AVI/Y4M paths; non-strict stubs on a truncated tree."""
+    from ape_dts_ray.functions import mjpeg, multimodal
+
+    clip = _gradient_clip(10, 24, 32, seed=3)
+    payload = mjpeg.encode_mp4_mjpeg(
+        [mjpeg.encode_baseline_jpeg_gray(f, 92) for f in clip], 32, 24)
+    rows = multimodal.SampleFrames(4, 8, strict=True)._frame_rows(payload)
+    assert [fi for fi, _ in rows] == [0, 1, 2, 3]
+    pick = np.unique(np.linspace(0, 9, 4, dtype=np.int64))
+    want = (multimodal.resize_nearest(clip[pick[2]].astype(np.float64), 8, 8)
+            .mean(axis=0) / 255.0)
+    assert np.abs(np.array(rows[2][1]) - want).max() < 0.05
+
+    trunc = payload[:len(payload) // 2]     # moov trails: walk fails
+    with pytest.raises((ValueError, NotImplementedError, IndexError)):
+        multimodal.SampleFrames(2, 4, strict=True)._frame_rows(trunc)
+    stub = multimodal.SampleFrames(2, 4, strict=False)._frame_rows(trunc)
+    assert len(stub) == 2 and all(len(f) == 4 for _, f in stub)
