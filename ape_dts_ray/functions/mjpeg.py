@@ -12,12 +12,16 @@ stub — no stdlib entropy/bitstream machinery exists for them.
 
 Scope, stated honestly:
 - decode: baseline sequential DCT (SOF0), 8-bit, any number of components /
-  sampling factors; ONLY the luma plane is reconstructed (chroma
-  coefficients are entropy-decoded to keep stream position, then dropped) —
-  the video stage's features are luma-based. Progressive (SOF2) and
-  arithmetic coding raise.
-- encode (fixture writer): grayscale baseline with the Annex K luminance
-  quant table (quality-scaled) and the Annex K standard Huffman tables.
+  sampling factors. The cheap path (``decode_baseline_jpeg_luma`` — what the
+  video feature stage uses) reconstructs ONLY the luma plane (chroma
+  coefficients are entropy-decoded to keep stream position, then dropped);
+  ``decode_baseline_jpeg_rgb`` reconstructs every component, nearest-
+  upsamples subsampled chroma and converts JFIF YCbCr → RGB. Progressive
+  (SOF2) and arithmetic coding raise.
+- encode (fixture writers): grayscale baseline, and interleaved YCbCr color
+  at 4:2:0 or 4:4:4 (Annex K.1/K.2 quant tables quality-scaled, the four
+  Annex K.3 standard Huffman tables) — the 4:2:0 writer is what exercises
+  the decoder's multi-block MCU walk against real camera-style streams.
 - container: RIFF AVI with ``movi`` ``00dc``/``00db`` frame chunks (also
   inside ``rec `` lists); the writer emits plausible ``hdrl`` headers. MP4:
   box-tree walk with stsc/stsz/stco(co64) sample placement — the sample
@@ -65,6 +69,17 @@ STD_LUM_QUANT = np.array([
     24, 35, 55, 64, 81, 104, 113, 92,
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+
+# Annex K.2 chrominance quantization table (natural order, like K.1 above)
+STD_CHROM_QUANT = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
 
 # Annex K.3 standard Huffman tables (luminance)
 DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
@@ -254,7 +269,21 @@ def _extend(v: int, t: int) -> int:
 
 def decode_baseline_jpeg_luma(data: bytes) -> np.ndarray:
     """Baseline JPEG → luma plane, uint8 (h, w). Chroma components are
-    entropy-decoded (stream position) and discarded."""
+    entropy-decoded (stream position) and discarded — the cheap path the
+    feature stages use."""
+    return _decode_baseline(data, color=False)
+
+
+def decode_baseline_jpeg_rgb(data: bytes) -> np.ndarray:
+    """Baseline JPEG → uint8 (h, w, 3) RGB. All components are dequantized
+    and IDCT'd; subsampled chroma planes are nearest-upsampled to full
+    resolution and converted per the JFIF full-range YCbCr matrix. A
+    grayscale stream comes back with the gray plane replicated; component
+    counts other than 1/3 (e.g. Adobe CMYK) raise NotImplementedError."""
+    return _decode_baseline(data, color=True)
+
+
+def _decode_baseline(data: bytes, color: bool) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("jpeg: missing SOI")
     qt: dict[int, np.ndarray] = {}
@@ -336,12 +365,19 @@ def decode_baseline_jpeg_luma(data: bytes) -> np.ndarray:
 
     if not comps or h == 0 or w == 0:
         raise ValueError("jpeg: no frame header")
+    if color and len(scan) not in (1, 3):
+        raise NotImplementedError(
+            f"jpeg: {len(scan)}-component color decode unsupported "
+            "(grayscale and YCbCr only)")
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     luma = scan[0]                          # first scan component = Y
-    plane = np.zeros((mcuy * luma["v"] * 8, mcux * luma["h"] * 8), np.float64)
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+        for c in scan if color or c is luma}
+    plane = planes[luma["id"]]
 
     r = _BitReader(data, i)
     pred = {c["id"]: 0 for c in scan}
@@ -385,18 +421,78 @@ def decode_baseline_jpeg_luma(data: bytes) -> np.ndarray:
                 for c in scan:
                     for v in range(c["v"]):
                         for hh in range(c["h"]):
-                            blk = decode_block(c, want_pixels=c is luma)
-                            if c is luma:
+                            blk = decode_block(
+                                c, want_pixels=color or c is luma)
+                            if blk is not None:
                                 y0 = (my * c["v"] + v) * 8
                                 x0 = (mx * c["h"] + hh) * 8
-                                plane[y0:y0 + 8, x0:x0 + 8] = blk
+                                planes[c["id"]][y0:y0 + 8,
+                                                x0:x0 + 8] = blk
             except _RestartMarker:
                 raise ValueError("jpeg: unexpected restart marker")
             n_mcu += 1
-    return np.clip(plane[:h, :w] + 128, 0, 255).astype(np.uint8)
+    if not color:
+        return np.clip(plane[:h, :w] + 128, 0, 255).astype(np.uint8)
+
+    # nearest-upsample every component to full resolution (general integer
+    # floor map, so non-divisible sampling factor combos also place right)
+    full = []
+    for c in scan:
+        p = planes[c["id"]]
+        rows = (np.arange(h, dtype=np.int64) * c["v"]) // vmax
+        cols = (np.arange(w, dtype=np.int64) * c["h"]) // hmax
+        full.append(p[rows[:, None], cols[None, :]] + 128.0)
+    if len(full) == 1:
+        g = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------- encode
+
+def _size_of(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(blk: np.ndarray, qmat: np.ndarray, dc_enc: dict,
+                  ac_enc: dict, bw: _BitWriter, pred: int) -> int:
+    """Forward-DCT, quantize and entropy-code one 8×8 block (level-shifted
+    float input); returns the new DC predictor."""
+    coef = np.round((_DCT @ blk @ _DCT.T) / qmat).astype(np.int64)
+    zz = coef.reshape(64)[ZIGZAG]
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    t = _size_of(diff)
+    code, ln = dc_enc[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    nz = np.flatnonzero(zz[1:]) + 1
+    last = nz[-1] if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_enc[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        t = _size_of(v)
+        code, ln = ac_enc[(run << 4) | t]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v + (1 << t) - 1, t)
+        run = 0
+    if last < 63:
+        code, ln = ac_enc[0x00]             # EOB
+        bw.write(code, ln)
+    return pred
+
 
 def encode_baseline_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
     """uint8 (h, w) → grayscale baseline JPEG (fixture writer)."""
@@ -413,42 +509,10 @@ def encode_baseline_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
     ac_enc = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
     bw = _BitWriter()
     pred = 0
-
-    def size_of(v: int) -> int:
-        return int(v).bit_length() if v > 0 else int(-v).bit_length()
-
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
-            blk = padded[by:by + 8, bx:bx + 8]
-            coef = np.round((_DCT @ blk @ _DCT.T) / qmat).astype(np.int64)
-            zz = coef.reshape(64)[ZIGZAG]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            t = size_of(diff)
-            code, ln = dc_enc[t]
-            bw.write(code, ln)
-            if t:
-                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
-            run = 0
-            nz = np.flatnonzero(zz[1:]) + 1
-            last = nz[-1] if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_enc[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                t = size_of(v)
-                code, ln = ac_enc[(run << 4) | t]
-                bw.write(code, ln)
-                bw.write(v if v > 0 else v + (1 << t) - 1, t)
-                run = 0
-            if last < 63:
-                code, ln = ac_enc[0x00]     # EOB
-                bw.write(code, ln)
+            pred = _encode_block(padded[by:by + 8, bx:bx + 8], qmat,
+                                 dc_enc, ac_enc, bw, pred)
     entropy = bw.flush()
 
     out = bytearray(b"\xff\xd8")            # SOI
@@ -462,6 +526,85 @@ def encode_baseline_jpeg_gray(img: np.ndarray, quality: int = 85) -> bytes:
         out += bytes([tc << 4]) + bytes(bits) + bytes(vals)
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
     out += entropy + b"\xff\xd9"            # EOI
+    return bytes(out)
+
+
+def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """uint8 (h, w, 3) RGB → float64 (h, w, 3) JFIF full-range YCbCr."""
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    return np.stack([0.299 * r + 0.587 * g + 0.114 * b,
+                     128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                     128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b], axis=2)
+
+
+def encode_baseline_jpeg_color(img: np.ndarray, quality: int = 85,
+                               subsampling: str = "4:2:0") -> bytes:
+    """uint8 (h, w, 3) RGB → interleaved YCbCr baseline JPEG. ``4:2:0``
+    (Y sampled 2×2, chroma box-averaged 2:1 both ways — the dominant wire
+    layout, and the one that actually exercises a decoder's multi-block MCU
+    walk) or ``4:4:4`` (no subsampling). Two quant tables (Annex K.1 lum /
+    K.2 chrom, quality-scaled) and the four Annex K.3 Huffman tables, like
+    every camera MJPEG stream."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("color encoder wants (h, w, 3) RGB")
+    if subsampling not in ("4:2:0", "4:4:4"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    cs = 2 if subsampling == "4:2:0" else 1     # luma sampling factor
+    h, w = img.shape[:2]
+    mcu = 8 * cs
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+    ycc = np.pad(rgb_to_ycbcr(img) - 128.0,
+                 ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+    y = ycc[:, :, 0]
+    if cs == 2:                                 # 2×2 box-average chroma
+        chroma = [c.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                  for c in (ycc[:, :, 1], ycc[:, :, 2])]
+    else:
+        chroma = [ycc[:, :, 1], ycc[:, :, 2]]
+
+    ql = scale_quant(STD_LUM_QUANT, quality)
+    qc = scale_quant(STD_CHROM_QUANT, quality)
+    qlm, qcm = ql.reshape(8, 8), qc.reshape(8, 8)
+    dc_l = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_l = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    dc_c = _canonical_codes(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac_c = _canonical_codes(AC_CHROM_BITS, AC_CHROM_VALS)
+
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for my in range(0, ph, mcu):
+        for mx in range(0, pw, mcu):
+            for v in range(cs):                 # Y blocks, row-major
+                for hh in range(cs):
+                    y0, x0 = my + 8 * v, mx + 8 * hh
+                    preds[0] = _encode_block(y[y0:y0 + 8, x0:x0 + 8], qlm,
+                                             dc_l, ac_l, bw, preds[0])
+            cy, cx = my // cs, mx // cs
+            for ci, cp in enumerate(chroma):
+                preds[ci + 1] = _encode_block(
+                    cp[cy:cy + 8, cx:cx + 8], qcm, dc_c, ac_c, bw,
+                    preds[ci + 1])
+    entropy = bw.flush()
+
+    out = bytearray(b"\xff\xd8")                # SOI
+    for tq, q in ((0, ql), (1, qc)):            # DQT ×2
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+        out += bytes(int(x) for x in q[ZIGZAG])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF0
+    samp = (cs << 4) | cs
+    out += bytes([1, samp, 0, 2, 0x11, 1, 3, 0x11, 1])
+    for tc_th, bits, vals in ((0x00, DC_LUM_BITS, DC_LUM_VALS),
+                              (0x10, AC_LUM_BITS, AC_LUM_VALS),
+                              (0x01, DC_CHROM_BITS, DC_CHROM_VALS),
+                              (0x11, AC_CHROM_BITS, AC_CHROM_VALS)):
+        out += b"\xff\xc4" + struct.pack(">H", 3 + 16 + len(vals))
+        out += bytes([tc_th]) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += entropy + b"\xff\xd9"                # EOI
     return bytes(out)
 
 

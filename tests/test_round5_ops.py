@@ -989,3 +989,78 @@ def test_video_mjpeg_mp4_strict_frame_sampling():
         multimodal.SampleFrames(2, 4, strict=True)._frame_rows(trunc)
     stub = multimodal.SampleFrames(2, 4, strict=False)._frame_rows(trunc)
     assert len(stub) == 2 and all(len(f) == 4 for _, f in stub)
+
+
+def _color_clip(h, w, seed=0):
+    """Smooth RGB gradient (small quantization/subsampling error by
+    construction, so roundtrip tolerances stay tight)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        np.clip(120 + 60 * np.sin(xx / 11 + seed), 0, 255),
+        np.clip(110 + 50 * np.cos(yy / 9 - seed), 0, 255),
+        np.clip(128 + 40 * np.sin((xx + yy) / 13), 0, 255)], axis=2
+    ).astype(np.uint8)
+
+
+def test_color_jpeg_roundtrip_both_subsamplings():
+    """Interleaved YCbCr encode → full RGB decode: 4:2:0 exercises the
+    decoder's multi-block MCU walk (4 Y + Cb + Cr per MCU, chroma
+    upsampling), 4:4:4 the trivial layout; both bounded-error on smooth
+    input, odd dimensions included."""
+    from ape_dts_ray.functions import mjpeg
+
+    img = _color_clip(37, 53)
+    for sub, tol in (("4:2:0", 12), ("4:4:4", 6)):
+        enc = mjpeg.encode_baseline_jpeg_color(img, 95, sub)
+        dec = mjpeg.decode_baseline_jpeg_rgb(enc)
+        assert dec.shape == (37, 53, 3)
+        err = np.abs(dec.astype(int) - img.astype(int)).max()
+        assert err <= tol, (sub, err)
+
+    # grayscale stream through the RGB surface: replicated channels
+    g = _gradient_clip(1, 24, 31)[0]
+    rgb = mjpeg.decode_baseline_jpeg_rgb(mjpeg.encode_baseline_jpeg_gray(g))
+    assert rgb.shape == (24, 31, 3)
+    assert (rgb[:, :, 0] == rgb[:, :, 1]).all()
+    assert np.abs(rgb[:, :, 0].astype(int) - g.astype(int)).max() <= 6
+
+    with pytest.raises(ValueError, match="subsampling"):
+        mjpeg.encode_baseline_jpeg_color(img, 90, "4:2:2")
+    with pytest.raises(ValueError, match="RGB"):
+        mjpeg.encode_baseline_jpeg_color(g, 90)
+
+
+def test_luma_path_positional_parity_on_subsampled_stream():
+    """The cheap luma-only decode must stay positionally correct on a REAL
+    interleaved 4:2:0 stream — chroma blocks are entropy-decoded and
+    dropped, so a mis-walk would corrupt every later MCU. Verified against
+    the encoder's own Y plane, and against the full-RGB decode's luma."""
+    from ape_dts_ray.functions import mjpeg
+
+    img = _color_clip(41, 66, seed=2)
+    enc = mjpeg.encode_baseline_jpeg_color(img, 92, "4:2:0")
+    luma = mjpeg.decode_baseline_jpeg_luma(enc)
+    ytrue = mjpeg.rgb_to_ycbcr(img)[:, :, 0]
+    assert np.abs(luma.astype(float) - ytrue).max() <= 8
+
+    rgb = mjpeg.decode_baseline_jpeg_rgb(enc)
+    yback = mjpeg.rgb_to_ycbcr(rgb)[:, :, 0]
+    assert np.abs(luma.astype(float) - yback).max() <= 3
+
+
+def test_video_color_mjpeg_avi_strict_sampling():
+    """A color (4:2:0) MJPEG AVI through SampleFrames strict mode: the
+    frame features come from the decoded luma of the subsampled stream and
+    match a locally recomputed Y-plane feature."""
+    from ape_dts_ray.functions import mjpeg, multimodal
+
+    clip = [_color_clip(24, 32, seed=k) for k in range(6)]
+    avi = mjpeg.encode_avi_mjpeg(
+        [mjpeg.encode_baseline_jpeg_color(f, 93, "4:2:0") for f in clip],
+        32, 24)
+    rows = multimodal.SampleFrames(3, 8, strict=True)._frame_rows(avi)
+    assert [fi for fi, _ in rows] == [0, 1, 2]
+    pick = np.unique(np.linspace(0, 5, 3, dtype=np.int64))
+    ytrue = mjpeg.rgb_to_ycbcr(clip[pick[1]])[:, :, 0]
+    want = multimodal.resize_nearest(ytrue, 8, 8).mean(axis=0) / 255.0
+    assert np.abs(np.array(rows[1][1]) - want).max() < 0.05
