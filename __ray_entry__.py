@@ -484,21 +484,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE dcl_type IN ('create_user', 'drop_user', 'grant', 'revoke')
         """,
         # RBAC state fold (stages/rbac.py): the engine parses the statement
-        # TEXT; the oracle declares each event by template construction
-        # (lockstep with DCL_CTE / derive_dcl_statements — k = event_id % 12
-        # selects the template, hosts/objects/privileges per template), then
+        # TEXT; the oracle declares each event by template construction —
+        # the event selection and template id come from DCL_CTE itself
+        # (dcl.k / dcl.uid), rx only adds the per-template STRUCTURED facts
+        # (hosts/objects/privileges, lockstep-noted in derive.py) — then
         # folds with windows: last create/drop decides survival, last
         # create/alter carries the password, DROP USER wipes older grants
         # and default-role bindings (g.log_offset > last_drop), grants fold
         # per (user, host, object, privilege) after the multi-privilege
         # GRANT template explodes via unnest
-        "cdc_rbac_state": """
-            WITH ev AS (
-              SELECT event_id AS log_offset,
-                     CAST(event_id % 12 AS INTEGER) AS k,
-                     user_id AS uid
-              FROM events
-            ), rx AS (
+        "cdc_rbac_state": DCL_CTE + """,
+            rx AS (
               SELECT log_offset, 'user' AS kind,
                      CASE k WHEN 2 THEN 'alter' WHEN 3 THEN 'drop'
                             ELSE 'create' END AS action,
@@ -509,34 +505,34 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN k IN (0, 1, 2)
                           THEN 'pw' || CAST(log_offset AS VARCHAR)
                           ELSE '' END AS password
-              FROM ev WHERE k IN (0, 1, 2, 3)
+              FROM dcl WHERE k IN (0, 1, 2, 3)
               UNION ALL
               SELECT log_offset, 'role',
                      CASE k WHEN 4 THEN 'create' ELSE 'drop' END,
                      '', '', 'r' || CAST(uid % 50 AS VARCHAR), '', '', false, ''
-              FROM ev WHERE k IN (4, 5)
+              FROM dcl WHERE k IN (4, 5)
               UNION ALL
               SELECT log_offset, 'grant', 'grant',
                      'u' || CAST(uid AS VARCHAR), '%', '',
                      'db' || CAST(uid % 10 AS VARCHAR) || '.tb1',
                      unnest(['SELECT', 'INSERT']), false, ''
-              FROM ev WHERE k = 6
+              FROM dcl WHERE k = 6
               UNION ALL
               SELECT log_offset, 'grant', 'grant',
                      'u' || CAST(uid AS VARCHAR), 'localhost', '', '*.*',
                      'ALL', true, ''
-              FROM ev WHERE k = 7
+              FROM dcl WHERE k = 7
               UNION ALL
               SELECT log_offset, 'grant', 'revoke',
                      'u' || CAST(uid AS VARCHAR), '%', '',
                      'db' || CAST(uid % 10 AS VARCHAR) || '.tb1', 'SELECT',
                      false, ''
-              FROM ev WHERE k = 8
+              FROM dcl WHERE k = 8
               UNION ALL
               SELECT log_offset, 'default_role', 'set',
                      'u' || CAST(uid AS VARCHAR), '%',
                      'r' || CAST(uid % 50 AS VARCHAR), '', '', false, ''
-              FROM ev WHERE k = 9
+              FROM dcl WHERE k = 9
             ), ucd AS (
               SELECT user_name, host, action, log_offset,
                      row_number() OVER (PARTITION BY user_name, host

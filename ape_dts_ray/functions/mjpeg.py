@@ -724,7 +724,7 @@ def encode_mp4_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + b"\x00" * 24 + struct.pack(">I", 2))
     tkhd = _fullbox(b"tkhd", 0, 3, struct.pack(
-        ">IIIII", 0, 0, 1, 0, n * 1000 // fps) + b"\x00" * 12
+        ">IIIII", 0, 0, 1, 0, n * 1000 // fps) + b"\x00" * 16
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", width << 16, height << 16))
     mdhd = _fullbox(b"mdhd", 0, 0,

@@ -170,11 +170,12 @@ def check_constraints(lake_root: str, events_path: str | list[str],
     from ape_dts_ray.state.lake import LakeTable
 
     lake = LakeTable.open(lake_root)
-    # unique-kind INDEXES are enforced exactly like unique constraints
-    # (structure/index.rs analog; lake.unique_column_sets)
-    checks = list(lake.constraints) + [
-        {"type": "unique", "cols": i["cols"]}
-        for i in lake.indexes if i["kind"] == "unique"]
+    # unique-kind INDEXES are enforced exactly like unique constraints;
+    # unique_column_sets() is the one source of that mapping, deduped here
+    # so a col-set declared as both constraint and index is checked once
+    checks = [c for c in lake.constraints if c["type"] != "unique"]
+    checks += [{"type": "unique", "cols": list(cols)}
+               for cols in dict.fromkeys(lake.unique_column_sets())]
     if not checks:
         return [CheckResult("constraints", True, "none declared")]
     paths = [events_path] if isinstance(events_path, str) else list(events_path)

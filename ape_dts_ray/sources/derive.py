@@ -288,7 +288,11 @@ def mongo_changes_dataset(sf_dir: str, batch_size: int = 65_536):
 # the RAW text (comments included — the classifier must strip them);
 # DCL_CTE emits the post-strip text plus the ground-truth type per template,
 # with NULL dcl_type for the DML row (dropped by dcl_simple_judgment on the
-# engine side, by `dcl_type IN (...)` on the oracle side).
+# engine side, by `dcl_type IN (...)` on the oracle side). It also exposes
+# the template id ``k`` and ``uid`` so downstream oracles (cdc_rbac_state's
+# ``rx`` CTE in __ray_entry__.py) can rebuild per-template STRUCTURED facts
+# (hosts, pw||offset, r{uid%50}, db{uid%10}) without re-deriving the event
+# selection — if a template below changes, rx's facts must change with it.
 # ---------------------------------------------------------------------------
 
 DCL_KINDS = 12
@@ -297,6 +301,8 @@ DCL_CTE = f"""
 WITH dcl AS (
   SELECT
     event_id AS log_offset,
+    CAST(event_id % {DCL_KINDS} AS INTEGER) AS k,
+    user_id AS uid,
     CASE CAST(event_id % {DCL_KINDS} AS INTEGER)
       WHEN 0 THEN 'CREATE USER ''u' || CAST(user_id AS VARCHAR)
         || '''@''localhost'' IDENTIFIED BY ''pw' || CAST(event_id AS VARCHAR) || ''''

@@ -958,6 +958,17 @@ def test_mp4_container_walk():
     moov = mjpeg._box(b"moov", mjpeg._box(b"trak", mdia))
     assert mjpeg.mp4_frame_chunks(ftyp + mdat + moov) == jpegs
 
+    # tkhd spec-offset check (14496-12 §8.3.2 v0): size 92, and width/height
+    # land at payload offsets 76/80 — a 4-byte-short reserved run misaligns
+    # both for any conforming external parser
+    ti = mp4.index(b"tkhd")
+    tk_size = struct.unpack(">I", mp4[ti - 4:ti])[0]
+    assert tk_size == 92
+    body = mp4[ti + 4 + 4:ti - 4 + tk_size]   # past version/flags
+    assert len(body) == 80
+    w, h = struct.unpack(">II", body[72:80])
+    assert (w >> 16, h >> 16) == (32, 24)
+
     with pytest.raises(ValueError, match="no ftyp"):
         mjpeg.mp4_frame_chunks(b"\x00" * 16)
     with pytest.raises(ValueError, match="no moov"):
