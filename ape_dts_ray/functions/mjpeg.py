@@ -223,7 +223,11 @@ class _BitReader:
                 raise EOFError("jpeg: marker inside entropy segment")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
+        # mask to the live window — without it acc accumulates every byte
+        # ever read as one growing bigint and the decode turns quadratic
+        # (512px frame: 38 s unmasked, 0.5 s masked)
+        self.acc = (((self.acc << 8) | b)
+                    & ((1 << (self.nbits + 8)) - 1))
         self.nbits += 8
 
     def bit(self) -> int:
@@ -369,14 +373,26 @@ def _decode_baseline(data: bytes, color: bool) -> np.ndarray:
         raise NotImplementedError(
             f"jpeg: {len(scan)}-component color decode unsupported "
             "(grayscale and YCbCr only)")
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    luma = scan[0]                          # first scan component = Y
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(scan) == 1:
+        # T.81 A.2.2: a non-interleaved (Ns=1) scan has ONE 8x8 data unit
+        # per MCU, walked in raster order over the component's own block
+        # grid — its declared sampling factors shape only its sample
+        # dimensions, never the MCU (a grayscale frame declaring 2x2 is
+        # legal and must not be walked as 4-block MCUs)
+        cw = -(-(w * scan[0]["h"]) // hmax)
+        ch = -(-(h * scan[0]["v"]) // vmax)
+        mcux, mcuy = -(-cw // 8), -(-ch // 8)
+        walk = [{**scan[0], "h": 1, "v": 1}]
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        walk = scan
+    luma = walk[0]                          # first scan component = Y
     planes = {
         c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
-        for c in scan if color or c is luma}
+        for c in walk if color or c is luma}
     plane = planes[luma["id"]]
 
     r = _BitReader(data, i)
@@ -418,7 +434,7 @@ def _decode_baseline(data: bytes, color: bool) -> np.ndarray:
                 for cid in pred:
                     pred[cid] = 0
             try:
-                for c in scan:
+                for c in walk:
                     for v in range(c["v"]):
                         for hh in range(c["h"]):
                             blk = decode_block(

@@ -139,26 +139,10 @@ def replay_follow(
     # path -> (size, min_off, max_off); footer statistics only, re-read when
     # the size changes (segments are immutable once visible — write+rename)
     footer_cache: dict[str, tuple[int, int, int]] = {}
-    stats = FollowStats()
-    idle = 0
     first_scan = True
 
-    while True:
-        if os.path.exists(stop_file):
-            stats.stopped_by = "stop_file"
-            try:
-                os.unlink(stop_file)
-            except OSError:
-                pass
-            return stats
-        if max_rounds is not None and stats.rounds >= max_rounds:
-            stats.stopped_by = "max_rounds"
-            return stats
-        if max_idle_rounds is not None and idle >= max_idle_rounds:
-            stats.stopped_by = "idle_limit"
-            return stats
-
-        stats.rounds += 1
+    def one_round(stats: FollowStats) -> bool:
+        nonlocal footer_cache, first_scan
         floor = _pending_floor(lake)
         # rebuild the live set from THIS round's glob (footer_cache is a
         # memo): a vanished segment must not keep inflating log_max or feed
@@ -174,7 +158,12 @@ def replay_follow(
             if hit is not None and hit[0] == size:
                 present[p] = hit
                 continue
-            mn, mx = _file_offset_span(p, ocol)
+            try:
+                mn, mx = _file_offset_span(p, ocol)
+            except (OSError, FileNotFoundError):
+                continue                    # vanished between stat and footer
+                                            # read (retention) — evict, same
+                                            # as the getsize race above
             if hit is None and not first_scan and mn != -1 and mn < floor:
                 # GAP REFUSAL (the log is consumed positionally, like the
                 # reference's binlog): a segment appearing AFTER the follower
@@ -189,18 +178,19 @@ def replay_follow(
                     "in nondecreasing offset order")
             present[p] = (size, mn, mx)
         footer_cache = present
-        first_scan = False
+        if present:
+            # the round-1 catch-up exemption burns only once segments have
+            # actually been SEEN: a restart over a late-appearing or
+            # momentarily-empty log dir must still catch up, not gap-refuse
+            first_scan = False
 
         log_max = max((mx for _, _, mx in footer_cache.values()), default=-1)
         wm = lake.watermark()
         if log_max <= wm:
-            idle += 1
             if heartbeat:
                 lake.write_heartbeat()
-            time.sleep(poll_interval)
-            continue
+            return False
 
-        idle = 0
         paths = sorted(p for p, (_, _, mx) in footer_cache.items()
                        if mx >= floor)
         ms = replay(lake, events_path=paths, max_offset=log_max,
@@ -212,3 +202,43 @@ def replay_follow(
         stats.replay_rounds += 1
         stats.epochs_committed += len(ms)
         stats.events_applied += sum(p.events for m in ms for p in m.partitions)
+        return True
+
+    return follow_loop(stop_file, poll_interval, max_idle_rounds, max_rounds,
+                       one_round)
+
+
+def follow_loop(stop_file: str, poll_interval: float,
+                max_idle_rounds: int | None, max_rounds: int | None,
+                round_fn) -> FollowStats:
+    """Shared daemon shell for the follow twins (``replay_follow`` here and
+    ``RedisKeyspaceStore.follow``): stop-file consume, round/idle/limit
+    accounting, poll sleep — the contract that must stay in lockstep between
+    them lives once. ``round_fn(stats)`` runs ONE round and returns True on
+    progress (idle counter resets, no sleep) or False for an idle round
+    (counts toward ``max_idle_rounds``, then sleeps ``poll_interval``).
+    Shutdown conditions are checked BETWEEN rounds, so a round in flight
+    always finishes and stop is always clean; the stop file is deleted on
+    exit so a restart doesn't immediately stop."""
+    stats = FollowStats()
+    idle = 0
+    while True:
+        if os.path.exists(stop_file):
+            stats.stopped_by = "stop_file"
+            try:
+                os.unlink(stop_file)
+            except OSError:
+                pass
+            return stats
+        if max_rounds is not None and stats.rounds >= max_rounds:
+            stats.stopped_by = "max_rounds"
+            return stats
+        if max_idle_rounds is not None and idle >= max_idle_rounds:
+            stats.stopped_by = "idle_limit"
+            return stats
+        stats.rounds += 1
+        if round_fn(stats):
+            idle = 0
+        else:
+            idle += 1
+            time.sleep(poll_interval)

@@ -1430,48 +1430,32 @@ class RedisKeyspaceStore:
         ingest's: the watermark publishes only after a complete state
         generation, so SIGKILL anywhere leaves the previous generation
         live and a restarted follower converges."""
-        from ape_dts_ray.pipelines.follow import FollowStats
+        from ape_dts_ray.pipelines.follow import FollowStats, follow_loop
 
         if stop_file is None:
             stop_file = os.path.join(self.root, "follow.stop")
-        stats = FollowStats()
-        idle = 0
-        while True:
-            if os.path.exists(stop_file):
-                stats.stopped_by = "stop_file"
-                try:
-                    os.unlink(stop_file)
-                except OSError:
-                    pass
-                return stats
-            if max_rounds is not None and stats.rounds >= max_rounds:
-                stats.stopped_by = "max_rounds"
-                return stats
-            if max_idle_rounds is not None and idle >= max_idle_rounds:
-                stats.stopped_by = "idle_limit"
-                return stats
-            stats.rounds += 1
+
+        def one_round(stats: FollowStats) -> bool:
             if not os.path.isdir(log_dir):
                 # daemon started before the producer created the log dir
                 # (normal tail-before-write order): idle and poll, like the
                 # lake twin — ingest()'s loud FileNotFoundError stays for
                 # one-shot calls, where a typo'd path must not look caught-up
                 self.write_heartbeat()
-                idle += 1
-                time.sleep(poll_interval)
-                continue
+                return False
             r = self.ingest(log_dir)
             self.write_heartbeat()
             if r["files"] == 0:
-                idle += 1
-                time.sleep(poll_interval)
-                continue
-            idle = 0
+                return False
             stats.replay_rounds += 1
             # one ingest = ONE atomic commit point (a single new state
             # generation), however many queued files it consumed;
             # events_applied stays 0 — ingest reports files, not events
             stats.epochs_committed += 1
+            return True
+
+        return follow_loop(stop_file, poll_interval, max_idle_rounds,
+                           max_rounds, one_round)
 
 
 def read_resp_log_files(paths: list[str]):

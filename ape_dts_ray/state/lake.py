@@ -45,6 +45,28 @@ MANIFEST_DIR = "_manifests"
 TABLE_FILE = "_table.json"
 
 
+def _retry_vanished_files(fn, attempts: int = 4):
+    """Run ``fn`` (which must RE-LIST its input files on every call), retrying
+    when a listed file vanishes between the exists() check and the read.
+
+    This is the reader/compactor race: a concurrent (or SIGKILL-orphaned)
+    compactor worker unlinks a consumed delta only AFTER its replacement base
+    is durable (publish-before-unlink, compact()/ _compact_partial docstrings),
+    so any vanished file is already folded into the base a fresh listing
+    picks up — re-folding the fresh listing yields identical LWW winners.
+    Bounded: after ``attempts`` consecutive vanishes the error propagates
+    (a file vanishing repeatedly without a base is real corruption)."""
+    import time as _time
+
+    for i in range(attempts):
+        try:
+            return fn()
+        except FileNotFoundError:
+            if i == attempts - 1:
+                raise
+            _time.sleep(0.05 * (i + 1))
+
+
 def _cluster_sorted(t: "pa.Table", cols: list[str]) -> "pa.Table":
     """Sort a folded partition by the clustering key (cluster_sort_cols) so
     base-file row groups carry tight min/max stats on the indexed columns.
@@ -418,10 +440,11 @@ class LakeTable:
             lake = LakeTable(root, meta, cfg, sv, ops)  # nothing (no null-schema
             out = []                                 # blocks polluting unions)
             for pid in batch.column("part_id").to_pylist():
-                files = lake.partition_files(pid)
-                if not files:
-                    continue
-                t = lake._fold_files(files, columns=columns)
+                def fold_one(pid=pid):
+                    files = lake.partition_files(pid)
+                    return lake._fold_files(files, columns=columns) \
+                        if files else None
+                t = _retry_vanished_files(fold_one)
                 if t is not None and t.num_rows:
                     out.append(t)
             if out:
@@ -437,11 +460,12 @@ class LakeTable:
         self._refuse_if_truncating()
         pieces = []
         for pid in range(self.config.num_partitions):
-            files = self.partition_files(pid)
-            if files:
-                t = self._fold_files(files)
-                if t is not None and t.num_rows:
-                    pieces.append(t)
+            def fold_one(pid=pid):
+                files = self.partition_files(pid)
+                return self._fold_files(files) if files else None
+            t = _retry_vanished_files(fold_one)
+            if t is not None and t.num_rows:
+                pieces.append(t)
         if not pieces:
             return pa.table({})
         out = pa.concat_tables(merge_mod.unify_tables(pieces))
@@ -523,22 +547,26 @@ class LakeTable:
 
         def compact_partition(pid: int) -> None:
             lake = LakeTable(root, meta, cfg, sv, ops)
-            files = lake.partition_files(pid)
-            if not files:
-                return
-            folded = lake._fold_files(files, keep_tombstones=False)
-            bp = lake.base_path(pid)
-            if folded is None or folded.num_rows == 0:
-                if os.path.exists(bp):
-                    os.remove(bp)
-                return
-            # base rows rank below every future delta
-            n = folded.num_rows
-            i = folded.column_names.index(COL_EPOCH)
-            folded = folded.set_column(
-                i, COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
-            folded = _cluster_sorted(folded, cluster)
-            atomic_write_parquet(folded, bp, compression="zstd")
+
+            def body():
+                files = lake.partition_files(pid)
+                if not files:
+                    return
+                folded = lake._fold_files(files, keep_tombstones=False)
+                bp = lake.base_path(pid)
+                if folded is None or folded.num_rows == 0:
+                    if os.path.exists(bp):
+                        os.remove(bp)
+                    return
+                # base rows rank below every future delta
+                n = folded.num_rows
+                i = folded.column_names.index(COL_EPOCH)
+                folded = folded.set_column(
+                    i, COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
+                folded = _cluster_sorted(folded, cluster)
+                atomic_write_parquet(folded, bp, compression="zstd")
+
+            _retry_vanished_files(body)
 
         import ray
         if parallel and ray.is_initialized():
@@ -603,26 +631,35 @@ class LakeTable:
 
         def fold_partition(pid: int) -> bool:
             lake = LakeTable(root, meta, cfg, sv, ops)
-            dfiles = [lake.delta_path(e, pid) for e in hz]
-            dfiles = [f for f in dfiles if os.path.exists(f)]
-            if len(dfiles) <= threshold:
-                return False
-            bp = lake.base_path(pid)
-            files = ([bp] if os.path.exists(bp) else []) + dfiles
-            folded = lake._fold_files(files, keep_tombstones=False)
-            if folded is None or folded.num_rows == 0:
-                if os.path.exists(bp):
-                    os.remove(bp)
-            else:
-                n = folded.num_rows
-                i = folded.column_names.index(COL_EPOCH)
-                folded = folded.set_column(
-                    i, COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
-                folded = _cluster_sorted(folded, cluster)
-                atomic_write_parquet(folded, bp, compression="zstd")
-            for f in dfiles:             # only after the new base is durable
-                os.remove(f)
-            return True
+
+            def body() -> bool:
+                dfiles = [lake.delta_path(e, pid) for e in hz]
+                dfiles = [f for f in dfiles if os.path.exists(f)]
+                if len(dfiles) <= threshold:
+                    return False
+                bp = lake.base_path(pid)
+                files = ([bp] if os.path.exists(bp) else []) + dfiles
+                folded = lake._fold_files(files, keep_tombstones=False)
+                if folded is None or folded.num_rows == 0:
+                    if os.path.exists(bp):
+                        os.remove(bp)
+                else:
+                    n = folded.num_rows
+                    i = folded.column_names.index(COL_EPOCH)
+                    folded = folded.set_column(
+                        i, COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
+                    folded = _cluster_sorted(folded, cluster)
+                    atomic_write_parquet(folded, bp, compression="zstd")
+                for f in dfiles:         # only after the new base is durable
+                    try:
+                        os.remove(f)
+                    except FileNotFoundError:
+                        pass             # another compactor consumed it —
+                                         # its base is durable too (same
+                                         # publish-before-unlink ordering)
+                return True
+
+            return _retry_vanished_files(body)
 
         import ray
         if parallel and ray.is_initialized():

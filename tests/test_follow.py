@@ -381,3 +381,89 @@ def test_follow_resumes_existing_log_without_reapply(tmp_path):
     after = LakeTable.open(lake.root)
     assert after.watermark() == wm
     assert after.state_table().equals(before)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_restart_over_late_appearing_log_catches_up(tmp_path):
+    """Review finding: the round-1 catch-up exemption must burn only once
+    segments have actually been SEEN. A follower restarted while the log
+    dir is momentarily empty (daemon-before-producer start order) must
+    catch up when the pre-existing segments appear, not gap-refuse."""
+    events = gen_events(seed=76, n_convs=20, max_turns=6, n_events=3000)
+    segs, maxes = _segments(events, 2)
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path, parts=4, epoch=500)
+    # one-shot replay of segment 0 → committed floor/watermark > 0
+    _append_segment(tmp_path, str(log), segs[0], 0)
+    replay(lake, events_path=str(log / "seg0000.parquet"))
+    assert lake.watermark() == maxes[0]
+    # the log dir the restarted follower sees is EMPTY for its first scans
+    os.unlink(str(log / "seg0000.parquet"))
+
+    stop = str(tmp_path / "stop")
+    box = {"stats": None, "exc": None}
+
+    def run():
+        try:
+            box["stats"] = replay_follow(LakeTable.open(lake.root), str(log),
+                                         poll_interval=0.05, stop_file=stop,
+                                         pipeline_depth=1)
+        except BaseException as e:
+            box["exc"] = e
+
+    th = threading.Thread(target=run)
+    th.start()
+    try:
+        time.sleep(0.3)                     # several empty scans elapse
+        # both segments appear, incl. seg0 whose offsets sit BELOW the
+        # committed floor — the catch-up exemption must still apply
+        _append_segment(tmp_path, str(log), segs[0], 0)
+        _append_segment(tmp_path, str(log), segs[1], 1)
+        _wait_watermark(lake.root, maxes[1], exc_box=box)
+    finally:
+        open(stop, "w").close()
+        th.join(timeout=120)
+    assert not th.is_alive()
+    assert box["exc"] is None
+
+    state = LakeTable.open(lake.root).state_table().to_pandas()
+    oracle = oracle_replay(events)
+    assert len(state) == len(oracle)
+    assert list(state["text"]) == list(oracle["text"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_survives_footer_read_race(tmp_path, monkeypatch):
+    """Review finding: a segment deleted between getsize and the footer
+    read (retention racing the scan) must be treated as vanished — the
+    daemon keeps running and picks the segment up on a later round if it
+    reappears, instead of dying on FileNotFoundError."""
+    from ape_dts_ray.pipelines import follow as followmod
+
+    events = gen_events(seed=77, n_convs=15, max_turns=5, n_events=2000)
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path, parts=4, epoch=500)
+    _append_segment(tmp_path, str(log), events, 0)
+
+    real = followmod._file_offset_span
+    tripped = {"n": 0}
+
+    def racy(p, ocol):
+        if tripped["n"] == 0:               # first footer read vanishes
+            tripped["n"] += 1
+            raise FileNotFoundError(p)
+        return real(p, ocol)
+
+    monkeypatch.setattr(followmod, "_file_offset_span", racy)
+    mx = int(pc.max(events.column("log_offset")).as_py())
+    stats = replay_follow(lake, str(log), poll_interval=0.01,
+                          max_idle_rounds=3, pipeline_depth=1)
+    assert tripped["n"] == 1                # the race actually fired
+    assert stats.stopped_by == "idle_limit"
+    assert lake.watermark() == mx           # later round applied the segment
+
+    state = lake.state_table().to_pandas()
+    oracle = oracle_replay(events)
+    assert len(state) == len(oracle)

@@ -1041,6 +1041,51 @@ def test_color_jpeg_roundtrip_both_subsamplings():
         mjpeg.encode_baseline_jpeg_color(g, 90)
 
 
+def test_noninterleaved_scan_ignores_sampling_factors():
+    """T.81 A.2.2: an Ns=1 scan walks ONE 8x8 unit per MCU regardless of
+    the component's declared sampling factors. A grayscale frame declaring
+    2x2 (legal, emitted by some foreign encoders) must decode identically
+    to the same stream declaring 1x1 — on a non-multiple-of-16 size, the
+    interleaved walk would even disagree on the block COUNT and desync."""
+    from ape_dts_ray.functions import mjpeg
+
+    img = _gradient_clip(1, 19, 29)[0]       # 19x29: not multiples of 16
+    enc = mjpeg.encode_baseline_jpeg_gray(img, 92)
+    sof = enc.index(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) nf(1) then id, h<<4|v, tq
+    assert enc[sof + 10:sof + 13] == b"\x01\x11\x00"
+    patched = enc[:sof + 11] + b"\x22" + enc[sof + 12:]
+    ref = mjpeg.decode_baseline_jpeg_luma(enc)
+    got = mjpeg.decode_baseline_jpeg_luma(patched)
+    assert np.array_equal(got, ref)
+    rgb = mjpeg.decode_baseline_jpeg_rgb(patched)   # color surface too
+    assert np.array_equal(rgb[:, :, 0], ref)
+
+
+def test_entropy_decode_linear_time():
+    """The bit-reader masks its accumulator to the live window: decode
+    time must grow ~linearly with pixel count, not quadratically (the
+    unmasked bigint accumulator took 38 s on a single 512px frame)."""
+    import time
+
+    from ape_dts_ray.functions import mjpeg
+
+    rng = np.random.default_rng(3)
+
+    def t(px):
+        img = rng.integers(0, 256, (px, px), dtype=np.uint8)
+        enc = mjpeg.encode_baseline_jpeg_gray(img, 85)
+        t0 = time.perf_counter()
+        mjpeg.decode_baseline_jpeg_luma(enc)
+        return time.perf_counter() - t0
+
+    t(64)                                   # warm-up
+    t128, t512 = t(128), t(512)
+    # 16x the pixels: allow generous 40x (linear would be ~16x, the
+    # quadratic regression measured ~190x on this pair)
+    assert t512 < 40 * max(t128, 0.01), (t128, t512)
+
+
 def test_luma_path_positional_parity_on_subsampled_stream():
     """The cheap luma-only decode must stay positionally correct on a REAL
     interleaved 4:2:0 stream — chroma blocks are entropy-decoded and
@@ -1075,3 +1120,63 @@ def test_video_color_mjpeg_avi_strict_sampling():
     ytrue = mjpeg.rgb_to_ycbcr(clip[pick[1]])[:, :, 0]
     want = multimodal.resize_nearest(ytrue, 8, 8).mean(axis=0) / 255.0
     assert np.abs(np.array(rows[1][1]) - want).max() < 0.05
+
+
+# ------------------------------------------------ reader/compactor race
+
+def test_fold_retries_when_delta_vanishes_mid_read(tmp_path):
+    """A listed delta can vanish between the exists() check and the read
+    (a concurrent — or SIGKILL-orphaned — compactor worker unlinking a
+    consumed file after publishing its replacement base). The fold sites
+    must re-list and retry, not die: the unlink ordering guarantees the
+    fresh listing folds to identical LWW winners. Seen live as the
+    test_follow_sigkill_restart_converges flake (FileNotFoundError in
+    ray::fold_partition)."""
+    from ape_dts_ray.fixtures import gen_events, oracle_replay
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state import lake as lakemod
+    from ape_dts_ray.state.lake import LakeTable
+
+    events = gen_events(seed=78, n_convs=15, max_turns=5, n_events=2000)
+    lake = LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(num_partitions=4, epoch_size=400))
+    import pyarrow.parquet as pqmod
+    src = str(tmp_path / "events.parquet")
+    pqmod.write_table(events, src)
+    replay(lake, events_path=src)
+    oracle = oracle_replay(events)
+
+    real = LakeTable._fold_files
+    trips = {"n": 0}
+
+    def racy(self, files, **kw):
+        if trips["n"] < 2:                 # two consecutive vanishes, then ok
+            trips["n"] += 1
+            raise FileNotFoundError(files[-1])
+        return real(self, files, **kw)
+
+    # state read path
+    import unittest.mock as mock
+    with mock.patch.object(LakeTable, "_fold_files", racy):
+        got = lake.state_table().to_pandas()
+    assert trips["n"] == 2
+    assert len(got) == len(oracle)
+    assert list(got["text"]) == list(oracle["text"])
+
+    # partial-compaction path (inline so the patch is visible to the fold)
+    trips["n"] = 0
+    with mock.patch.object(LakeTable, "_fold_files", racy):
+        folded = lake.compact(max_delta_files=0, parallel=False)
+    assert trips["n"] == 2 and folded > 0
+    got = lake.state_table().to_pandas()
+    assert len(got) == len(oracle)
+    assert list(got["text"]) == list(oracle["text"])
+
+    # bounded: a file that NEVER reappears propagates after the retries
+    def always(self, files, **kw):
+        raise FileNotFoundError(files[-1])
+
+    with mock.patch.object(LakeTable, "_fold_files", always):
+        with pytest.raises(FileNotFoundError):
+            lake.state_table()
