@@ -17,7 +17,7 @@ import os
 
 import pyarrow as pa
 
-from ape_dts_ray.state.lake import LakeTable
+from ape_dts_ray.state.lake import LakeTable, _retry_vanished_files
 from ape_dts_ray.state.manifest import atomic_write_parquet, atomic_write_text
 
 DONE_DIR = "_done"
@@ -65,8 +65,11 @@ def export_state(lake: LakeTable, out_dir: str,
             if fail_after_parts is not None and \
                     len(os.listdir(ddir)) >= fail_after_parts:
                 raise RuntimeError("injected export crash")
-            files = lk.partition_files(pid)
-            t = lk._fold_files(files, columns=columns) if files else None
+            def fold_one(pid=pid):    # re-lists on retry: the reader/
+                files = lk.partition_files(pid)   # compactor vanished-delta
+                return lk._fold_files(files, columns=columns) \
+                    if files else None            # race (lake.py helper doc)
+            t = _retry_vanished_files(fold_one)
             n = 0
             if t is not None and t.num_rows:
                 if drop_engine_cols:

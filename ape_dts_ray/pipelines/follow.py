@@ -140,30 +140,42 @@ def replay_follow(
     # the size changes (segments are immutable once visible — write+rename)
     footer_cache: dict[str, tuple[int, int, int]] = {}
     first_scan = True
+    defer_rounds = 0
 
     def one_round(stats: FollowStats) -> bool:
-        nonlocal footer_cache, first_scan
+        nonlocal footer_cache, first_scan, defer_rounds
         floor = _pending_floor(lake)
         # rebuild the live set from THIS round's glob (footer_cache is a
         # memo): a vanished segment must not keep inflating log_max or feed
         # a dead path to replay — deleting fully-committed segments is a
-        # legitimate retention policy, so eviction, not error
+        # legitimate retention policy, so eviction, not error. Eviction is
+        # ONLY for files that are actually GONE: a transient read error on a
+        # live segment must instead defer the whole round (below) — evicting
+        # it would let replay commit past its unapplied offsets, turning a
+        # recoverable error into a durable silent skip.
         present: dict[str, tuple[int, int, int]] = {}
+        deferred: OSError | None = None
         for p in sorted(glob.glob(os.path.join(log_dir, pattern))):
             try:
                 size = os.path.getsize(p)
-            except OSError:
-                continue                    # raced with a writer's rename
+            except OSError as e:
+                if not os.path.exists(p):
+                    continue                # raced with retention/rename
+                deferred = e                # live segment, transient error
+                break
             hit = footer_cache.get(p)
             if hit is not None and hit[0] == size:
                 present[p] = hit
                 continue
             try:
                 mn, mx = _file_offset_span(p, ocol)
-            except (OSError, FileNotFoundError):
-                continue                    # vanished between stat and footer
+            except OSError as e:
+                if not os.path.exists(p):
+                    continue                # vanished between stat and footer
                                             # read (retention) — evict, same
                                             # as the getsize race above
+                deferred = e                # live segment, transient error
+                break
             if hit is None and not first_scan and mn != -1 and mn < floor:
                 # GAP REFUSAL (the log is consumed positionally, like the
                 # reference's binlog): a segment appearing AFTER the follower
@@ -177,6 +189,18 @@ def replay_follow(
                     f"floor {floor} — segments must be appended to the log "
                     "in nondecreasing offset order")
             present[p] = (size, mn, mx)
+        if deferred is not None:
+            # keep last round's cache (no partial rebuild, first_scan not
+            # burned) and retry at the next poll — an idle round, not a
+            # replay over a hole. Bounded so a PERSISTENT error surfaces
+            # loudly instead of spinning silently forever.
+            defer_rounds += 1
+            if defer_rounds >= 10:
+                raise RuntimeError(
+                    f"follow: {defer_rounds} consecutive rounds failed to "
+                    "read a live segment's footer — giving up") from deferred
+            return False
+        defer_rounds = 0
         footer_cache = present
         if present:
             # the round-1 catch-up exemption burns only once segments have

@@ -54,17 +54,25 @@ def _retry_vanished_files(fn, attempts: int = 4):
     is durable (publish-before-unlink, compact()/ _compact_partial docstrings),
     so any vanished file is already folded into the base a fresh listing
     picks up — re-folding the fresh listing yields identical LWW winners.
-    Bounded: after ``attempts`` consecutive vanishes the error propagates
-    (a file vanishing repeatedly without a base is real corruption)."""
+    Bounded PER FILE: only the SAME file vanishing ``attempts`` times in a
+    row propagates (a repeated vanish with no durable replacement base is
+    real corruption); the budget resets when the failing path changes, so
+    sustained compaction churn across MANY deltas — each vanish individually
+    benign — cannot exhaust it. A hard total cap keeps the loop finite."""
     import time as _time
 
-    for i in range(attempts):
+    last, tries, total = None, 0, 0
+    while True:
         try:
             return fn()
-        except FileNotFoundError:
-            if i == attempts - 1:
+        except FileNotFoundError as e:
+            path = e.filename or str(e)
+            tries = tries + 1 if path == last else 1
+            last = path
+            total += 1
+            if tries >= attempts or total >= attempts * 16:
                 raise
-            _time.sleep(0.05 * (i + 1))
+            _time.sleep(0.05 * tries)
 
 
 def _cluster_sorted(t: "pa.Table", cols: list[str]) -> "pa.Table":
@@ -586,9 +594,13 @@ class LakeTable:
                           m.to_json())
         for e in epochs:
             ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
-            if os.path.isdir(ddir):
-                shutil.rmtree(ddir)
-            os.remove(self.manifest_path(e))
+            try:
+                if os.path.isdir(ddir):
+                    shutil.rmtree(ddir)
+                os.remove(self.manifest_path(e))
+            except FileNotFoundError:
+                pass          # a concurrent compactor's epilogue got there
+                              # first — its compacted.json is durable too
         return len(epochs)
 
     def delta_file_counts(self) -> dict[int, int]:
@@ -688,9 +700,13 @@ class LakeTable:
                 m.to_json())
             for e in removable:
                 ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
-                if os.path.isdir(ddir):
-                    shutil.rmtree(ddir)
-                os.remove(self.manifest_path(e))
+                try:
+                    if os.path.isdir(ddir):
+                        shutil.rmtree(ddir)
+                    os.remove(self.manifest_path(e))
+                except FileNotFoundError:
+                    pass      # a concurrent compactor's epilogue got there
+                              # first — its compacted.json is durable too
         return sum(bool(d) for d in done)
 
     def rotation_in_progress(self) -> bool:

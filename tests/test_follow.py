@@ -435,10 +435,11 @@ def test_follow_restart_over_late_appearing_log_catches_up(tmp_path):
 
 @pytest.mark.usefixtures("ray_session")
 def test_follow_survives_footer_read_race(tmp_path, monkeypatch):
-    """Review finding: a segment deleted between getsize and the footer
-    read (retention racing the scan) must be treated as vanished — the
-    daemon keeps running and picks the segment up on a later round if it
-    reappears, instead of dying on FileNotFoundError."""
+    """Review finding: a transient footer-read failure (here the
+    retention-race FileNotFoundError shape) must not kill the daemon — and
+    since the segment still EXISTS, it must be DEFERRED (the whole round
+    retried later), never evicted: evicting a live segment would let the
+    round replay past its unapplied offsets, a durable silent skip."""
     from ape_dts_ray.pipelines import follow as followmod
 
     events = gen_events(seed=77, n_convs=15, max_turns=5, n_events=2000)
@@ -467,3 +468,67 @@ def test_follow_survives_footer_read_race(tmp_path, monkeypatch):
     state = lake.state_table().to_pandas()
     oracle = oracle_replay(events)
     assert len(state) == len(oracle)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_defers_round_on_live_segment_read_error(tmp_path, monkeypatch):
+    """Review finding (severe): a transient read error (EIO/EMFILE shape) on
+    a segment that still EXISTS must defer the whole round — before the fix
+    the segment was evicted like a vanished one, so the round replayed PAST
+    its unapplied offsets and committed the skip durably (the next round's
+    gap refusal then fired only after the data loss). With deferral the
+    follower retries and ends with the complete state."""
+    from ape_dts_ray.pipelines import follow as followmod
+
+    events = gen_events(seed=79, n_convs=20, max_turns=6, n_events=3000)
+    segs, maxes = _segments(events, 2)
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path, parts=4, epoch=500)
+    _append_segment(tmp_path, str(log), segs[0], 0)
+    _append_segment(tmp_path, str(log), segs[1], 1)
+
+    real = followmod._file_offset_span
+    trips = {"n": 0}
+    failing = os.path.join(str(log), "seg0000.parquet")
+
+    def flaky(p, ocol):
+        if p == failing and trips["n"] < 2:   # live file, transient error
+            trips["n"] += 1
+            raise OSError(5, "Input/output error", p)
+        return real(p, ocol)
+
+    monkeypatch.setattr(followmod, "_file_offset_span", flaky)
+    stats = replay_follow(lake, str(log), poll_interval=0.01,
+                          max_idle_rounds=3, pipeline_depth=1)
+    assert trips["n"] == 2                  # the error actually fired twice
+    assert stats.stopped_by == "idle_limit"
+    assert lake.watermark() == maxes[1]
+
+    state = lake.state_table().to_pandas()
+    oracle = oracle_replay(events)
+    assert len(state) == len(oracle)        # nothing skipped
+    assert list(state["text"]) == list(oracle["text"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_gives_up_loudly_on_persistent_read_error(tmp_path,
+                                                         monkeypatch):
+    """The deferral is bounded: a PERSISTENT footer-read failure must
+    surface as an error after a handful of rounds, not spin silently
+    forever — and nothing may have been committed past the failed segment."""
+    from ape_dts_ray.pipelines import follow as followmod
+
+    events = gen_events(seed=80, n_convs=10, max_turns=4, n_events=1200)
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path, parts=4, epoch=500)
+    _append_segment(tmp_path, str(log), events, 0)
+
+    def broken(p, ocol):
+        raise OSError(24, "Too many open files", p)
+
+    monkeypatch.setattr(followmod, "_file_offset_span", broken)
+    with pytest.raises(RuntimeError, match="consecutive rounds"):
+        replay_follow(lake, str(log), poll_interval=0.001, pipeline_depth=1)
+    assert lake.watermark() == -1           # no skip was ever committed

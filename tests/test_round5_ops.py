@@ -1080,10 +1080,13 @@ def test_entropy_decode_linear_time():
         return time.perf_counter() - t0
 
     t(64)                                   # warm-up
-    t128, t512 = t(128), t(512)
-    # 16x the pixels: allow generous 40x (linear would be ~16x, the
-    # quadratic regression measured ~190x on this pair)
-    assert t512 < 40 * max(t128, 0.01), (t128, t512)
+    t512 = t(512)
+    # absolute ceiling, not a t128-relative ratio: the two ratio samples
+    # land at different instants and this sandbox's load swings timing ~2x,
+    # making a 40x ratio bound flaky. Masked decode is ~0.5 s; the unmasked
+    # quadratic regression took ~38 s — 8 s holds ~16x regression headroom
+    # even under a 2x load spike.
+    assert t512 < 8.0, t512
 
 
 def test_luma_path_positional_parity_on_subsampled_stream():
@@ -1180,3 +1183,29 @@ def test_fold_retries_when_delta_vanishes_mid_read(tmp_path):
     with mock.patch.object(LakeTable, "_fold_files", always):
         with pytest.raises(FileNotFoundError):
             lake.state_table()
+
+
+def test_retry_budget_resets_per_path():
+    """Review finding: sustained compaction churn vanishes MANY different
+    deltas in sequence — each individually the benign publish-before-unlink
+    race. The retry budget must charge per PATH (reset when the failing file
+    changes), not one global counter, or a long churn run exhausts it and
+    raises the very error the wrapper exists to suppress."""
+    from ape_dts_ray.state.lake import _retry_vanished_files
+
+    calls = {"n": 0}
+
+    def churn():                            # 8 distinct vanishes (> attempts)
+        calls["n"] += 1
+        if calls["n"] <= 8:
+            raise FileNotFoundError(f"/lake/delta/epoch-{calls['n']:08d}/p0")
+        return "ok"
+
+    assert _retry_vanished_files(churn, attempts=4) == "ok"
+
+    # but the SAME file vanishing `attempts` times in a row still propagates
+    def stuck():
+        raise FileNotFoundError("/lake/delta/epoch-00000001/p0")
+
+    with pytest.raises(FileNotFoundError):
+        _retry_vanished_files(stuck, attempts=4)
