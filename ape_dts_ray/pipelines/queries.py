@@ -619,10 +619,11 @@ def redis_hotkeys(sf_dir: str) -> pa.Table:
     import ray
 
     from ape_dts_ray.pipelines.redis_replay import (COL_SLOT_PART,
-                                                    _write_rdb_shard,
+                                                    _write_rdb_bytes,
                                                     add_slot_partition,
                                                     hotkey_statistics,
                                                     rdb_key_statistics)
+    from ape_dts_ray.sources import rdb as rdbmod
 
     snap_dir = tempfile.mkdtemp(prefix="ape_dts_ray_hotkeys_")
     try:
@@ -639,13 +640,14 @@ def redis_hotkeys(sf_dir: str) -> pa.Table:
             }), QUERY_PARTITIONS)
 
         def write_shard(t: pa.Table) -> pa.Table:
+            # columnar handoff: Arrow columns go straight into the string
+            # fast-path encoder — no per-entry dict materialization
             pid = int(t.column(COL_SLOT_PART)[0].as_py())
-            entries = [{"db": 0, "key": k, "type": "string", "expire_ms": 0,
-                        "value": v, "freq": int(f)}
-                       for k, v, f in zip(t.column("key").to_pylist(),
-                                          t.column("value").to_pylist(),
-                                          t.column("freq").to_pylist())]
-            _write_rdb_shard(entries, snap_dir, pid, lzf_sample=16)
+            buf = rdbmod.encode_rdb_strings(
+                t.column("key").to_pylist(), t.column("value").to_pylist(),
+                freqs=t.column("freq").to_numpy(zero_copy_only=False),
+                lzf_sample=16)
+            _write_rdb_bytes(buf, snap_dir, pid)
             return pa.table({"part_id": pa.array([pid], pa.int32())})
 
         (ds.map_batches(to_rows, batch_format="pyarrow")

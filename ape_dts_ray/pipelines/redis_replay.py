@@ -758,19 +758,25 @@ def _keyspace_to_entries(t: pa.Table) -> list[dict]:
     return entries
 
 
-def _write_rdb_shard(entries: list[dict], out_dir: str, pid: int,
-                     lzf_sample: int = 1) -> str:
+def _write_rdb_bytes(buf: bytes, out_dir: str, pid: int) -> str:
     """THE atomic RDB shard write (deterministic name, tmp+rename — a
     failed run overwrites its partial shard, the resume contract of every
     sink in this engine). Shared by the keyspace snapshot writer and any
-    entries-level producer (e.g. the hot-key statistic query's
-    freq-carrying shards)."""
+    producer with pre-encoded bytes (e.g. the hot-key statistic query's
+    columnar string shards via ``encode_rdb_strings``)."""
     path = os.path.join(out_dir, f"rdb_part_{pid:05d}.rdb")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
-        f.write(rdbmod.encode_rdb(entries, lzf_sample=lzf_sample))
+        f.write(buf)
     os.replace(tmp, path)
     return path
+
+
+def _write_rdb_shard(entries: list[dict], out_dir: str, pid: int,
+                     lzf_sample: int = 1) -> str:
+    """Entries-level shard write (atomic protocol in _write_rdb_bytes)."""
+    return _write_rdb_bytes(rdbmod.encode_rdb(entries, lzf_sample=lzf_sample),
+                            out_dir, pid)
 
 
 def write_rdb_snapshot(keyspace_ds, out_dir: str, num_partitions: int = 16,

@@ -29,6 +29,7 @@ the Ray-facing exploded-row conversion lives in pipelines/redis_replay.py.
 
 from __future__ import annotations
 
+import itertools
 import struct
 
 # ---------------------------------------------------------------- CRC-64/REDIS
@@ -871,6 +872,42 @@ def encode_rdb(entries: list[dict], version: int = 11,
             out.append(OP_FREQ)
             out.append(freq)
         _encode_value(out, e, packed_threshold, lzf_sample)
+    out.append(OP_EOF)
+    out += struct.pack("<Q", crc64_redis(bytes(out)))
+    return bytes(out)
+
+
+def encode_rdb_strings(keys, values, freqs=None, db: int = 0,
+                       version: int = 11, aux: dict[str, str] | None = None,
+                       lzf_sample: int = 1) -> bytes:
+    """Columnar fast path for the all-string, single-db keyspace shape the
+    statistic fixtures produce (key/value columns plus an optional LFU-freq
+    column). Byte-identical to ``encode_rdb`` over the equivalent per-entry
+    dicts (property-tested in test_redis.py) — it skips building one dict
+    per entry and the per-entry type dispatch, which is all the generic
+    path spends on this shape. ``freqs``: per-key LFU u8, negative = no
+    0xF9 prefix for that key; expirations aren't part of this shape (use
+    ``encode_rdb``)."""
+    out = bytearray(b"REDIS%04d" % version)
+    for k, v in (aux or {"redis-ver": "7.4.0", "redis-bits": "64"}).items():
+        out.append(OP_AUX)
+        write_string(out, k.encode())
+        write_string(out, v.encode())
+    out.append(OP_SELECTDB)
+    write_length(out, db)
+    if freqs is None:
+        freqs = itertools.repeat(-1)
+    for key, val, f in zip(keys, values, freqs):
+        f = int(f)
+        if f >= 0:                          # LFU frequency prefix (0xF9)
+            if f > 255:
+                raise ValueError(f"rdb: LFU freq {f} out of the u8 "
+                                 "range (0-255)")
+            out.append(OP_FREQ)
+            out.append(f)
+        out.append(RDB_TYPE_STRING)
+        write_string(out, key, try_int=False, lzf_sample=lzf_sample)
+        write_string(out, val, lzf_sample=lzf_sample)
     out.append(OP_EOF)
     out += struct.pack("<Q", crc64_redis(bytes(out)))
     return bytes(out)

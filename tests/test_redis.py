@@ -125,6 +125,39 @@ def test_rdb_roundtrip_all_encodings():
             assert _norm_fields(b["fields"]) == _norm_fields(e["fields"])
 
 
+def test_rdb_strings_columnar_byte_equal():
+    # the columnar string fast path must be byte-identical to encode_rdb
+    # over the equivalent per-entry dicts — every length/int/LZF branch
+    rng = np.random.default_rng(7)
+    keys, values, freqs = [], [], []
+    for i in range(200):
+        keys.append(b"k:%d" % i)
+        if i % 5 == 0:
+            values.append(b"%d" % (rng.integers(-2**40, 2**40)))  # int enc
+        elif i % 5 == 1:
+            values.append(bytes(rng.integers(97, 123, size=64,
+                                             dtype=np.uint8)))    # lzf-eligible
+        else:
+            values.append(bytes(rng.integers(32, 127,
+                                             size=int(rng.integers(0, 40)),
+                                             dtype=np.uint8)))
+        freqs.append(int(rng.integers(0, 256)) if i % 3 else -1)
+    for lzf in (0, 1, 16):
+        entries = [{"db": 0, "key": k, "type": "string", "expire_ms": 0,
+                    "value": v, **({"freq": f} if f >= 0 else {})}
+                   for k, v, f in zip(keys, values, freqs)]
+        want = rdbmod.encode_rdb(entries, lzf_sample=lzf)
+        got = rdbmod.encode_rdb_strings(keys, values, freqs=freqs,
+                                        lzf_sample=lzf)
+        assert got == want
+    # no-freq form and u8 overflow refusal
+    plain = [{"db": 0, "key": k, "type": "string", "expire_ms": 0, "value": v}
+             for k, v in zip(keys, values)]
+    assert rdbmod.encode_rdb_strings(keys, values) == rdbmod.encode_rdb(plain)
+    with pytest.raises(ValueError, match="u8"):
+        rdbmod.encode_rdb_strings([b"k"], [b"v"], freqs=[256])
+
+
 def test_rdb_checksum_detects_corruption():
     img = bytearray(rdbmod.encode_rdb(_sample_entries()[:3]))
     img[30] ^= 0xFF
