@@ -212,7 +212,9 @@ def replay_follow(
         wm = lake.watermark()
         if log_max <= wm:
             if heartbeat:
-                lake.write_heartbeat()
+                # lag gauge: newest source offset vs committed watermark —
+                # the monitor pair the reference's heartbeat publishes
+                lake.write_heartbeat(source_max=max(log_max, wm))
             return False
 
         paths = sorted(p for p, (_, _, mx) in footer_cache.items()
@@ -226,6 +228,10 @@ def replay_follow(
         stats.replay_rounds += 1
         stats.epochs_committed += len(ms)
         stats.events_applied += sum(p.events for m in ms for p in m.partitions)
+        if heartbeat:
+            # refresh the lag gauge against THIS round's source scan (the
+            # replay's own heartbeats carry only the sink-side watermark)
+            lake.write_heartbeat(source_max=log_max)
         return True
 
     return follow_loop(stop_file, poll_interval, max_idle_rounds, max_rounds,

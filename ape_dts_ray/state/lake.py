@@ -918,17 +918,23 @@ class LakeTable:
         return max(self.committed_watermark(), self.compacted_watermark())
 
     # ---------- heartbeat / liveness ----------
-    def write_heartbeat(self) -> dict:
+    def write_heartbeat(self, source_max: int | None = None) -> dict:
         """Progress write-back (mysql_cdc_extractor.rs:425-533 heartbeat
         analog: the reference periodically UPDATEs a heartbeat table with the
         current position so operators can monitor lag). Written after each
-        committed chunk; monitoring reads it without touching manifests."""
+        committed chunk; monitoring reads it without touching manifests.
+        ``source_max``: the newest offset visible at the SOURCE (a follower's
+        log scan) — recorded with the derived ``lag`` gauge, the number the
+        reference's monitor publishes as sinked-vs-extracted position."""
         import time
 
         hb = {"time_unix": time.time(),
               "watermark": self.watermark(),
               "committed_epochs": len(self.committed_epochs()),
               "schema_version": self.schema_version}
+        if source_max is not None:
+            hb["source_max"] = int(source_max)
+            hb["lag"] = max(0, int(source_max) - hb["watermark"])
         atomic_write_text(os.path.join(self.root, MANIFEST_DIR, "heartbeat.json"),
                           json.dumps(hb, indent=1))
         return hb

@@ -181,6 +181,28 @@ def test_follow_idle_limit_and_heartbeat(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_follow_heartbeat_lag_gauge(tmp_path):
+    """The follower's heartbeat publishes the source position and derived
+    lag (the reference monitor's sinked-vs-extracted pair): zero after a
+    drain, the unapplied span while the source is ahead."""
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path)
+    events = gen_events(seed=31, n_convs=40, n_events=3_000)
+    segs, maxes = _segments(events, 2)
+    _append_segment(tmp_path, str(log), segs[0], 0)
+    _append_segment(tmp_path, str(log), segs[1], 1)
+    replay_follow(lake, str(log), poll_interval=0.01, max_idle_rounds=2)
+    hb = lake.heartbeat()
+    assert hb["source_max"] == maxes[1]
+    assert hb["lag"] == 0 and hb["watermark"] == maxes[1]
+    # source ahead of the sink: direct gauge write (what a follower's scan
+    # does before its replay round lands)
+    hb2 = lake.write_heartbeat(source_max=maxes[1] + 57)
+    assert hb2["lag"] == 57 and hb2["source_max"] == maxes[1] + 57
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_follow_max_rounds(tmp_path):
     log = tmp_path / "log"
     log.mkdir()
