@@ -248,13 +248,80 @@ def fold_rbac_group(df: pd.DataFrame) -> pd.DataFrame:
     return pd.concat(rows, ignore_index=True).astype(_STATE_DTYPES)
 
 
+def fold_rbac_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    """MANY principals' events → their surviving state rows with ONE set of
+    vectorized groupbys (semantics identical to ``fold_rbac_group`` per
+    principal — equivalence is test-pinned on randomized logs). The bucket
+    is a hash of the principal key, so every principal arrives whole;
+    folding per principal via map_groups was one Python call + several
+    pandas ops per principal (13 s for ~5k principals at sf0.1) where this
+    shape is milliseconds."""
+    if not len(df):
+        return _empty_state()
+    df = df.sort_values("log_offset", kind="stable")
+    cols = list(STATE_COLS)
+    out: list[pd.DataFrame] = []
+
+    r = df[df["kind"] == "role"]
+    if len(r):
+        last = r.groupby("rbac_key", sort=False).tail(1)
+        out.append(last[last["action"] == "create"][cols])
+
+    u = df[df["kind"] == "user"]
+    cd = u[u["action"].isin(("create", "drop"))]
+    surv_last = cd.groupby("rbac_key", sort=False).tail(1)
+    survivors = set(surv_last.loc[surv_last["action"] == "create",
+                                  "rbac_key"])
+    if survivors:
+        # last DROP per surviving account wipes its older grants/bindings
+        drops = (cd[cd["action"] == "drop"]
+                 .groupby("rbac_key", sort=False)["log_offset"].max())
+
+        def floor_of(keys: pd.Series) -> pd.Series:
+            return keys.map(drops).fillna(-1).astype(np.int64)
+
+        ca = u[u["action"].isin(("create", "alter"))
+               & u["rbac_key"].isin(survivors)]
+        out.append(ca.groupby("rbac_key", sort=False).tail(1)[cols])
+
+        g = df[(df["kind"] == "grant") & df["rbac_key"].isin(survivors)]
+        if len(g):
+            g = g[g["log_offset"] > floor_of(g["rbac_key"])]
+            last = g.groupby(["rbac_key", "grant_object", "privilege"],
+                             sort=False).tail(1)
+            out.append(last[last["action"] == "grant"][cols])
+
+        s = df[(df["kind"] == "default_role")
+               & df["rbac_key"].isin(survivors)]
+        if len(s):
+            s = s[s["log_offset"] > floor_of(s["rbac_key"])]
+            out.append(s.groupby("rbac_key", sort=False).tail(1)[cols])
+    if not out:
+        return _empty_state()
+    return pd.concat(out, ignore_index=True).astype(_STATE_DTYPES)
+
+
+_RBAC_BUCKETS = 64
+
+
 def fold_rbac(events_ds):
     """Normalized RBAC event Dataset → surviving-state Dataset (one hash
-    shuffle keyed by principal; see module doc for the fold rules)."""
-    pre = events_ds.map_batches(prefold_rbac_batch, batch_format="pandas",
-                                batch_size=None)
-    return (pre.groupby("rbac_key")
-               .map_groups(fold_rbac_group, batch_format="pandas"))
+    shuffle keyed by principal-bucket; see module doc for the fold rules).
+    Bucketing (process-stable pd.util.hash_array, the engine's partition
+    hash) keeps principals whole per group while amortizing the per-group
+    Python dispatch across ~len/64 principals."""
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = prefold_rbac_batch(df)
+        b = (pd.util.hash_array(df["rbac_key"].to_numpy(dtype=object))
+             % _RBAC_BUCKETS if len(df) else
+             np.array([], dtype=np.uint64))
+        return df.assign(rbac_bucket=b)
+
+    return (events_ds.map_batches(pre, batch_format="pandas",
+                                  batch_size=None)
+            .groupby("rbac_bucket")
+            .map_groups(fold_rbac_bucket, batch_format="pandas"))
 
 
 # --- structure-type filter + reconstruction SQL (to_sqls analog) ---

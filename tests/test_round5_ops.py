@@ -692,6 +692,47 @@ def test_rbac_prefold_is_lossless_and_bounding():
     assert len(prefold_rbac_batch(df)) < len(df) / 4
 
 
+def test_rbac_bucket_fold_equals_group_fold():
+    """The vectorized multi-principal bucket fold (the fold_rbac hot path)
+    must be row-identical to the per-principal reference fold on a
+    randomized log — same state under any bucket assignment."""
+    from ape_dts_ray.stages.rbac import (STATE_COLS, fold_rbac_bucket,
+                                         prefold_rbac_batch)
+
+    rng = np.random.default_rng(11)
+    stmts = []
+    for i in range(800):
+        u, h, r, db = (rng.integers(6), rng.integers(2), rng.integers(4),
+                       rng.integers(3))
+        stmts.append(rng.choice([
+            f"CREATE USER 'u{u}'@'h{h}' IDENTIFIED BY 'pw{i}'",
+            f"DROP USER 'u{u}'@'h{h}'",
+            f"ALTER USER 'u{u}'@'h{h}' IDENTIFIED BY 'pw{i}'",
+            f"CREATE ROLE 'r{r}'",
+            f"DROP ROLE 'r{r}'",
+            f"GRANT SELECT, UPDATE ON db{db}.t TO 'u{u}'@'h{h}'",
+            f"GRANT ALL ON *.* TO 'u{u}'@'h{h}' WITH GRANT OPTION",
+            f"REVOKE UPDATE ON db{db}.t FROM 'u{u}'@'h{h}'",
+            f"SET DEFAULT ROLE 'r{r}' TO 'u{u}'@'h{h}'",
+        ]))
+    df = _rbac_events(stmts).to_pandas()
+    want = _rbac_fold_frame(df)                    # per-principal reference
+    pre = prefold_rbac_batch(df)
+    # split principals across 3 arbitrary buckets the way fold_rbac's hash
+    # does (any principal-complete split must give the same union)
+    bucket = pd.util.hash_array(pre["rbac_key"].to_numpy(dtype=object)) % 3
+    got = pd.concat([fold_rbac_bucket(pre[bucket == b]) for b in range(3)],
+                    ignore_index=True)
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        want[list(STATE_COLS)].reset_index(drop=True), got)
+    # single-bucket path too (everything in one group)
+    one = fold_rbac_bucket(pre).sort_values(list(got.columns))
+    pd.testing.assert_frame_equal(
+        want[list(STATE_COLS)].reset_index(drop=True),
+        one.reset_index(drop=True))
+
+
 def test_rbac_malformed_statement_ignored():
     """dcl_parser.rs:175-180 policy: a statement its family regex cannot
     extract is ignored, never an error, and neighbors still fold."""
