@@ -882,3 +882,186 @@ def mp4_frame_chunks(data: bytes) -> list[bytes]:
                              f"({si} placed of {count})")
         return frames
     raise ValueError("mp4: no video track")
+
+
+# ---------------------------------------------------------- MKV (Matroska)
+# Written from the public Matroska/EBML specs (RFC 8794 EBML structure;
+# matroska.org element registry): elements are (id, size-vint, payload),
+# the video track is a Segment>Tracks>TrackEntry with CodecID "V_MJPEG",
+# and frames ride Cluster>SimpleBlock (or BlockGroup>Block) payloads as
+# plain JPEG codestreams after a track-number vint, a 2-byte relative
+# timestamp and a flags byte. Inter-frame codecs ("V_MPEG4/ISO/AVC" &c.)
+# raise NotImplementedError — same honest limit as AVI/MP4; lacing is a
+# structural ValueError (a V_MJPEG muxer has no reason to lace).
+
+_MKV_EBML = b"\x1a\x45\xdf\xa3"
+_MKV_SEGMENT = b"\x18\x53\x80\x67"
+_MKV_TRACKS = b"\x16\x54\xae\x6b"
+_MKV_CLUSTER = b"\x1f\x43\xb6\x75"
+
+
+def _ebml_vint(v: int) -> bytes:
+    """Size vint: smallest width where ``v`` is below the reserved
+    all-ones (unknown-size) value."""
+    for n in range(1, 9):
+        if v < (1 << (7 * n)) - 1:
+            return ((1 << (7 * n)) | v).to_bytes(n, "big")
+    raise ValueError(f"ebml: size {v} unencodable")
+
+
+def _ebml(eid: bytes, payload: bytes) -> bytes:
+    return eid + _ebml_vint(len(payload)) + payload
+
+
+def _ebml_uint(eid: bytes, v: int) -> bytes:
+    return _ebml(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+
+def encode_mkv_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Minimal but well-formed MJPEG Matroska: EBML header (DocType
+    matroska), one Segment holding Info (1 ms timestamp scale), a V_MJPEG
+    video TrackEntry, and one Cluster per frame whose SimpleBlock carries
+    the JPEG codestream (keyframe flag, no lacing)."""
+    fps = max(1, fps)
+    head = _ebml(_MKV_EBML,
+                 _ebml_uint(b"\x42\x86", 1)        # EBMLVersion
+                 + _ebml_uint(b"\x42\xf7", 1)      # EBMLReadVersion
+                 + _ebml_uint(b"\x42\xf2", 4)      # EBMLMaxIDLength
+                 + _ebml_uint(b"\x42\xf3", 8)      # EBMLMaxSizeLength
+                 + _ebml(b"\x42\x82", b"matroska")
+                 + _ebml_uint(b"\x42\x87", 4)      # DocTypeVersion
+                 + _ebml_uint(b"\x42\x85", 2))     # DocTypeReadVersion
+    info = _ebml(b"\x15\x49\xa9\x66",
+                 _ebml_uint(b"\x2a\xd7\xb1", 1_000_000))   # 1 ms ticks
+    track = _ebml(b"\xae",
+                  _ebml_uint(b"\xd7", 1)           # TrackNumber
+                  + _ebml_uint(b"\x73\xc5", 1)     # TrackUID
+                  + _ebml_uint(b"\x83", 1)         # TrackType: video
+                  + _ebml(b"\x86", b"V_MJPEG")     # CodecID
+                  + _ebml(b"\xe0", _ebml_uint(b"\xb0", width)
+                          + _ebml_uint(b"\xba", height)))
+    body = [info, _ebml(_MKV_TRACKS, track)]
+    for i, j in enumerate(jpeg_frames):
+        block = b"\x81" + struct.pack(">h", 0) + b"\x80" + j
+        body.append(_ebml(_MKV_CLUSTER,
+                          _ebml_uint(b"\xe7", i * 1000 // fps)
+                          + _ebml(b"\xa3", block)))
+    return head + _ebml(_MKV_SEGMENT, b"".join(body))
+
+
+def is_mkv(data: bytes) -> bool:
+    return data.startswith(_MKV_EBML)
+
+
+def _ebml_read_id(data: bytes, pos: int, hi: int) -> tuple[bytes, int]:
+    if pos >= hi:
+        raise ValueError("ebml: truncated element id")
+    b0 = data[pos]
+    for n in range(1, 5):
+        if b0 >> (8 - n) == 1:
+            if pos + n > hi:
+                raise ValueError("ebml: truncated element id")
+            return bytes(data[pos:pos + n]), pos + n
+    raise ValueError(f"ebml: invalid id lead byte {b0:#04x}")
+
+
+def _ebml_read_size(data: bytes, pos: int, hi: int) -> tuple[int | None, int]:
+    """Size vint → (value, new_pos); the reserved all-ones pattern decodes
+    to None (unknown size — runs to the end of the enclosing element)."""
+    if pos >= hi:
+        raise ValueError("ebml: truncated size vint")
+    b0 = data[pos]
+    for n in range(1, 9):
+        if b0 >> (8 - n) == 1:
+            if pos + n > hi:
+                raise ValueError("ebml: truncated size vint")
+            raw = int.from_bytes(data[pos:pos + n], "big") - (1 << (7 * n))
+            return (None if raw == (1 << (7 * n)) - 1 else raw), pos + n
+    raise ValueError(f"ebml: invalid size lead byte {b0:#04x}")
+
+
+def _mkv_children(data: bytes, lo: int, hi: int):
+    """Yield (id, body_lo, body_hi) for each element in [lo, hi);
+    unknown-size elements run to the end of their parent (the streamed-
+    Segment layout real muxers emit)."""
+    pos = lo
+    while pos < hi:
+        eid, p = _ebml_read_id(data, pos, hi)
+        size, body = _ebml_read_size(data, p, hi)
+        end = hi if size is None else body + size
+        if end > hi:
+            raise ValueError(f"mkv: element {eid.hex()} overruns its parent")
+        yield eid, body, end
+        pos = end
+
+
+def _mkv_uint(data: bytes, lo: int, hi: int) -> int:
+    return int.from_bytes(data[lo:hi], "big")
+
+
+def _mkv_block_frame(data: bytes, lo: int, hi: int,
+                     track_no: int) -> bytes | None:
+    """(Simple)Block body → frame bytes for ``track_no`` (None = another
+    track's block). Lacing is refused, not skipped — silently dropping
+    laced frames would under-sample the clip."""
+    tn, pos = _ebml_read_size(data, lo, hi)     # track number is a vint
+    if tn is None or pos + 3 > hi:
+        raise ValueError("mkv: malformed block header")
+    if tn != track_no:
+        return None     # another track's block (audio is often laced —
+                        # only the video track's lacing is our problem)
+    if data[pos + 2] & 0x06:
+        raise ValueError("mkv: laced blocks unsupported")
+    return bytes(data[pos + 3:hi])
+
+
+def mkv_frame_chunks(data: bytes) -> list[bytes]:
+    """Walk the EBML tree of an MJPEG Matroska and return every video
+    frame's bytes in stream order (SimpleBlock and BlockGroup>Block both).
+    Non-MJPEG CodecIDs raise NotImplementedError; a structurally broken
+    tree raises ValueError."""
+    if not is_mkv(data):
+        raise ValueError("mkv: no EBML header")
+    seg = next(((lo, hi) for eid, lo, hi in _mkv_children(data, 0, len(data))
+                if eid == _MKV_SEGMENT), None)
+    if seg is None:
+        raise ValueError("mkv: no Segment element")
+    track_no = None
+    frames: list[bytes] = []
+    for eid, lo, hi in _mkv_children(data, *seg):
+        if eid == _MKV_TRACKS:
+            for tid, tlo, thi in _mkv_children(data, lo, hi):
+                if tid != b"\xae":              # TrackEntry
+                    continue
+                num, ttype, codec = None, None, b""
+                for fid, flo, fhi in _mkv_children(data, tlo, thi):
+                    if fid == b"\xd7":
+                        num = _mkv_uint(data, flo, fhi)
+                    elif fid == b"\x83":
+                        ttype = _mkv_uint(data, flo, fhi)
+                    elif fid == b"\x86":
+                        codec = bytes(data[flo:fhi])
+                if ttype == 1:                  # video track
+                    if codec != b"V_MJPEG":
+                        raise NotImplementedError(
+                            f"mkv: codec {codec.decode('latin1')!r} "
+                            "unsupported (V_MJPEG only)")
+                    track_no = num
+        elif eid == _MKV_CLUSTER:
+            if track_no is None:
+                raise ValueError("mkv: Cluster before a video TrackEntry")
+            for cid, clo, chi in _mkv_children(data, lo, hi):
+                if cid == b"\xa3":              # SimpleBlock
+                    f = _mkv_block_frame(data, clo, chi, track_no)
+                    if f is not None:
+                        frames.append(f)
+                elif cid == b"\xa0":            # BlockGroup
+                    for gid, glo, ghi in _mkv_children(data, clo, chi):
+                        if gid == b"\xa1":      # Block
+                            f = _mkv_block_frame(data, glo, ghi, track_no)
+                            if f is not None:
+                                frames.append(f)
+    if track_no is None:
+        raise ValueError("mkv: no video track")
+    return frames

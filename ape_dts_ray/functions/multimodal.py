@@ -438,8 +438,9 @@ class SampleFrames:
     features. Y4M (YUV4MPEG2) payloads are REALLY decoded — header parse,
     frame-offset walk (no full-stream decode), luma extraction, nearest
     resize, column-mean feature — so ``strict=True`` works end-to-end on
-    uncompressed video; MJPEG in an AVI or MP4 container likewise (RIFF
-    ``movi`` walk / ISO-BMFF sample tables → per-frame baseline-JPEG luma,
+    uncompressed video; MJPEG in an AVI, MP4 or MKV container likewise
+    (RIFF ``movi`` walk / ISO-BMFF sample tables / Matroska EBML clusters →
+    per-frame baseline-JPEG luma,
     functions/mjpeg.py). Inter-frame codecs (H.264 &c.) are not expressible
     with the stdlib: strict mode raises for them; otherwise the payload is
     split into even byte spans whose digests seed deterministic fake frame
@@ -468,11 +469,14 @@ class SampleFrames:
                 return self._y4m_rows(payload, info, offs)
         from ape_dts_ray.functions import mjpeg as _mjpeg
 
-        if _mjpeg.is_avi(payload) or _mjpeg.is_mp4(payload):
+        if (_mjpeg.is_avi(payload) or _mjpeg.is_mp4(payload)
+                or _mjpeg.is_mkv(payload)):
             try:
                 chunks = (_mjpeg.avi_frame_chunks(payload)
                           if _mjpeg.is_avi(payload)
-                          else _mjpeg.mp4_frame_chunks(payload))
+                          else _mjpeg.mp4_frame_chunks(payload)
+                          if _mjpeg.is_mp4(payload)
+                          else _mjpeg.mkv_frame_chunks(payload))
                 if chunks:
                     return self._mjpeg_rows(chunks)
             except (ValueError, NotImplementedError, IndexError,
@@ -484,8 +488,8 @@ class SampleFrames:
                     raise
         if self.strict:
             raise NotImplementedError(
-                "no codec for this payload (strict mode decodes Y4M, "
-                "MJPEG-in-AVI and MJPEG-in-MP4 only)")
+                "no codec for this payload (strict mode decodes Y4M and "
+                "MJPEG in AVI / MP4 / MKV containers only)")
         return self._stub_rows(payload)
 
     def _mjpeg_rows(self, chunks: list[bytes]):

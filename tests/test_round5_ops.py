@@ -1043,6 +1043,79 @@ def test_video_mjpeg_mp4_strict_frame_sampling():
     assert len(stub) == 2 and all(len(f) == 4 for _, f in stub)
 
 
+def test_mkv_container_walk():
+    """Matroska EBML walk: byte-exact frame recovery from SimpleBlocks,
+    BlockGroup>Block and unknown-size Segment layouts, other-track blocks
+    skipped, and the honest error surfaces (non-MJPEG codec, lacing,
+    overrun)."""
+    from ape_dts_ray.functions import mjpeg
+
+    frames = _gradient_clip(6, 24, 32)
+    jpegs = [mjpeg.encode_baseline_jpeg_gray(f, 90) for f in frames]
+    mkv = mjpeg.encode_mkv_mjpeg(jpegs, 32, 24, fps=5)
+    assert mjpeg.is_mkv(mkv)
+    assert mjpeg.mkv_frame_chunks(mkv) == jpegs    # byte-exact recovery
+
+    # the streamed layout real muxers emit: unknown-size Segment (all-ones
+    # vint), frames in BlockGroup>Block, plus a second (audio) track whose
+    # blocks must be skipped, and a laced video block that must refuse
+    def ebml(eid, payload):
+        return mjpeg._ebml(eid, payload)
+
+    track_v = ebml(b"\xae", mjpeg._ebml_uint(b"\xd7", 2)
+                   + mjpeg._ebml_uint(b"\x83", 1)
+                   + ebml(b"\x86", b"V_MJPEG"))
+    track_a = ebml(b"\xae", mjpeg._ebml_uint(b"\xd7", 1)
+                   + mjpeg._ebml_uint(b"\x83", 2)       # audio
+                   + ebml(b"\x86", b"A_PCM/INT/LIT"))
+    tracks = ebml(mjpeg._MKV_TRACKS, track_a + track_v)
+    blocks = b"".join(
+        ebml(b"\xa0", ebml(b"\xa1", b"\x82" + b"\x00\x00\x80" + j))
+        for j in jpegs)
+    # audio block is LACED (0x06 flags) — common for PCM; must be skipped
+    # by track number, never refused
+    other = ebml(b"\xa3", b"\x81" + b"\x00\x00\x86" + b"pcm-bytes")
+    cluster = ebml(mjpeg._MKV_CLUSTER,
+                   mjpeg._ebml_uint(b"\xe7", 0) + other + blocks)
+    body = tracks + cluster
+    streamed = (mkv[:mkv.index(mjpeg._MKV_SEGMENT)]       # EBML header
+                + mjpeg._MKV_SEGMENT + b"\xff" + body)    # unknown size
+    assert mjpeg.mkv_frame_chunks(streamed) == jpegs
+
+    laced = cluster.replace(b"\x82" + b"\x00\x00\x80", b"\x82\x00\x00\x86", 1)
+    with pytest.raises(ValueError, match="laced"):
+        mjpeg.mkv_frame_chunks(streamed.replace(cluster, laced))
+    with pytest.raises(NotImplementedError, match="V_MPEG"):
+        mjpeg.mkv_frame_chunks(mkv.replace(b"V_MJPEG", b"V_MPEG4"))
+    with pytest.raises(ValueError, match="no EBML header"):
+        mjpeg.mkv_frame_chunks(b"\x00" * 16)
+    with pytest.raises(ValueError, match="overruns"):
+        mjpeg.mkv_frame_chunks(mkv[:-20])
+
+
+def test_video_mjpeg_mkv_strict_frame_sampling():
+    """SampleFrames strict mode decodes MJPEG-in-MKV for real (EBML cluster
+    walk → JPEG luma), same even spacing / locally recomputable features as
+    the AVI/MP4/Y4M paths; non-strict stubs on a truncated tree."""
+    from ape_dts_ray.functions import mjpeg, multimodal
+
+    clip = _gradient_clip(10, 24, 32, seed=4)
+    payload = mjpeg.encode_mkv_mjpeg(
+        [mjpeg.encode_baseline_jpeg_gray(f, 92) for f in clip], 32, 24)
+    rows = multimodal.SampleFrames(4, 8, strict=True)._frame_rows(payload)
+    assert [fi for fi, _ in rows] == [0, 1, 2, 3]
+    pick = np.unique(np.linspace(0, 9, 4, dtype=np.int64))
+    want = (multimodal.resize_nearest(clip[pick[1]].astype(np.float64), 8, 8)
+            .mean(axis=0) / 255.0)
+    assert np.abs(np.array(rows[1][1]) - want).max() < 0.05
+
+    trunc = payload[:len(payload) // 2]
+    with pytest.raises((ValueError, NotImplementedError, IndexError)):
+        multimodal.SampleFrames(2, 4, strict=True)._frame_rows(trunc)
+    stub = multimodal.SampleFrames(2, 4, strict=False)._frame_rows(trunc)
+    assert len(stub) == 2 and all(len(f) == 4 for _, f in stub)
+
+
 def _color_clip(h, w, seed=0):
     """Smooth RGB gradient (small quantization/subsampling error by
     construction, so roundtrip tolerances stay tight)."""
