@@ -237,6 +237,71 @@ def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
     return hdr + pcm
 
 
+# --- minimal AIFF (big-endian PCM) codec — the WAV layout's IFF sibling ---
+
+def _f80_to_rate(b: bytes) -> int:
+    """AIFF COMM sampleRate is an 80-bit IEEE-754 extended float (public
+    AIFF-1.3 spec); real rates are small integers so float math is exact."""
+    exp = ((b[0] & 0x7F) << 8) | b[1]
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    val = mant * 2.0 ** (exp - 16383 - 63)
+    return int(round(-val if b[0] >> 7 else val))
+
+
+def _rate_to_f80(v: int) -> bytes:
+    if v <= 0:
+        return b"\x00" * 10
+    e = v.bit_length() - 1
+    return struct.pack(">H", 16383 + e) + (v << (63 - e)).to_bytes(8, "big")
+
+
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """AIFF bytes → (float64 samples in [-1, 1] shaped (n, channels), rate).
+    PCM 8/16/32-bit (AIFF 8-bit is SIGNED, unlike WAV's unsigned)."""
+    if data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise ValueError("not a FORM/AIFF payload")
+    pos, comm, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (ln,) = struct.unpack(">I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        if cid == b"COMM":
+            ch, _nf, bits = struct.unpack(">HIH", body[:8])
+            comm = (ch, bits, _f80_to_rate(body[8:18]))
+        elif cid == b"SSND":
+            off, _blk = struct.unpack(">II", body[:8])
+            raw = body[8 + off:]
+    if comm is None or raw is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    channels, bits, rate = comm
+    if bits == 16:
+        x = np.frombuffer(raw, dtype=">i2").astype(np.float64) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(raw, dtype=">i4").astype(np.float64) / 2147483648.0
+    elif bits == 8:
+        x = np.frombuffer(raw, dtype=np.int8).astype(np.float64) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit AIFF unsupported")
+    n = len(x) // channels
+    return x[:n * channels].reshape(n, channels), rate
+
+
+def encode_aiff(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """float samples in [-1, 1] (n,) or (n, ch) → 16-bit PCM AIFF bytes."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    pcm = np.round(np.clip(s * 32767.0, -32768, 32767)).astype(">i2").tobytes()
+    comm = (b"COMM" + struct.pack(">IHIH", 18, s.shape[1], s.shape[0], 16)
+            + _rate_to_f80(rate))
+    ssnd = b"SSND" + struct.pack(">III", 8 + len(pcm), 0, 0) + pcm
+    return (b"FORM" + struct.pack(">I", 4 + len(comm) + len(ssnd)) + b"AIFF"
+            + comm + ssnd)
+
+
 def audio_features(samples: np.ndarray, rate: int,
                    n_frames: int = 8) -> np.ndarray:
     """Per-frame RMS energy + zero-crossing rate over ``n_frames`` equal
@@ -259,8 +324,8 @@ def audio_features(samples: np.ndarray, rate: int,
 
 
 class DecodeAudio:
-    """Actor-pool stage: WAV payload → fixed-size feature row (RMS + ZCR per
-    frame). ``strict=True`` raises on undecodable payloads; otherwise a
+    """Actor-pool stage: WAV/AIFF payload → fixed-size feature row (RMS +
+    ZCR per frame). ``strict=True`` raises on undecodable payloads; else a
     deterministic fake (payload-digest-seeded) keeps plumbing testable."""
 
     def __init__(self, n_frames: int = 8, strict: bool = False):
@@ -271,8 +336,12 @@ class DecodeAudio:
         if payload[:4] == b"RIFF":
             samples, rate = decode_wav(payload)
             return audio_features(samples, rate, self.n_frames)
+        if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+            samples, rate = decode_aiff(payload)
+            return audio_features(samples, rate, self.n_frames)
         if self.strict:
-            raise NotImplementedError("no codec for this payload (not WAV)")
+            raise NotImplementedError(
+                "no codec for this payload (WAV and AIFF PCM only)")
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
         return np.random.default_rng(seed).random(2 * self.n_frames)
 

@@ -301,6 +301,53 @@ def test_wav_codec_roundtrip_and_audio_features():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_aiff_codec_roundtrip_and_audio_features():
+    """AIFF PCM (WAV's big-endian IFF sibling): 80-bit extended sample-rate
+    field roundtrips exactly, 16-bit mono/stereo roundtrip, signed-8/32-bit
+    decode, and strict DecodeAudio handles AIFF end-to-end."""
+    for r in (8_000, 16_000, 44_100, 48_000):
+        assert multimodal._f80_to_rate(multimodal._rate_to_f80(r)) == r
+    rng = np.random.default_rng(13)
+    mono = rng.uniform(-0.9, 0.9, size=4000)
+    back, rate = multimodal.decode_aiff(multimodal.encode_aiff(mono, 44_100))
+    assert rate == 44_100 and back.shape == (4000, 1)
+    assert np.allclose(back[:, 0], mono, atol=1 / 16000)
+    stereo = rng.uniform(-0.5, 0.5, size=(1500, 2))
+    back2, _ = multimodal.decode_aiff(multimodal.encode_aiff(stereo))
+    assert back2.shape == (1500, 2)
+
+    # hand-built signed 8-bit AIFF (the sign convention WAV does NOT share)
+    import struct as _s
+    pcm8 = np.array([-128, -1, 0, 1, 127], np.int8).tobytes()
+    comm = b"COMM" + _s.pack(">IHIH", 18, 1, 5, 8) + multimodal._rate_to_f80(8000)
+    ssnd = b"SSND" + _s.pack(">III", 8 + len(pcm8), 0, 0) + pcm8
+    aiff8 = (b"FORM" + _s.pack(">I", 4 + len(comm) + len(ssnd)) + b"AIFF"
+             + comm + ssnd)
+    s8, _ = multimodal.decode_aiff(aiff8)
+    assert np.allclose(s8[:, 0], np.array([-128, -1, 0, 1, 127]) / 128.0)
+
+    payloads = [multimodal.encode_aiff(
+        np.sin(np.linspace(0, 30 + i, 2500)) * 0.6) for i in range(4)]
+    tbl = pa.table({
+        "media_id": pa.array(np.arange(4, dtype=np.int64)),
+        "media_type": pa.array(["audio/aiff"] * 4),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "width": pa.array(np.full(4, -1, dtype=np.int32)),
+        "height": pa.array(np.full(4, -1, dtype=np.int32)),
+    })
+    out = rd.from_arrow(tbl).map_batches(
+        multimodal.DecodeAudio, fn_constructor_args=(8, True),
+        batch_format="pyarrow", batch_size=2, concurrency=2).take_all()
+    assert len(out) == 4 and all(len(r["feature"]) == 16 for r in out)
+    s, r = multimodal.decode_aiff(payloads[2])
+    want = multimodal.audio_features(s, r, 8)
+    got = np.array([x for x in out if x["media_id"] == 2][0]["feature"])
+    assert np.allclose(got, want)
+    with pytest.raises(ValueError, match="COMM/SSND"):
+        multimodal.decode_aiff(b"FORM\x00\x00\x00\x04AIFF")
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_video_frame_sampling_plumbing():
     """Frame-sample stage: one row per (media, frame), deterministic, and
     strict mode raises (honest stub — no stdlib video codec)."""
