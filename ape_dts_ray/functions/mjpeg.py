@@ -981,15 +981,35 @@ def _ebml_read_size(data: bytes, pos: int, hi: int) -> tuple[int | None, int]:
     raise ValueError(f"ebml: invalid size lead byte {b0:#04x}")
 
 
+# ids that can only start a NEW top-level Segment child — per RFC 8794 an
+# unknown-size element ends at the first id that is not a valid child, so
+# any of these inside an unsized Cluster terminates it (Info, SeekHead,
+# Tracks, Cluster, Cues, Chapters, Attachments, Tags)
+_MKV_TOPLEVEL = frozenset((
+    b"\x15\x49\xa9\x66", b"\x11\x4d\x9b\x74", _MKV_TRACKS, _MKV_CLUSTER,
+    b"\x1c\x53\xbb\x6b", b"\x10\x43\xa7\x70", b"\x19\x41\xa4\x69",
+    b"\x12\x54\xc3\x67"))
+
+
 def _mkv_children(data: bytes, lo: int, hi: int):
-    """Yield (id, body_lo, body_hi) for each element in [lo, hi);
-    unknown-size elements run to the end of their parent (the streamed-
-    Segment layout real muxers emit)."""
+    """Yield (id, body_lo, body_hi) for each sized element in [lo, hi).
+    Unknown-size is legal only for Segment (runs to end of input) here;
+    unknown-size Clusters are resolved by the caller's terminator scan —
+    treating them as to-end-of-parent would swallow every later cluster's
+    frames silently."""
     pos = lo
     while pos < hi:
         eid, p = _ebml_read_id(data, pos, hi)
         size, body = _ebml_read_size(data, p, hi)
-        end = hi if size is None else body + size
+        if size is None:
+            if eid != _MKV_SEGMENT:
+                raise ValueError(
+                    f"mkv: unknown-size element {eid.hex()} (only Segment "
+                    "and Cluster may be unsized; Clusters are handled by "
+                    "the segment walk)")
+            end = hi
+        else:
+            end = body + size
         if end > hi:
             raise ValueError(f"mkv: element {eid.hex()} overruns its parent")
         yield eid, body, end
@@ -1029,9 +1049,50 @@ def mkv_frame_chunks(data: bytes) -> list[bytes]:
         raise ValueError("mkv: no Segment element")
     track_no = None
     frames: list[bytes] = []
-    for eid, lo, hi in _mkv_children(data, *seg):
+
+    def cluster_child(cid: bytes, clo: int, chi: int) -> None:
+        if cid == b"\xa3":                      # SimpleBlock
+            f = _mkv_block_frame(data, clo, chi, track_no)
+            if f is not None:
+                frames.append(f)
+        elif cid == b"\xa0":                    # BlockGroup
+            for gid, glo, ghi in _mkv_children(data, clo, chi):
+                if gid == b"\xa1":              # Block
+                    f = _mkv_block_frame(data, glo, ghi, track_no)
+                    if f is not None:
+                        frames.append(f)
+
+    pos, seg_hi = seg
+    while pos < seg_hi:
+        eid, p = _ebml_read_id(data, pos, seg_hi)
+        size, body = _ebml_read_size(data, p, seg_hi)
+        if size is None:
+            # unknown-size Cluster (the live-streaming layout): it ends at
+            # the first id that cannot be its child (RFC 8794), so scan
+            # sized children until a top-level id — later clusters keep
+            # their frames instead of being swallowed
+            if eid != _MKV_CLUSTER:
+                raise ValueError(
+                    f"mkv: unknown-size element {eid.hex()} in Segment")
+            if track_no is None:
+                raise ValueError("mkv: Cluster before a video TrackEntry")
+            pos = body
+            while pos < seg_hi:
+                cid, cp = _ebml_read_id(data, pos, seg_hi)
+                if cid in _MKV_TOPLEVEL:
+                    break
+                csize, cbody = _ebml_read_size(data, cp, seg_hi)
+                if csize is None or cbody + csize > seg_hi:
+                    raise ValueError("mkv: malformed child in an "
+                                     "unknown-size Cluster")
+                cluster_child(cid, cbody, cbody + csize)
+                pos = cbody + csize
+            continue
+        end = body + size
+        if end > seg_hi:
+            raise ValueError(f"mkv: element {eid.hex()} overruns its parent")
         if eid == _MKV_TRACKS:
-            for tid, tlo, thi in _mkv_children(data, lo, hi):
+            for tid, tlo, thi in _mkv_children(data, body, end):
                 if tid != b"\xae":              # TrackEntry
                     continue
                 num, ttype, codec = None, None, b""
@@ -1051,17 +1112,9 @@ def mkv_frame_chunks(data: bytes) -> list[bytes]:
         elif eid == _MKV_CLUSTER:
             if track_no is None:
                 raise ValueError("mkv: Cluster before a video TrackEntry")
-            for cid, clo, chi in _mkv_children(data, lo, hi):
-                if cid == b"\xa3":              # SimpleBlock
-                    f = _mkv_block_frame(data, clo, chi, track_no)
-                    if f is not None:
-                        frames.append(f)
-                elif cid == b"\xa0":            # BlockGroup
-                    for gid, glo, ghi in _mkv_children(data, clo, chi):
-                        if gid == b"\xa1":      # Block
-                            f = _mkv_block_frame(data, glo, ghi, track_no)
-                            if f is not None:
-                                frames.append(f)
+            for cid, clo, chi in _mkv_children(data, body, end):
+                cluster_child(cid, clo, chi)
+        pos = end
     if track_no is None:
         raise ValueError("mkv: no video track")
     return frames

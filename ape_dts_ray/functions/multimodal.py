@@ -211,6 +211,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     audio_fmt, channels, rate, _bps, _align, bits = fmt
     if audio_fmt != 1:
         raise NotImplementedError(f"WAV format {audio_fmt} unsupported (PCM only)")
+    if channels == 0:
+        raise ValueError("WAV: zero channels")
     if bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif bits == 32:
@@ -246,6 +248,8 @@ def _f80_to_rate(b: bytes) -> int:
     mant = int.from_bytes(b[2:10], "big")
     if exp == 0 and mant == 0:
         return 0
+    if exp > 16383 + 63:            # rate beyond 2^63: corrupt field
+        raise ValueError("AIFF: implausible sample rate exponent")
     val = mant * 2.0 ** (exp - 16383 - 63)
     return int(round(-val if b[0] >> 7 else val))
 
@@ -277,6 +281,8 @@ def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
     if comm is None or raw is None:
         raise ValueError("AIFF missing COMM/SSND chunk")
     channels, bits, rate = comm
+    if channels == 0:
+        raise ValueError("AIFF: zero channels")
     if bits == 16:
         x = np.frombuffer(raw, dtype=">i2").astype(np.float64) / 32768.0
     elif bits == 32:
@@ -333,15 +339,23 @@ class DecodeAudio:
         self.strict = strict
 
     def _decode(self, payload: bytes) -> np.ndarray:
-        if payload[:4] == b"RIFF":
-            samples, rate = decode_wav(payload)
-            return audio_features(samples, rate, self.n_frames)
-        if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
-            samples, rate = decode_aiff(payload)
-            return audio_features(samples, rate, self.n_frames)
-        if self.strict:
-            raise NotImplementedError(
-                "no codec for this payload (WAV and AIFF PCM only)")
+        try:
+            if payload[:4] == b"RIFF":
+                samples, rate = decode_wav(payload)
+                return audio_features(samples, rate, self.n_frames)
+            if payload[:4] == b"FORM" and payload[8:12] == b"AIFF":
+                samples, rate = decode_aiff(payload)
+                return audio_features(samples, rate, self.n_frames)
+        except (ValueError, NotImplementedError, struct.error, IndexError):
+            # malformed / unsupported container: strict keeps the error, a
+            # mixed corpus in non-strict mode falls through to the stub
+            # instead of killing the whole actor-pool stage
+            if self.strict:
+                raise
+        else:
+            if self.strict:
+                raise NotImplementedError(
+                    "no codec for this payload (WAV and AIFF PCM only)")
         seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
         return np.random.default_rng(seed).random(2 * self.n_frames)
 

@@ -895,6 +895,14 @@ def encode_rdb_strings(keys, values, freqs=None, db: int = 0,
         write_string(out, v.encode())
     out.append(OP_SELECTDB)
     write_length(out, db)
+    if len(values) != len(keys) or (freqs is not None
+                                    and len(freqs) != len(keys)):
+        # a bare zip would silently truncate the shard to the shortest
+        # column — a checksum-valid image missing keys, the worst failure
+        raise ValueError(
+            f"rdb: column length mismatch (keys={len(keys)} "
+            f"values={len(values)}"
+            + (f" freqs={len(freqs)})" if freqs is not None else ")"))
     if freqs is None:
         freqs = itertools.repeat(-1)
     for key, val, f in zip(keys, values, freqs):

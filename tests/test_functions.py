@@ -345,6 +345,18 @@ def test_aiff_codec_roundtrip_and_audio_features():
     assert np.allclose(got, want)
     with pytest.raises(ValueError, match="COMM/SSND"):
         multimodal.decode_aiff(b"FORM\x00\x00\x00\x04AIFF")
+    # malformed audio payloads: strict raises, non-strict falls back to the
+    # deterministic stub instead of killing the actor (mixed-corpus safety)
+    bad_rate = aiff8.replace(multimodal._rate_to_f80(8000),
+                             b"\x7f\xff" + b"\xff" * 8)
+    zero_ch = aiff8.replace(_s.pack(">IHIH", 18, 1, 5, 8),
+                            _s.pack(">IHIH", 18, 0, 5, 8))
+    for bad in (bad_rate, zero_ch, b"FORM\x00\x00\x00\x04AIFF",
+                b"RIFF\x00\x00\x00\x04WAVE"):
+        with pytest.raises(ValueError):
+            multimodal.DecodeAudio(8, strict=True)._decode(bad)
+        stub = multimodal.DecodeAudio(8, strict=False)._decode(bad)
+        assert stub.shape == (16,)
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -156,6 +156,12 @@ def test_rdb_strings_columnar_byte_equal():
     assert rdbmod.encode_rdb_strings(keys, values) == rdbmod.encode_rdb(plain)
     with pytest.raises(ValueError, match="u8"):
         rdbmod.encode_rdb_strings([b"k"], [b"v"], freqs=[256])
+    # mismatched column lengths refuse loudly (a bare zip would silently
+    # truncate the shard to a checksum-valid image missing keys)
+    with pytest.raises(ValueError, match="length mismatch"):
+        rdbmod.encode_rdb_strings([b"a", b"b"], [b"v"])
+    with pytest.raises(ValueError, match="length mismatch"):
+        rdbmod.encode_rdb_strings([b"a", b"b"], [b"v", b"w"], freqs=[1])
 
 
 def test_rdb_checksum_detects_corruption():

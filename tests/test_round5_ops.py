@@ -1082,6 +1082,19 @@ def test_mkv_container_walk():
                 + mjpeg._MKV_SEGMENT + b"\xff" + body)    # unknown size
     assert mjpeg.mkv_frame_chunks(streamed) == jpegs
 
+    # unknown-size CLUSTERS (live-stream layout): two back-to-back unsized
+    # clusters must BOTH contribute frames — an unsized cluster ends at the
+    # next top-level id, it must not swallow its successors
+    half = len(jpegs) // 2
+    def unsized_cluster(js):
+        body = mjpeg._ebml_uint(b"\xe7", 0) + b"".join(
+            ebml(b"\xa3", b"\x82" + b"\x00\x00\x80" + j) for j in js)
+        return mjpeg._MKV_CLUSTER + b"\xff" + body
+    live = (mkv[:mkv.index(mjpeg._MKV_SEGMENT)] + mjpeg._MKV_SEGMENT + b"\xff"
+            + tracks + unsized_cluster(jpegs[:half])
+            + unsized_cluster(jpegs[half:]))
+    assert mjpeg.mkv_frame_chunks(live) == jpegs
+
     laced = cluster.replace(b"\x82" + b"\x00\x00\x80", b"\x82\x00\x00\x86", 1)
     with pytest.raises(ValueError, match="laced"):
         mjpeg.mkv_frame_chunks(streamed.replace(cluster, laced))
