@@ -99,6 +99,75 @@ def _pending_floor(lake: LakeTable) -> int:
     return max(lo, lake.compacted_watermark() + 1, lake.truncate_offset + 1, 0)
 
 
+class _SegmentScan:
+    """Incremental footer scan of a growing segment directory — the
+    source-side half of the follow loop, shared by the single-lake and
+    mixed-stream followers. ``scan(floor)`` returns the live
+    ``{path: (size, min_off, max_off)}`` map, or None to defer the whole
+    round (a transient read error on a LIVE segment — evicting it would let
+    replay commit past its unapplied offsets, so the round retries instead,
+    bounded at 10 consecutive deferrals). Vanished files (retention /
+    rename races) are evicted, same as before. Gap refusal: a segment
+    appearing after the follower committed past its offsets means the
+    writer appended out of order — raise, never replay over a hole; the
+    round-1 catch-up exemption burns only once segments have been SEEN."""
+
+    def __init__(self, log_dir: str, pattern: str, offset_col: str):
+        self.log_dir = log_dir
+        self.pattern = pattern
+        self.ocol = offset_col
+        self.cache: dict[str, tuple[int, int, int]] = {}
+        self.first_scan = True
+        self.defer_rounds = 0
+
+    def scan(self, floor: int) -> dict[str, tuple[int, int, int]] | None:
+        present: dict[str, tuple[int, int, int]] = {}
+        deferred: OSError | None = None
+        for p in sorted(glob.glob(os.path.join(self.log_dir, self.pattern))):
+            try:
+                size = os.path.getsize(p)
+            except OSError as e:
+                if not os.path.exists(p):
+                    continue                # raced with retention/rename
+                deferred = e                # live segment, transient error
+                break
+            hit = self.cache.get(p)
+            if hit is not None and hit[0] == size:
+                present[p] = hit
+                continue
+            try:
+                mn, mx = _file_offset_span(p, self.ocol)
+            except OSError as e:
+                if not os.path.exists(p):
+                    continue                # vanished between stat and
+                                            # footer read (retention)
+                deferred = e                # live segment, transient error
+                break
+            if hit is None and not self.first_scan and mn != -1 and mn < floor:
+                raise RuntimeError(
+                    f"late segment {p}: min offset {mn} is below the pending "
+                    f"floor {floor} — segments must be appended to the log "
+                    "in nondecreasing offset order")
+            present[p] = (size, mn, mx)
+        if deferred is not None:
+            # keep last round's cache (no partial rebuild, first_scan not
+            # burned) and retry at the next poll — an idle round, not a
+            # replay over a hole. Bounded so a PERSISTENT error surfaces
+            # loudly instead of spinning silently forever.
+            self.defer_rounds += 1
+            if self.defer_rounds >= 10:
+                raise RuntimeError(
+                    f"follow: {self.defer_rounds} consecutive rounds failed "
+                    "to read a live segment's footer — giving up"
+                ) from deferred
+            return None
+        self.defer_rounds = 0
+        self.cache = present
+        if present:
+            self.first_scan = False
+        return present
+
+
 def replay_follow(
     lake: LakeTable,
     log_dir: str,
@@ -135,80 +204,14 @@ def replay_follow(
 
     if stop_file is None:
         stop_file = os.path.join(lake.root, "follow.stop")
-    ocol = offset_col or COL_OFFSET
-    # path -> (size, min_off, max_off); footer statistics only, re-read when
-    # the size changes (segments are immutable once visible — write+rename)
-    footer_cache: dict[str, tuple[int, int, int]] = {}
-    first_scan = True
-    defer_rounds = 0
+    scanner = _SegmentScan(log_dir, pattern, offset_col or COL_OFFSET)
 
     def one_round(stats: FollowStats) -> bool:
-        nonlocal footer_cache, first_scan, defer_rounds
         floor = _pending_floor(lake)
-        # rebuild the live set from THIS round's glob (footer_cache is a
-        # memo): a vanished segment must not keep inflating log_max or feed
-        # a dead path to replay — deleting fully-committed segments is a
-        # legitimate retention policy, so eviction, not error. Eviction is
-        # ONLY for files that are actually GONE: a transient read error on a
-        # live segment must instead defer the whole round (below) — evicting
-        # it would let replay commit past its unapplied offsets, turning a
-        # recoverable error into a durable silent skip.
-        present: dict[str, tuple[int, int, int]] = {}
-        deferred: OSError | None = None
-        for p in sorted(glob.glob(os.path.join(log_dir, pattern))):
-            try:
-                size = os.path.getsize(p)
-            except OSError as e:
-                if not os.path.exists(p):
-                    continue                # raced with retention/rename
-                deferred = e                # live segment, transient error
-                break
-            hit = footer_cache.get(p)
-            if hit is not None and hit[0] == size:
-                present[p] = hit
-                continue
-            try:
-                mn, mx = _file_offset_span(p, ocol)
-            except OSError as e:
-                if not os.path.exists(p):
-                    continue                # vanished between stat and footer
-                                            # read (retention) — evict, same
-                                            # as the getsize race above
-                deferred = e                # live segment, transient error
-                break
-            if hit is None and not first_scan and mn != -1 and mn < floor:
-                # GAP REFUSAL (the log is consumed positionally, like the
-                # reference's binlog): a segment appearing AFTER the follower
-                # already committed past its offsets means the writer appended
-                # out of order — replaying it would double-apply or silently
-                # skip committed epochs' events, so refuse loudly. Round-1
-                # catch-up over a pre-existing log is exempt (committed
-                # offsets in old segments are skipped by resume, by design).
-                raise RuntimeError(
-                    f"late segment {p}: min offset {mn} is below the pending "
-                    f"floor {floor} — segments must be appended to the log "
-                    "in nondecreasing offset order")
-            present[p] = (size, mn, mx)
-        if deferred is not None:
-            # keep last round's cache (no partial rebuild, first_scan not
-            # burned) and retry at the next poll — an idle round, not a
-            # replay over a hole. Bounded so a PERSISTENT error surfaces
-            # loudly instead of spinning silently forever.
-            defer_rounds += 1
-            if defer_rounds >= 10:
-                raise RuntimeError(
-                    f"follow: {defer_rounds} consecutive rounds failed to "
-                    "read a live segment's footer — giving up") from deferred
-            return False
-        defer_rounds = 0
-        footer_cache = present
-        if present:
-            # the round-1 catch-up exemption burns only once segments have
-            # actually been SEEN: a restart over a late-appearing or
-            # momentarily-empty log dir must still catch up, not gap-refuse
-            first_scan = False
-
-        log_max = max((mx for _, _, mx in footer_cache.values()), default=-1)
+        present = scanner.scan(floor)
+        if present is None:
+            return False                    # deferred round (scanner doc)
+        log_max = max((mx for _, _, mx in present.values()), default=-1)
         wm = lake.watermark()
         if log_max <= wm:
             if heartbeat:
@@ -217,7 +220,7 @@ def replay_follow(
                 lake.write_heartbeat(source_max=max(log_max, wm))
             return False
 
-        paths = sorted(p for p, (_, _, mx) in footer_cache.items()
+        paths = sorted(p for p, (_, _, mx) in present.items()
                        if mx >= floor)
         ms = replay(lake, events_path=paths, max_offset=log_max,
                     barriers=barriers, event_filter=event_filter,
@@ -232,6 +235,97 @@ def replay_follow(
             # refresh the lag gauge against THIS round's source scan (the
             # replay's own heartbeats carry only the sink-side watermark)
             lake.write_heartbeat(source_max=log_max)
+        return True
+
+    return follow_loop(stop_file, poll_interval, max_idle_rounds, max_rounds,
+                       one_round)
+
+
+def replay_follow_mixed(
+    lake_root: str,
+    tables: list[str],
+    log_dir: str,
+    pattern: str = "*.parquet",
+    poll_interval: float = 0.25,
+    stop_file: str | None = None,
+    max_idle_rounds: int | None = None,
+    max_rounds: int | None = None,
+    group_epochs: int = 4,
+    heartbeat: bool = True,
+    meta=None,
+    config=None,
+    table_filter=None,
+    router=None,
+    offset_col: str | None = None,
+) -> FollowStats:
+    """Mixed-stream daemon: tail ONE growing interleaved log (a ``table``
+    column per event) into N lakes — the reference service's actual shape
+    (one binlog position, TableParallelizer fan-out per drained batch,
+    table_parallelizer.rs:86-114 + base_pipeline.rs:59-141). Each round is
+    a ``replay_mixed`` over the pending segments, so the single sort-shuffle
+    fan-out, shared epoch geometry, per-lake resume and the many-to-one
+    routing refusal are all inherited; follow adds only the loop, the
+    footer scan and the per-lake lag heartbeat. Crash safety: SIGKILL
+    leaves epochs missing from SOME lakes; the next round (or a one-shot
+    ``replay_mixed``) re-runs every window missing from ANY lake and
+    converges — probed in tests/test_follow.py."""
+    from ape_dts_ray.meta import COL_OFFSET
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+    from ape_dts_ray.stages.filter import TableFilter
+    from ape_dts_ray.stages.router import Router
+
+    if stop_file is None:
+        stop_file = os.path.join(lake_root, "follow.stop")
+    table_filter = table_filter or TableFilter()
+    router = router or Router()
+    targets = [router.route_table(t) for t in tables
+               if not table_filter.filtered(t)]
+    scanner = _SegmentScan(log_dir, pattern, offset_col or COL_OFFSET)
+
+    def lakes() -> list[LakeTable]:
+        out = []
+        for name in targets:
+            try:
+                out.append(LakeTable.open(os.path.join(lake_root, name)))
+            except FileNotFoundError:
+                pass                       # not created yet (first round)
+        return out
+
+    def one_round(stats: FollowStats) -> bool:
+        lks = lakes()
+        # min across lakes: conservative — replay_mixed re-runs any window
+        # missing from ANY lake, so the lowest pending floor governs both
+        # segment pruning and the gap refusal
+        floor = min((_pending_floor(lk) for lk in lks), default=0)
+        present = scanner.scan(floor)
+        if present is None:
+            return False                    # deferred round (scanner doc)
+        log_max = max((mx for _, _, mx in present.values()), default=-1)
+        wm = min((lk.watermark() for lk in lks), default=-1) \
+            if len(lks) == len(targets) else -1
+        if log_max <= wm:
+            if heartbeat:
+                for lk in lks:
+                    lk.write_heartbeat(source_max=max(log_max, wm))
+            return False
+        paths = sorted(p for p, (_, _, mx) in present.items() if mx >= floor)
+        if not paths:
+            return False                    # nothing pending yet (empty log)
+        res = replay_mixed(lake_root, tables, events_path=paths,
+                           max_offset=log_max, meta=meta, config=config,
+                           table_filter=table_filter, router=router,
+                           group_epochs=group_epochs)
+        ms_all = [m for ms in res.values() for m in ms]
+        stats.replay_rounds += 1
+        # distinct epochs, like the single-lake follower (each epoch commits
+        # one manifest PER lake; events_applied is already exact — every
+        # event lands in exactly one lake)
+        stats.epochs_committed += len({m.epoch for m in ms_all})
+        stats.events_applied += sum(p.events for m in ms_all
+                                    for p in m.partitions)
+        if heartbeat:
+            for lk in lakes():
+                lk.write_heartbeat(source_max=log_max)
         return True
 
     return follow_loop(stop_file, poll_interval, max_idle_rounds, max_rounds,

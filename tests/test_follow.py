@@ -168,6 +168,97 @@ def test_follow_sigkill_restart_converges(tmp_path):
     assert list(got["conv_id"]) == list(want["conv_id"])
 
 
+_FOLLOW_MIXED_SCRIPT = r"""
+import sys
+import ray
+ray.init(address="local", num_cpus=4, include_dashboard=False,
+         logging_level="ERROR")
+from ape_dts_ray.meta import EngineConfig
+from ape_dts_ray.pipelines.follow import replay_follow_mixed
+print("FOLLOWER_READY", flush=True)
+replay_follow_mixed(sys.argv[1], ["tbl_even", "tbl_odd"], sys.argv[2],
+                    poll_interval=0.05, stop_file=sys.argv[3],
+                    config=EngineConfig(num_partitions=4, epoch_size=1000))
+"""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_mixed_sigkill_restart_converges(tmp_path):
+    """Mixed-stream crash contract: SIGKILL a separate-process mixed
+    follower mid-drain (epochs may be committed in SOME lakes only),
+    restart, and both lakes converge to a one-shot replay_mixed of the
+    full log."""
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    from ape_dts_ray.meta import EngineConfig as EC
+    from ape_dts_ray.pipelines.follow import replay_follow_mixed
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+
+    events = gen_events(seed=78, n_convs=60, max_turns=8, n_events=8000,
+                        delete_frac=0.25)
+    parity = pc2.bit_wise_and(
+        pc2.index_in(events.column("conv_id"),
+                     value_set=pc2.unique(events.column("conv_id"))),
+        pa.scalar(1, pa.int32()))
+    mixed = events.append_column(
+        "table", pc2.if_else(pc2.equal(parity, pa.scalar(0, pa.int32())),
+                             pa.scalar("tbl_even"), pa.scalar("tbl_odd")))
+    segs, maxes = _segments(mixed, 4)
+    log = tmp_path / "log"
+    log.mkdir()
+    root = str(tmp_path / "lakes")
+    stop = str(tmp_path / "stop")
+    cfg = EC(num_partitions=4, epoch_size=1000)
+
+    def wm_even():
+        try:
+            return LakeTable.open(os.path.join(root, "tbl_even")).watermark()
+        except FileNotFoundError:
+            return -1
+
+    _append_segment(tmp_path, str(log), segs[0], 0)
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _FOLLOW_MIXED_SCRIPT, root, str(log), stop],
+        cwd="/root/repo", stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+    try:
+        t0 = time.time()
+        while wm_even() < maxes[0]:
+            assert time.time() - t0 < 180, "seg0 never applied"
+            time.sleep(0.1)
+        _append_segment(tmp_path, str(log), segs[1], 1)
+        t0 = time.time()
+        while wm_even() < maxes[1]:
+            assert time.time() - t0 < 120, "seg1 never applied"
+            time.sleep(0.05)
+    finally:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=60)
+    assert proc.returncode == -signal.SIGKILL
+
+    _append_segment(tmp_path, str(log), segs[2], 2)
+    _append_segment(tmp_path, str(log), segs[3], 3)
+
+    stats = replay_follow_mixed(root, ["tbl_even", "tbl_odd"], str(log),
+                                poll_interval=0.05, max_idle_rounds=3,
+                                config=cfg)
+    assert stats.stopped_by == "idle_limit" and stats.replay_rounds >= 1
+
+    oneshot = str(tmp_path / "oneshot")
+    full = str(tmp_path / "full.parquet")
+    pq.write_table(mixed, full)
+    replay_mixed(oneshot, ["tbl_even", "tbl_odd"], events_path=full,
+                 config=cfg)
+    for name in ("tbl_even", "tbl_odd"):
+        got = LakeTable.open(os.path.join(root, name)).state_table() \
+                       .to_pandas()
+        want = LakeTable.open(os.path.join(oneshot, name)).state_table() \
+                        .to_pandas()
+        assert len(got) == len(want)
+        assert list(got["text"]) == list(want["text"])
+        assert list(got["conv_id"]) == list(want["conv_id"])
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_follow_idle_limit_and_heartbeat(tmp_path):
     log = tmp_path / "log"
@@ -178,6 +269,86 @@ def test_follow_idle_limit_and_heartbeat(tmp_path):
     assert stats.stopped_by == "idle_limit"
     assert stats.rounds == 3 and stats.replay_rounds == 0
     assert lake.heartbeat() is not None       # liveness even when idle
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_mixed_drains_growing_log(tmp_path):
+    """Mixed-stream daemon (the reference's actual service shape — one log
+    position, table fan-out per drained batch): a growing interleaved log
+    drains into BOTH lakes, each converging to the per-table oracle, with
+    per-lake lag heartbeats; a restart over the drained log is a no-op."""
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    from ape_dts_ray.pipelines.follow import replay_follow_mixed
+
+    events = gen_events(seed=77, n_convs=40, max_turns=8, n_events=6000,
+                        delete_frac=0.2)
+    parity = pc2.bit_wise_and(
+        pc2.index_in(events.column("conv_id"),
+                     value_set=pc2.unique(events.column("conv_id"))),
+        pa.scalar(1, pa.int32()))
+    tblcol = pc2.if_else(pc2.equal(parity, pa.scalar(0, pa.int32())),
+                         pa.scalar("tbl_even"), pa.scalar("tbl_odd"))
+    mixed = events.append_column("table", tblcol)
+    segs, maxes = _segments(mixed, 3)
+    log = tmp_path / "log"
+    log.mkdir()
+    root = str(tmp_path / "lakes")
+    stop = str(tmp_path / "stop")
+    cfg = EngineConfig(num_partitions=4, epoch_size=1000)
+    box = {"stats": None, "exc": None}
+
+    def run():
+        try:
+            box["stats"] = replay_follow_mixed(
+                root, ["tbl_even", "tbl_odd"], str(log), poll_interval=0.05,
+                stop_file=stop, config=cfg)
+        except BaseException as e:
+            box["exc"] = e
+
+    def wait_both(target, timeout=120.0):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if box["exc"] is not None:
+                raise box["exc"]
+            try:
+                if all(LakeTable.open(os.path.join(root, n)).watermark()
+                       >= target for n in ("tbl_even", "tbl_odd")):
+                    return
+            except FileNotFoundError:
+                pass
+            time.sleep(0.1)
+        raise TimeoutError(f"watermarks never reached {target}")
+
+    th = threading.Thread(target=run)
+    th.start()
+    try:
+        for i, seg in enumerate(segs):
+            _append_segment(tmp_path, str(log), seg, i)
+            wait_both(maxes[i])
+    finally:
+        open(stop, "w").close()
+        th.join(timeout=120)
+    assert not th.is_alive() and box["exc"] is None
+    assert box["stats"].replay_rounds >= 3
+    assert box["stats"].events_applied >= events.num_rows
+
+    for name, par in (("tbl_even", 0), ("tbl_odd", 1)):
+        lk = LakeTable.open(os.path.join(root, name))
+        mask = pc2.equal(parity, pa.scalar(par, pa.int32()))
+        oracle = oracle_replay(events.filter(mask))
+        state = lk.state_table().to_pandas()
+        assert len(state) == len(oracle)
+        assert sorted(state["text"]) == sorted(oracle["text"])
+        hb = lk.heartbeat()
+        assert hb["source_max"] == maxes[-1] and hb["lag"] == 0
+
+    # restart over the fully-drained log: pure no-op rounds
+    stats2 = replay_follow_mixed(root, ["tbl_even", "tbl_odd"], str(log),
+                                 poll_interval=0.01, max_idle_rounds=2,
+                                 config=cfg)
+    assert stats2.replay_rounds == 0 and stats2.stopped_by == "idle_limit"
 
 
 @pytest.mark.usefixtures("ray_session")
