@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_apply_lww": q.cdc_apply_lww,
         "cdc_follow": q.cdc_follow,
+        "cdc_follow_mixed": q.cdc_follow_mixed,
         "cdc_merge_batch": q.cdc_merge_batch,
         "cdc_filter_events": q.cdc_filter_events,
         "cdc_route_rename": q.cdc_route_rename,
@@ -299,6 +300,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # one interleaved stream split per table (conv parity); winners per
         # table — conv_id determines the table, so ranking per key suffices
+        # mixed-stream daemon drain == one-shot fan-out, so the oracle is
+        # byte-for-byte cdc_multitable's
+        "cdc_follow_mixed": CHANGES_CTE + """,
+            aug AS (
+              SELECT *, CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 2 = 0
+                             THEN 'tbl_even' ELSE 'tbl_odd' END AS tbl
+              FROM changes
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY log_offset DESC) AS rn
+              FROM aug
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts, tbl
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
         "cdc_multitable": CHANGES_CTE + """,
             aug AS (
               SELECT *, CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 2 = 0

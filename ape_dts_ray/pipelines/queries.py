@@ -544,6 +544,94 @@ def cdc_follow(sf_dir: str) -> pa.Table:
     return out
 
 
+def cdc_follow_mixed(sf_dir: str) -> pa.Table:
+    """Mixed-stream daemon (pipelines/follow.py::replay_follow_mixed — the
+    reference service's actual shape: ONE log position, TableParallelizer
+    fan-out per drained batch, table_parallelizer.rs:86-114 +
+    base_pipeline.rs:59-141): the interleaved two-table change stream is
+    staged as parquet segments and revealed to a RUNNING mixed follower in
+    two waves; the drained lakes unioned back must equal the one-shot
+    fan-out, so the oracle is exactly ``cdc_multitable``'s."""
+    import glob
+    import shutil
+    import threading
+    import time
+
+    from ape_dts_ray.pipelines.follow import (_file_offset_span,
+                                              replay_follow_mixed)
+
+    def add_table(t: pa.Table) -> pa.Table:
+        uid = _conv_uid(t)
+        tbl = pc.if_else(pc.equal(pc.bit_wise_and(uid, pa.scalar(1, pa.int64())),
+                                  pa.scalar(0, pa.int64())),
+                         pa.scalar("tbl_even"), pa.scalar("tbl_odd"))
+        return t.append_column("table", tbl)
+
+    root = tempfile.mkdtemp(prefix="ape_dts_ray_followmixed_")
+    stage = os.path.join(root, "stage")
+    log = os.path.join(root, "log")
+    lakes_root = os.path.join(root, "lakes")
+    os.makedirs(log)
+    cfg = EngineConfig(num_partitions=QUERY_PARTITIONS, epoch_size=50_000)
+    names = ("tbl_even", "tbl_odd")
+    try:
+        (changes_dataset(sf_dir)
+         .map_batches(add_table, batch_format="pyarrow")
+         .repartition(8).write_parquet(stage))
+        files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+        spans = {p: _file_offset_span(p, "log_offset") for p in files}
+        files.sort(key=lambda p: spans[p][0])     # offset-ordered appends
+        cut = max(1, len(files) // 2)
+        wave_max = [max(spans[p][1] for p in files[:cut]),
+                    max(spans[p][1] for p in files)]
+
+        stop = os.path.join(root, "stop")
+        box: dict = {}
+
+        def run():
+            try:
+                box["stats"] = replay_follow_mixed(
+                    lakes_root, list(names), log, poll_interval=0.05,
+                    stop_file=stop, config=cfg)
+            except BaseException as e:
+                box["exc"] = e
+
+        def min_wm() -> int:
+            try:
+                return min(LakeTable.open(os.path.join(lakes_root, n))
+                           .watermark() for n in names)
+            except FileNotFoundError:
+                return -1
+
+        th = threading.Thread(target=run)
+        th.start()
+        try:
+            for wave, batch in enumerate((files[:cut], files[cut:])):
+                for i, p in enumerate(batch):
+                    os.rename(p, os.path.join(
+                        log, f"seg{wave}_{i:04d}.parquet"))
+                t0 = time.time()
+                while (min_wm() < wave_max[wave] and "exc" not in box
+                       and time.time() - t0 < 300):
+                    time.sleep(0.05)
+        finally:
+            open(stop, "w").close()
+            th.join(timeout=300)
+        if "exc" in box:
+            raise box["exc"]
+        stats = box["stats"]
+        assert stats.stopped_by == "stop_file" and stats.replay_rounds >= 2
+        pieces = []
+        for name in names:
+            t = LakeTable.open(os.path.join(lakes_root, name)).state_table()
+            pieces.append(t.append_column(
+                "tbl", pa.array([name] * t.num_rows, pa.string())))
+        out = pa.concat_tables(pieces)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def cdc_pk_change(sf_dir: str) -> pa.Table:
     """PK-change updates (uk_changed_test analog): 'view' updates renumber
     turn_idx by +40; the engine splits each into delete(old)+insert(new)

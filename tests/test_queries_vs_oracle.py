@@ -44,8 +44,10 @@ SF01_NAMES = ["cdc_apply_lww", "cdc_lineage_totals", "dedup_embedding",
               "cdc_mongo_doc",  # crash+resume crosses real epoch boundaries
               "cdc_two_way",   # two_way: growing-log tail only bites with
                                # multi-epoch windows (n > epoch_size)
-              "cdc_follow"]    # follow: wave boundaries mid-epoch → tail
+              "cdc_follow",    # follow: wave boundaries mid-epoch → tail
                                # recommit path only exercised at sf0.1
+              "cdc_follow_mixed"]  # same tail-recommit reach, through the
+                                   # mixed fan-out's shared epoch geometry
 
 
 @pytest.fixture(scope="module")
