@@ -352,6 +352,54 @@ def test_follow_mixed_drains_growing_log(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_mixed_late_table_onboarding(tmp_path):
+    """A table ADDED to an existing mixed-lake set (service config change)
+    backfills from the shared log without disturbing the established lake:
+    replay_mixed re-runs every window missing from ANY lake, per-table
+    re-commits of already committed epochs are deterministic no-op
+    overwrites, and the late lake converges to its per-table oracle."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+
+    events = gen_events(seed=79, n_convs=30, max_turns=6, n_events=4000,
+                        delete_frac=0.2)
+    parity = pc2.bit_wise_and(
+        pc2.index_in(events.column("conv_id"),
+                     value_set=pc2.unique(events.column("conv_id"))),
+        pa.scalar(1, pa.int32()))
+    mixed = events.append_column(
+        "table", pc2.if_else(pc2.equal(parity, pa.scalar(0, pa.int32())),
+                             pa.scalar("tbl_even"), pa.scalar("tbl_odd")))
+    path = str(tmp_path / "mixed.parquet")
+    pq.write_table(mixed, path)
+    root = str(tmp_path / "lakes")
+    cfg = EngineConfig(num_partitions=4, epoch_size=1000)
+
+    # phase 1: the service only knows tbl_even (tbl_odd rows are unknown
+    # table names — dropped in the shard stage)
+    replay_mixed(root, ["tbl_even"], events_path=path, config=cfg)
+    even = LakeTable.open(os.path.join(root, "tbl_even"))
+    before = even.state_table().to_pandas()
+
+    # phase 2: tbl_odd onboards — the new lake backfills the whole log,
+    # the established lake's state is untouched by the no-op re-commits
+    replay_mixed(root, ["tbl_even", "tbl_odd"], events_path=path, config=cfg)
+    after = LakeTable.open(os.path.join(root, "tbl_even")) \
+        .state_table().to_pandas()
+    pd.testing.assert_frame_equal(before, after)
+    for name, par in (("tbl_even", 0), ("tbl_odd", 1)):
+        state = LakeTable.open(os.path.join(root, name)) \
+            .state_table().to_pandas()
+        oracle = oracle_replay(
+            events.filter(pc2.equal(parity, pa.scalar(par, pa.int32()))))
+        assert len(state) == len(oracle)
+        assert sorted(state["text"]) == sorted(oracle["text"])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_follow_heartbeat_lag_gauge(tmp_path):
     """The follower's heartbeat publishes the source position and derived
     lag (the reference monitor's sinked-vs-extracted pair): zero after a
