@@ -141,6 +141,24 @@ _REDIS_FOLD_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    # one interleaved stream split per table (conv parity); winners per
+    # table — conv_id determines the table, so ranking per key suffices.
+    # SHARED by cdc_multitable (one-shot fan-out) and cdc_follow_mixed (the
+    # daemon drain of the same stream): one definition, two gates.
+    multitable_sql = CHANGES_CTE + """,
+            aug AS (
+              SELECT *, CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 2 = 0
+                             THEN 'tbl_even' ELSE 'tbl_odd' END AS tbl
+              FROM changes
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx ORDER BY log_offset DESC) AS rn
+              FROM aug
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts, tbl
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """
     return {
         "cdc_apply_lww": CHANGES_CTE + "," + _LAST + """
             SELECT conv_id, turn_idx, role, text, tool, ts
@@ -298,38 +316,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool, ts, channel
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
-        # one interleaved stream split per table (conv parity); winners per
-        # table — conv_id determines the table, so ranking per key suffices
-        # mixed-stream daemon drain == one-shot fan-out, so the oracle is
-        # byte-for-byte cdc_multitable's
-        "cdc_follow_mixed": CHANGES_CTE + """,
-            aug AS (
-              SELECT *, CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 2 = 0
-                             THEN 'tbl_even' ELSE 'tbl_odd' END AS tbl
-              FROM changes
-            ),
-            ranked AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY conv_id, turn_idx ORDER BY log_offset DESC) AS rn
-              FROM aug
-            )
-            SELECT conv_id, turn_idx, role, text, tool, ts, tbl
-            FROM ranked WHERE rn = 1 AND op <> 'delete'
-        """,
-        "cdc_multitable": CHANGES_CTE + """,
-            aug AS (
-              SELECT *, CASE WHEN CAST(substr(conv_id, 6) AS BIGINT) % 2 = 0
-                             THEN 'tbl_even' ELSE 'tbl_odd' END AS tbl
-              FROM changes
-            ),
-            ranked AS (
-              SELECT *, row_number() OVER (
-                PARTITION BY conv_id, turn_idx ORDER BY log_offset DESC) AS rn
-              FROM aug
-            )
-            SELECT conv_id, turn_idx, role, text, tool, ts, tbl
-            FROM ranked WHERE rn = 1 AND op <> 'delete'
-        """,
+        # mixed-stream daemon drain == one-shot fan-out: the same shared SQL
+        "cdc_follow_mixed": multitable_sql,
+        "cdc_multitable": multitable_sql,
         # rename tool->tool_name + drop role + widen turn_idx: the final
         # state is the plain LWW winners with the mapped target schema
         "cdc_schema_nonadditive": CHANGES_CTE + "," + _LAST + """

@@ -280,23 +280,44 @@ def replay_follow_mixed(
     router = router or Router()
     targets = [router.route_table(t) for t in tables
                if not table_filter.filtered(t)]
+    if not targets:
+        # a daemon with zero tables would busy-spin re-reading the whole
+        # log every round (replay_mixed drops every row, one_round never
+        # idles) — a config error, refuse up front
+        raise ValueError("replay_follow_mixed: no tables remain after "
+                         "filtering — nothing to follow")
     scanner = _SegmentScan(log_dir, pattern, offset_col or COL_OFFSET)
+    opened: dict[str, LakeTable] = {}      # lifetime handles (config/meta
+                                           # are immutable; committed state
+                                           # is read from disk per call)
 
     def lakes() -> list[LakeTable]:
-        out = []
         for name in targets:
-            try:
-                out.append(LakeTable.open(os.path.join(lake_root, name)))
-            except FileNotFoundError:
-                pass                       # not created yet (first round)
-        return out
+            if name not in opened:
+                try:
+                    opened[name] = LakeTable.open(
+                        os.path.join(lake_root, name))
+                except FileNotFoundError:
+                    pass                   # not created yet (first round)
+        return [opened[n] for n in targets if n in opened]
 
     def one_round(stats: FollowStats) -> bool:
         lks = lakes()
-        # min across lakes: conservative — replay_mixed re-runs any window
-        # missing from ANY lake, so the lowest pending floor governs both
-        # segment pruning and the gap refusal
-        floor = min((_pending_floor(lk) for lk in lks), default=0)
+        if len(lks) < len(targets):
+            # a target lake doesn't exist yet (first round, or a table
+            # ADDED to a running set): it must backfill the WHOLE log, so
+            # no segment may be pruned and no window skipped — floor 0.
+            # Pruning by the established lakes' floor here would feed
+            # replay_mixed a partial log while it plans ALL windows for
+            # the new lake: early windows would commit EMPTY manifests
+            # (history silently lost) and overwrite the established
+            # lakes' real manifests with empty partition lists.
+            floor = 0
+        else:
+            # min across lakes: conservative — replay_mixed re-runs any
+            # window missing from ANY lake, so the lowest pending floor
+            # governs both segment pruning and the gap refusal
+            floor = min(_pending_floor(lk) for lk in lks)
         present = scanner.scan(floor)
         if present is None:
             return False                    # deferred round (scanner doc)
@@ -316,10 +337,15 @@ def replay_follow_mixed(
                            table_filter=table_filter, router=router,
                            group_epochs=group_epochs)
         ms_all = [m for ms in res.values() for m in ms]
+        if not ms_all:
+            return False                    # nothing committed — idle round
         stats.replay_rounds += 1
-        # distinct epochs, like the single-lake follower (each epoch commits
-        # one manifest PER lake; events_applied is already exact — every
-        # event lands in exactly one lake)
+        # distinct epochs, like the single-lake follower (each epoch
+        # commits one manifest PER lake). events_applied is a WORK gauge,
+        # not an exactly-once ledger: a crash-recovery round re-runs every
+        # window missing from ANY lake, so lakes that already held it
+        # count those events again (same ≥ semantics as the single-lake
+        # tail recommit).
         stats.epochs_committed += len({m.epoch for m in ms_all})
         stats.events_applied += sum(p.events for m in ms_all
                                     for p in m.partitions)

@@ -352,6 +352,31 @@ def _conv_uid(t: pa.Table) -> pa.Array:
                    pa.int64())
 
 
+_MIXED_TABLES = ("tbl_even", "tbl_odd")
+
+
+def _add_mixed_table(t: pa.Table) -> pa.Table:
+    """conv-parity → table column; MUST stay in lockstep with the shared
+    ``MULTITABLE_SQL`` oracle in __ray_entry__.py (both cdc_multitable and
+    cdc_follow_mixed derive from this one definition)."""
+    uid = _conv_uid(t)
+    tbl = pc.if_else(pc.equal(pc.bit_wise_and(uid, pa.scalar(1, pa.int64())),
+                              pa.scalar(0, pa.int64())),
+                     pa.scalar(_MIXED_TABLES[0]), pa.scalar(_MIXED_TABLES[1]))
+    return t.append_column("table", tbl)
+
+
+def _union_mixed_lakes(root: str) -> pa.Table:
+    """Both mixed lakes' states unioned back with the table name — the
+    shape the shared oracle ranks."""
+    pieces = []
+    for name in _MIXED_TABLES:
+        t = LakeTable.open(os.path.join(root, name)).state_table()
+        pieces.append(t.append_column(
+            "tbl", pa.array([name] * t.num_rows, pa.string())))
+    return pa.concat_tables(pieces)
+
+
 def cdc_multitable(sf_dir: str) -> pa.Table:
     """Mixed-stream multi-table fan-out (TableParallelizer,
     table_parallelizer.rs:86-114): ONE interleaved change stream carries a
@@ -362,26 +387,16 @@ def cdc_multitable(sf_dir: str) -> pa.Table:
 
     from ape_dts_ray.pipelines.multitable import replay_mixed
 
-    def add_table(t: pa.Table) -> pa.Table:
-        uid = _conv_uid(t)
-        tbl = pc.if_else(pc.equal(pc.bit_wise_and(uid, pa.scalar(1, pa.int64())),
-                                  pa.scalar(0, pa.int64())),
-                         pa.scalar("tbl_even"), pa.scalar("tbl_odd"))
-        return t.append_column("table", tbl)
-
     root = tempfile.mkdtemp(prefix="ape_dts_ray_multitable_")
-    ds = changes_dataset(sf_dir).map_batches(add_table, batch_format="pyarrow")
-    replay_mixed(root, ["tbl_even", "tbl_odd"], events_ds=ds,
+    ds = changes_dataset(sf_dir).map_batches(_add_mixed_table,
+                                             batch_format="pyarrow")
+    replay_mixed(root, list(_MIXED_TABLES), events_ds=ds,
                  config=EngineConfig(num_partitions=QUERY_PARTITIONS,
                                      epoch_size=50_000),
                  max_offset=_events_max_offset(sf_dir))
-    pieces = []
-    for name in ("tbl_even", "tbl_odd"):
-        t = LakeTable.open(os.path.join(root, name)).state_table()
-        pieces.append(t.append_column(
-            "tbl", pa.array([name] * t.num_rows, pa.string())))
+    out = _union_mixed_lakes(root)
     shutil.rmtree(root, ignore_errors=True)
-    return pa.concat_tables(pieces)
+    return out
 
 
 def cdc_two_way(sf_dir: str) -> pa.Table:
@@ -560,23 +575,16 @@ def cdc_follow_mixed(sf_dir: str) -> pa.Table:
     from ape_dts_ray.pipelines.follow import (_file_offset_span,
                                               replay_follow_mixed)
 
-    def add_table(t: pa.Table) -> pa.Table:
-        uid = _conv_uid(t)
-        tbl = pc.if_else(pc.equal(pc.bit_wise_and(uid, pa.scalar(1, pa.int64())),
-                                  pa.scalar(0, pa.int64())),
-                         pa.scalar("tbl_even"), pa.scalar("tbl_odd"))
-        return t.append_column("table", tbl)
-
     root = tempfile.mkdtemp(prefix="ape_dts_ray_followmixed_")
     stage = os.path.join(root, "stage")
     log = os.path.join(root, "log")
     lakes_root = os.path.join(root, "lakes")
     os.makedirs(log)
     cfg = EngineConfig(num_partitions=QUERY_PARTITIONS, epoch_size=50_000)
-    names = ("tbl_even", "tbl_odd")
+    names = _MIXED_TABLES
     try:
         (changes_dataset(sf_dir)
-         .map_batches(add_table, batch_format="pyarrow")
+         .map_batches(_add_mixed_table, batch_format="pyarrow")
          .repartition(8).write_parquet(stage))
         files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
         spans = {p: _file_offset_span(p, "log_offset") for p in files}
@@ -621,12 +629,7 @@ def cdc_follow_mixed(sf_dir: str) -> pa.Table:
             raise box["exc"]
         stats = box["stats"]
         assert stats.stopped_by == "stop_file" and stats.replay_rounds >= 2
-        pieces = []
-        for name in names:
-            t = LakeTable.open(os.path.join(lakes_root, name)).state_table()
-            pieces.append(t.append_column(
-                "tbl", pa.array([name] * t.num_rows, pa.string())))
-        out = pa.concat_tables(pieces)
+        out = _union_mixed_lakes(lakes_root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out

@@ -400,6 +400,68 @@ def test_mixed_late_table_onboarding(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_follow_mixed_late_onboarding_backfills(tmp_path):
+    """Late onboarding through the FOLLOW loop (review finding): with an
+    established lake already drained past the log, a follower started with
+    an ADDITIONAL table must backfill the new lake from offset 0 — pruning
+    by the established lake's floor would feed replay_mixed a partial log
+    while it plans ALL windows for the new lake (empty manifests = history
+    silently lost, and the established lake's manifests overwritten with
+    empty partition lists)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    from ape_dts_ray.pipelines.follow import replay_follow_mixed
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+
+    events = gen_events(seed=80, n_convs=30, max_turns=6, n_events=4000,
+                        delete_frac=0.2)
+    parity = pc2.bit_wise_and(
+        pc2.index_in(events.column("conv_id"),
+                     value_set=pc2.unique(events.column("conv_id"))),
+        pa.scalar(1, pa.int32()))
+    mixed = events.append_column(
+        "table", pc2.if_else(pc2.equal(parity, pa.scalar(0, pa.int32())),
+                             pa.scalar("tbl_even"), pa.scalar("tbl_odd")))
+    segs, _ = _segments(mixed, 3)
+    log = tmp_path / "log"
+    log.mkdir()
+    for i, seg in enumerate(segs):
+        _append_segment(tmp_path, str(log), seg, i)
+    root = str(tmp_path / "lakes")
+    cfg = EngineConfig(num_partitions=4, epoch_size=1000)
+
+    # phase 1: the service only knows tbl_even; drain the whole log
+    paths = sorted(str(p) for p in log.glob("*.parquet"))
+    replay_mixed(root, ["tbl_even"], events_path=paths, config=cfg)
+    even = LakeTable.open(os.path.join(root, "tbl_even"))
+    before = even.state_table().to_pandas()
+    even_lineage_rows = even.lineage_table().num_rows
+
+    # phase 2: tbl_odd onboards through the DAEMON over the drained log
+    stats = replay_follow_mixed(root, ["tbl_even", "tbl_odd"], str(log),
+                                poll_interval=0.01, max_idle_rounds=2,
+                                config=cfg)
+    assert stats.replay_rounds >= 1            # backfill actually ran
+    after_even = LakeTable.open(os.path.join(root, "tbl_even"))
+    pd.testing.assert_frame_equal(before,
+                                  after_even.state_table().to_pandas())
+    # the established lake's lineage survives the no-op re-commits
+    assert after_even.lineage_table().num_rows >= even_lineage_rows
+    odd = LakeTable.open(os.path.join(root, "tbl_odd"))
+    oracle = oracle_replay(
+        events.filter(pc2.equal(parity, pa.scalar(1, pa.int32()))))
+    state = odd.state_table().to_pandas()
+    assert len(state) == len(oracle)
+    assert sorted(state["text"]) == sorted(oracle["text"])
+
+    # empty table set: refuse up front instead of busy-spinning forever
+    with pytest.raises(ValueError, match="no tables"):
+        replay_follow_mixed(root, [], str(log), max_idle_rounds=1)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_follow_heartbeat_lag_gauge(tmp_path):
     """The follower's heartbeat publishes the source position and derived
     lag (the reference monitor's sinked-vs-extracted pair): zero after a
