@@ -41,7 +41,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from ape_dts_ray.state.lake import LakeTable
+from ape_dts_ray.state.lake import LakeTable, _retry_vanished_files
 
 
 @dataclass
@@ -90,13 +90,25 @@ def _pending_floor(lake: LakeTable) -> int:
     epoch-ordered (replay.py), so everything below the highest committed
     epoch's offset_min is committed-and-skipped; only that tail epoch can be
     re-run by the growing-log recommit. Compaction markers carry
-    offset_min == -1 and are fully covered by the compacted watermark."""
-    committed = lake.committed_epochs()
-    lo = 0
-    if committed:
-        m = lake.read_manifest(max(committed))
-        lo = m.offset_min if m.offset_min != -1 else m.offset_max + 1
-    return max(lo, lake.compacted_watermark() + 1, lake.truncate_offset + 1, 0)
+    offset_min == -1 and are fully covered by the compacted watermark.
+
+    List-then-read is the reader/compactor race (a concurrent or orphaned
+    ``compact()`` folds epochs and unlinks their manifests between our
+    ``committed_epochs()`` and ``read_manifest()``) — this runs once per
+    daemon round, so it goes through the same ``_retry_vanished_files``
+    re-list contract as every other fold/export reader: a fresh listing
+    sees the post-compaction epochs + advanced compacted watermark."""
+
+    def body() -> int:
+        committed = lake.committed_epochs()
+        lo = 0
+        if committed:
+            m = lake.read_manifest(max(committed))
+            lo = m.offset_min if m.offset_min != -1 else m.offset_max + 1
+        return max(lo, lake.compacted_watermark() + 1,
+                   lake.truncate_offset + 1, 0)
+
+    return _retry_vanished_files(body)
 
 
 class _SegmentScan:
@@ -184,7 +196,6 @@ def replay_follow(
     router_fn=None,
     narrow_shuffle: bool = False,
     barriers: list[tuple[int, int]] | None = None,
-    offset_col: str | None = None,
 ) -> FollowStats:
     """Tail ``log_dir`` forever (or until a stop condition), replaying every
     offset past the lake's watermark as it appears.
@@ -204,7 +215,11 @@ def replay_follow(
 
     if stop_file is None:
         stop_file = os.path.join(lake.root, "follow.stop")
-    scanner = _SegmentScan(log_dir, pattern, offset_col or COL_OFFSET)
+    # segments carry the engine's canonical offset column — replay() plans,
+    # filters and commits on COL_OFFSET, so the footer scan must use the
+    # same column (a per-caller override here would desynchronize pruning
+    # from the apply path)
+    scanner = _SegmentScan(log_dir, pattern, COL_OFFSET)
 
     def one_round(stats: FollowStats) -> bool:
         floor = _pending_floor(lake)
@@ -256,7 +271,6 @@ def replay_follow_mixed(
     config=None,
     table_filter=None,
     router=None,
-    offset_col: str | None = None,
 ) -> FollowStats:
     """Mixed-stream daemon: tail ONE growing interleaved log (a ``table``
     column per event) into N lakes — the reference service's actual shape
@@ -286,7 +300,7 @@ def replay_follow_mixed(
         # idles) — a config error, refuse up front
         raise ValueError("replay_follow_mixed: no tables remain after "
                          "filtering — nothing to follow")
-    scanner = _SegmentScan(log_dir, pattern, offset_col or COL_OFFSET)
+    scanner = _SegmentScan(log_dir, pattern, COL_OFFSET)  # see replay_follow
     opened: dict[str, LakeTable] = {}      # lifetime handles (config/meta
                                            # are immutable; committed state
                                            # is read from disk per call)

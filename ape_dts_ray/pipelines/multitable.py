@@ -178,25 +178,45 @@ def replay_mixed(
         max_offset = events_ds.max(COL_OFFSET)
 
     windows = plan_epochs(max_offset, config.epoch_size)
-    done_everywhere = set.intersection(
-        *(set(lk.committed_epochs()) for lk in lakes.values())) if lakes else set()
-    # growing-log resume (see replay.py): a tail epoch committed while the
-    # log was shorter must re-run when the window has since extended
-    if done_everywhere:
-        last = max(done_everywhere)
-        w_last = next((w for w in windows if w.epoch == last), None)
-        if w_last is not None and any(
-                lk.read_manifest(last).offset_max < w_last.hi
-                for lk in lakes.values()):
-            done_everywhere.discard(last)
-    # compacted-watermark filter (truncate publishes compacted.json too, so
-    # this is also the truncate clamp): a window is skippable only when
-    # EVERY lake has folded past it — min() is conservative; re-running a
-    # window against an already-compacted lake is state-idempotent (LWW)
-    cw = min(lk.compacted_watermark() for lk in lakes.values()) \
-        if lakes else -1
+    # Per-lake done semantics (mirrors replay.py's single-lake planning): a
+    # window is skippable only when EVERY lake holds it — via a committed
+    # manifest OR folded past it into that lake's compacted base. The old
+    # intersection-of-manifests + min(compacted_watermark) pair counted
+    # NOTHING as done once one lake compacted (its manifests fold away, the
+    # intersection empties, the other lake's watermark is still -1);
+    # re-running those windows over a pruned source (the follow daemon
+    # prunes segments below the pending floor) then committed EMPTY
+    # manifests over the uncompacted lake's real ones — one lost LWW winner
+    # in the concurrent-compactor verify drive.
+    committed_sets = {t: set(lk.committed_epochs())
+                      for t, lk in lakes.items()}
+    win_by_id = {w.epoch: w for w in windows}
+    for t, lk in lakes.items():
+        # growing-log resume (see replay.py): this lake's tail epoch may
+        # have been committed while the log was shorter — re-run the whole
+        # window (deterministic delta names + manifest overwrite keep it
+        # exactly-once)
+        if not committed_sets[t]:
+            continue
+        last = max(committed_sets[t])
+        w_last = win_by_id.get(last)
+        if w_last is None:
+            continue
+        try:
+            if lk.read_manifest(last).offset_max < w_last.hi:
+                committed_sets[t].discard(last)
+        except FileNotFoundError:
+            # folded by a concurrent compactor between the listing and the
+            # read — coverage moves to the compacted watermark read below
+            committed_sets[t].discard(last)
+    # compacted watermarks are read AFTER the manifest snapshots: anything
+    # a concurrent compactor folds between the two reads is covered by the
+    # later watermark (truncate publishes compacted.json too, so this is
+    # also the truncate clamp)
+    cws = {t: lk.compacted_watermark() for t, lk in lakes.items()}
     pending = [w for w in windows
-               if w.epoch not in done_everywhere and w.hi > cw]
+               if not all(w.hi <= cws[t] or w.epoch in committed_sets[t]
+                          for t in src_tables)]
     if not pending:
         return {targets[t]: [] for t in src_tables}
 
@@ -277,11 +297,19 @@ def replay_mixed(
                     & (pads.field(COL_OFFSET) <= chunk[-1].hi))
             with _DS_BUILD_LOCK:
                 src = rd.read_parquet(paths, filter=expr)
+            # Parquet sources: Ray's SplitBlocks emits ~30k-row sub-blocks
+            # that flood the _shard sort with P² tiny objects — the same 8×
+            # pitfall replay() re-bundles away (replay.py / BASELINE.md r5).
+            # Real event rows, so bundle to the tuned ~131k-row unit; the
+            # descriptor-stream branch below keeps batch_size=None.
+            bs = 131_072
         else:
             src = events_ds
+            bs = None
         ds = (src.map_batches(lambda t: normalize_batch(t, id_cols),
-                              batch_format="pyarrow")
-              .map_batches(make_shard_fn(chunk), batch_format="pyarrow"))
+                              batch_format="pyarrow", batch_size=bs)
+              .map_batches(make_shard_fn(chunk), batch_format="pyarrow",
+                           batch_size=bs))
         lineage = ds.groupby("_shard").map_groups(
             apply_group, batch_format="pyarrow").take_all()
         for r in lineage:

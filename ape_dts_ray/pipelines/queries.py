@@ -490,6 +490,71 @@ def cdc_two_way(sf_dir: str) -> pa.Table:
     return state["A"]
 
 
+def _drive_follow_two_waves(root: str, stage_ds, run_follower, watermark_fn):
+    """Shared two-wave reveal harness for the follow queries (``cdc_follow``
+    and ``cdc_follow_mixed`` differ only in the follower and the watermark
+    probe): stage the change stream as parquet segments, reveal them to a
+    follower RUNNING in a sibling thread in two offset-ordered waves
+    (write-then-rename appends), wait for ``watermark_fn()`` to pass each
+    wave's max offset, stop via the stop file and return the follower's
+    stats (stop-file shutdown + ≥2 replay rounds asserted here, once).
+
+    ``run_follower(log_dir, stop_file)`` runs the daemon until stopped.
+    A wave that fails to drain within 300 s raises TimeoutError — a stall
+    diagnosis (overloaded host / wedged follower), instead of silently
+    falling through to the misleading replay_rounds assertion."""
+    import glob
+    import threading
+    import time
+
+    from ape_dts_ray.pipelines.follow import _file_offset_span
+
+    stage = os.path.join(root, "stage")
+    log = os.path.join(root, "log")
+    stop = os.path.join(root, "stop")
+    os.makedirs(log, exist_ok=True)
+    # order-preserving split: ≥2 segments per wave even when the sf
+    # events parquet is a single row group
+    stage_ds.repartition(8).write_parquet(stage)
+    files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
+    spans = {p: _file_offset_span(p, "log_offset") for p in files}
+    files.sort(key=lambda p: spans[p][0])     # offset-ordered appends
+    cut = max(1, len(files) // 2)
+    wave_max = [max(spans[p][1] for p in files[:cut]),
+                max(spans[p][1] for p in files)]
+    box: dict = {}
+
+    def run():
+        try:
+            box["stats"] = run_follower(log, stop)
+        except BaseException as e:
+            box["exc"] = e
+
+    th = threading.Thread(target=run)
+    th.start()
+    try:
+        for wave, batch in enumerate((files[:cut], files[cut:])):
+            for i, p in enumerate(batch):
+                os.rename(p, os.path.join(log, f"seg{wave}_{i:04d}.parquet"))
+            t0 = time.time()
+            while watermark_fn() < wave_max[wave] and "exc" not in box:
+                if time.time() - t0 >= 300:
+                    raise TimeoutError(
+                        f"follow harness: wave {wave} not drained after "
+                        f"300 s (watermark {watermark_fn()} < "
+                        f"{wave_max[wave]}) — stalled follower or "
+                        "overloaded host")
+                time.sleep(0.05)
+    finally:
+        open(stop, "w").close()
+        th.join(timeout=300)
+    if "exc" in box:
+        raise box["exc"]
+    stats = box["stats"]
+    assert stats.stopped_by == "stop_file" and stats.replay_rounds >= 2
+    return stats
+
+
 def cdc_follow(sf_dir: str) -> pa.Table:
     """Continuous tail mode (pipelines/follow.py — the reference's daemon
     drain loop, base_pipeline.rs:59-141 + cdc_resumer.rs:24-89): the change
@@ -498,59 +563,18 @@ def cdc_follow(sf_dir: str) -> pa.Table:
     drains each wave as it appears, heartbeats, and stops on the stop file;
     the final state must equal the one-shot replay's, so the oracle is
     exactly ``cdc_apply_lww``'s."""
-    import glob
     import shutil
-    import threading
-    import time
 
-    from ape_dts_ray.pipelines.follow import (_file_offset_span,
-                                              replay_follow)
+    from ape_dts_ray.pipelines.follow import replay_follow
 
     root = tempfile.mkdtemp(prefix="ape_dts_ray_follow_")
-    stage = os.path.join(root, "stage")
-    log = os.path.join(root, "log")
-    os.makedirs(log)
     lake = _fresh_lake("follow")
     try:
-        # order-preserving split: ≥2 segments per wave even when the sf
-        # events parquet is a single row group
-        changes_dataset(sf_dir).repartition(8).write_parquet(stage)
-        files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
-        spans = {p: _file_offset_span(p, "log_offset") for p in files}
-        files.sort(key=lambda p: spans[p][0])     # offset-ordered appends
-        cut = max(1, len(files) // 2)
-        wave_max = [max(spans[p][1] for p in files[:cut]),
-                    max(spans[p][1] for p in files)]
-
-        stop = os.path.join(root, "stop")
-        box: dict = {}
-
-        def run():
-            try:
-                box["stats"] = replay_follow(lake, log, poll_interval=0.05,
-                                             stop_file=stop,
-                                             pipeline_depth=1)
-            except BaseException as e:
-                box["exc"] = e
-
-        th = threading.Thread(target=run)
-        th.start()
-        try:
-            for wave, names in enumerate((files[:cut], files[cut:])):
-                for i, p in enumerate(names):
-                    os.rename(p, os.path.join(
-                        log, f"seg{wave}_{i:04d}.parquet"))
-                t0 = time.time()
-                while (LakeTable.open(lake.root).watermark() < wave_max[wave]
-                       and "exc" not in box and time.time() - t0 < 300):
-                    time.sleep(0.05)
-        finally:
-            open(stop, "w").close()
-            th.join(timeout=300)
-        if "exc" in box:
-            raise box["exc"]
-        stats = box["stats"]
-        assert stats.stopped_by == "stop_file" and stats.replay_rounds >= 2
+        _drive_follow_two_waves(
+            root, changes_dataset(sf_dir),
+            lambda log, stop: replay_follow(lake, log, poll_interval=0.05,
+                                            stop_file=stop, pipeline_depth=1),
+            lambda: LakeTable.open(lake.root).watermark())
         assert LakeTable.open(lake.root).heartbeat() is not None
         out = LakeTable.open(lake.root).state_table()
     finally:
@@ -567,68 +591,30 @@ def cdc_follow_mixed(sf_dir: str) -> pa.Table:
     staged as parquet segments and revealed to a RUNNING mixed follower in
     two waves; the drained lakes unioned back must equal the one-shot
     fan-out, so the oracle is exactly ``cdc_multitable``'s."""
-    import glob
     import shutil
-    import threading
-    import time
 
-    from ape_dts_ray.pipelines.follow import (_file_offset_span,
-                                              replay_follow_mixed)
+    from ape_dts_ray.pipelines.follow import replay_follow_mixed
 
     root = tempfile.mkdtemp(prefix="ape_dts_ray_followmixed_")
-    stage = os.path.join(root, "stage")
-    log = os.path.join(root, "log")
     lakes_root = os.path.join(root, "lakes")
-    os.makedirs(log)
     cfg = EngineConfig(num_partitions=QUERY_PARTITIONS, epoch_size=50_000)
-    names = _MIXED_TABLES
-    try:
-        (changes_dataset(sf_dir)
-         .map_batches(_add_mixed_table, batch_format="pyarrow")
-         .repartition(8).write_parquet(stage))
-        files = sorted(glob.glob(os.path.join(stage, "*.parquet")))
-        spans = {p: _file_offset_span(p, "log_offset") for p in files}
-        files.sort(key=lambda p: spans[p][0])     # offset-ordered appends
-        cut = max(1, len(files) // 2)
-        wave_max = [max(spans[p][1] for p in files[:cut]),
-                    max(spans[p][1] for p in files)]
 
-        stop = os.path.join(root, "stop")
-        box: dict = {}
-
-        def run():
-            try:
-                box["stats"] = replay_follow_mixed(
-                    lakes_root, list(names), log, poll_interval=0.05,
-                    stop_file=stop, config=cfg)
-            except BaseException as e:
-                box["exc"] = e
-
-        def min_wm() -> int:
-            try:
-                return min(LakeTable.open(os.path.join(lakes_root, n))
-                           .watermark() for n in names)
-            except FileNotFoundError:
-                return -1
-
-        th = threading.Thread(target=run)
-        th.start()
+    def min_wm() -> int:
         try:
-            for wave, batch in enumerate((files[:cut], files[cut:])):
-                for i, p in enumerate(batch):
-                    os.rename(p, os.path.join(
-                        log, f"seg{wave}_{i:04d}.parquet"))
-                t0 = time.time()
-                while (min_wm() < wave_max[wave] and "exc" not in box
-                       and time.time() - t0 < 300):
-                    time.sleep(0.05)
-        finally:
-            open(stop, "w").close()
-            th.join(timeout=300)
-        if "exc" in box:
-            raise box["exc"]
-        stats = box["stats"]
-        assert stats.stopped_by == "stop_file" and stats.replay_rounds >= 2
+            return min(LakeTable.open(os.path.join(lakes_root, n))
+                       .watermark() for n in _MIXED_TABLES)
+        except FileNotFoundError:
+            return -1
+
+    try:
+        _drive_follow_two_waves(
+            root,
+            changes_dataset(sf_dir).map_batches(_add_mixed_table,
+                                                batch_format="pyarrow"),
+            lambda log, stop: replay_follow_mixed(
+                lakes_root, list(_MIXED_TABLES), log, poll_interval=0.05,
+                stop_file=stop, config=cfg),
+            min_wm)
         out = _union_mixed_lakes(lakes_root)
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -528,9 +528,15 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
     if committed:
         last = max(committed)
         w_last = next((w for w in windows if w.epoch == last), None)
-        if w_last is not None and \
-                lake.read_manifest(last).offset_max != w_last.hi:
-            committed.discard(last)
+        if w_last is not None:
+            try:
+                if lake.read_manifest(last).offset_max != w_last.hi:
+                    committed.discard(last)
+            except FileNotFoundError:
+                # folded by a concurrent compactor between the listing and
+                # this read — its coverage moves to the compacted watermark
+                # (read AFTER the manifest snapshot, below)
+                committed.discard(last)
     # Any OTHER committed epoch that reappears in this plan must cover the
     # same offset range — a mismatch means an earlier replay used different
     # window boundaries (e.g. a different min_offset before the ids were
@@ -542,7 +548,11 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
             w = win_by_id.get(e)
             if w is None:
                 continue                   # history below min_offset
-            m = lake.read_manifest(e)
+            try:
+                m = lake.read_manifest(e)
+            except FileNotFoundError:
+                committed.discard(e)       # folded concurrently; coverage
+                continue                   # moves to the compacted watermark
             if m.offset_min != -1 and not (w.lo <= m.offset_min
                                            and m.offset_max <= w.hi):
                 raise ValueError(

@@ -835,3 +835,59 @@ def test_follow_gives_up_loudly_on_persistent_read_error(tmp_path,
     with pytest.raises(RuntimeError, match="consecutive rounds"):
         replay_follow(lake, str(log), poll_interval=0.001, pipeline_depth=1)
     assert lake.watermark() == -1           # no skip was ever committed
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixed_replan_after_one_lake_compacts(tmp_path):
+    """Regression (round-5 verify drive, concurrent-compactor race): once
+    ONE mixed lake compacts, its manifests fold into the compacted base —
+    replay_mixed's old intersection-of-manifests planning then counted
+    NOTHING as done, and a follow-style delta round over a PRUNED source
+    (only tail segments survive the pending floor) re-ran every early
+    window empty, overwriting the OTHER lake's real manifests (lost LWW
+    winners). Planning is per-lake now (manifest OR compacted coverage):
+    the delta round must be a pure no-op and both states must stay exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+
+    events = gen_events(seed=88, n_convs=40, max_turns=8, n_events=6000,
+                        delete_frac=0.2)
+    parity = pc2.bit_wise_and(
+        pc2.index_in(events.column("conv_id"),
+                     value_set=pc2.unique(events.column("conv_id"))),
+        pa.scalar(1, pa.int32()))
+    tblcol = pc2.if_else(pc2.equal(parity, pa.scalar(0, pa.int32())),
+                         pa.scalar("tbl_even"), pa.scalar("tbl_odd"))
+    mixed = events.append_column("table", tblcol)
+    segs, maxes = _segments(mixed, 3)
+    log = tmp_path / "log"
+    log.mkdir()
+    for i, seg in enumerate(segs):
+        _append_segment(tmp_path, str(log), seg, i)
+    paths = sorted(str(log / f) for f in os.listdir(log))
+    names = ["tbl_even", "tbl_odd"]
+    cfg = EngineConfig(num_partitions=4, epoch_size=1000)
+    root = str(tmp_path / "lakes")
+    replay_mixed(root, names, events_path=paths, config=cfg)
+
+    LakeTable.open(os.path.join(root, "tbl_even")).compact()
+    odd_manifests = set(
+        LakeTable.open(os.path.join(root, "tbl_odd")).committed_epochs())
+
+    # follow-style delta round: everything is committed, the floor pruned
+    # all but the tail segment — must be a no-op for BOTH lakes
+    res = replay_mixed(root, names, events_path=[paths[-1]], config=cfg,
+                       max_offset=maxes[-1])
+    assert all(ms == [] for ms in res.values()), res
+    assert set(LakeTable.open(os.path.join(root, "tbl_odd"))
+               .committed_epochs()) == odd_manifests
+
+    for name, par in (("tbl_even", 0), ("tbl_odd", 1)):
+        lk = LakeTable.open(os.path.join(root, name))
+        mask = pc2.equal(parity, pa.scalar(par, pa.int32()))
+        oracle = oracle_replay(events.filter(mask))
+        state = lk.state_table().to_pandas()
+        assert len(state) == len(oracle), name
+        assert sorted(state["text"]) == sorted(oracle["text"]), name
