@@ -222,11 +222,18 @@ class LakeTable:
             return EpochManifest.from_json(f.read())
 
     def committed_watermark(self) -> int:
-        """Highest committed log offset (position.log analog). -1 if none."""
-        epochs = self.committed_epochs()
-        if not epochs:
-            return -1
-        return self.read_manifest(epochs[-1]).offset_max
+        """Highest committed log offset (position.log analog). -1 if none.
+        Retried list-then-read: followers poll this every round while a
+        concurrent compactor may fold the tail manifest away — a fresh
+        listing sees the post-compaction epochs."""
+
+        def body() -> int:
+            epochs = self.committed_epochs()
+            if not epochs:
+                return -1
+            return self.read_manifest(epochs[-1]).offset_max
+
+        return _retry_vanished_files(body)
 
     def commit_epoch(self, manifest: EpochManifest,
                      schema_version: int | None = None) -> None:
@@ -950,16 +957,23 @@ class LakeTable:
     def lineage_table(self) -> pa.Table:
         """Per-(epoch, partition) lineage from all committed manifests — the
         metrics surface (counter windows / task_metrics.rs analog): applied
-        offset ranges + upsert/delete counts, queryable as a Dataset."""
-        rows = []
-        for e in self.committed_epochs():
-            m = self.read_manifest(e)
-            for p in m.partitions:
-                rows.append({
-                    "epoch": e, "part_id": p.part_id, "events": p.events,
-                    "rows": p.rows, "upserts": p.upserts, "deletes": p.deletes,
-                    "offset_min": p.offset_min, "offset_max": p.offset_max,
-                })
+        offset ranges + upsert/delete counts, queryable as a Dataset.
+        Retried list-then-read (see committed_watermark)."""
+
+        def body() -> list[dict]:
+            out = []
+            for e in self.committed_epochs():
+                m = self.read_manifest(e)
+                for p in m.partitions:
+                    out.append({
+                        "epoch": e, "part_id": p.part_id, "events": p.events,
+                        "rows": p.rows, "upserts": p.upserts,
+                        "deletes": p.deletes,
+                        "offset_min": p.offset_min, "offset_max": p.offset_max,
+                    })
+            return out
+
+        rows = _retry_vanished_files(body)
         schema = pa.schema([
             ("epoch", pa.int64()), ("part_id", pa.int32()),
             ("events", pa.int64()), ("rows", pa.int64()),
