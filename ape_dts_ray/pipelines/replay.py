@@ -305,9 +305,14 @@ def _narrow_apply(lake: LakeTable, ds_sharded, apply_fn) -> list[dict]:
     out = []
     for r in win_rows:
         got = rows2.get((r["epoch"], r["part_id"]), 0)
-        assert got == r["rows"], (
-            f"narrow apply wrote {got} rows for epoch {r['epoch']} part "
-            f"{r['part_id']}, winner pass expected {r['rows']}")
+        if got != r["rows"]:
+            # contract violation, not a debug assert: a divergence between
+            # the winner pass and the delta write must fail the chunk even
+            # under python -O (a stripped assert would commit corrupt
+            # manifests silently)
+            raise RuntimeError(
+                f"narrow apply wrote {got} rows for epoch {r['epoch']} part "
+                f"{r['part_id']}, winner pass expected {r['rows']}")
         out.append({k: v for k, v in r.items() if k != "winners"})
     return out
 
@@ -379,8 +384,12 @@ def replay(
     size-tiered tradeoff), so pick K several× group_epochs; an aggressive
     K=4 over 16 epochs measured 2.2× replay wall (BASELINE.md round 4).
     """
-    import pyarrow.parquet as pq
-
+    if events_factory is not None and max_offset is None \
+            and events_path is None and events_ds is None:
+        raise ValueError(
+            "replay(events_factory=...) requires max_offset — the factory "
+            "is invoked per planned window, so the plan's span cannot be "
+            "discovered from it")
     spill = _SpillState()
     try:
         if events_ds is not None and events_factory is None \

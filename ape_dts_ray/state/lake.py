@@ -140,7 +140,6 @@ class LakeTable:
             if if_exists == "ignore":
                 return cls.open(root)
             if if_exists == "overwrite":
-                import shutil
                 shutil.rmtree(root)
             elif if_exists == "error":
                 raise FileExistsError(f"lake table already exists at {root}")
@@ -300,11 +299,19 @@ class LakeTable:
         """The migration's sequence-handoff step (PG: setval(max(col)) after
         the copy, so inserts on the target continue where the source left
         off): next_value = max(col over live state) + increment, computed
-        distributed (pruned column read). Returns {name: next_value}."""
+        distributed (pruned column read). Returns {name: next_value}.
+        ONE merge-on-read scan covers every sequence (a per-sequence scan
+        would re-fold the whole table N times for the same maxima)."""
         out = {}
+        if self.sequences:
+            from ray.data.aggregate import Max
+
+            cols = sorted({s["col"] for s in self.sequences})
+            ds = self.state_dataset(columns=cols)
+            agg = ds.aggregate(*[Max(c) for c in cols]) or {}
+            maxima = {c: agg.get(f"max({c})") for c in cols}
         for s in self.sequences:
-            ds = self.state_dataset(columns=[s["col"]])
-            mx = ds.max(s["col"])
+            mx = maxima.get(s["col"])
             if mx is not None:
                 s["next_value"] = max(s["next_value"],
                                       int(mx) + s["increment"])
@@ -532,6 +539,15 @@ class LakeTable:
         ``parallel=True`` runs one Ray task per partition (the second, offline
         shuffle of SURVEY §7 — partition-pure, so no data exchange at all);
         ``False`` folds inline (tests / tiny lakes / no Ray session)."""
+        if self.truncate_in_progress():
+            # checked BEFORE the rotation branch: compact(new_hot_keys=...)
+            # against a torn truncate would write rotation.json and then
+            # refuse on the truncate marker — leaving BOTH markers in place,
+            # where truncate() refuses on rotation and rotation on truncate
+            # (a mutual wedge only hand-deleting a marker could clear)
+            raise RuntimeError(
+                "truncate in progress (truncate.json present) — re-run "
+                "truncate() to finish it before compacting")
         if new_hot_keys is not None:
             if max_delta_files is not None or keep_epochs:
                 raise ValueError("hot-key rotation requires a FULL compaction "
@@ -545,16 +561,20 @@ class LakeTable:
             raise RuntimeError(
                 "hot-key rotation in progress (rotation.json present) — "
                 "re-run compact(new_hot_keys=...) to finish it first")
-        if self.truncate_in_progress():
-            raise RuntimeError(
-                "truncate in progress (truncate.json present) — re-run "
-                "truncate() to finish it before compacting")
         if max_delta_files is not None or keep_epochs:
             return self._compact_partial(max_delta_files, keep_epochs, parallel)
-        epochs = self.committed_epochs()
+
+        def snapshot() -> tuple[list[int], int]:
+            # retried list-then-read: a concurrent compactor (e.g. a
+            # follower's auto-compact tick racing an operator-run compact)
+            # can fold the tail manifest between the listing and the read
+            es = self.committed_epochs()
+            return (es, self.read_manifest(es[-1]).offset_max) if es \
+                else ([], -1)
+
+        epochs, watermark = _retry_vanished_files(snapshot)
         if not epochs:
             return 0
-        watermark = self.read_manifest(epochs[-1]).offset_max
 
         root, meta, cfg, sv = self.root, self.meta, self.config, self.schema_version
         ops = self.schema_ops
@@ -594,7 +614,12 @@ class LakeTable:
         # a crash inside the cleanup window must never regress watermark() —
         # folding committed deltas over a base that already contains them is
         # idempotent (same LWW winners), so the transient overlap is safe,
-        # while a regressed watermark would re-apply the entire log.
+        # while a regressed watermark would re-apply the entire log. max()
+        # against the CURRENT compacted.json for the same reason: a
+        # concurrent compactor may have published a higher watermark while
+        # this run was folding (the "never regresses" contract is global,
+        # not per-invocation).
+        watermark = max(watermark, self.compacted_watermark())
         m = EpochManifest(epoch=epochs[-1], offset_min=-1, offset_max=watermark,
                           schema_version=self.schema_version, partitions=[])
         atomic_write_text(os.path.join(self.root, MANIFEST_DIR, "compacted.json"),
@@ -689,16 +714,33 @@ class LakeTable:
             done = [fold_partition(p)
                     for p in range(self.config.num_partitions)]
 
-        # drop the fully-consumed epoch PREFIX (manifest watermark first)
+        # drop the fully-consumed epoch PREFIX (manifest watermark first).
+        # Orphaned atomic-write temporaries (*.tmp-<uuid>, a writer SIGKILLed
+        # mid pq.write_table; resume rewrites under a FRESH uuid) don't count
+        # as content — they would otherwise pin the prefix forever, manifests
+        # would never GC, and the auto-compact fallback would full-rewrite
+        # the base every tick. The rmtree below removes them with the dir.
         removable = []
         for e in epochs:
             ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
-            if os.path.isdir(ddir) and os.listdir(ddir):
+            if os.path.isdir(ddir) and any(
+                    ".tmp-" not in f for f in os.listdir(ddir)):
                 break
             removable.append(e)
         if removable:
-            wm = max(self.read_manifest(removable[-1]).offset_max,
-                     self.compacted_watermark())
+            try:
+                mwm = self.read_manifest(removable[-1]).offset_max
+            except FileNotFoundError:
+                # a concurrent compactor consumed it after publishing its
+                # own compacted.json, which therefore covers this epoch —
+                # the re-read below carries the watermark
+                mwm = -1
+            wm = max(mwm, self.compacted_watermark())
+            if wm == -1:
+                # no watermark source at all (should be unreachable: a
+                # vanished manifest implies a durable compacted.json) —
+                # never GC manifests without coverage; defer to next tick
+                return sum(bool(d) for d in done)
             m = EpochManifest(epoch=removable[-1], offset_min=-1,
                               offset_max=wm,
                               schema_version=self.schema_version, partitions=[])

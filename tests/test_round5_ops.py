@@ -1336,3 +1336,109 @@ def test_retry_budget_resets_per_path():
 
     with pytest.raises(FileNotFoundError):
         _retry_vanished_files(stuck, attempts=4)
+
+
+# ------------------------------------------ compaction-protocol review fixes
+
+
+def test_compact_rotate_refuses_on_torn_truncate(tmp_path):
+    """compact(new_hot_keys=...) against a torn truncate must refuse BEFORE
+    writing rotation.json: pre-fix the rotation branch ran first, wrote the
+    rotation marker, then died on the truncate refusal inside the fold —
+    leaving BOTH markers, where truncate() refuses on rotation and every
+    compact/replay on truncate (a wedge only hand-deleting a marker could
+    clear)."""
+    import pyarrow.parquet as pqmod
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import MANIFEST_DIR, LakeTable
+
+    events = gen_events(seed=91, n_convs=10, max_turns=4, n_events=1000)
+    lake = LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(num_partitions=4, epoch_size=400))
+    src = str(tmp_path / "ev.parquet")
+    pqmod.write_table(events, src)
+    replay(lake, events_path=src)
+    # torn truncate: the marker exists (deletes may or may not have run)
+    open(os.path.join(lake.root, MANIFEST_DIR, "truncate.json"), "w").close()
+    with pytest.raises(RuntimeError, match="truncate in progress"):
+        lake.compact(new_hot_keys=("conv-0000001",), parallel=False)
+    assert not lake.rotation_in_progress()       # no second marker written
+    lake.truncate()                              # recovery path still open
+    assert not lake.truncate_in_progress()
+
+
+def test_partial_compact_gc_ignores_orphan_tmp(tmp_path):
+    """A SIGKILL-orphaned atomic-write temporary (part-*.parquet.tmp-<uuid>)
+    in a delta epoch dir must not pin the manifest prefix: pre-fix the
+    consumed-prefix check treated ANY dir entry as content, so manifests
+    below the orphan never GC'd and committed_epochs() grew forever in a
+    long follow run."""
+    import pyarrow.parquet as pqmod
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable
+
+    events = gen_events(seed=92, n_convs=12, max_turns=4, n_events=2000)
+    lake = LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(num_partitions=4, epoch_size=400))
+    src = str(tmp_path / "ev.parquet")
+    pqmod.write_table(events, src)
+    replay(lake, events_path=src)
+    wm = lake.watermark()
+    epochs = lake.committed_epochs()
+    assert len(epochs) > 1
+    orphan = os.path.join(lake.root, "delta", f"epoch-{epochs[0]:08d}",
+                          "part-00000.parquet.tmp-deadbeef")
+    with open(orphan, "wb") as f:
+        f.write(b"torn write")
+    lake.compact(max_delta_files=0, parallel=False)
+    assert lake.committed_epochs() == []         # prefix fully GC'd
+    assert lake.watermark() == wm                # never regresses
+    assert not os.path.exists(orphan)            # removed with its dir
+
+
+def test_full_compact_never_regresses_published_watermark(tmp_path):
+    """Full compact() publishes max(own watermark, current compacted.json):
+    a concurrent compactor may have published a HIGHER watermark while this
+    run was folding — pre-fix the verbatim overwrite regressed watermark()
+    and the next follow round re-scanned/re-applied the regressed span."""
+    import pyarrow.parquet as pqmod
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import MANIFEST_DIR, LakeTable
+    from ape_dts_ray.state.manifest import EpochManifest, atomic_write_text
+
+    events = gen_events(seed=93, n_convs=10, max_turns=4, n_events=1000)
+    lake = LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(num_partitions=4, epoch_size=400))
+    src = str(tmp_path / "ev.parquet")
+    pqmod.write_table(events, src)
+    replay(lake, events_path=src)
+    high = lake.watermark() + 50_000
+    m = EpochManifest(epoch=999, offset_min=-1, offset_max=high,
+                      schema_version=lake.schema_version, partitions=[])
+    atomic_write_text(os.path.join(lake.root, MANIFEST_DIR,
+                                   "compacted.json"), m.to_json())
+    lake.compact(parallel=False)
+    assert lake.compacted_watermark() == high    # max()-ed, not overwritten
+
+
+def test_replay_events_factory_requires_max_offset(tmp_path):
+    """events_factory without max_offset must refuse with a clear error —
+    the factory is invoked per planned window, so the plan's span cannot be
+    discovered from it (pre-fix: opaque AttributeError on NoneType)."""
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable
+
+    lake = LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(num_partitions=2, epoch_size=400))
+    with pytest.raises(ValueError, match="requires max_offset"):
+        replay(lake, events_factory=lambda w: None)
