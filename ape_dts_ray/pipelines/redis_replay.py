@@ -48,6 +48,7 @@ polars. At 100 TB, files are the resume/retry unit and slots bound skew to
 from __future__ import annotations
 
 import os
+import re
 import time
 
 import numpy as np
@@ -126,6 +127,18 @@ def _strict_ms(b: bytes) -> float:
                            pa.int64()), pa.float64())[0].as_py()
 
 
+# minimum argc per command — a shorter command is a corrupt/truncated log
+# and refuses with context instead of a bare IndexError; real Redis rejects
+# all of these with arity errors. scan_to_events routes under-arity fast
+# commands here so both derivations raise identically.
+_MIN_ARITY = {b"SELECT": 2, b"SET": 3, b"DEL": 2, b"UNLINK": 2,
+              b"HSET": 4, b"HMSET": 4, b"HDEL": 3, b"SADD": 3, b"SREM": 3,
+              b"ZADD": 4, b"ZREM": 3, b"RPUSH": 3, b"PEXPIREAT": 3,
+              b"HPEXPIREAT": 6, b"XADD": 5, b"RESTORE": 4}
+
+_XADD_ID_RE = re.compile(rb"^\d+(-\d+)?$")
+
+
 def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
     """Expand parsed commands into columnar element events. The per-command
     loop is the sequential tail of the per-file parse task (same unit as the
@@ -151,6 +164,12 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
         cmd = args[0].upper()
         if cmd in (b"PING", b"REPLCONF", b"MULTI", b"EXEC"):
             continue
+        need = _MIN_ARITY.get(cmd)
+        if need is not None and len(args) < need:
+            raise ValueError(
+                f"redis replay: {cmd.decode(errors='replace')} needs >= "
+                f"{need} args, got {len(args)} (offset {off}) — truncated "
+                "or corrupt log")
         if cmd == b"SELECT":
             db = int(args[1])
             continue
@@ -165,8 +184,11 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
             while i < len(args):
                 o = args[i].upper()
                 if o == b"PXAT":
+                    # strict ms parse, same chain as PEXPIREAT — the lax
+                    # float(int(...)) accepted byte forms (b' 123 ') the
+                    # documented parity contract refuses
                     emit(args[1], "expire", "key", "expire",
-                         score=float(int(args[i + 1])), off=off)
+                         score=_strict_ms(args[i + 1]), off=off)
                     i += 2
                 elif o == b"KEEPTTL":
                     # fold clears TTLs older than the SET barrier; KEEPTTL
@@ -186,6 +208,11 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
             for k in args[1:]:
                 emit(k, "key", "key", "del", off=off)
         elif cmd == b"HSET" or cmd == b"HMSET":
+            if (len(args) - 2) % 2:
+                raise ValueError(
+                    f"redis replay: {cmd.decode()} has an unpaired trailing "
+                    f"argument (offset {off}) — Redis rejects the whole "
+                    "command; refusing instead of half-applying it")
             for s, i in enumerate(range(2, len(args) - 1, 2)):
                 emit(args[1], "field", "hash", "add", field=args[i],
                      value=args[i + 1], off=off, seq=s)
@@ -199,6 +226,10 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
             for s, m in enumerate(args[2:]):
                 emit(args[1], "field", "set", "rem", field=m, off=off, seq=s)
         elif cmd == b"ZADD":
+            if (len(args) - 2) % 2:
+                raise ValueError(
+                    f"redis replay: ZADD has an unpaired trailing argument "
+                    f"(offset {off}) — Redis rejects the whole command")
             for s, i in enumerate(range(2, len(args) - 1, 2)):
                 emit(args[1], "field", "zset", "add", field=args[i + 1],
                      score=_strict_f64(args[i]), off=off, seq=s)
@@ -225,15 +256,44 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
                                  "mismatch")
             for s, f in enumerate(flds):
                 emit(args[1], "fexpire", "hash", "expire", field=f,
-                     score=float(int(args[2])), off=off, seq=s)
+                     score=_strict_ms(args[2]), off=off, seq=s)
         elif cmd == b"XADD":
-            if args[2] == b"*":
-                raise ValueError("redis replay: XADD * is non-deterministic; "
-                                 "logs must carry explicit stream ids")
-            eid = args[2]
-            for s, i in enumerate(range(3, len(args) - 1, 2)):
+            # skip the trim/option tokens Redis propagates ahead of the id
+            # (XADD key [NOMKSTREAM] [MAXLEN|MINID [~|=] n [LIMIT m]] id ...)
+            # — treating args[2] as the id silently turned 'MAXLEN' into a
+            # stream id and the real id into a field value
+            i = 2
+            while i < len(args):
+                o = args[i].upper()
+                if o == b"NOMKSTREAM":
+                    i += 1
+                elif o in (b"MAXLEN", b"MINID"):
+                    i += 2 if (i + 1 < len(args)
+                               and args[i + 1] in (b"~", b"=")) else 1
+                    i += 1                        # the threshold value
+                elif o == b"LIMIT":
+                    i += 2
+                else:
+                    break
+            if i >= len(args):
+                raise ValueError("redis replay: XADD missing stream id "
+                                 f"(offset {off})")
+            eid = args[i]
+            if eid == b"*" or eid.endswith(b"-*"):
+                raise ValueError("redis replay: XADD with an auto id is "
+                                 "non-deterministic; logs must carry "
+                                 "explicit stream ids")
+            if not _XADD_ID_RE.match(eid):
+                raise ValueError(f"redis replay: XADD id {eid!r} is not "
+                                 f"'<ms>[-<seq>]' (offset {off})")
+            rest = args[i + 1:]
+            if not rest or len(rest) % 2:
+                raise ValueError(
+                    f"redis replay: XADD field/value arity (offset {off}) — "
+                    "Redis rejects the whole command")
+            for s, j in enumerate(range(0, len(rest) - 1, 2)):
                 emit(args[1], "field", "stream", "add",
-                     field=eid + b":" + args[i], value=args[i + 1],
+                     field=eid + b":" + rest[j], value=rest[j + 1],
                      off=off, seq=s)
         elif cmd in (b"XSETID", b"XGROUP"):
             continue    # metadata; the sink re-derives last_id from max id
@@ -386,6 +446,10 @@ def scan_to_events(data: bytes, base_offset: int = 0, db: int = 0) -> pa.Table:
             s0 = int(cum0[i])                          # switch per file
             args = [bytes(a[apos[j]:apos[j] + alen[j]])
                     for j in range(s0, s0 + int(argc[i]))]
+            if len(args) < 2:
+                raise ValueError(
+                    f"redis replay: SELECT needs >= 2 args, got {len(args)} "
+                    f"(offset {int(off[i])}) — truncated or corrupt log")
             sel_vals[si] = int(args[1])
         seg = np.searchsorted(sel, np.arange(ncmd), side="right")
         db_per_cmd = np.where(seg > 0, sel_vals[np.maximum(seg - 1, 0)], db)
@@ -445,19 +509,33 @@ def scan_to_events(data: bytes, base_offset: int = 0, db: int = 0) -> pa.Table:
 
     slow = code == -1
 
+    # malformed arities route to the per-command loop so BOTH derivations
+    # refuse with the same diagnostic (the event-multiset-equality contract
+    # covers errors too): under-arity for every fast command, and an
+    # unpaired trailing argument for the pair-expanded ones
+    malformed = np.zeros(ncmd, bool)
+    for nm, na in ((b"DEL", 2), (b"UNLINK", 2), (b"HDEL", 3), (b"SADD", 3),
+                   (b"SREM", 3), (b"ZREM", 3), (b"RPUSH", 3)):
+        malformed |= (code == _CMD_CODE[nm]) & (argc < na)
+    pair_bad = (argc < 4) | (((argc - 2) % 2) != 0)
+    for nm in (b"HSET", b"HMSET", b"ZADD"):
+        malformed |= (code == _CMD_CODE[nm]) & pair_bad
+    slow |= malformed
+    ok = ~malformed
+
     g = np.flatnonzero((code == _CMD_CODE[b"SET"]) & (argc == 3))
     if len(g):
         piece(g, "key", "string", "set", cum0[g] + 1, value_flat=cum0[g] + 2)
     slow |= (code == _CMD_CODE[b"SET"]) & (argc != 3)
 
-    g = np.flatnonzero((code == _CMD_CODE[b"DEL"])
-                       | (code == _CMD_CODE[b"UNLINK"]))
+    g = np.flatnonzero(((code == _CMD_CODE[b"DEL"])
+                        | (code == _CMD_CODE[b"UNLINK"])) & ok)
     if len(g):
         ev, flat, _ = members(g, 1)
         piece(ev, "key", "key", "del", flat)          # seq 0 per key (loop
                                                       # parity: emit default)
-    g = np.flatnonzero((code == _CMD_CODE[b"HSET"])
-                       | (code == _CMD_CODE[b"HMSET"]))
+    g = np.flatnonzero(((code == _CMD_CODE[b"HSET"])
+                        | (code == _CMD_CODE[b"HMSET"])) & ok)
     if len(g):
         ev, f, v, s = pairs(g)
         piece(ev, "field", "hash", "add", cum0[ev] + 1, field_flat=f,
@@ -465,20 +543,20 @@ def scan_to_events(data: bytes, base_offset: int = 0, db: int = 0) -> pa.Table:
 
     for nm, rtype, op in ((b"HDEL", "hash", "rem"), (b"SADD", "set", "add"),
                           (b"SREM", "set", "rem"), (b"ZREM", "zset", "rem")):
-        g = np.flatnonzero(code == _CMD_CODE[nm])
+        g = np.flatnonzero((code == _CMD_CODE[nm]) & ok)
         if len(g):
             ev, flat, s = members(g, 2)
             piece(ev, "field", rtype, op, cum0[ev] + 1, field_flat=flat,
                   seq=s)
 
-    g = np.flatnonzero(code == _CMD_CODE[b"ZADD"])
+    g = np.flatnonzero((code == _CMD_CODE[b"ZADD"]) & ok)
     if len(g):
         ev, sc_flat, m_flat, s = pairs(g)
         sc = pc.cast(pc.cast(bincol(sc_flat), pa.string()), pa.float64())
         piece(ev, "field", "zset", "add", cum0[ev] + 1, field_flat=m_flat,
               score=sc, seq=s)
 
-    g = np.flatnonzero(code == _CMD_CODE[b"RPUSH"])
+    g = np.flatnonzero((code == _CMD_CODE[b"RPUSH"]) & ok)
     if len(g):
         ev, flat, s = members(g, 2)
         piece(ev, "list", "list", "push", cum0[ev] + 1, value_flat=flat,
@@ -923,6 +1001,22 @@ def _row_payload_bytes(t: pa.Table) -> pa.Array:
     return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
 
 
+def _key_to_text(arr) -> pa.Array:
+    """Binary keys → report text for the statistic sinks. Redis keys are
+    binary-safe; a non-UTF8 key cannot land in an Arrow string column, so
+    it renders as Python backslash escapes (b'\\xff..' → '\\xff..') instead
+    of aborting the whole statistics job on ArrowInvalid. The escape path
+    is per-batch and only taken when the vectorized cast refuses."""
+    try:
+        return arr.cast(pa.string())
+    except pa.ArrowInvalid:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return pa.array(
+            [None if v is None else v.decode("utf-8", "backslashreplace")
+             for v in arr.to_pylist()], pa.string())
+
+
 def bigkey_statistics(keyspace_ds, data_size_threshold: int = 0,
                       top_n: int | None = None, num_partitions: int = 16):
     """RedisStatisticSinker BigKey analog (redis_statistic_sinker.rs:20-53)
@@ -974,7 +1068,7 @@ def bigkey_statistics(keyspace_ds, data_size_threshold: int = 0,
         out = pa.table({
             "db_id": out.column("db").cast(pa.int64()),
             "key_type": out.column("rtype"),
-            "key": out.column("key").cast(pa.string()),
+            "key": _key_to_text(out.column("key")),
             "data_size": size})
         out = out.filter(pc.greater_equal(
             out.column("data_size"),
@@ -1074,7 +1168,7 @@ def hotkey_statistics(stats_ds, freq_threshold: int,
         t = t.filter(pc.greater_equal(t.column("freq"),
                                       pa.scalar(freq_threshold, pa.int64())))
         out = pa.table({"db_id": t.column("db_id"),
-                        "key": t.column("key").cast(pa.string()),
+                        "key": _key_to_text(t.column("key")),
                         "freq": t.column("freq")})
         # partial top-N per shard batch (keys are whole within a shard): the
         # global top_n is a subset of the union of per-batch top_n, so the

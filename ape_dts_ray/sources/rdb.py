@@ -1063,8 +1063,9 @@ def _encode_stream(out: bytearray, e: dict, wstr) -> None:
         # stream-node-max-entries, default 100) — one giant listpack would
         # overflow its u16 element count past ~6k entries
         NODE = 100
-        chunks = [list(zip(ids, entries))[i:i + NODE]
-                  for i in range(0, len(entries), NODE)]
+        pairs = list(zip(ids, entries))   # hoisted: rebuilding the zip per
+        chunks = [pairs[i:i + NODE]       # chunk was O(n²/NODE) on big
+                  for i in range(0, len(entries), NODE)]  # streams
         write_length(out, len(chunks))
         for chunk in chunks:
             (mms, mseq) = chunk[0][0]

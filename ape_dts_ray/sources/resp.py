@@ -65,8 +65,16 @@ def calc_slots(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
     run table-driven CRC16 across a padded uint8 matrix."""
     if isinstance(keys, pa.ChunkedArray):
         keys = keys.combine_chunks()
-    if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+    if (pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type)
+            or pa.types.is_large_binary(keys.type)):
+        # normalize to 32-bit-offset binary: the frombuffer below assumes
+        # int32 offsets — a large_binary array (polars' default) silently
+        # reinterpreted int64 offsets as int32 and computed WRONG slots
+        # (nondeterministic partitioning, duplicated keys in the fold)
         keys = keys.cast(pa.binary())
+    elif not pa.types.is_binary(keys.type):
+        raise TypeError(f"calc_slots: expected a string/binary array, got "
+                        f"{keys.type}")
     arr = keys
     n = len(arr)
     if n == 0:

@@ -235,7 +235,6 @@ def test_scan_to_events_edges():
         [b"SELECT", b"3"],
         [b"SET", b"crlf", b"a\r\nb\r\n"],            # payload with CRLF
         [b"set", b"lower", b"v"],                    # case-insensitive name
-        [b"HSET", b"h", b"f", b"v", b"odd"],         # dangling pair tail
         [b"DEL", b"a", b"b", b"c"],
         [b"RESTORE", b"rk", b"0", dump],             # slow path under db 3
         [b"SELECT", b"0"],
@@ -253,7 +252,15 @@ def test_scan_to_events_edges():
 
     for bad in ([[b"FLUSHALL"]], [[b"SET", b"k", b"v", b"EX", b"1"]],
                 [[b"XADD", b"s", b"*", b"f", b"v"]],
-                [[b"SET", b"k", b"v", b"KEEPTTL"]]):
+                [[b"SET", b"k", b"v", b"KEEPTTL"]],
+                # arity refusals must also match between the derivations:
+                # dangling pair tail (Redis rejects the whole command),
+                # under-arity (truncated log), XADD auto-seq id
+                [[b"HSET", b"h", b"f", b"v", b"odd"]],
+                [[b"ZADD", b"z", b"1.5"]],
+                [[b"SET", b"k"]],
+                [[b"SELECT"]],
+                [[b"XADD", b"s", b"5-*", b"f", b"v"]]):
         raw = encode_cmds(bad)
         e_loop = e_fast = None
         try:

@@ -1442,3 +1442,90 @@ def test_replay_events_factory_requires_max_offset(tmp_path):
                             EngineConfig(num_partitions=2, epoch_size=400))
     with pytest.raises(ValueError, match="requires max_offset"):
         replay(lake, events_factory=lambda w: None)
+
+
+# --------------------------------------------- redis review fixes (round 5)
+
+
+def test_xadd_trim_options_parse():
+    """XADD with trim/option tokens (MAXLEN/MINID [~|=] n, NOMKSTREAM,
+    LIMIT) — the forms Redis actually propagates to AOF/replicas. Pre-fix
+    args[2] was taken as the stream id unconditionally, silently emitting
+    field=b'MAXLEN:100' garbage rows; the id is now found past the options
+    and validated as '<ms>[-<seq>]'."""
+    from ape_dts_ray.pipelines.redis_replay import (commands_to_events,
+                                                    scan_to_events)
+    from ape_dts_ray.sources.resp import encode_cmd
+
+    cmds = [[b"XADD", b"s", b"MAXLEN", b"~", b"100", b"5-1", b"f", b"v"],
+            [b"XADD", b"s", b"NOMKSTREAM", b"6-0", b"g", b"w"],
+            [b"XADD", b"s", b"MINID", b"=", b"3", b"LIMIT", b"10",
+             b"7-2", b"h", b"x"],
+            [b"XADD", b"s", b"8", b"i", b"y"]]        # seq-less explicit id
+    t = commands_to_events([(o, c) for o, c in enumerate(cmds)])
+    assert [r["field"] for r in t.to_pylist()] == \
+        [b"5-1:f", b"6-0:g", b"7-2:h", b"8:i"]
+    # fast path (XADD is always slow-routed) agrees byte-for-byte
+    data = b"".join(encode_cmd(c) for c in cmds)
+    from ape_dts_ray.sources.resp import parse_resp
+    loop = commands_to_events(parse_resp(data))
+    fast = scan_to_events(data)
+    assert sorted(map(str, loop.to_pylist())) == \
+        sorted(map(str, fast.to_pylist()))
+    # a malformed id where the options end is a loud refusal, not garbage
+    with pytest.raises(ValueError, match="XADD id"):
+        commands_to_events([(0, [b"XADD", b"s", b"MAXLEN", b"100",
+                                 b"notanid", b"f", b"v"])])
+
+
+def test_statistic_sinks_survive_non_utf8_keys(ray_session):
+    """Redis keys are binary-safe; the bigkey/hotkey report sinks must not
+    abort on a non-UTF8 key (pre-fix: ArrowInvalid from .cast(pa.string())
+    killed the whole statistics job). Invalid bytes render as backslash
+    escapes."""
+    import ray.data as rd
+
+    from ape_dts_ray.pipelines.redis_replay import (KEYSPACE_SCHEMA,
+                                                    bigkey_statistics,
+                                                    hotkey_statistics)
+
+    raw = pa.table({
+        "db": pa.array([0, 0], pa.int32()),
+        "key": pa.array([b"\xff\xfekey", b"plain"], pa.binary()),
+        "rtype": ["string", "string"],
+        "field": pa.array([None, None], pa.binary()),
+        "idx": pa.array([None, None], pa.int64()),
+        "value": pa.array([b"v" * 10, b"w"], pa.binary()),
+        "score": pa.array([None, None], pa.float64()),
+        "expire_ms": pa.array([0, 0], pa.int64()),
+        "field_ttl_ms": pa.array([0, 0], pa.int64()),
+    }, schema=KEYSPACE_SCHEMA)
+    big = bigkey_statistics(rd.from_arrow(raw), data_size_threshold=0,
+                            top_n=10).take_all()
+    keys = {r["key"] for r in big}
+    assert "plain" in keys and any("\\xff" in k for k in keys)
+
+    stats = pa.table({"db_id": pa.array([0], pa.int64()),
+                      "key": pa.array([b"\xff\xfekey"], pa.binary()),
+                      "key_type": ["string"],
+                      "data_size": pa.array([12], pa.int64()),
+                      "freq": pa.array([9], pa.int64())})
+    hot = hotkey_statistics(rd.from_arrow(stats), freq_threshold=0,
+                            top_n=5).take_all()
+    assert len(hot) == 1 and "\\xff" in hot[0]["key"]
+
+
+def test_calc_slots_large_binary():
+    """polars hands back large_binary; pre-fix calc_slots reinterpreted its
+    int64 offsets as int32 and computed silently WRONG slots
+    (nondeterministic partitioning). Now normalized via cast; unsupported
+    types refuse."""
+    from ape_dts_ray.sources.resp import calc_slots
+
+    keys = [b"user:1001", b"user:1002", b"abc", b"{tag}x", b"{tag}y"]
+    want = calc_slots(pa.array(keys, pa.binary())).tolist()
+    got = calc_slots(pa.array(keys, pa.large_binary())).tolist()
+    assert got == want
+    assert got[3] == got[4]                     # hashtag co-location holds
+    with pytest.raises(TypeError, match="calc_slots"):
+        calc_slots(pa.array([1, 2], pa.int64()))
