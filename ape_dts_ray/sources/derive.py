@@ -197,7 +197,7 @@ def derive_wide_changes(batch: pa.Table) -> pa.Table:
         "conv_id": conv,
         "turn_idx": turn,
         "amount": nulled(amount, pa.decimal128(18, 4)),
-        "payload_bin": nulled(payload_bin.cast(pa.binary()), pa.binary()),
+        "payload_bin": nulled(payload_bin, pa.binary()),
         "tier": tier,                        # nulls already applied pre-encode
         "meta_json": nulled(meta_json, pa.string()),
         "qty": nulled(qty, pa.int16()),

@@ -165,14 +165,25 @@ def _put_str(buf: bytearray, s: str) -> None:
     buf += raw
 
 
+def _check_i32(v: int, name: str) -> int:
+    """The schema declares seq/turn_idx as Avro 'int' (32-bit): a wider
+    value would encode fine but WRAP on any spec-conformant reader (our
+    own columnar decoder included) — refuse at the writer, identically in
+    the scalar and columnar codecs."""
+    if not -(1 << 31) <= v < (1 << 31):
+        raise ValueError(f"avro: {name}={v} overflows the schema's 'int' "
+                         "(32-bit) field")
+    return v
+
+
 def encode_event(row: dict) -> bytes:
     """One change event → Avro single-object bytes."""
     buf = bytearray(_MARKER + schema_fingerprint())
     _varint(buf, int(row[COL_OFFSET]))
-    _varint(buf, int(row.get(COL_SEQ, 0)))
+    _varint(buf, _check_i32(int(row.get(COL_SEQ, 0)), COL_SEQ))
     _put_str(buf, row[COL_OP])
     _put_str(buf, row["conv_id"])
-    _varint(buf, int(row["turn_idx"]))
+    _varint(buf, _check_i32(int(row["turn_idx"]), "turn_idx"))
     for c in _NULLABLE:
         v = row.get(c)
         if v is None:
@@ -313,9 +324,15 @@ def avro_encode(batch: pa.Table, key_cols=("conv_id", "turn_idx")) -> pa.Table:
         return batch.column(col).cast(pa.int64()).to_numpy(
             zero_copy_only=False).astype(np.int64)
 
+    i_seq = ints(COL_SEQ, default=0)
+    i_turn = ints("turn_idx")
+    for nm, v in ((COL_SEQ, i_seq), ("turn_idx", i_turn)):
+        bad = (v < -(1 << 31)) | (v >= (1 << 31))
+        if bad.any():
+            _check_i32(int(v[int(np.argmax(bad))]), nm)  # same msg as scalar
     z_off = _zigzag_vec(ints(COL_OFFSET))
-    z_seq = _zigzag_vec(ints(COL_SEQ, default=0))
-    z_turn = _zigzag_vec(ints("turn_idx"))
+    z_seq = _zigzag_vec(i_seq)
+    z_turn = _zigzag_vec(i_turn)
     l_off, l_seq, l_turn = (_varint_len_vec(z) for z in (z_off, z_seq, z_turn))
 
     op_s, op_l, op_d, _ = _col_bytes(batch.column(COL_OP))
@@ -340,10 +357,15 @@ def avro_encode(batch: pa.Table, key_cols=("conv_id", "turn_idx")) -> pa.Table:
         else:
             ts_col = ts_col.cast(pa.int64())
         import pyarrow.compute as pc
-        ts_valid = pc.is_valid(ts_col).to_numpy(zero_copy_only=False) \
-            if ts_col.null_count else np.ones(n, bool)
-        ts_v = ts_col.to_numpy(zero_copy_only=False)
-        ts_v = np.where(ts_valid, ts_v, 0)
+        if ts_col.null_count:
+            ts_valid = pc.is_valid(ts_col).to_numpy(zero_copy_only=False)
+            # fill nulls on the ARROW side: to_numpy on a null-bearing
+            # int64 column yields float64, and values past 2^53 would
+            # round before zigzag — diverging from encode_event's bytes
+            ts_col = pc.fill_null(ts_col, 0)
+        else:
+            ts_valid = np.ones(n, bool)
+        ts_v = ts_col.to_numpy(zero_copy_only=False).astype(np.int64)
     else:
         ts_valid = np.zeros(n, bool)
         ts_v = np.zeros(n, np.int64)

@@ -74,21 +74,54 @@ _TYPE_MAP = {
 }
 
 
-def _ident(tok: str) -> str:
-    tok = tok.strip()
-    if tok and tok[0] in "`\"[" and len(tok) >= 2:
-        body = tok[1:-1]
+def _unquote_one(seg: str) -> str:
+    if seg and seg[0] in "`\"[" and len(seg) >= 2:
+        body = seg[1:-1]
         # collapse doubled quote chars inside quoted identifiers
         # (MySQL `a``b` → a`b, SQL "a""b" → a"b; brackets have no escape)
-        if tok[0] == "`":
+        if seg[0] == "`":
             body = body.replace("``", "`")
-        elif tok[0] == '"':
+        elif seg[0] == '"':
             body = body.replace('""', '"')
         return body
-    return tok
+    return seg
+
+
+def _ident(tok: str) -> str:
+    tok = tok.strip()
+    if not tok or tok[0] not in "`\"[":
+        return tok        # unquoted (qualified names keep their dots as-is)
+    if "." not in tok:
+        return _unquote_one(tok)
+    # qualified QUOTED name: split on dots OUTSIDE the quotes and strip
+    # each segment — stripping the outer pair of the whole dotted token
+    # mangled `db1`.`users` into db1`.`users, a silently distinct table
+    # from the unquoted db1.users
+    parts, i, start = [], 0, 0
+    while i < len(tok):
+        c = tok[i]
+        if c in "`\"'":
+            i = _skip_quoted(tok, i) or (i + 1)
+        elif c == "[":
+            j = tok.find("]", i + 1)
+            i = len(tok) if j == -1 else j + 1
+        elif c == ".":
+            parts.append(tok[start:i])
+            start = i + 1
+            i += 1
+        else:
+            i += 1
+    parts.append(tok[start:])
+    return ".".join(_unquote_one(p.strip()) for p in parts)
 
 
 def _map_type(sql_type: str) -> str:
+    # column-level COMMENT '<string>' (backslash or doubled-quote escapes)
+    # is pure annotation — strip it before the attribute tail so a COMMENT
+    # carrying spaces doesn't defeat the default\S+ strip below
+    sql_type = re.sub(
+        r"\s+comment\s+(?:'(?:\\.|''|[^'\\])*'|\"(?:\\.|\"\"|[^\"\\])*\")",
+        " ", sql_type.strip(), flags=re.I)
     sql_type = re.sub(r"(?:\s+(?:not\s+null|null|default\s+\S+))+\s*$", "",
                       sql_type.strip(), flags=re.I)
     base = re.sub(r"\(.*\)", "", sql_type).strip().lower()
@@ -146,6 +179,12 @@ def _skip_quoted(s: str, i: int) -> int | None:
         return None
     i += 1
     while i < len(s):
+        if q != "`" and s[i] == "\\" and i + 1 < len(s):
+            # MySQL backslash escapes inside STRING literals (default
+            # sql_mode; mysqldump emits COMMENT 'don\'t') — backticked
+            # identifiers only escape by doubling
+            i += 2
+            continue
         if s[i] == q:
             if i + 1 < len(s) and s[i + 1] == q:
                 i += 2
@@ -490,10 +529,16 @@ def apply_table_ddl(root: str, sql: str, config=None) -> ParsedDdl:
                  "start_value": start, "next_value": start}
                 for c in parsed.extra["auto_increment"]])
     elif parsed.kind == "drop_table":
-        _sweep_tombstones(root, parsed.table)
         path = os.path.join(root, parsed.table)
+        had_tomb = os.path.isdir(path + _DROPPED_SUFFIX)
+        _sweep_tombstones(root, parsed.table)
         if not os.path.isdir(path):
-            if parsed.extra["if_exists"]:
+            if parsed.extra["if_exists"] or had_tomb:
+                # had_tomb: a prior DROP crashed between the tombstone
+                # rename and the rmtree — the sweep above FINISHED that
+                # drop, so the replaying driver's re-run reports success
+                # (the documented crash-recovery contract), not
+                # 'does not exist'
                 return parsed
             raise DdlError(f"table {parsed.table!r} does not exist")
         tomb = path + _DROPPED_SUFFIX
@@ -507,16 +552,19 @@ def apply_table_ddl(root: str, sql: str, config=None) -> ParsedDdl:
                 raise DdlError(f"rename target {parsed.extra['to']!r} "
                                "already exists")
             os.rename(src, dst)
-        elif os.path.isdir(dst) and \
-                LakeTable.open(dst).meta.name == parsed.table:
-            pass    # crash between rename and meta rewrite — finish below
+            lake = LakeTable.open(dst)
+        elif os.path.isdir(dst):
+            # crash between rename and meta rewrite — finish below (one
+            # open serves both the check and the rewrite)
+            lake = LakeTable.open(dst)
+            if lake.meta.name != parsed.table:
+                # STRICT: an existing destination whose persisted name is
+                # not the source is an unrelated table — absorbing the
+                # statement would let a typo'd/replayed rename report
+                # success while the operator believes the data moved
+                raise DdlError(f"table {parsed.table!r} does not exist")
         else:
-            # STRICT: an existing destination whose persisted name is not
-            # the source is an unrelated table — absorbing the statement
-            # would let a typo'd/replayed rename report success while the
-            # operator believes the source's data moved
             raise DdlError(f"table {parsed.table!r} does not exist")
-        lake = LakeTable.open(dst)
         if lake.meta.name == parsed.table:      # finish (or redo) the rewrite
             lake.meta = replace(lake.meta, name=parsed.extra["to"])
             lake._save_table_json()

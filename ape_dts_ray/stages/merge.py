@@ -36,7 +36,14 @@ def lww_winner_indices(
     """Row indices of the last event per key by ``order_cols``. Operates on
     the NARROW key+order columns only — the wide payload (text) is never
     sorted or shuffled; winners are gathered afterwards with ``Table.take``."""
-    order = [c for c in order_cols if c in events.column_names]
+    missing = [c for c in order_cols if c not in events.column_names]
+    if missing:
+        # refusal, not silence: ranking by a subset of the requested order
+        # silently changes which row wins (e.g. a piece without its _epoch
+        # stamp would lose to base rows regardless of offset)
+        raise ValueError(f"lww: order column(s) {missing} missing from the "
+                         "table")
+    order = list(order_cols)
     narrow = pl.from_arrow(events.select([*key_cols, *order]))
     narrow = narrow.with_row_index("_row")
     # maintain_order: winners come out in (order_cols) order, so the single
@@ -169,7 +176,17 @@ def fold_state(
     if not pieces:
         return None
     aligned = unify_tables(pieces)
-    merged = lww_last(pa.concat_tables(aligned), key_cols, order_cols)
+    cat = pa.concat_tables(aligned)
+    for c in order_cols:
+        # unify_tables null-backfills a column missing from a piece, and
+        # polars sorts nulls FIRST — a delta lacking its _epoch stamp would
+        # silently rank below base rows (_epoch=-1) and resurrect stale
+        # state. That's a corrupt/foreign file: refuse loudly instead.
+        if c not in cat.column_names or cat.column(c).null_count:
+            raise ValueError(
+                f"fold_state: order column {c!r} missing or null in a "
+                "piece — unstamped rows cannot be ranked")
+    merged = lww_last(cat, key_cols, order_cols)
     if not keep_tombstones:
         merged = drop_tombstones(merged)
     return merged

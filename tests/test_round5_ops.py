@@ -1529,3 +1529,124 @@ def test_calc_slots_large_binary():
     assert got[3] == got[4]                     # hashtag co-location holds
     with pytest.raises(TypeError, match="calc_slots"):
         calc_slots(pa.array([1, 2], pa.int64()))
+
+
+# ---------------------------------------- ddl / avro / merge review fixes
+
+
+def test_ddl_quoted_qualified_names(tmp_path):
+    """`db1`.`users` and db1.users must name the SAME table — pre-fix the
+    quote strip ran on the whole dotted token, creating 'db1`.`users' and
+    leaving the later unquoted DROP to hit 'does not exist' while the real
+    data lived on under the mangled name."""
+    from ape_dts_ray.stages.ddl import apply_table_ddl
+
+    root = str(tmp_path)
+    apply_table_ddl(root, "CREATE TABLE `db1`.`users` (id INT PRIMARY KEY)")
+    assert os.path.isdir(os.path.join(root, "db1.users"))
+    apply_table_ddl(root, "DROP TABLE db1.users")      # unquoted spelling
+    assert not os.path.isdir(os.path.join(root, "db1.users"))
+    # doubled-quote escape still collapses inside a segment
+    apply_table_ddl(root, 'CREATE TABLE "a""b" (id INT PRIMARY KEY)')
+    assert os.path.isdir(os.path.join(root, 'a"b'))
+
+
+def test_ddl_backslash_escape_in_string_literal(tmp_path):
+    """mysqldump emits COMMENT 'don\\'t panic' under default sql_mode —
+    pre-fix the quote scan honored only doubled quotes and raised
+    'unterminated quote' on valid source DDL."""
+    from ape_dts_ray.stages.ddl import apply_table_ddl, parse_ddl
+
+    apply_table_ddl(str(tmp_path), "CREATE TABLE t (id INT PRIMARY KEY, "
+                    "v TEXT COMMENT 'don\\'t panic')")
+    assert os.path.isdir(os.path.join(str(tmp_path), "t"))
+    p = parse_ddl("CREATE TABLE u (id INT PRIMARY KEY, "
+                  "w TEXT DEFAULT 'a\\')b')")
+    assert p.table == "u" and "w" in [c[0] for c in p.extra["columns"]]
+
+
+def test_ddl_strict_drop_replay_after_crash(tmp_path):
+    """Crash between the tombstone rename and the rmtree, then replay the
+    strict DROP: the re-run must finish the drop and report success —
+    pre-fix the sweep destroyed the tombstone first and the replay aborted
+    on 'does not exist' for a drop that actually succeeded."""
+    from ape_dts_ray.stages.ddl import DdlError, apply_table_ddl
+
+    root = str(tmp_path)
+    apply_table_ddl(root, "CREATE TABLE t1 (id INT PRIMARY KEY)")
+    # simulate the torn drop: rename done, rmtree never ran
+    os.rename(os.path.join(root, "t1"), os.path.join(root, "t1._dropped"))
+    apply_table_ddl(root, "DROP TABLE t1")             # replayed statement
+    assert not os.path.exists(os.path.join(root, "t1._dropped"))
+    # a drop of a table that never existed still refuses
+    with pytest.raises(DdlError, match="does not exist"):
+        apply_table_ddl(root, "DROP TABLE never_was")
+
+
+def test_avro_ts_nulls_keep_int64_precision():
+    """A null-bearing ts column must not launder the valid rows through
+    float64 (to_numpy on null-bearing int64) — values past 2^53 rounded
+    before zigzag, diverging from encode_event's bytes."""
+    from ape_dts_ray.stages.avro import avro_encode, encode_event
+
+    big = 2**60 + 1
+    batch = pa.table({
+        "log_offset": pa.array([1, 2], pa.int64()),
+        "seq": pa.array([0, 0], pa.int32()),
+        "op": ["insert", "insert"], "conv_id": ["c1", "c2"],
+        "turn_idx": pa.array([0, 1], pa.int32()),
+        "role": ["user", "user"], "text": ["a", "b"],
+        "tool": pa.array([None, None], pa.string()),
+        "ts": pa.array([big, None], pa.int64()),
+    })
+    enc = avro_encode(batch)
+    ref = encode_event({"log_offset": 1, "seq": 0, "op": "insert",
+                        "conv_id": "c1", "turn_idx": 0, "role": "user",
+                        "text": "a", "tool": None, "ts": big})
+    assert enc.column("value")[0].as_py() == ref
+
+
+def test_avro_refuses_int32_overflow():
+    """seq/turn_idx are Avro 'int' (32-bit): wider values would encode but
+    WRAP on any spec-conformant reader — both codecs refuse at the writer
+    with the same message."""
+    from ape_dts_ray.stages.avro import avro_encode, encode_event
+
+    row = {"log_offset": 1, "seq": 0, "op": "insert", "conv_id": "c",
+           "turn_idx": 2**31, "role": None, "text": None, "tool": None,
+           "ts": None}
+    with pytest.raises(ValueError, match="overflows"):
+        encode_event(row)
+    batch = pa.table({
+        "log_offset": pa.array([1], pa.int64()),
+        "seq": pa.array([0], pa.int64()),
+        "op": ["insert"], "conv_id": ["c"],
+        "turn_idx": pa.array([2**31], pa.int64()),
+        "role": pa.array([None], pa.string()),
+        "text": pa.array([None], pa.string()),
+        "tool": pa.array([None], pa.string()),
+    })
+    with pytest.raises(ValueError, match="overflows"):
+        avro_encode(batch)
+
+
+def test_fold_refuses_unstamped_piece():
+    """A delta piece without its _epoch stamp must refuse loudly —
+    unify_tables null-backfills the column and polars sorts nulls FIRST,
+    so pre-fix the unstamped (newer!) delta silently LOST to base rows
+    (_epoch=-1) and resurrected stale state."""
+    from ape_dts_ray.stages.merge import fold_state, lww_winner_indices
+
+    base = pa.table({"conv_id": ["c"], "turn_idx": pa.array([0], pa.int32()),
+                     "op": ["insert"], "text": ["old"],
+                     "log_offset": pa.array([100], pa.int64()),
+                     "seq": pa.array([0], pa.int32()),
+                     "_epoch": pa.array([-1], pa.int64())})
+    delta = pa.table({"conv_id": ["c"], "turn_idx": pa.array([0], pa.int32()),
+                      "op": ["update"], "text": ["new"],
+                      "log_offset": pa.array([500], pa.int64()),
+                      "seq": pa.array([0], pa.int32())})   # no _epoch stamp
+    with pytest.raises(ValueError, match="_epoch"):
+        fold_state([base, delta])
+    with pytest.raises(ValueError, match="order column"):
+        lww_winner_indices(delta, order_cols=("_epoch", "log_offset", "seq"))
