@@ -1026,7 +1026,14 @@ def _mkv_block_frame(data: bytes, lo: int, hi: int,
     track's block). Lacing is refused, not skipped — silently dropping
     laced frames would under-sample the clip."""
     tn, pos = _ebml_read_size(data, lo, hi)     # track number is a vint
-    if tn is None or pos + 3 > hi:
+    if tn is None:
+        # the all-ones reservation applies to element DATA SIZES only
+        # (RFC 8794 §4.4) — a Block's track-number vint 0xFF is simply the
+        # VALUE 127 (likewise 0x7F 0xFF = 16383, ...): recover it instead
+        # of rejecting a spec-valid foreign file
+        n = pos - lo
+        tn = (1 << (7 * n)) - 1
+    if pos + 3 > hi:
         raise ValueError("mkv: malformed block header")
     if tn != track_no:
         return None     # another track's block (audio is often laced —

@@ -66,6 +66,14 @@ def _file_offset_span(path: str, offset_col: str) -> tuple[int, int]:
 
     f = pq.ParquetFile(path)
     ci = f.schema_arrow.get_field_index(offset_col)
+    if ci < 0:
+        # a parquet file WITHOUT the offset column matched the log glob (a
+        # foreign writer the docstring budgets for) — get_field_index
+        # returns -1, and column(-1) would raise a bare IndexError that
+        # kills the daemon mid-round; refuse with the actual problem named
+        raise ValueError(
+            f"follow: segment {path!r} lacks offset column {offset_col!r} "
+            "— a foreign parquet file is in the log directory")
     mn, mx, complete = None, None, True
     for rg in range(f.metadata.num_row_groups):
         st = f.metadata.row_group(rg).column(ci).statistics

@@ -550,6 +550,12 @@ def _drive_follow_two_waves(root: str, stage_ds, run_follower, watermark_fn):
         th.join(timeout=300)
     if "exc" in box:
         raise box["exc"]
+    if th.is_alive():
+        # the follower neither returned nor raised within the join budget —
+        # surface the wedge itself; falling through would mask it behind a
+        # bare KeyError('stats')
+        raise TimeoutError("follower failed to stop within 300 s of the "
+                           "stop file — wedged replay round")
     stats = box["stats"]
     assert stats.stopped_by == "stop_file" and stats.replay_rounds >= 2
     return stats

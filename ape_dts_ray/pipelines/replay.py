@@ -646,11 +646,40 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
         # files) survives every subsequent no-op resume
         after_commit([])
 
+    win_by_id = {w.epoch: w for w in pending}
+
+    def commit_verified(ms: list[EpochManifest]) -> None:
+        """Commit in epoch order (the watermark only advances), then verify
+        each manifest's delta files still exist. A STALE concurrent
+        compactor — snapshot taken before a growing-log tail recommit —
+        can rmtree this epoch's dir between our delta writes and this
+        commit, publishing a compacted watermark BELOW our offset_max:
+        without this check the manifest would claim coverage for rows whose
+        files were destroyed unfolded (silent loss of the extension
+        events). A LEGITIMATE consumer is distinguishable by ordering: it
+        listed our manifest before folding, so its compacted.json (written
+        before any unlink) already covers our offset_max."""
+        for m in ms:
+            lake.commit_epoch(m, schema_version=m.schema_version)
+            for _ in range(4):
+                missing = [p.file for p in m.partitions if not os.path.exists(
+                    os.path.join(lake.root, p.file))]
+                if not missing or lake.compacted_watermark() >= m.offset_max:
+                    break
+                rerun = run_chunk([win_by_id[m.epoch]])
+                if rerun:
+                    m = rerun[0]
+                    lake.commit_epoch(m, schema_version=m.schema_version)
+            else:
+                raise RuntimeError(
+                    f"epoch {m.epoch}: delta files kept vanishing under "
+                    "concurrent compaction without watermark coverage — "
+                    "stop the racing compactor and re-run replay")
+
     if pipeline_depth <= 1 or len(chunks) <= 1 or max_rps is not None:
         for chunk in chunks:
             ms = run_chunk(chunk)
-            for m in ms:   # commit in epoch order — the watermark only advances
-                lake.commit_epoch(m, schema_version=m.schema_version)
+            commit_verified(ms)
             after_commit(ms)
             done.extend(ms)
         return done
@@ -660,8 +689,7 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
         futures = [pool.submit(run_chunk, c) for c in chunks]
         for fut in futures:            # iterate in chunk order ⇒ ordered commits
             ms = fut.result()
-            for m in ms:
-                lake.commit_epoch(m, schema_version=m.schema_version)
+            commit_verified(ms)
             after_commit(ms)
             done.extend(ms)
     return done

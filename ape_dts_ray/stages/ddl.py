@@ -89,14 +89,16 @@ def _unquote_one(seg: str) -> str:
 
 def _ident(tok: str) -> str:
     tok = tok.strip()
-    if not tok or tok[0] not in "`\"[":
+    if not tok or not any(q in tok for q in "`\"["):
         return tok        # unquoted (qualified names keep their dots as-is)
     if "." not in tok:
         return _unquote_one(tok)
-    # qualified QUOTED name: split on dots OUTSIDE the quotes and strip
-    # each segment — stripping the outer pair of the whole dotted token
-    # mangled `db1`.`users` into db1`.`users, a silently distinct table
-    # from the unquoted db1.users
+    # qualified name with at least one QUOTED segment (any position — the
+    # mysqldump form db1.`users` quotes only the table): split on dots
+    # OUTSIDE the quotes and strip each segment — stripping the outer pair
+    # of the whole dotted token mangled `db1`.`users` into db1`.`users, and
+    # gating on tok[0] alone left db1.`users` fully quoted — in both cases
+    # a silently distinct table from the unquoted db1.users
     parts, i, start = [], 0, 0
     while i < len(tok):
         c = tok[i]

@@ -70,5 +70,16 @@ def atomic_write_parquet(table, path: str, **kw) -> None:
     import pyarrow.parquet as pq
 
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    pq.write_table(table, tmp, **kw)
-    os.replace(tmp, path)
+    try:
+        pq.write_table(table, tmp, **kw)
+        os.replace(tmp, path)
+    except FileNotFoundError:
+        # the PARENT DIR vanished mid-write: a concurrent compactor's
+        # epoch GC rmtree'd a delta dir it saw as empty/tmp-only while this
+        # writer (a growing-log tail recommit) was filling it. Recreate and
+        # retry once — replay's post-commit delta verification then either
+        # publishes these rows or re-runs the window, so the recreated dir
+        # can never carry silently-uncovered state.
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        pq.write_table(table, tmp, **kw)
+        os.replace(tmp, path)

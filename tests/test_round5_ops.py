@@ -1650,3 +1650,140 @@ def test_fold_refuses_unstamped_piece():
         fold_state([base, delta])
     with pytest.raises(ValueError, match="order column"):
         lww_winner_indices(delta, order_cols=("_epoch", "log_offset", "seq"))
+
+
+# ------------------------------- post-review fixes: race + parser edges
+
+
+def test_ddl_mixed_quoting_qualified_names(tmp_path):
+    """db1.`users` (the mysqldump form — only the TABLE segment quoted)
+    must name the same table as `db1`.`users` and db1.users — pre-fix the
+    unquoting was gated on the FIRST character, so a mixed-quoted name
+    kept its backticks and became a silently distinct lake directory."""
+    from ape_dts_ray.stages.ddl import apply_table_ddl, parse_ddl
+
+    assert parse_ddl("DROP TABLE db1.`users`").table == "db1.users"
+    assert parse_ddl('DROP TABLE db1."users"').table == "db1.users"
+    assert parse_ddl("DROP TABLE `db1`.users").table == "db1.users"
+    root = str(tmp_path)
+    apply_table_ddl(root, "CREATE TABLE db1.`users` (id INT PRIMARY KEY)")
+    assert os.path.isdir(os.path.join(root, "db1.users"))
+    apply_table_ddl(root, "DROP TABLE `db1`.`users`")   # other spelling
+    assert not os.path.isdir(os.path.join(root, "db1.users"))
+
+
+def test_mkv_block_track_127():
+    """A Block's track-number vint 0xFF is the VALUE 127, not the all-ones
+    'unknown size' reservation (that applies to element DATA SIZES only,
+    RFC 8794 §4.4) — pre-fix a spec-valid file whose video track number
+    was 127 failed every block with 'malformed block header'."""
+    import struct as _struct
+
+    from ape_dts_ray.functions import mjpeg
+
+    frames = _gradient_clip(2, 24, 32)
+    jpegs = [mjpeg.encode_baseline_jpeg_gray(f, 90) for f in frames]
+    # same layout as encode_mkv_mjpeg but TrackNumber 127 everywhere
+    track = mjpeg._ebml(b"\xae",
+                        mjpeg._ebml_uint(b"\xd7", 127)
+                        + mjpeg._ebml_uint(b"\x73\xc5", 1)
+                        + mjpeg._ebml_uint(b"\x83", 1)
+                        + mjpeg._ebml(b"\x86", b"V_MJPEG")
+                        + mjpeg._ebml(b"\xe0", mjpeg._ebml_uint(b"\xb0", 32)
+                                      + mjpeg._ebml_uint(b"\xba", 24)))
+    body = [mjpeg._ebml(b"\x15\x49\xa9\x66",
+                        mjpeg._ebml_uint(b"\x2a\xd7\xb1", 1_000_000)),
+            mjpeg._ebml(mjpeg._MKV_TRACKS, track)]
+    for i, j in enumerate(jpegs):
+        block = b"\xff" + _struct.pack(">h", 0) + b"\x80" + j  # vint 0xFF=127
+        body.append(mjpeg._ebml(mjpeg._MKV_CLUSTER,
+                                mjpeg._ebml_uint(b"\xe7", i * 100)
+                                + mjpeg._ebml(b"\xa3", block)))
+    ebml_head = mjpeg.encode_mkv_mjpeg(jpegs, 32, 24).split(
+        mjpeg._MKV_SEGMENT)[0]
+    mkv = ebml_head + mjpeg._ebml(mjpeg._MKV_SEGMENT, b"".join(body))
+    assert mjpeg.mkv_frame_chunks(mkv) == jpegs
+    # direct unit check: 0xFF decodes to track 127, other tracks still skip
+    blk = b"\xff" + _struct.pack(">h", 0) + b"\x80" + b"payload"
+    assert mjpeg._mkv_block_frame(blk, 0, len(blk), 127) == b"payload"
+    assert mjpeg._mkv_block_frame(blk, 0, len(blk), 1) is None
+
+
+def test_follow_span_refuses_missing_offset_column(tmp_path):
+    """A foreign parquet without the offset column in the log dir must
+    refuse with the problem named — pre-fix get_field_index's -1 walked
+    into column(-1) and killed the daemon with a bare IndexError."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.pipelines.follow import _file_offset_span
+
+    p = str(tmp_path / "foreign.parquet")
+    pq.write_table(pa.table({"not_offset": [1, 2]}), p)
+    with pytest.raises(ValueError, match="lacks offset column"):
+        _file_offset_span(p, "log_offset")
+
+
+def test_atomic_write_parquet_recreates_vanished_dir(tmp_path):
+    """A concurrent compactor's epoch GC can rmtree the delta dir between
+    the apply task's makedirs and the write — the atomic writer recreates
+    it and retries once instead of crashing the round."""
+    from ape_dts_ray.state.manifest import atomic_write_parquet
+
+    path = str(tmp_path / "gone" / "part.parquet")
+    atomic_write_parquet(pa.table({"a": [1]}), path)     # dir never existed
+    import pyarrow.parquet as pq
+    assert pq.read_table(path).num_rows == 1
+
+
+def test_commit_survives_stale_compactor_gc(tmp_path):
+    """The fatal interleaving the randomized soak exposed: a STALE
+    concurrent compactor (snapshot taken before a tail recommit) rmtree's
+    the epoch dir right after our delta writes and publishes a compacted
+    watermark BELOW our offset_max. Pre-fix the manifest then claimed
+    coverage for rows whose files were destroyed unfolded — silent loss.
+    The post-commit verification must detect (files missing AND watermark
+    not covering) and re-run the window."""
+    import shutil as _shutil
+
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable
+    from ape_dts_ray.state.manifest import EpochManifest, atomic_write_text
+
+    events = gen_events(seed=47, n_convs=40, max_turns=6, n_events=3000,
+                        delete_frac=0.1)
+    path = str(tmp_path / "e.parquet")
+    pq.write_table(events, path)
+    cfg = EngineConfig(num_partitions=4, epoch_size=1000)
+
+    clean = LakeTable.create(str(tmp_path / "clean"), TableMeta(), cfg)
+    replay(clean, events_path=path)
+    want = clean.state_table()
+
+    lake = LakeTable.create(str(tmp_path / "raced"), TableMeta(), cfg)
+    real_commit = lake.commit_epoch
+    fired = {}
+
+    def sabotage(m, schema_version=None):
+        real_commit(m, schema_version=schema_version)
+        if m.epoch == 1 and "done" not in fired:
+            fired["done"] = True
+            # the stale compactor: destroys the dir it believed empty and
+            # publishes coverage only up to its stale snapshot (offset 100)
+            _shutil.rmtree(os.path.join(lake.root, "delta", "epoch-00000001"))
+            stale = EpochManifest(epoch=1, offset_min=-1, offset_max=100,
+                                  schema_version=0, partitions=[])
+            atomic_write_text(os.path.join(lake.root, "_manifests",
+                                           "compacted.json"), stale.to_json())
+
+    lake.commit_epoch = sabotage
+    replay(lake, events_path=path)
+    assert fired.get("done")                       # the race actually fired
+    got = lake.state_table()
+    assert got.num_rows == want.num_rows
+    assert got.equals(want)                        # no silent row loss
+    # and the epoch-1 delta files were re-created by the re-run
+    assert os.path.isdir(os.path.join(lake.root, "delta", "epoch-00000001"))
