@@ -61,6 +61,9 @@ from ape_dts_ray.sources.resp import (calc_slots, encode_cmd, parse_resp,
                                       scan_resp)
 
 RESP_FILE_STRIDE = 1 << 40      # per-file offset namespace (total order)
+_SCAN_MAX_BYTES = 1 << 31       # columnar-scan ceiling: pa.binary() offsets
+                                # and position gathers are int32 — larger
+                                # buffers route to the scalar walker
 COL_SLOT_PART = "part_id"
 
 KEYSPACE_SCHEMA = pa.schema([
@@ -184,6 +187,10 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
             while i < len(args):
                 o = args[i].upper()
                 if o == b"PXAT":
+                    if i + 1 >= len(args):
+                        raise ValueError(
+                            f"redis replay: SET PXAT missing its deadline "
+                            f"(offset {off}) — truncated or corrupt log")
                     # strict ms parse, same chain as PEXPIREAT — the lax
                     # float(int(...)) accepted byte forms (b' 123 ') the
                     # documented parity contract refuses
@@ -240,6 +247,19 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
             for s, v in enumerate(args[2:]):
                 emit(args[1], "list", "list", "push", value=v, off=off, seq=s)
         elif cmd == b"PEXPIREAT":
+            if len(args) > 3:
+                # NX/XX/GT/LT are conditional on live TTL state (same
+                # refusal class as SET NX/XX); anything else real Redis
+                # rejects outright — silently applying the deadline
+                # unconditionally diverged from both
+                o = args[3].upper()
+                if o in (b"NX", b"XX", b"GT", b"LT"):
+                    raise ValueError(
+                        f"redis replay: PEXPIREAT {o.decode()} is "
+                        "conditional on live state")
+                raise ValueError(
+                    f"redis replay: PEXPIREAT unexpected argument "
+                    f"{args[3]!r} (offset {off})")
             emit(args[1], "expire", "key", "expire",
                  score=_strict_ms(args[2]), off=off)
         elif cmd == b"HPEXPIREAT":
@@ -249,7 +269,12 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
             if len(args) < 6 or args[3].upper() != b"FIELDS":
                 raise ValueError("redis replay: HPEXPIREAT requires "
                                  "'FIELDS n f1 ... fn'")
-            nf = int(args[4])
+            try:
+                nf = int(args[4])
+            except ValueError:
+                raise ValueError(
+                    f"redis replay: HPEXPIREAT field count {args[4]!r} is "
+                    f"not a number (offset {off})") from None
             flds = args[5:5 + nf]
             if len(flds) != nf or len(args) != 5 + nf:
                 raise ValueError("redis replay: HPEXPIREAT field count "
@@ -300,7 +325,12 @@ def commands_to_events(cmds_with_offsets, db: int = 0) -> pa.Table:
         elif cmd == b"RESTORE":
             entry = rdbmod.parse_dump_value(args[3])
             entry["key"] = args[1]
-            ttl = int(args[2])
+            try:
+                ttl = int(args[2])
+            except ValueError:
+                raise ValueError(
+                    f"redis replay: RESTORE ttl {args[2]!r} is not a "
+                    f"number (offset {off})") from None
             absttl = any(a.upper() == b"ABSTTL" for a in args[4:])
             if ttl and not absttl:
                 # a relative TTL needs a wall clock to become a deadline —
@@ -405,6 +435,15 @@ def scan_to_events(data: bytes, base_offset: int = 0, db: int = 0) -> pa.Table:
     index arrays in, the element-event table out, with per-command Python
     only for the rare complex commands. ~an order of magnitude faster than
     parse_resp + commands_to_events on update-heavy streams."""
+    if len(data) >= _SCAN_MAX_BYTES:
+        # the columnar gather builds pa.binary() (32-bit value offsets) and
+        # int32 position indices — positions past 2 GiB would WRAP negative
+        # and gather garbage bytes with no error raised. A foreign AOF can
+        # be that large; route it through the scalar walker instead
+        # (event-multiset-equal by the property contract).
+        from ape_dts_ray.sources.resp import parse_resp
+
+        return commands_to_events(parse_resp(data, base_offset), db=db)
     off, argc, apos, alen = scan_resp(data, base_offset)
     ncmd = len(off)
     if ncmd == 0:
@@ -562,12 +601,14 @@ def scan_to_events(data: bytes, base_offset: int = 0, db: int = 0) -> pa.Table:
         piece(ev, "list", "list", "push", cum0[ev] + 1, value_flat=flat,
               seq=s)
 
-    g = np.flatnonzero((code == _CMD_CODE[b"PEXPIREAT"]) & (argc >= 3))
+    g = np.flatnonzero((code == _CMD_CODE[b"PEXPIREAT"]) & (argc == 3))
     if len(g):
         ms = pc.cast(pc.cast(pc.cast(bincol(cum0[g] + 2), pa.string()),
                              pa.int64()), pa.float64())
         piece(g, "expire", "key", "expire", cum0[g] + 1, score=ms)
-    slow |= (code == _CMD_CODE[b"PEXPIREAT"]) & (argc < 3)
+    # argc != 3 → the loop, which refuses NX/XX/GT/LT (conditional on live
+    # state) and anything else with the same diagnostic on both paths
+    slow |= (code == _CMD_CODE[b"PEXPIREAT"]) & (argc != 3)
 
     # rare/stateful commands: exact per-command loop with SELECT context
     slow |= np.isin(code, [_CMD_CODE[b"RESTORE"], _CMD_CODE[b"XADD"],
@@ -653,6 +694,18 @@ def fold_events(t: pa.Table) -> pa.Table:
           .select(*gk, "field",
                   pl.col("score").cast(pl.Int64).alias("_fx_ttl"),
                   pl.col("log_offset").alias("_fx_off")))
+    # STREAM rows carry their XADD insertion order in idx (matching the
+    # RDB-parse path's entry+field ordering role): Redis streams preserve
+    # field order per entry, and the sinks order fields by (idx, field) —
+    # a null idx would re-emit 'XADD s 5-1 b 1 a 2' as 'a 2 b 1'. Computed
+    # BEFORE the fx join (joins don't guarantee row order); f_win is in
+    # (log_offset, seq) order here. Hash/set/zset keep idx null (Redis
+    # guarantees no order there).
+    f_win = f_win.with_columns(
+        pl.when(pl.col("rtype") == "stream")
+        .then(pl.int_range(pl.len()).over([*gk, "rtype"]))
+        .otherwise(pl.lit(None, dtype=pl.Int64))
+        .cast(pl.Int64).alias("_stream_idx"))
     fields = (f_win.join(fx, on=[*gk, "field"], how="left")
               .with_columns(
                   pl.when((pl.col("rtype") == "hash")
@@ -661,7 +714,7 @@ def fold_events(t: pa.Table) -> pa.Table:
                   .then(pl.col("_fx_ttl")).otherwise(0)
                   .alias("field_ttl_ms"))
               .select("db", "key", "rtype", "field",
-                      pl.lit(None, dtype=pl.Int64).alias("idx"),
+                      pl.col("_stream_idx").alias("idx"),
                       "value", "score", "field_ttl_ms"))
 
     lists = (after_barrier.filter(pl.col("level") == "list")
@@ -744,12 +797,28 @@ def _entries_table(entries: list[dict]) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=KEYSPACE_SCHEMA)
 
 
+def _rdb_shard_paths(path: str):
+    """Only ``*.rdb`` shards from a snapshot directory: a writer crash
+    between the ``.rdb.tmp`` write and its rename leaves an orphan tmp,
+    which a bare directory read would ingest — crashing the parser on a
+    torn file or, worse, silently DOUBLE-COUNTING a fully-written orphan
+    next to its committed successor. A direct file path passes through."""
+    if os.path.isdir(path):
+        import glob as _g
+
+        files = sorted(_g.glob(os.path.join(path, "*.rdb")))
+        if not files:
+            raise FileNotFoundError(f"no *.rdb shards in {path!r}")
+        return files
+    return path
+
+
 def read_rdb_snapshot(path: str, verify_checksum: bool = True):
     """RDB shard files → keyspace Dataset (RedisSnapshotFileExtractor
     analog; one parse task per shard file)."""
     import ray
 
-    ds = ray.data.read_binary_files(path)
+    ds = ray.data.read_binary_files(_rdb_shard_paths(path))
 
     def parse_file(batch: pa.Table) -> pa.Table:
         tables = []
@@ -960,12 +1029,7 @@ def write_resp_sink(keyspace_ds, out_dir: str, num_partitions: int = 16,
         for db in sorted(by_db):
             cmds.append([b"SELECT", b"%d" % db])
             cmds.extend(to_cmds(by_db[db]))
-        path = os.path.join(out_dir, f"aof_{pid:06d}.resp")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            for c in cmds:
-                f.write(encode_cmd(c))
-        os.replace(tmp, path)
+        write_resp_log(cmds, out_dir, file_seq=pid)   # THE atomic log write
         return pa.table({"part_id": [pid], "cmds": [len(cmds)],
                          "rows": [t.num_rows]})
 
@@ -1034,7 +1098,6 @@ def bigkey_statistics(keyspace_ds, data_size_threshold: int = 0,
     surviving set. No driver-side data path; the unfiltered keyspace never
     leaves the partitions."""
     import polars as pl
-    import pyarrow.compute as pc
 
     out_schema = pa.schema([("db_id", pa.int64()), ("key_type", pa.string()),
                             ("key", pa.string()), ("data_size", pa.int64())])
@@ -1104,7 +1167,7 @@ def rdb_key_statistics(path: str):
     import polars as pl
     import ray
 
-    ds = ray.data.read_binary_files(path)
+    ds = ray.data.read_binary_files(_rdb_shard_paths(path))
     schema = pa.schema([("db_id", pa.int64()), ("key_type", pa.string()),
                         ("key", pa.binary()), ("data_size", pa.int64()),
                         ("freq", pa.int64())])
@@ -1278,7 +1341,13 @@ def keyspace_to_events(t: pa.Table, base_offset: int) -> pa.Table:
 
     if t.num_rows == 0:
         return _EVENT_SCHEMA.empty_table()
-    df = pl.from_arrow(t).with_row_index("_seq")
+    # seq follows ROW order, so order rows by idx within a key first: a
+    # stream's (or list's) element order must survive the refold — the gen
+    # files are sorted with field BEFORE idx (a comparison-stable order),
+    # which would re-derive stream idx in field-byte order otherwise
+    df = (pl.from_arrow(t)
+          .sort("db", "key", "rtype", "idx", "field")
+          .with_row_index("_seq"))
     off = pl.lit(base_offset, dtype=pl.Int64).alias("log_offset")
     off_key = pl.lit(base_offset - 1, dtype=pl.Int64).alias("log_offset")
     seq = pl.col("_seq").cast(pl.Int32).alias("seq")
@@ -1377,6 +1446,24 @@ class RedisKeyspaceStore:
 
     def _part_path(self, gen: int, pid: int) -> str:
         return os.path.join(self._gen_dir(gen), f"part-{pid:05d}.parquet")
+
+    def _gen_files(self) -> tuple[int, list[str]]:
+        """(gen, parquet files) with the list-then-read retry: a concurrent
+        ingest commits gen+1 and rmtree's the old dir between our watermark
+        read and the glob — an empty listing for a generation that has since
+        ADVANCED is that race, not an empty store, and returning it as truth
+        would silently read zero keys (same contract as lake.py's
+        committed_watermark re-list)."""
+        import glob
+
+        for _ in range(8):
+            gen = self.watermark()["gen"]
+            files = sorted(glob.glob(os.path.join(self._gen_dir(gen),
+                                                  "*.parquet")))
+            if files or self.watermark()["gen"] == gen:
+                return gen, files
+        raise RuntimeError("keyspace read: generation kept advancing "
+                           "mid-listing — pause the racing ingest")
 
     # ---------- ingest ----------
     def ingest(self, log_dir: str, fail_after_parts: int | None = None,
@@ -1477,30 +1564,30 @@ class RedisKeyspaceStore:
 
     # ---------- read path ----------
     def keyspace_dataset(self):
-        import glob
-
         import ray.data as rd
 
-        gen = self.watermark()["gen"]
-        files = sorted(glob.glob(os.path.join(self._gen_dir(gen),
-                                              "*.parquet")))
+        _, files = self._gen_files()
         if not files:
             return rd.from_arrow(KEYSPACE_SCHEMA.empty_table())
         return rd.read_parquet(files)
 
     def keyspace_table(self) -> pa.Table:
-        import glob
-
         import pyarrow.parquet as pq
 
-        gen = self.watermark()["gen"]
-        files = sorted(glob.glob(os.path.join(self._gen_dir(gen),
-                                              "*.parquet")))
-        if not files:
-            return KEYSPACE_SCHEMA.empty_table()
-        t = pa.concat_tables([pq.read_table(f) for f in files])
-        return t.sort_by([(c, "ascending")
-                          for c in ("db", "key", "rtype", "field", "idx")])
+        for _ in range(8):
+            _, files = self._gen_files()
+            if not files:
+                return KEYSPACE_SCHEMA.empty_table()
+            try:
+                t = pa.concat_tables([pq.read_table(f) for f in files])
+            except FileNotFoundError:
+                continue      # the listed generation was GC'd mid-read —
+                              # re-list sees the committed successor
+            return t.sort_by([(c, "ascending")
+                              for c in ("db", "key", "rtype", "field",
+                                        "idx")])
+        raise RuntimeError("keyspace read: generation kept advancing "
+                           "mid-read — pause the racing ingest")
 
     def write_heartbeat(self) -> dict:
         """Liveness write-back, same shape as LakeTable's

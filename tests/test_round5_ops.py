@@ -1787,3 +1787,146 @@ def test_commit_survives_stale_compactor_gc(tmp_path):
     assert got.equals(want)                        # no silent row loss
     # and the epoch-1 delta files were re-created by the re-run
     assert os.path.isdir(os.path.join(lake.root, "delta", "epoch-00000001"))
+
+
+# --------------------------- redis path post-review fixes (second pass)
+
+
+def _ev_multiset(t):
+    return sorted(map(str, t.to_pylist()))
+
+
+def test_pexpireat_options_refused_both_paths():
+    """PEXPIREAT NX/XX/GT/LT is conditional on live TTL state and anything
+    else is rejected by real Redis — pre-fix both derivations silently
+    applied the deadline unconditionally (and the fast path for ANY argc>=3)."""
+    from ape_dts_ray.pipelines.redis_replay import (commands_to_events,
+                                                    scan_to_events)
+    from ape_dts_ray.sources.resp import encode_cmds, parse_resp
+
+    for extra, msg in ((b"XX", "conditional on live state"),
+                       (b"garbage", "unexpected argument")):
+        raw = encode_cmds([[b"PEXPIREAT", b"k", b"1000", extra]])
+        with pytest.raises(ValueError, match=msg):
+            commands_to_events(parse_resp(raw))
+        with pytest.raises(ValueError, match=msg):
+            scan_to_events(raw)
+    # the plain form still folds identically on both paths
+    raw = encode_cmds([[b"SET", b"k", b"v"], [b"PEXPIREAT", b"k", b"1000"]])
+    assert _ev_multiset(scan_to_events(raw)) == \
+        _ev_multiset(commands_to_events(parse_resp(raw)))
+
+
+def test_truncated_set_pxat_and_bad_numbers_refuse_with_context():
+    """A log truncated at 'SET k v PXAT' must refuse with command+offset
+    context on BOTH derivations (pre-fix: bare IndexError); HPEXPIREAT
+    field counts and RESTORE ttls that aren't numbers name the command."""
+    from ape_dts_ray.pipelines.redis_replay import (commands_to_events,
+                                                    scan_to_events)
+    from ape_dts_ray.sources.resp import encode_cmds, parse_resp
+
+    raw = encode_cmds([[b"SET", b"k", b"v", b"PXAT"]])
+    with pytest.raises(ValueError, match="SET PXAT missing"):
+        commands_to_events(parse_resp(raw))
+    with pytest.raises(ValueError, match="SET PXAT missing"):
+        scan_to_events(raw)
+    raw = encode_cmds([[b"HPEXPIREAT", b"k", b"1000", b"FIELDS", b"x",
+                        b"f1", b"f2"]])
+    with pytest.raises(ValueError, match="HPEXPIREAT field count"):
+        scan_to_events(raw)
+    payload = rdbmod.dump_value({"db": 0, "key": b"k", "type": "string",
+                                 "expire_ms": 0, "value": b"v"})
+    raw = encode_cmds([[b"RESTORE", b"k", b"zzz", payload]])
+    with pytest.raises(ValueError, match="RESTORE ttl"):
+        scan_to_events(raw)
+
+
+def test_scan_oversize_falls_back_to_scalar(monkeypatch):
+    """Buffers at/past the int32 gather ceiling route through the scalar
+    walker (pa.binary() offsets and position gathers would WRAP past 2 GiB
+    and emit garbage silently) — multiset equality must hold across the
+    switch."""
+    from ape_dts_ray.pipelines import redis_replay as rr
+    from ape_dts_ray.sources.resp import encode_cmds, parse_resp
+
+    raw = encode_cmds([[b"SET", b"k", b"v" * 40],
+                       [b"HSET", b"h", b"f", b"w"],
+                       [b"PEXPIREAT", b"k", b"1000"]])
+    want = _ev_multiset(rr.commands_to_events(parse_resp(raw)))
+    assert _ev_multiset(rr.scan_to_events(raw)) == want    # columnar path
+    monkeypatch.setattr(rr, "_SCAN_MAX_BYTES", 8)
+    assert _ev_multiset(rr.scan_to_events(raw)) == want    # fallback path
+
+
+def test_rdb_reader_ignores_orphan_tmp(tmp_path, ray_session):
+    """A writer crash leaves shard.rdb.tmp next to committed shards — the
+    directory readers must parse only *.rdb (pre-fix the bare directory
+    read ingested the orphan: a torn tmp crashed the parser, a complete
+    one silently DOUBLE-COUNTED every key in the shard)."""
+    from ape_dts_ray.pipelines.redis_replay import (rdb_key_statistics,
+                                                    read_rdb_snapshot)
+
+    entries = [{"db": 0, "key": b"k1", "type": "string", "expire_ms": 0,
+                "value": b"v1"}]
+    buf = rdbmod.encode_rdb(entries)
+    d = tmp_path / "snap"
+    d.mkdir()
+    (d / "rdb_part_00000.rdb").write_bytes(buf)
+    (d / "rdb_part_00001.rdb.tmp").write_bytes(buf[: len(buf) // 2])  # torn
+    t = pa.concat_tables(read_rdb_snapshot(str(d)).iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    assert t.num_rows == 1 and t.column("key").to_pylist() == [b"k1"]
+    stats = pa.concat_tables(rdb_key_statistics(str(d)).iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    assert stats.num_rows == 1 and stats.column("key").to_pylist() == [b"k1"]
+
+
+def test_keyspace_read_retries_generation_advance(tmp_path, ray_session):
+    """A concurrent ingest commits gen+1 and rmtree's the old generation
+    between a reader's watermark read and its glob — the reader must
+    re-list instead of silently returning an EMPTY keyspace."""
+    from ape_dts_ray.pipelines.redis_replay import (RedisKeyspaceStore,
+                                                    write_resp_log)
+
+    log = str(tmp_path / "log")
+    write_resp_log([[b"SET", b"a", b"1"], [b"SET", b"b", b"2"]], log, 0)
+    store = RedisKeyspaceStore.create(str(tmp_path / "store"),
+                                      num_partitions=2)
+    store.ingest(log)
+    real_wm = store.watermark()["gen"]
+    calls = {"n": 0}
+    real = RedisKeyspaceStore.watermark
+
+    def stale_once(self):
+        calls["n"] += 1
+        wm = real(self)
+        if calls["n"] == 1:
+            return {**wm, "gen": wm["gen"] - 1}    # the GC'd generation
+        return wm
+
+    store.watermark = stale_once.__get__(store)
+    t = store.keyspace_table()
+    assert t.num_rows == 2                          # not the silent empty
+    assert store.watermark()["gen"] == real_wm
+
+
+def test_stream_field_order_survives_fold_and_sink(ray_session):
+    """Redis streams preserve field insertion order per entry — fold-derived
+    keyspaces must carry it in idx like the RDB-parse path does (pre-fix
+    idx was null and the sink re-emitted 'XADD s 5-1 b 1 a 2' as 'a 2 b 1'),
+    and the order must survive the incremental refold."""
+    from ape_dts_ray.pipelines.redis_replay import (_keyspace_to_entries,
+                                                    commands_to_events,
+                                                    fold_events,
+                                                    keyspace_to_events)
+    from ape_dts_ray.sources.resp import encode_cmds, parse_resp
+
+    raw = encode_cmds([[b"XADD", b"s", b"5-1", b"b", b"1", b"a", b"2"],
+                       [b"XADD", b"s", b"6-1", b"z", b"9", b"y", b"8"]])
+    folded = fold_events(commands_to_events(parse_resp(raw)))
+    ents = _keyspace_to_entries(folded)
+    assert ents[0]["entries"] == [(b"5-1", [(b"b", b"1"), (b"a", b"2")]),
+                                  (b"6-1", [(b"z", b"9"), (b"y", b"8")])]
+    # incremental refold: state -> synthetic events -> fold, order intact
+    refold = fold_events(keyspace_to_events(folded, base_offset=10_000))
+    assert _keyspace_to_entries(refold)[0]["entries"] == ents[0]["entries"]
