@@ -1001,7 +1001,7 @@ def _restore_cmds(entries: list[dict]) -> list[list[bytes]]:
     out = []
     for e in entries:
         cmd = [b"RESTORE", e["key"], b"%d" % e.get("expire_ms", 0),
-               rdbmod.dump_value(e), b"REPLACE"]
+               rdbmod.dump_value(e, lzf_sample=16), b"REPLACE"]
         if e.get("expire_ms"):
             cmd.append(b"ABSTTL")
         out.append(cmd)

@@ -421,11 +421,21 @@ def parse_rdb(data: bytes, verify_checksum: bool = True):
     while True:
         tb = r.read_u8()
         if tb == OP_EOF:
-            if version >= "0005" and r.pos + 8 <= len(data):
-                (stored,) = struct.unpack_from("<Q", data, r.pos)
-                if verify_checksum and stored != 0:
-                    if crc64_redis(data[:r.pos]) != stored:
-                        raise ValueError("rdb: CRC-64 checksum mismatch")
+            if version >= "0005":
+                if r.pos + 8 > len(data):
+                    # a file cut INSIDE the 8-byte CRC footer still has its
+                    # EOF opcode — silently skipping verification here would
+                    # pass exactly the torn write verify_checksum exists to
+                    # catch (one byte earlier raises 'truncated input')
+                    if verify_checksum:
+                        raise ValueError(
+                            "rdb: truncated CRC-64 footer (file cut inside "
+                            "the checksum)")
+                else:
+                    (stored,) = struct.unpack_from("<Q", data, r.pos)
+                    if verify_checksum and stored != 0:
+                        if crc64_redis(data[:r.pos]) != stored:
+                            raise ValueError("rdb: CRC-64 checksum mismatch")
             break
         if tb == OP_SELECTDB:
             db = r.read_length(); continue
@@ -448,6 +458,21 @@ def parse_rdb(data: bytes, verify_checksum: bool = True):
             freq = r.read_u8(); continue
         if tb == OP_SLOT_INFO:
             r.read_length(); r.read_length(); r.read_length(); continue
+        if tb == OP_MODULE_AUX:
+            # keyspace-free module data (rdb.c RDB_OPCODE_MODULE_AUX:
+            # moduleid, when_opcode, when, then the same opcode stream as a
+            # MODULE_2 value) — skip-parse it like module2 values so a
+            # snapshot from a server with aux-saving modules (RediSearch et
+            # al.) parses the REST of the keyspace instead of aborting on
+            # 'unsupported type byte 247'
+            module_id = r.read_length()
+            r.read_length()                  # when_opcode
+            r.read_length()                  # when
+            _skip_module_opcodes(r)
+            meta.setdefault("skipped_modules", []).append(
+                {"db": db, "key": None,
+                 "module": module_type_name(module_id), "aux": True})
+            continue
         if tb == RDB_TYPE_MODULE:
             # v1 module values carry no framing — without the module itself
             # the stream position is lost, so this stays a hard error
@@ -495,18 +520,18 @@ def module_type_name(module_id: int) -> str:
     return "".join(chars)
 
 
-def _skip_module2(r: "RdbReader") -> str:
-    """Consume a MODULE_2 value's opcode stream without interpreting it
-    (module2_parser.rs:48-73): EOF=0 terminates; 1|2 = length-encoded int,
-    3 = len-prefixed ASCII float, 4 = 8-byte double, 5 = string. Returns
-    the decoded module type name for the warning row."""
-    module_id = r.read_length()
+def _skip_module_opcodes(r: "RdbReader") -> None:
+    """Consume a module opcode stream without interpreting it: EOF=0
+    terminates; 1|2 = length-encoded int, 3 = 4-byte binary float
+    (rdbLoadBinaryFloatValue — NOT the len-prefixed ASCII float the
+    reference's module2_parser.rs:55 wrongly assumes; redis rdb.c is
+    normative), 4 = 8-byte binary double, 5 = string."""
     opcode = r.read_length()
     while opcode != 0:
         if opcode in (1, 2):
             r.read_length()
         elif opcode == 3:
-            r.read_float()
+            r.read(4)
         elif opcode == 4:
             r.read_double()
         elif opcode == 5:
@@ -514,6 +539,14 @@ def _skip_module2(r: "RdbReader") -> str:
         else:
             raise ValueError(f"rdb: unknown module opcode {opcode}")
         opcode = r.read_length()
+
+
+def _skip_module2(r: "RdbReader") -> str:
+    """Consume a MODULE_2 value positionally (module2_parser.rs:48-73
+    semantics, binary-float corrected). Returns the decoded module type
+    name for the warning row."""
+    module_id = r.read_length()
+    _skip_module_opcodes(r)
     return module_type_name(module_id)
 
 
@@ -647,11 +680,22 @@ def _parse_stream(r: RdbReader, tb: int, entry: dict) -> None:
             if flags & 2:                    # SAMEFIELDS as master
                 fvs = list(zip(fields, els[i:i + nf]))
                 i += nf
+                want_lp = 3 + nf
             else:
                 num = int(els[i]); i += 1
                 fvs = [(els[i + 2 * k], els[i + 2 * k + 1]) for k in range(num)]
                 i += 2 * num
-            i += 1                           # lp_count (backward-iter aid)
+                want_lp = 4 + 2 * num
+            # lp_count is redis's reverse-iteration jump distance (elements
+            # per record EXCLUDING this one, t_stream.c) — validate instead
+            # of skipping blind, so a miscounting writer (ours included, the
+            # pre-fix encoder was one too high) can't ship records a real
+            # Redis would misparse backwards
+            if int(els[i]) != want_lp:
+                raise ValueError(
+                    f"rdb: stream record lp_count {int(els[i])} != "
+                    f"{want_lp} for entry {eid!r}")
+            i += 1
             if flags & 1:                    # deleted tombstone
                 deleted -= 1
             else:
@@ -1061,11 +1105,26 @@ def _encode_stream(out: bytearray, e: dict, wstr) -> None:
             raise ValueError("rdb: stream entries must be id-ordered")
         # chunk into listpack nodes (redis caps nodes via
         # stream-node-max-entries, default 100) — one giant listpack would
-        # overflow its u16 element count past ~6k entries
+        # overflow its u16 element count past ~6k entries. The entry cap
+        # alone is NOT enough: each entry contributes up to 2·nf+5
+        # elements, so 100 wide entries (~330 fields) would still blow the
+        # 65534-element listpack limit — bound the ELEMENT budget too.
         NODE = 100
+        LP_MAX = 65000
         pairs = list(zip(ids, entries))   # hoisted: rebuilding the zip per
-        chunks = [pairs[i:i + NODE]       # chunk was O(n²/NODE) on big
-                  for i in range(0, len(entries), NODE)]  # streams
+        chunks, cur, budget = [], [], 0   # chunk was O(n²/NODE) on big
+        for item in pairs:                # streams
+            nf = len(item[1][1])
+            cost = 2 * nf + 5             # non-SAMEFIELDS upper bound
+            if cur and (len(cur) >= NODE or budget + cost > LP_MAX):
+                chunks.append(cur)
+                cur, budget = [], 0
+            if not cur:
+                budget = 4 + nf           # node header: count, deleted,
+            cur.append(item)              # nf, fields..., "0"
+            budget += cost
+        if cur:
+            chunks.append(cur)
         write_length(out, len(chunks))
         for chunk in chunks:
             (mms, mseq) = chunk[0][0]
@@ -1077,14 +1136,20 @@ def _encode_stream(out: bytearray, e: dict, wstr) -> None:
                 same = [f for f, _ in fvs] == master_fields
                 els += [b"2" if same else b"0",
                         b"%d" % (ms - mms), b"%d" % (seq - mseq)]
+                # lp_count EXCLUDES the lp-count element itself (redis
+                # t_stream.c streamAppendItem: numfields+3 for SAMEFIELDS,
+                # 2*numfields+4 otherwise) — it is the number of elements a
+                # reverse iterator jumps back over to land on flags; one
+                # too high lands one element early and misparses every
+                # entry in XREVRANGE/XDEL on a real target
                 if same:
                     els += [v for _, v in fvs]
-                    lp_count = 4 + len(fvs)
+                    lp_count = 3 + len(fvs)
                 else:
                     els.append(b"%d" % len(fvs))
                     for f, v in fvs:
                         els += [f, v]
-                    lp_count = 5 + 2 * len(fvs)
+                    lp_count = 4 + 2 * len(fvs)
                 els.append(b"%d" % lp_count)
             # master key: 16 bytes big-endian ms+seq, stored as an RDB string
             wstr(struct.pack(">QQ", mms, mseq), try_int=False)
@@ -1130,12 +1195,16 @@ def _write_ascii_float(out: bytearray, s: float) -> None:
 
 # ------------------------------------------------- DUMP / RESTORE payloads
 
-def dump_value(entry: dict, rdb_version: int = 11) -> bytes:
+def dump_value(entry: dict, rdb_version: int = 11,
+               lzf_sample: int = 1) -> bytes:
     """The DUMP/RESTORE wire payload for one value: <type byte><rdb value>
     <rdb-version u16 LE><crc64 LE> — entry_rewriter.rs create_value_dump
-    analog (built on our own encoder instead of captured raw bytes)."""
+    analog (built on our own encoder instead of captured raw bytes).
+    ``lzf_sample`` forwards to the string encoder (the pure-Python LZF
+    loop is this codec's one hot path — bulk sinks sample it)."""
     body = bytearray()
-    _encode_value(body, {**entry, "key": b""}, packed_threshold=128)
+    _encode_value(body, {**entry, "key": b""}, packed_threshold=128,
+                  lzf_sample=lzf_sample)
     # body = type byte + 1-byte empty-key length (0x00) + value bytes
     out = bytearray([body[0]])
     out += body[2:]

@@ -88,12 +88,18 @@ def calc_slots(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
     data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None \
         else np.zeros(0, dtype=np.uint8)
     lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
-    max_len = int(lens.max()) if n else 0
+    # the padded matrix is n × LONGEST key — one 1 MB key (Redis allows up
+    # to 512 MB) in a 100k-row batch would make it ~100 GB. Route oversize
+    # rows through the per-key scalar path (like brace rows) and size the
+    # matrix by the longest REMAINING key.
+    long = lens > 512
+    lens_m = np.where(long, 0, lens)
+    max_len = int(lens_m.max()) if n else 0
     crc = np.zeros(n, dtype=np.uint16)
     brace = np.zeros(n, dtype=bool)
     if max_len:
         idx = offsets[:-1, None].astype(np.int64) + np.arange(max_len)[None, :]
-        valid = np.arange(max_len)[None, :] < lens[:, None]
+        valid = np.arange(max_len)[None, :] < lens_m[:, None]
         safe = np.minimum(idx, max(len(data) - 1, 0))
         padded = np.where(valid, data[safe] if len(data) else 0, 0).astype(np.uint8)
         brace = (padded == 0x7B).any(axis=1)        # rows containing '{'
@@ -104,8 +110,9 @@ def calc_slots(keys: pa.Array | pa.ChunkedArray) -> np.ndarray:
                            ^ _CRC16_TABLE[((c >> np.uint16(8))
                                            ^ padded[active, j]).astype(np.uint8)])
     slots = (crc & np.uint16(0x3FFF)).astype(np.int32)
-    # hashtag fallback for keys containing '{' (rare; per-key scalar path)
-    for i in np.nonzero(brace)[0]:
+    # scalar fallback: keys containing '{' (hashtag extraction) and
+    # oversize keys (kept out of the padded matrix)
+    for i in np.nonzero(brace | long)[0]:
         slots[int(i)] = calc_slot(arr[int(i)].as_py())
     return slots
 

@@ -25,7 +25,9 @@ def _module2_bytes(key: bytes, module_id: int) -> bytes:
     rdbmod.write_length(out, module_id)
     rdbmod.write_length(out, 1); rdbmod.write_length(out, 7)        # sint
     rdbmod.write_length(out, 2); rdbmod.write_length(out, 999999)   # uint
-    out.append(3); out.append(3); out += b"2.5"                     # float
+    out.append(3); out += struct.pack("<f", 2.5)    # 4-byte binary float
+    # (rdbLoadBinaryFloatValue — redis rdb.c is normative, not the
+    # reference's len-prefixed ASCII assumption)
     rdbmod.write_length(out, 4); out += struct.pack("<d", 3.5)      # double
     rdbmod.write_length(out, 5)
     rdbmod.write_string(out, b"opaque module payload", try_int=False)
@@ -117,8 +119,8 @@ def test_module2_skip_property():
             if op in (1, 2):
                 rdbmod.write_length(body, rng.getrandbits(40))
             elif op == 3:
-                s = b"%g" % rng.uniform(-1e6, 1e6)
-                body.append(len(s)); body += s
+                # 4 raw binary bytes (rdbLoadBinaryFloatValue)
+                body += struct.pack("<f", rng.uniform(-1e6, 1e6))
             elif op == 4:
                 body += struct.pack("<d", rng.uniform(-1e9, 1e9))
             else:
@@ -1930,3 +1932,112 @@ def test_stream_field_order_survives_fold_and_sink(ray_session):
     # incremental refold: state -> synthetic events -> fold, order intact
     refold = fold_events(keyspace_to_events(folded, base_offset=10_000))
     assert _keyspace_to_entries(refold)[0]["entries"] == ents[0]["entries"]
+
+
+# ------------------------------ rdb/resp codec post-review fixes
+
+
+def test_stream_lp_count_matches_redis():
+    """The stored lp_count EXCLUDES the lp-count element itself (redis
+    t_stream.c: numfields+3 SAMEFIELDS, 2*numfields+4 explicit) — it is
+    the reverse-iteration jump distance, and one-too-high (the pre-fix
+    encoder) lands a real Redis one element early on every XREVRANGE.
+    The parser now validates it, so the roundtrip proves the wire value."""
+    entries = [{"db": 0, "key": b"s", "type": "stream", "expire_ms": 0,
+                "entries": [
+                    (b"5-1", [(b"a", b"1"), (b"b", b"2")]),   # master shape
+                    (b"6-1", [(b"a", b"3"), (b"b", b"4")]),   # SAMEFIELDS
+                    (b"7-1", [(b"x", b"9")]),                 # explicit
+                ],
+                "last_id": b"7-1", "groups": []}]
+    buf = rdbmod.encode_rdb(entries)
+    _, back = rdbmod.parse_rdb(buf)
+    assert back[0]["entries"] == entries[0]["entries"]
+    # a miscounted record (the pre-fix +1 shape) is refused, not skipped
+    # blind: rebuild the listpack with the off-by-one counts by hand
+    els = [b"3", b"0", b"2", b"a", b"b", b"0",
+           b"2", b"0", b"0", b"1", b"2", b"6",     # SAMEFIELDS: should be 5
+           b"2", b"1", b"0", b"3", b"4", b"6",
+           b"0", b"2", b"0", b"1", b"x", b"9", b"7"]  # explicit: should be 6
+    body = bytearray()
+    body.append(rdbmod.RDB_TYPE_STREAM_LISTPACKS_2)
+    rdbmod.write_string(body, b"s", try_int=False)
+    rdbmod.write_length(body, 1)
+    rdbmod.write_string(body, struct.pack(">QQ", 5, 1), try_int=False)
+    rdbmod.write_string(body, rdbmod.encode_listpack(els), try_int=False)
+    for v in (3, 7, 1, 5, 1, 0, 0, 3, 0):       # len, last, first, maxdel,
+        rdbmod.write_length(body, v)            # added, groups
+    with pytest.raises(ValueError, match="lp_count"):
+        rdbmod.parse_rdb(_img(bytes(body)))
+
+
+def test_stream_wide_entries_chunk_by_element_budget():
+    """100 entries x 400 fields would blow the 65534-element listpack cap
+    under entry-count-only chunking — the encoder must bound the ELEMENT
+    budget per node."""
+    fvs = [(b"f%03d" % i, b"v") for i in range(400)]
+    entries = [{"db": 0, "key": b"wide", "type": "stream", "expire_ms": 0,
+                "entries": [(b"%d-1" % (i + 1), fvs) for i in range(100)],
+                "last_id": b"100-1", "groups": []}]
+    buf = rdbmod.encode_rdb(entries)
+    _, back = rdbmod.parse_rdb(buf)
+    assert back[0]["entries"] == entries[0]["entries"]
+
+
+def test_module_aux_skip_parse():
+    """RDB_OPCODE_MODULE_AUX (0xF7: moduleid, when_opcode, when, opcode
+    stream) must skip-parse like MODULE_2 — pre-fix the whole snapshot
+    aborted with 'unsupported type byte 247'."""
+    body = bytearray()
+    body.append(rdbmod.OP_MODULE_AUX)
+    rdbmod.write_length(body, (77 << 10) | 2)     # module id (encver 2)
+    rdbmod.write_length(body, 2)                  # when_opcode
+    rdbmod.write_length(body, 0)                  # when
+    rdbmod.write_length(body, 5)                  # opcode: string
+    rdbmod.write_string(body, b"aux payload", try_int=False)
+    rdbmod.write_length(body, 3)                  # opcode: binary float
+    body += struct.pack("<f", 1.5)
+    rdbmod.write_length(body, 0)                  # opcode EOF
+    body.append(rdbmod.RDB_TYPE_STRING)
+    rdbmod.write_string(body, b"k", try_int=False)
+    rdbmod.write_string(body, b"v", try_int=False)
+    meta, entries = rdbmod.parse_rdb(_img(bytes(body)))
+    assert [(e["key"], e["value"]) for e in entries] == [(b"k", b"v")]
+    assert meta["skipped_modules"][0]["aux"] is True
+    assert meta["skipped_modules"][0]["key"] is None
+
+
+def test_truncated_crc_footer_refuses():
+    """A file cut INSIDE the 8-byte CRC footer still carries its EOF opcode
+    — pre-fix verification was silently skipped and the torn file passed
+    verify_checksum=True."""
+    buf = rdbmod.encode_rdb([{"db": 0, "key": b"k", "type": "string",
+                              "expire_ms": 0, "value": b"v"}])
+    torn = buf[:-4]
+    with pytest.raises(ValueError, match="truncated CRC"):
+        rdbmod.parse_rdb(torn)
+    meta, entries = rdbmod.parse_rdb(torn, verify_checksum=False)
+    assert entries[0]["key"] == b"k"
+
+
+def test_calc_slots_oversize_key_scalar_path():
+    """A single huge key must not size the padded CRC matrix for the whole
+    batch (n x max_len int64 — one 1 MB key in a 100k batch is ~100 GB);
+    oversize rows take the scalar path and slots stay correct."""
+    from ape_dts_ray.sources.resp import calc_slot, calc_slots
+
+    big = b"K" * 20_000
+    keys = pa.array([b"a", big, b"{tag}x", b"b"], pa.binary())
+    got = calc_slots(keys).tolist()
+    assert got == [calc_slot(b"a"), calc_slot(big), calc_slot(b"{tag}x"),
+                   calc_slot(b"b")]
+
+
+def test_dump_value_lzf_sample_roundtrip():
+    """dump_value forwards lzf_sample (the RESTORE sink uses 16, matching
+    the RDB sink) — sampled compression changes bytes, never content."""
+    e = {"db": 0, "key": b"k", "type": "string", "expire_ms": 0,
+         "value": b"abcabcabcabcabcabcabcabcabcabc" * 4}
+    for sample in (0, 1, 16):
+        back = rdbmod.parse_dump_value(rdbmod.dump_value(e, lzf_sample=sample))
+        assert back["value"] == e["value"]
