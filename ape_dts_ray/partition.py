@@ -63,6 +63,13 @@ def add_partition_column(
     turn_col: str = "turn_idx",
 ) -> pa.Table:
     """map_batches body: append ``part_id`` (vectorized, no row loop)."""
+    if COL_PART in batch.column_names:
+        # a source already carrying the reserved column would get a
+        # duplicate field (append_column doesn't check) and every
+        # downstream groupby/select dies on the ambiguity — refuse loudly
+        raise ValueError(
+            f"events carry the reserved column {COL_PART!r} — drop or "
+            "rename it before partitioning")
     conv = batch.column(conv_col).to_numpy(zero_copy_only=False)
     turn = batch.column(turn_col).to_numpy(zero_copy_only=False)
     pid = partition_ids(conv, turn, num_partitions, hot_keys)

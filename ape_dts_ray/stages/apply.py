@@ -64,6 +64,13 @@ def add_shard_column(batch: pa.Table, epoch_los: np.ndarray, epoch_ids: np.ndarr
     """
     from ape_dts_ray.partition import partition_ids
 
+    if COL_SHARD in batch.column_names:
+        # same refusal as add_partition_column: append_column would create
+        # a duplicate field and the shard-decode downstream reads whichever
+        # copy Arrow resolves — refuse the reserved column up front
+        raise ValueError(
+            f"events carry the reserved column {COL_SHARD!r} — drop or "
+            "rename it before replay")
     off = batch.column(COL_OFFSET).to_numpy(zero_copy_only=False)
     idx = np.searchsorted(epoch_los, off, side="right") - 1
     if len(off) and idx.min() < 0:
@@ -149,6 +156,16 @@ def make_apply_fn(lake_root: str, num_partitions: int, id_cols: tuple[str, ...])
         # payload sort pass
         epoch, _, _, merged, path, row = _group_lineage(
             group, num_partitions, lake_root, id_cols)
+        if COL_EPOCH in merged.column_names:
+            # a source already carrying the reserved stamp (e.g. re-seeding
+            # from another lake's exported delta/base files) would get a
+            # DUPLICATE _epoch column — the delta commits fine and every
+            # later fold then dies on the ambiguous field; refuse before
+            # commit, with the fix named
+            raise ValueError(
+                f"events carry the reserved column {COL_EPOCH!r} — drop or "
+                "rename it before replay (exported lake files keep engine "
+                "columns)")
         merged = merged.append_column(
             COL_EPOCH, pa.array(np.full(merged.num_rows, epoch,
                                         dtype=np.int64)))

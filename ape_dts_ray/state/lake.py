@@ -136,15 +136,18 @@ class LakeTable:
         "overwrite"."""
         meta = meta or TableMeta()
         config = config or EngineConfig()
+        if if_exists not in ("error", "ignore", "overwrite"):
+            # validated BEFORE the exists() branch: a typo'd mode must fail
+            # on the first (fresh-path) run, not surface later as an
+            # unexplained FileExistsError
+            raise ValueError(f"invalid if_exists: {if_exists!r}")
         if os.path.exists(os.path.join(root, TABLE_FILE)):
             if if_exists == "ignore":
                 return cls.open(root)
             if if_exists == "overwrite":
                 shutil.rmtree(root)
-            elif if_exists == "error":
-                raise FileExistsError(f"lake table already exists at {root}")
             else:
-                raise ValueError(f"invalid if_exists: {if_exists!r}")
+                raise FileExistsError(f"lake table already exists at {root}")
         os.makedirs(os.path.join(root, MANIFEST_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, "base"), exist_ok=True)
         os.makedirs(os.path.join(root, "delta"), exist_ok=True)
@@ -239,7 +242,20 @@ class LakeTable:
         """Atomically publish an epoch (tmp+rename). Idempotent: re-committing
         an already-committed epoch with identical deterministic content is a
         no-op overwrite (duplicate replays deduped by epoch id —
-        foxlake_parallelizer.rs:99-121 analog)."""
+        foxlake_parallelizer.rs:99-121 analog).
+
+        Refuses while a rotation/truncate marker is present: replay()'s
+        plan-time refusal leaves a window where an in-flight chunk commits
+        AFTER the marker appeared — an epoch the rotation/truncate snapshot
+        never saw, carrying old-salt placements the new base can't fold.
+        The refusal turns that silent divergence into a crash; re-running
+        replay after the maintenance op re-applies the chunk (delta file
+        names are deterministic, the overwrite converges)."""
+        if self.rotation_in_progress() or self.truncate_in_progress():
+            raise RuntimeError(
+                "cannot commit an epoch: rotation/truncate in progress — "
+                "this chunk raced the marker; finish the maintenance op and "
+                "re-run replay")
         atomic_write_text(self.manifest_path(manifest.epoch), manifest.to_json())
         if schema_version is not None and schema_version != self.schema_version:
             self.schema_version = schema_version
@@ -587,6 +603,14 @@ class LakeTable:
                 files = lake.partition_files(pid)
                 if not files:
                     return
+                if (len(files) == 1 and files[0] == lake.base_path(pid)
+                        and not ops and not cluster):
+                    # base-only partition with no pending schema op and no
+                    # clustering key that could have changed since the base
+                    # was written: re-folding would byte-identically rewrite
+                    # the file — on the 100-TB shape that turns a no-op
+                    # maintenance pass into a full-lake rewrite
+                    return
                 folded = lake._fold_files(files, keep_tombstones=False)
                 bp = lake.base_path(pid)
                 if folded is None or folded.num_rows == 0:
@@ -619,11 +643,10 @@ class LakeTable:
         # concurrent compactor may have published a higher watermark while
         # this run was folding (the "never regresses" contract is global,
         # not per-invocation).
-        watermark = max(watermark, self.compacted_watermark())
-        m = EpochManifest(epoch=epochs[-1], offset_min=-1, offset_max=watermark,
-                          schema_version=self.schema_version, partitions=[])
-        atomic_write_text(os.path.join(self.root, MANIFEST_DIR, "compacted.json"),
-                          m.to_json())
+        self._publish_compacted(
+            EpochManifest(epoch=epochs[-1], offset_min=-1,
+                          offset_max=watermark,
+                          schema_version=self.schema_version, partitions=[]))
         for e in epochs:
             ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
             try:
@@ -741,12 +764,11 @@ class LakeTable:
                 # vanished manifest implies a durable compacted.json) —
                 # never GC manifests without coverage; defer to next tick
                 return sum(bool(d) for d in done)
-            m = EpochManifest(epoch=removable[-1], offset_min=-1,
+            self._publish_compacted(
+                EpochManifest(epoch=removable[-1], offset_min=-1,
                               offset_max=wm,
-                              schema_version=self.schema_version, partitions=[])
-            atomic_write_text(
-                os.path.join(self.root, MANIFEST_DIR, "compacted.json"),
-                m.to_json())
+                              schema_version=self.schema_version,
+                              partitions=[]))
             for e in removable:
                 ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
                 try:
@@ -788,20 +810,24 @@ class LakeTable:
         self.truncate_offset = max(self.truncate_offset, wm)
         self._save_table_json()
         epochs = self.committed_epochs()
-        m = EpochManifest(epoch=epochs[-1] if epochs else 0, offset_min=-1,
+        self._publish_compacted(
+            EpochManifest(epoch=epochs[-1] if epochs else 0, offset_min=-1,
                           offset_max=wm, schema_version=self.schema_version,
-                          partitions=[])
-        atomic_write_text(os.path.join(self.root, MANIFEST_DIR,
-                                       "compacted.json"), m.to_json())
+                          partitions=[]))
         for pid in range(self.config.num_partitions):
             bp = self.base_path(pid)
             if os.path.exists(bp):
                 os.remove(bp)
         for e in epochs:
             ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
-            if os.path.isdir(ddir):
-                shutil.rmtree(ddir)
-            os.remove(self.manifest_path(e))
+            try:
+                if os.path.isdir(ddir):
+                    shutil.rmtree(ddir)
+                os.remove(self.manifest_path(e))
+            except FileNotFoundError:
+                pass          # a concurrent compactor GC'd it first — same
+                              # tolerance as compact()'s epilogue; aborting
+                              # here would wedge the lake behind the marker
         os.remove(marker)
 
     def _recover_rotation(self) -> None:
@@ -855,11 +881,22 @@ class LakeTable:
         shutil.rmtree(old, ignore_errors=True)
         self.config.hot_keys = keys
         self._save_table_json()
-        for e in self.committed_epochs():  # cleanup the crashed run skipped
+        # delete ONLY the epochs the crashed rotation's snapshot folded into
+        # base_next (recorded in the swap marker) — a fresh listing would
+        # also destroy any epoch committed mid-rotation, regressing the
+        # watermark and losing rows the rebuilt base never saw. Older swap
+        # markers without the list fall back to the fresh listing (their
+        # commit_epoch had no marker refusal either).
+        with open(swap_marker) as f:
+            snap = json.load(f).get("epochs")
+        for e in (snap if snap is not None else self.committed_epochs()):
             ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
-            if os.path.isdir(ddir):
-                shutil.rmtree(ddir)
-            os.remove(self.manifest_path(e))
+            try:
+                if os.path.isdir(ddir):
+                    shutil.rmtree(ddir)
+                os.remove(self.manifest_path(e))
+            except FileNotFoundError:
+                pass          # a concurrent compactor's epilogue got here
         os.remove(swap_marker)
 
     def _compact_rotate(self, new_hot_keys: tuple[str, ...]) -> int:
@@ -909,12 +946,20 @@ class LakeTable:
 
         meta = self.meta
 
+        # indexed lakes cluster like compact(); otherwise the id-col sort
+        # keeps rotated base bytes deterministic (groupby row order isn't)
+        cluster = self.cluster_sort_cols() or list(meta.id_cols)
+
         def write_next(group: pa.Table) -> pa.Table:
             if group.num_rows == 0:
                 return pa.table({"part_id": pa.array([], pa.int32())})
             pid = int(group.column(COL_PART)[0].as_py())
             out = group.drop_columns([COL_PART])
-            out = out.sort_by([(c, "ascending") for c in meta.id_cols])
+            # same clustering key as compact(): a registered index IS the
+            # base files' sort order (the __init__ contract) — id-col sort
+            # here scrambled indexed-column row-group stats until the next
+            # full compact
+            out = _cluster_sorted(out, cluster)
             atomic_write_parquet(
                 out, os.path.join(next_dir, f"part-{pid:05d}.parquet"),
                 compression="zstd")
@@ -929,18 +974,20 @@ class LakeTable:
         # the swap itself, then cleanup — every crash window between these
         # steps is repaired by _recover_rotation (see its docstring)
         ep = epochs[-1] if epochs else 0
-        m = EpochManifest(epoch=ep, offset_min=-1, offset_max=watermark,
-                          schema_version=self.schema_version, partitions=[])
-        atomic_write_text(os.path.join(self.root, MANIFEST_DIR, "compacted.json"),
-                          m.to_json())
+        self._publish_compacted(
+            EpochManifest(epoch=ep, offset_min=-1, offset_max=watermark,
+                          schema_version=self.schema_version, partitions=[]))
         self.config.hot_keys = tuple(new_hot_keys)
         self._save_table_json()
         base = os.path.join(self.root, "base")
         old = os.path.join(self.root, "base_old")
         swap_marker = os.path.join(self.root, MANIFEST_DIR, "rotation_swap.json")
-        # COMMIT POINT: base_next/ is complete from here on
+        # COMMIT POINT: base_next/ is complete from here on. The marker
+        # carries the epoch SNAPSHOT so crash recovery deletes exactly what
+        # this run folded — not whatever is committed at recovery time.
         atomic_write_text(swap_marker,
-                          json.dumps({"hot_keys": list(new_hot_keys)}))
+                          json.dumps({"hot_keys": list(new_hot_keys),
+                                      "epochs": list(epochs)}))
         shutil.rmtree(old, ignore_errors=True)   # stale from older rotations
         os.rename(base, old)
         os.rename(next_dir, base)
@@ -949,9 +996,12 @@ class LakeTable:
         shutil.rmtree(old)
         for e in epochs:
             ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
-            if os.path.isdir(ddir):
-                shutil.rmtree(ddir)
-            os.remove(self.manifest_path(e))
+            try:
+                if os.path.isdir(ddir):
+                    shutil.rmtree(ddir)
+                os.remove(self.manifest_path(e))
+            except FileNotFoundError:
+                pass          # concurrent compactor epilogue tolerance
         os.remove(swap_marker)
         os.remove(marker)
         return len(epochs)
@@ -962,6 +1012,25 @@ class LakeTable:
             with open(p) as f:
                 return EpochManifest.from_json(f.read()).offset_max
         return -1
+
+    def _publish_compacted(self, m: EpochManifest) -> None:
+        """Publish compacted.json without regressing offset_max. A plain
+        max()-then-write is a read-then-write race (no FS compare-and-swap):
+        two concurrent compactors can interleave read(60) write(100)
+        write(80) and regress the published watermark. The write-verify
+        loop re-reads after writing and re-publishes the max until stable —
+        each pass shrinks the window to the write itself, and a surviving
+        regression costs only an idempotent re-apply of the regressed span
+        (deterministic delta names), never divergence."""
+        from dataclasses import replace as _dc_replace
+
+        path = os.path.join(self.root, MANIFEST_DIR, "compacted.json")
+        target = m.offset_max
+        for _ in range(4):
+            target = max(target, self.compacted_watermark())
+            atomic_write_text(path, _dc_replace(m, offset_max=target).to_json())
+            if self.compacted_watermark() >= target:
+                return
 
     def watermark(self) -> int:
         return max(self.committed_watermark(), self.compacted_watermark())

@@ -2041,3 +2041,179 @@ def test_dump_value_lzf_sample_roundtrip():
     for sample in (0, 1, 16):
         back = rdbmod.parse_dump_value(rdbmod.dump_value(e, lzf_sample=sample))
         assert back["value"] == e["value"]
+
+
+# ---------------------------- lake/apply post-review fixes (third pass)
+
+
+def _mini_lake(tmp_path, name, **cfg_kw):
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.state.lake import LakeTable
+
+    cfg = EngineConfig(num_partitions=cfg_kw.pop("num_partitions", 4),
+                       epoch_size=cfg_kw.pop("epoch_size", 1000))
+    return LakeTable.create(str(tmp_path / name), TableMeta(), cfg)
+
+
+def test_commit_refuses_during_rotation_and_truncate(tmp_path):
+    """replay()'s plan-time marker check leaves a window where an in-flight
+    chunk commits AFTER rotation/truncate began — an epoch the maintenance
+    snapshot never saw, with old-salt placements. commit_epoch now turns
+    that silent divergence into a loud crash."""
+    from ape_dts_ray.state.manifest import EpochManifest, atomic_write_text
+
+    lake = _mini_lake(tmp_path, "l1")
+    m = EpochManifest(epoch=0, offset_min=0, offset_max=9, schema_version=0,
+                      partitions=[])
+    for marker in ("rotation.json", "truncate.json"):
+        p = os.path.join(lake.root, "_manifests", marker)
+        atomic_write_text(p, "{}")
+        with pytest.raises(RuntimeError, match="in progress"):
+            lake.commit_epoch(m)
+        os.remove(p)
+    lake.commit_epoch(m)                       # markers gone: commits fine
+    assert lake.committed_epochs() == [0]
+
+
+def test_rotation_recovery_deletes_only_snapshot_epochs(tmp_path):
+    """Crash recovery must delete exactly the epochs the crashed rotation
+    folded into base_next (recorded in the swap marker) — pre-fix it used
+    a FRESH listing and destroyed any epoch committed mid-rotation,
+    regressing the watermark below rows the rebuilt base never saw."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.manifest import EpochManifest, atomic_write_text
+
+    lake = _mini_lake(tmp_path, "l2")
+    ev = gen_events(seed=53, n_convs=20, max_turns=4, n_events=2500)
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(ev, src)
+    replay(lake, events_path=src)
+    epochs = lake.committed_epochs()
+    assert len(epochs) >= 2
+    snap, late = epochs[:-1], epochs[-1]
+    # simulate the crashed rotation: swap committed (marker + base_next),
+    # snapshot = all but the LAST epoch (committed "mid-rotation")
+    nxt = os.path.join(lake.root, "base_next")
+    os.makedirs(nxt, exist_ok=True)
+    atomic_write_text(os.path.join(lake.root, "_manifests",
+                                   "rotation_swap.json"),
+                      _json.dumps({"hot_keys": [], "epochs": snap}))
+    atomic_write_text(
+        os.path.join(lake.root, "_manifests", "compacted.json"),
+        EpochManifest(epoch=snap[-1], offset_min=-1,
+                      offset_max=lake.read_manifest(snap[-1]).offset_max,
+                      schema_version=0, partitions=[]).to_json())
+    wm_before = lake.watermark()
+    lake._recover_rotation()
+    assert lake.committed_epochs() == [late]   # mid-rotation epoch SURVIVES
+    assert lake.watermark() == wm_before       # coverage never regressed
+
+
+def test_publish_compacted_never_regresses(tmp_path):
+    """Two concurrent compactors' read-then-write could regress the
+    published watermark; the write-verify loop re-publishes the max."""
+    from ape_dts_ray.state.manifest import EpochManifest, atomic_write_text
+
+    lake = _mini_lake(tmp_path, "l3")
+    high = EpochManifest(epoch=5, offset_min=-1, offset_max=1000,
+                         schema_version=0, partitions=[])
+    atomic_write_text(os.path.join(lake.root, "_manifests",
+                                   "compacted.json"), high.to_json())
+    low = EpochManifest(epoch=3, offset_min=-1, offset_max=80,
+                        schema_version=0, partitions=[])
+    lake._publish_compacted(low)
+    assert lake.compacted_watermark() == 1000
+
+
+def test_reserved_columns_refused(tmp_path):
+    """Events already carrying _epoch/_shard/part_id (exported lake files
+    keep engine columns) must refuse loudly — append_column would create a
+    duplicate field that breaks every later fold/groupby."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.partition import add_partition_column
+    from ape_dts_ray.pipelines.replay import replay
+
+    ev = gen_events(seed=54, n_convs=5, max_turns=3, n_events=200)
+    poisoned = ev.append_column("_epoch", pa.array(
+        np.zeros(ev.num_rows, np.int64)))
+    src = str(tmp_path / "poisoned.parquet")
+    pq.write_table(poisoned, src)
+    lake = _mini_lake(tmp_path, "l4")
+    with pytest.raises(Exception, match="reserved column"):
+        replay(lake, events_path=src)
+    assert lake.committed_epochs() == []       # refused BEFORE commit
+    with_part = ev.append_column("part_id", pa.array(
+        np.zeros(ev.num_rows, np.int32)))
+    with pytest.raises(ValueError, match="reserved column"):
+        add_partition_column(with_part, 4)
+
+
+def test_create_validates_if_exists_on_fresh_path(tmp_path):
+    from ape_dts_ray.meta import TableMeta
+    from ape_dts_ray.state.lake import LakeTable
+
+    with pytest.raises(ValueError, match="invalid if_exists"):
+        LakeTable.create(str(tmp_path / "fresh"), TableMeta(),
+                         if_exists="overwite")
+    assert not os.path.exists(str(tmp_path / "fresh" / "_table.json"))
+
+
+def test_full_compact_noop_skips_base_rewrite(tmp_path):
+    """compact() on an already-compacted unindexed lake must not re-fold
+    and rewrite byte-identical base files — at the 100-TB shape that turns
+    a no-op maintenance pass into a full-lake rewrite."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.pipelines.replay import replay
+
+    lake = _mini_lake(tmp_path, "l5")
+    src = str(tmp_path / "ev5.parquet")
+    pq.write_table(gen_events(seed=55, n_convs=20, max_turns=4,
+                              n_events=2000), src)
+    replay(lake, events_path=src)
+    lake.compact(parallel=False)
+    stats = {p: os.stat(lake.base_path(p)).st_mtime_ns
+             for p in range(lake.config.num_partitions)
+             if os.path.exists(lake.base_path(p))}
+    assert stats
+    t_before = lake.state_table()
+    lake.compact(parallel=False)               # no new deltas: a no-op
+    for p, mt in stats.items():
+        assert os.stat(lake.base_path(p)).st_mtime_ns == mt
+    assert lake.state_table().equals(t_before)
+
+
+def test_rotation_clusters_by_index(tmp_path):
+    """compact(new_hot_keys=...) must keep the registered index as the base
+    files' clustering key (the __init__ contract) — pre-fix it re-sorted by
+    id cols, scrambling indexed-column row-group stats until the next full
+    compact."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.pipelines.replay import replay
+
+    lake = _mini_lake(tmp_path, "l6")
+    lake.set_indexes([{"name": "by_role", "cols": ["role"]}])
+    src = str(tmp_path / "ev6.parquet")
+    pq.write_table(gen_events(seed=56, n_convs=30, max_turns=4,
+                              n_events=2500), src)
+    replay(lake, events_path=src)
+    lake.compact(new_hot_keys=("c1",), parallel=False)
+    seen = 0
+    for p in range(lake.config.num_partitions):
+        bp = lake.base_path(p)
+        if not os.path.exists(bp):
+            continue
+        roles = pq.read_table(bp, columns=["role"]).column("role").to_pylist()
+        assert roles == sorted(roles), f"partition {p} not role-clustered"
+        seen += 1
+    assert seen
