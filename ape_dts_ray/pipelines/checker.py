@@ -25,8 +25,12 @@ from ape_dts_ray.partition import COL_PART, add_partition_column
 # offset-derived replay epoch ids (a later replay would silently skip the
 # colliding window). Rows in this band outrank every normal epoch in the LWW
 # fold, so revise is TERMINAL for the CDC stream: replay() refuses to run
-# while a revise epoch is committed; compact() folds it into base.
-REVISE_EPOCH_BASE = 1 << 40
+# while a revise epoch is committed; compact() folds it into base. The
+# band's synthetic offsets are EXCLUDED from every watermark computation
+# (lake.py owns the constant; re-exported here for the historical import
+# path) — otherwise the n fixes' offsets wm+1..wm+n would count as source
+# coverage and the next n real CDC events would silently skip.
+from ape_dts_ray.state.lake import REVISE_EPOCH_BASE  # noqa: F401 (re-export)
 
 CHECK_MISS = "miss"     # in src, absent from dst
 CHECK_DIFF = "diff"     # in both, compared columns differ
@@ -57,14 +61,23 @@ def check_datasets(
 
     def tag(side):
         def fn(t: pa.Table) -> pa.Table:
-            cols = [c for c in (*key_cols, *compare_cols) if c in t.column_names]
-            t = t.select(cols)
-            for c in compare_cols:       # align schemas for union
-                if c not in t.column_names:
-                    t = t.append_column(
-                        c, pa.nulls(t.num_rows, col_types.get(c, pa.string())))
-            return t.append_column("_side", pa.array(
-                np.full(t.num_rows, side, dtype=object), type=pa.string()))
+            # canonical (*key_cols, *compare_cols) COLUMN ORDER on both
+            # sides, padding missing compare cols in place — appending at
+            # the end gave the two sides different block layouts through
+            # union (correct by-name today, but positionally fragile and a
+            # per-block executor schema warning)
+            arrays, names = [], []
+            for c in (*key_cols, *compare_cols):
+                if c in t.column_names:
+                    arrays.append(t.column(c))
+                else:
+                    arrays.append(pa.nulls(t.num_rows,
+                                           col_types.get(c, pa.string())))
+                names.append(c)
+            arrays.append(pa.array(np.full(t.num_rows, side, dtype=object),
+                                   type=pa.string()))
+            names.append("_side")
+            return pa.table(dict(zip(names, arrays)))
         return fn
 
     # co-partition both sides by the ACTUAL merge key (generic key_cols —
@@ -116,6 +129,14 @@ def write_check_logs(check_ds, out_dir: str) -> dict[str, int]:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    for stale in (CHECK_MISS, CHECK_DIFF, CHECK_EXTRA):
+        # a re-check into the same out_dir must not leave a previous run's
+        # log reporting already-fixed defects: types absent THIS run never
+        # open (mode 'w') their file, so remove all three up front
+        try:
+            os.remove(os.path.join(out_dir, f"{stale}.log"))
+        except FileNotFoundError:
+            pass
     counts: dict[str, int] = {}
     files: dict[str, object] = {}
     try:
@@ -146,6 +167,29 @@ def _defect_rows(check_ds, max_defects: int) -> list[dict]:
     return rows
 
 
+def _keyset_pick(bad: list[dict], key_cols: tuple[str, ...]):
+    """Broadcast semi-join filter for the logged defect keys, shared by
+    review() and revise() (one implementation so a fix to the string-cast
+    key match can never drift between them). Separator is \x1f (unit
+    separator) — NUL would be silently truncated by numpy/pandas
+    fixed-width string paths. Returns a generator UDF for map_batches."""
+    keyset = {"\x1f".join(str(r[c]) for c in key_cols) for r in bad}
+    kc = list(key_cols)
+
+    def pick(t: pa.Table):      # generator UDF: empty matches yield nothing
+        if t.num_rows == 0 or kc[0] not in t.column_names:
+            return
+        df = t.to_pandas()
+        combined = df[kc[0]].astype(str)
+        for c in kc[1:]:
+            combined = combined + "\x1f" + df[c].astype(str)
+        picked = df[combined.isin(keyset)]
+        if not picked.empty:
+            yield pa.Table.from_pandas(picked, preserve_index=False)
+
+    return pick
+
+
 def review(src_ds, dst_ds, check_ds,
            key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
            compare_cols: tuple[str, ...] = ("role", "text", "tool", "ts"),
@@ -158,19 +202,7 @@ def review(src_ds, dst_ds, check_ds,
 
     Raises if the defect set exceeds ``max_defects`` (broadcast-size guard)."""
     bad = _defect_rows(check_ds, max_defects)
-    keyset = {"\x1f".join(str(r[c]) for c in key_cols) for r in bad}
-    kc = list(key_cols)
-
-    def pick(t: pa.Table):
-        if t.num_rows == 0 or kc[0] not in t.column_names:
-            return
-        df = t.to_pandas()
-        combined = df[kc[0]].astype(str)
-        for c in kc[1:]:
-            combined = combined + "\x1f" + df[c].astype(str)
-        picked = df[combined.isin(keyset)]
-        if not picked.empty:
-            yield pa.Table.from_pandas(picked, preserve_index=False)
+    pick = _keyset_pick(bad, key_cols)
 
     return check_datasets(
         src_ds.map_batches(pick, batch_format="pyarrow"),
@@ -199,22 +231,10 @@ def revise(lake, src_ds, check_ds,
     bad = [r for r in bad if r["check_type"] in (CHECK_MISS, CHECK_DIFF)]
     if not bad:
         return 0
-    # broadcast the (small) defect key set; semi-join filter inside map_batches.
-    # separator is \x1f (unit separator) — NUL would be silently truncated by
-    # numpy/pandas fixed-width string paths
-    keyset = {"\x1f".join(str(r[c]) for c in key_cols) for r in bad}
+    # broadcast the (small) defect key set; semi-join filter inside
+    # map_batches (_keyset_pick — shared with review())
+    pick = _keyset_pick(bad, key_cols)
     kc = list(key_cols)
-
-    def pick(t: pa.Table):      # generator UDF: empty matches yield nothing
-        if t.num_rows == 0 or kc[0] not in t.column_names:
-            return
-        df = t.to_pandas()
-        combined = df[kc[0]].astype(str)
-        for c in kc[1:]:
-            combined = combined + "\x1f" + df[c].astype(str)
-        picked = df[combined.isin(keyset)]
-        if not picked.empty:
-            yield pa.Table.from_pandas(picked, preserve_index=False)
 
     # The fix rows (incl. wide text payload) STAY a Dataset — only the
     # G per-group row counts land on the driver. Offsets must be the same

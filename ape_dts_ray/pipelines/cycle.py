@@ -89,6 +89,11 @@ def ship_link(src_log_dir: str, out_dir: str, cursor: int,
         return t.set_column(t.column_names.index("log_offset"),
                             "log_offset", off)
 
+    # a retried shipment into the same out_dir must not double-count: Ray
+    # writes per-run UUID file names in place, so a crash mid-write leaves
+    # a partial set the retry would add to (and the footer count below
+    # would sum BOTH) — start each shipment from an empty dir
+    shutil.rmtree(out_dir, ignore_errors=True)
     src_ds = ray.data.read_parquet(src_log_dir).filter(
         expr=f"log_offset >= {cursor}")
     src_ds.map_batches(stamp, batch_format="pyarrow").write_parquet(

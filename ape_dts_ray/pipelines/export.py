@@ -18,22 +18,14 @@ import os
 import pyarrow as pa
 
 from ape_dts_ray.state.lake import LakeTable, _retry_vanished_files
-from ape_dts_ray.state.manifest import atomic_write_parquet, atomic_write_text
+from ape_dts_ray.state.manifest import (atomic_write_parquet,
+                                        atomic_write_text, read_part_markers)
 
 DONE_DIR = "_done"
 
 
 def export_done_partitions(out_dir: str) -> dict[int, int]:
-    d = os.path.join(out_dir, DONE_DIR)
-    out: dict[int, int] = {}
-    if not os.path.isdir(d):
-        return out
-    for f in os.listdir(d):
-        if f.startswith("part-") and f.endswith(".json"):
-            with open(os.path.join(d, f)) as fh:
-                m = json.load(fh)
-            out[int(m["part_id"])] = int(m["rows"])
-    return out
+    return read_part_markers(os.path.join(out_dir, DONE_DIR))
 
 
 def export_state(lake: LakeTable, out_dir: str,
@@ -50,6 +42,14 @@ def export_state(lake: LakeTable, out_dir: str,
     from ape_dts_ray.meta import COL_EPOCH, COL_OFFSET, COL_OP, COL_SEQ
 
     lake._refuse_if_truncating()
+    if lake.rotation_in_progress():
+        # mid-rotation, old-salt deltas coexist with a new-salt base (or
+        # base/ is mid-swap): a fold would export a row set that never
+        # existed — and the done markers would make the rerun keep it.
+        # Same refusal contract as replay()/compact()/state reads.
+        raise RuntimeError(
+            "hot-key rotation in progress (rotation.json present) — re-run "
+            "compact(new_hot_keys=...) to finish it before exporting")
     ddir = os.path.join(out_dir, DONE_DIR)
     os.makedirs(ddir, exist_ok=True)
     done = export_done_partitions(out_dir)

@@ -140,6 +140,21 @@ class _SegmentScan:
         self.first_scan = True
         self.defer_rounds = 0
 
+    def _check_vanish(self, p: str, floor: int) -> None:
+        """A vanished segment whose CACHED span still reaches the pending
+        floor held offsets replay has not durably moved past (the tail
+        epoch's recommit re-reads them): silently evicting it would let the
+        next recommit overwrite the committed delta with a SUBSET — erase
+        already-applied rows. Refuse; only fully-below-floor segments (all
+        offsets durably committed and compact-covered) evict quietly."""
+        hit = self.cache.get(p)
+        if hit is not None and hit[2] >= floor:
+            raise RuntimeError(
+                f"follow: segment {p} vanished while covering offsets at or "
+                f"above the pending floor {floor} (cached span [{hit[1]}, "
+                f"{hit[2]}]) — retention must not prune unapplied or "
+                "tail-epoch segments")
+
     def scan(self, floor: int) -> dict[str, tuple[int, int, int]] | None:
         present: dict[str, tuple[int, int, int]] = {}
         deferred: OSError | None = None
@@ -148,6 +163,7 @@ class _SegmentScan:
                 size = os.path.getsize(p)
             except OSError as e:
                 if not os.path.exists(p):
+                    self._check_vanish(p, floor)
                     continue                # raced with retention/rename
                 deferred = e                # live segment, transient error
                 break
@@ -159,6 +175,7 @@ class _SegmentScan:
                 mn, mx = _file_offset_span(p, self.ocol)
             except OSError as e:
                 if not os.path.exists(p):
+                    self._check_vanish(p, floor)
                     continue                # vanished between stat and
                                             # footer read (retention)
                 deferred = e                # live segment, transient error
@@ -182,6 +199,11 @@ class _SegmentScan:
                 ) from deferred
             return None
         self.defer_rounds = 0
+        for p in self.cache:
+            if p not in present:
+                # vanished BEFORE this round's glob (retention sweep) —
+                # the in-loop checks only see mid-round races
+                self._check_vanish(p, floor)
         self.cache = present
         if present:
             self.first_scan = False
@@ -233,7 +255,12 @@ def replay_follow(
         floor = _pending_floor(lake)
         present = scanner.scan(floor)
         if present is None:
-            return False                    # deferred round (scanner doc)
+            # deferred round: a LIVE segment is pending behind a transient
+            # read error — report progress=True so max_idle_rounds
+            # (drain-then-exit mode) cannot mistake it for a drained log
+            # and stop with unapplied offsets; the scanner's own 10-round
+            # budget turns a persistent error into a loud failure
+            return True
         log_max = max((mx for _, _, mx in present.values()), default=-1)
         wm = lake.watermark()
         if log_max <= wm:
@@ -342,7 +369,12 @@ def replay_follow_mixed(
             floor = min(_pending_floor(lk) for lk in lks)
         present = scanner.scan(floor)
         if present is None:
-            return False                    # deferred round (scanner doc)
+            # deferred round: a LIVE segment is pending behind a transient
+            # read error — report progress=True so max_idle_rounds
+            # (drain-then-exit mode) cannot mistake it for a drained log
+            # and stop with unapplied offsets; the scanner's own 10-round
+            # budget turns a persistent error into a loud failure
+            return True
         log_max = max((mx for _, _, mx in present.values()), default=-1)
         wm = min((lk.watermark() for lk in lks), default=-1) \
             if len(lks) == len(targets) else -1

@@ -39,18 +39,9 @@ def snapshot_done_partitions(lake: LakeTable) -> dict[int, int]:
     per-partition progress the resumer skips (snapshot_resumer.rs:29-174
     keeps a keyset cursor; the Ray-idiomatic unit of progress is the hash
     partition, whose base write is atomic)."""
-    import json
+    from ape_dts_ray.state.manifest import read_part_markers
 
-    d = _snap_part_dir(lake)
-    out: dict[int, int] = {}
-    if not os.path.isdir(d):
-        return out
-    for f in os.listdir(d):
-        if f.startswith("part-") and f.endswith(".json"):
-            with open(os.path.join(d, f)) as fh:
-                m = json.load(fh)
-            out[int(m["part_id"])] = int(m["rows"])
-    return out
+    return read_part_markers(_snap_part_dir(lake))
 
 
 def load_snapshot(lake: LakeTable, snapshot_ds, batch_size: int | None = None,

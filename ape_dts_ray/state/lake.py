@@ -43,6 +43,10 @@ from ape_dts_ray.stages import merge as merge_mod
 
 MANIFEST_DIR = "_manifests"
 TABLE_FILE = "_table.json"
+# Reserved epoch band for checker.revise() fixes: ids at/above this are
+# synthetic (not source-log coverage). Owned here so watermark computations
+# can exclude them without importing pipeline modules (checker re-exports).
+REVISE_EPOCH_BASE = 1 << 40
 
 
 def _retry_vanished_files(fn, attempts: int = 4):
@@ -224,13 +228,18 @@ class LakeTable:
             return EpochManifest.from_json(f.read())
 
     def committed_watermark(self) -> int:
-        """Highest committed log offset (position.log analog). -1 if none.
-        Retried list-then-read: followers poll this every round while a
-        concurrent compactor may fold the tail manifest away — a fresh
-        listing sees the post-compaction epochs."""
+        """Highest committed SOURCE log offset (position.log analog). -1 if
+        none. Revise-band epochs (>= REVISE_EPOCH_BASE) are EXCLUDED: their
+        offsets are synthetic (checker.revise squats wm+1..wm+n) — counting
+        them as source coverage would make the next n real CDC events plan
+        as already-consumed and silently skip. Retried list-then-read:
+        followers poll this every round while a concurrent compactor may
+        fold the tail manifest away — a fresh listing sees the
+        post-compaction epochs."""
 
         def body() -> int:
-            epochs = self.committed_epochs()
+            epochs = [e for e in self.committed_epochs()
+                      if e < REVISE_EPOCH_BASE]
             if not epochs:
                 return -1
             return self.read_manifest(epochs[-1]).offset_max
@@ -583,10 +592,15 @@ class LakeTable:
         def snapshot() -> tuple[list[int], int]:
             # retried list-then-read: a concurrent compactor (e.g. a
             # follower's auto-compact tick racing an operator-run compact)
-            # can fold the tail manifest between the listing and the read
+            # can fold the tail manifest between the listing and the read.
+            # The WATERMARK comes from the last NON-revise epoch: revise
+            # fixes squat synthetic offsets wm+1..wm+n, and publishing them
+            # as source coverage would skip the next n real CDC events
+            # after this compact re-enables replay.
             es = self.committed_epochs()
-            return (es, self.read_manifest(es[-1]).offset_max) if es \
-                else ([], -1)
+            src = [e for e in es if e < REVISE_EPOCH_BASE]
+            return (es, self.read_manifest(src[-1]).offset_max) if src \
+                else (es, -1)
 
         epochs, watermark = _retry_vanished_files(snapshot)
         if not epochs:
@@ -752,7 +766,10 @@ class LakeTable:
             removable.append(e)
         if removable:
             try:
-                mwm = self.read_manifest(removable[-1]).offset_max
+                src = [e for e in removable if e < REVISE_EPOCH_BASE]
+                # revise-band manifests carry synthetic offsets — never
+                # publish them as source coverage (see committed_watermark)
+                mwm = self.read_manifest(src[-1]).offset_max if src else -1
             except FileNotFoundError:
                 # a concurrent compactor consumed it after publishing its
                 # own compacted.json, which therefore covers this epoch —

@@ -83,3 +83,19 @@ def atomic_write_parquet(table, path: str, **kw) -> None:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         pq.write_table(table, tmp, **kw)
         os.replace(tmp, path)
+
+
+def read_part_markers(d: str) -> dict[int, int]:
+    """{part_id: rows} from a directory of per-partition ``part-*.json``
+    done markers (written with atomic_write_text) — the resume unit shared
+    by the snapshot loader and the state exporter; one reader so a marker
+    format change can never drift between them."""
+    out: dict[int, int] = {}
+    if not os.path.isdir(d):
+        return out
+    for f in os.listdir(d):
+        if f.startswith("part-") and f.endswith(".json"):
+            with open(os.path.join(d, f)) as fh:
+                m = json.load(fh)
+            out[int(m["part_id"])] = int(m["rows"])
+    return out

@@ -400,10 +400,13 @@ def test_jpeg_dqt_wire_order_and_malformed_frames():
 
 @pytest.mark.usefixtures("ray_session")
 def test_follow_vanished_segment_evicted(tmp_path):
-    """Review finding: a segment deleted after being footer-cached (retention
-    of fully-committed segments) must be evicted — no dead path handed to
-    replay, no phantom log_max — and the follower keeps consuming new
-    segments normally."""
+    """Review finding: a segment deleted after being footer-cached
+    (retention of a segment fully BELOW the pending floor) must be evicted
+    — no dead path handed to replay, no phantom log_max — and the follower
+    keeps consuming new segments normally. The TAIL-range segment is NOT
+    safe retention (the tail epoch's recommit re-reads it; a boundary snap
+    would silently lose its rows) — pruning it is the loud refusal
+    covered by test_segment_vanish_above_floor_refuses."""
     import threading
     import time as _time
 
@@ -446,9 +449,9 @@ def test_follow_vanished_segment_evicted(tmp_path):
         while (LakeTable.open(lake.root).watermark() < maxes[1]
                and _time.time() - t0 < 120):
             _time.sleep(0.05)
-        # retention: delete BOTH committed segments, incl. the log_max holder
+        # retention: delete the INTERIOR committed segment (fully below the
+        # pending floor — seg1's tail-epoch range must stay)
         os.unlink(str(log / "seg0000.parquet"))
-        os.unlink(str(log / "seg0001.parquet"))
         _time.sleep(0.5)                    # several idle scans post-eviction
         assert "exc" not in box
         pq.write_table(segs[2], str(tmp_path / "s2.tmp"))
@@ -2217,3 +2220,165 @@ def test_rotation_clusters_by_index(tmp_path):
         assert roles == sorted(roles), f"partition {p} not role-clustered"
         seen += 1
     assert seen
+
+
+# ------------------------ pipeline post-review fixes (fourth pass)
+
+
+def test_revise_offsets_never_advance_source_watermark(tmp_path, ray_session):
+    """revise() squats synthetic offsets wm+1..wm+n; pre-fix compact()
+    published them as SOURCE coverage, so the next n real CDC events
+    planned as already-consumed and silently skipped. Watermarks must
+    exclude the revise band, and post-compact replay of real events at
+    those offsets must apply."""
+    import ray.data as rd
+
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.pipelines.checker import check_datasets, revise
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.pipelines.snapshot import load_snapshot
+
+    events = gen_events(seed=60, n_convs=20, max_turns=6, n_events=2000,
+                        delete_frac=0.1)
+    path = str(tmp_path / "ev.parquet")
+    pq.write_table(events, path)
+    src = _mini_lake(tmp_path, "src60")
+    replay(src, events_path=path)
+    wm = src.watermark()
+
+    corrupted = src.state_table().to_pandas().iloc[3:]
+    dst = _mini_lake(tmp_path, "dst60")
+    load_snapshot(dst, rd.from_pandas(corrupted))
+    check = check_datasets(src.state_dataset(), dst.state_dataset(),
+                           num_partitions=4)
+    n = revise(dst, src.state_dataset(), check)
+    assert n >= 3
+    assert dst.watermark() <= wm               # synthetic offsets excluded
+    dst.compact(parallel=False)
+    assert dst.watermark() <= wm               # and compact doesn't publish
+    # real CDC events arriving at the offsets revise squatted MUST apply
+    import pyarrow.compute as pc
+    late = pa.table({
+        "log_offset": pa.array([wm + 1], pa.int64()),
+        "seq": pa.array([0], pa.int32()),
+        "op": ["insert"], "conv_id": ["late_conv"],
+        "turn_idx": pa.array([0], pa.int32()),
+        "role": ["user"], "text": ["late row"],
+        "tool": pa.array([None], pa.string()),
+        "ts": pa.array([None], pa.timestamp("us")),
+    })
+    late_path = str(tmp_path / "late.parquet")
+    pq.write_table(late, late_path)
+    replay(dst, events_path=late_path, min_offset=wm + 1)
+    t = dst.state_table()
+    assert "late_conv" in set(t.column("conv_id").to_pylist())
+
+
+def test_segment_vanish_above_floor_refuses(tmp_path):
+    """A cached segment that vanishes while still covering offsets at/above
+    the pending floor was silently evicted — the next tail recommit then
+    overwrote the committed delta with a SUBSET. Must refuse; fully-below-
+    floor segments still evict quietly."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.pipelines.follow import _SegmentScan
+
+    log = tmp_path / "log"
+    log.mkdir()
+    for i, (lo, hi) in enumerate([(0, 99), (100, 199)]):
+        pq.write_table(pa.table({"log_offset": pa.array(
+            [lo, hi], pa.int64())}), str(log / f"seg{i}.parquet"))
+    sc = _SegmentScan(str(log), "*.parquet", "log_offset")
+    assert len(sc.scan(floor=0)) == 2          # both cached
+    os.remove(str(log / "seg1.parquet"))
+    with pytest.raises(RuntimeError, match="vanished while covering"):
+        sc.scan(floor=150)                     # cached mx=199 >= floor
+    os.remove(str(log / "seg0.parquet"))       # mx=99 < floor: fine
+    sc.cache.pop(str(log / "seg1.parquet"))
+    assert sc.scan(floor=150) == {}
+
+
+def test_export_refuses_mid_rotation(tmp_path, ray_session):
+    from ape_dts_ray.pipelines.export import export_state
+    from ape_dts_ray.state.manifest import atomic_write_text
+
+    lake = _mini_lake(tmp_path, "l60")
+    atomic_write_text(os.path.join(lake.root, "_manifests", "rotation.json"),
+                      "{}")
+    with pytest.raises(RuntimeError, match="rotation in progress"):
+        export_state(lake, str(tmp_path / "out"))
+
+
+def test_follow_defer_does_not_count_idle(tmp_path, ray_session, monkeypatch):
+    """Transient footer-read errors defer the round; pre-fix deferrals
+    counted toward max_idle_rounds, so drain-then-exit mode could stop
+    'idle_limit' with pending offsets unapplied. Now the 10-round defer
+    budget surfaces the persistent error loudly instead."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.pipelines import follow as fmod
+
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(pa.table({"log_offset": pa.array([0, 50], pa.int64())}),
+                   str(log / "seg0.parquet"))
+    lake = _mini_lake(tmp_path, "l61")
+
+    def boom(path, col):
+        raise OSError("injected transient footer error")
+
+    monkeypatch.setattr(fmod, "_file_offset_span", boom)
+    with pytest.raises(RuntimeError, match="giving up"):
+        fmod.replay_follow(lake, str(log), poll_interval=0.01,
+                           max_idle_rounds=3)
+
+
+def test_ship_link_retry_does_not_double_count(tmp_path, ray_session):
+    """A crashed shipment leaves partial parquet in out_dir; the retry must
+    not sum both sets (the shard would carry duplicate events and an
+    inflated count)."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.pipelines.cycle import ship_link
+
+    src_log = tmp_path / "srclog"
+    src_log.mkdir()
+    t = pa.table({
+        "log_offset": pa.array([0, 1, 2], pa.int64()),
+        "seq": pa.array([0, 0, 0], pa.int32()),
+        "op": ["insert"] * 3, "conv_id": ["a", "b", "c"],
+        "turn_idx": pa.array([0, 0, 0], pa.int32()),
+        "role": ["user"] * 3, "text": ["x", "y", "z"],
+        "origin": ["A", "A", "A"],
+    })
+    pq.write_table(t, str(src_log / "p0.parquet"))
+    out = tmp_path / "ship"
+    out.mkdir()
+    pq.write_table(t.slice(0, 1), str(out / "stale-partial.parquet"))
+    got = ship_link(str(src_log), str(out), cursor=0,
+                    src_node="A", dst_node="B")
+    assert got == 3                            # not 4 (stale file cleared)
+
+
+def test_write_check_logs_clears_stale_files(tmp_path, ray_session):
+    import json as _json
+
+    import ray.data as rd
+
+    from ape_dts_ray.pipelines.checker import write_check_logs
+
+    out = str(tmp_path / "check")
+    miss = pa.table({"conv_id": ["c1"], "turn_idx": pa.array([0], pa.int32()),
+                     "check_type": ["miss"]})
+    counts = write_check_logs(rd.from_arrow(miss), out)
+    assert counts == {"miss": 1}
+    assert os.path.exists(os.path.join(out, "miss.log"))
+    # clean re-check: no defects — the stale miss.log must not survive
+    empty = pa.table({"conv_id": pa.array([], pa.string()),
+                      "turn_idx": pa.array([], pa.int32()),
+                      "check_type": pa.array([], pa.string())})
+    counts = write_check_logs(rd.from_arrow(empty), out)
+    assert counts == {}
+    assert not os.path.exists(os.path.join(out, "miss.log"))
