@@ -170,6 +170,56 @@ def _shingle_frame(d: pd.DataFrame, k: int):
 _EMPTY_PAIRS = {"a": pd.array([], dtype="int64"),
                 "b": pd.array([], dtype="int64")}
 
+# minhash hot-bucket guard: buckets past this size switch from all-pairs to
+# STAR expansion (each member paired to the bucket minimum) — ~80 GB of triu
+# indices at m=100k otherwise; star keeps the connected component intact
+MAX_LSH_BUCKET = 4096
+
+
+def _jaccard_filter(sf: pd.DataFrame, sizes: pd.Series,
+                    pairs_df: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """THE chunked exploded-merge Jaccard kernel, shared by the broadcast
+    fast path and the streaming-join fallback (one implementation so the
+    empty-doc and threshold conventions can never drift): (a, b) rows of
+    ``pairs_df`` whose true shingle Jaccard ≥ threshold; two empty docs
+    count as identical (J = 1). Chunked so the exploded merge stays bounded
+    regardless of the pair count."""
+    keep = []
+    step = 8192
+    for lo in range(0, len(pairs_df), step):
+        m = pairs_df.iloc[lo:lo + step][["a", "b"]].reset_index(drop=True)
+        m = m.assign(pair=np.arange(len(m), dtype=np.int64))
+        left = m.merge(sf.rename(columns={"doc_id": "a"}), on="a")
+        inter = left.merge(sf.rename(columns={"doc_id": "b"}), on=["b", "sh"])
+        icnt = (inter.groupby("pair").size()
+                .reindex(np.arange(len(m)), fill_value=0).to_numpy())
+        sa = sizes.reindex(m["a"]).fillna(0).to_numpy()
+        sb = sizes.reindex(m["b"]).fillna(0).to_numpy()
+        union = np.maximum(sa + sb - icnt, 1)
+        jac = np.where((sa == 0) & (sb == 0), 1.0, icnt / union)
+        keep.append(m.loc[jac >= threshold, ["a", "b"]])
+    out = pd.concat(keep) if keep else pd.DataFrame(_EMPTY_PAIRS)
+    return pd.DataFrame(_EMPTY_PAIRS) if out.empty else out.astype("int64")
+
+
+# per-WORKER-process cache of the broadcast candidate corpus's shingles:
+# the verify stage fans one broadcast doc set out to up to 32 pair-chunk
+# tasks, and re-shingling it in every task multiplied the shingling CPU by
+# the task count; keyed by the object ref so a new corpus evicts the old
+_VERIFY_SHINGLE_CACHE: dict = {}
+
+
+def _cached_shingles(dref, shingle_k: int):
+    import ray
+
+    key = (dref.binary() if hasattr(dref, "binary") else id(dref), shingle_k)
+    hit = _VERIFY_SHINGLE_CACHE.get(key)
+    if hit is None:
+        hit = _shingle_frame(ray.get(dref), shingle_k)
+        _VERIFY_SHINGLE_CACHE.clear()      # one corpus at a time per worker
+        _VERIFY_SHINGLE_CACHE[key] = hit
+    return hit
+
 
 def minhash_candidate_pairs(docs_ds, bands: int = 32, shingle_k: int = 5,
                             dedup: bool = True):
@@ -203,11 +253,22 @@ def minhash_candidate_pairs(docs_ds, bands: int = 32, shingle_k: int = 5,
         starts = np.flatnonzero(new)
         sizes = np.diff(np.append(starts, n))
         out_a, out_b = [], []
-        for m in np.unique(sizes):
-            if m < 2:
-                continue
-            sel = starts[sizes == m]
+        for m in np.unique(sizes):      # hot-bucket guard: a degenerate
+            if m < 2:                   # bucket (all empty docs share the
+                continue                # all-zero signature in EVERY band)
+            sel = starts[sizes == m]    # would allocate O(m²) triu indices
             M = ids[sel[:, None] + np.arange(m)[None, :]]   # (buckets, m)
+            if m > MAX_LSH_BUCKET:
+                # STAR expansion instead of all-pairs: every member pairs
+                # with the bucket minimum — O(m) pairs, and the union-find
+                # dedup recovers the identical connected component for
+                # true-duplicate buckets (the only way m docs share a
+                # 64-bit band hash at scale); unlike simhash's skip, no
+                # real duplicate is silently dropped
+                mins = M[:, :1]
+                out_a.append(np.broadcast_to(mins, (len(sel), m - 1)).ravel())
+                out_b.append(M[:, 1:].ravel())
+                continue
             i, j = np.triu_indices(m, k=1)
             out_a.append(M[:, i].ravel())                   # a < b: sorted
             out_b.append(M[:, j].ravel())                   # within bucket
@@ -316,25 +377,7 @@ def verify_pairs_jaccard(joined_ds, threshold: float, shingle_k: int = 5):
                               ignore_index=True),
         }).drop_duplicates("doc_id")
         sf, sizes = _shingle_frame(docs, shingle_k)
-        keep = []
-        step = 8192
-        for lo in range(0, len(batch), step):
-            m = batch.iloc[lo:lo + step, :][["a", "b"]].reset_index(drop=True)
-            m = m.assign(pair=np.arange(len(m), dtype=np.int64))
-            left = m.merge(sf.rename(columns={"doc_id": "a"}), on="a")
-            inter = left.merge(sf.rename(columns={"doc_id": "b"}),
-                               on=["b", "sh"])
-            icnt = (inter.groupby("pair").size()
-                    .reindex(np.arange(len(m)), fill_value=0).to_numpy())
-            sa = sizes.reindex(m["a"]).fillna(0).to_numpy()
-            sb = sizes.reindex(m["b"]).fillna(0).to_numpy()
-            union = np.maximum(sa + sb - icnt, 1)
-            jac = np.where((sa == 0) & (sb == 0), 1.0, icnt / union)
-            keep.append(m.loc[jac >= threshold, ["a", "b"]])
-        out = pd.concat(keep) if keep else pd.DataFrame(_EMPTY_PAIRS)
-        if out.empty:
-            return pd.DataFrame(_EMPTY_PAIRS)
-        return out.astype("int64")
+        return _jaccard_filter(sf, sizes, batch, threshold)
 
     return joined_ds.map_batches(verify, batch_format="pandas")
 
@@ -372,6 +415,13 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, bands: int = 32,
             pdf = pairs.to_pandas(limit=MAX_BROADCAST_PAIRS)  # candidate blowup
         except ValueError:
             pdf = None                 # too many candidates → streaming joins
+            # re-plan WITH the pair-dedup shuffle: the no-dedup variant
+            # exists for the broadcast path's in-memory dedup; streaming
+            # the cross-band duplicates through the keyed joins would do up
+            # to bands× duplicate shuffle+verify work in exactly the
+            # largest-scale path
+            pairs_ds = minhash_candidate_pairs(docs_ds, bands, shingle_k,
+                                               dedup=True)
         if pdf is not None:
             pdf = pdf.drop_duplicates(["a", "b"])  # cross-band dedup, in mem
         if pdf is not None and pdf.empty:
@@ -404,33 +454,12 @@ def minhash_dedup_pairs(docs_ds, threshold: float = 0.8, bands: int = 32,
                 parts = np.array_split(pdf, chunks)
 
                 def attach_verify(batch: pd.DataFrame) -> pd.DataFrame:
-                    d = ray.get(dref)   # zero-copy plasma after first fetch
-                    # shingle sets computed ONCE PER DOC (the pair loop used
-                    # to recompute them per pair); intersection sizes come
-                    # from one exploded merge — no per-pair Python at all
-                    sf, sizes = _shingle_frame(d, shingle_k)
-                    keep = []
-                    step = 8192         # bounds the exploded merge frames
-                    for lo in range(0, len(batch), step):
-                        m = batch.iloc[lo:lo + step].reset_index(drop=True)
-                        m = m.assign(pair=np.arange(len(m), dtype=np.int64))
-                        left = m[["pair", "a", "b"]].merge(
-                            sf.rename(columns={"doc_id": "a"}), on="a")
-                        inter = left.merge(
-                            sf.rename(columns={"doc_id": "b"}),
-                            on=["b", "sh"])
-                        icnt = (inter.groupby("pair").size()
-                                .reindex(np.arange(len(m)), fill_value=0)
-                                .to_numpy())
-                        sa = sizes.reindex(m["a"]).fillna(0).to_numpy()
-                        sb = sizes.reindex(m["b"]).fillna(0).to_numpy()
-                        union = np.maximum(sa + sb - icnt, 1)
-                        jac = np.where((sa == 0) & (sb == 0), 1.0,
-                                       icnt / union)     # jaccard() exact:
-                        keep.append(m.loc[jac >= threshold, ["a", "b"]])
-                    out = pd.concat(keep) if keep else pd.DataFrame(_EMPTY_PAIRS)
-                    return (pd.DataFrame(_EMPTY_PAIRS) if out.empty
-                            else out.astype("int64"))
+                    # shingles computed once per WORKER for the broadcast
+                    # corpus (_cached_shingles — re-shingling per pair-chunk
+                    # task multiplied the CPU by the task count), then the
+                    # shared exploded-merge kernel; no per-pair Python
+                    sf, sizes = _cached_shingles(dref, shingle_k)
+                    return _jaccard_filter(sf, sizes, batch, threshold)
 
                 verified = rd.from_pandas(parts).map_batches(
                     attach_verify, batch_format="pandas")
@@ -632,6 +661,16 @@ def cosine_pairs(emb_path: str, threshold: float, id_col: str = "vec_id",
             lambda t: pd.DataFrame({"a": pd.array([], dtype="int64"),
                                     "b": pd.array([], dtype="int64")}),
             batch_format="pandas")
+    n_blocks = (mx - mn) // block_rows + 1
+    if n_blocks > 4096:
+        # the block grid is O(n_blocks²) DESCRIPTORS on the driver — a
+        # sparse/snowflake id domain (ids 0..2⁶³ with block_rows=1024)
+        # would build billions of mostly-empty descriptors and OOM before
+        # any task runs. Dense-ish ids are the documented contract.
+        raise ValueError(
+            f"cosine_pairs: id range [{mn}, {mx}] spans {n_blocks} blocks "
+            f"of {block_rows} — the pairwise block grid needs a dense id "
+            "domain; re-number ids (or raise block_rows)")
     bounds = list(range(mn, mx + 1, block_rows))
     blocks = [(lo, min(lo + block_rows - 1, mx)) for lo in bounds]
     descs = [{"alo": blocks[i][0], "ahi": blocks[i][1],
@@ -642,6 +681,10 @@ def cosine_pairs(emb_path: str, threshold: float, id_col: str = "vec_id",
         t = pq.read_table(emb_path, columns=[id_col, vec_col],
                           filters=[(id_col, ">=", lo), (id_col, "<=", hi)])
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            # a gap in the id domain: np.stack on zero arrays raises —
+            # return an empty block (pair_block skips it)
+            return ids, np.zeros((0, 1), np.float64)
         V = np.stack(t.column(vec_col).to_numpy(zero_copy_only=False)
                      ).astype(np.float64)
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
@@ -685,6 +728,13 @@ def embedding_dedup(emb_ds, threshold: float = 0.95, n_planes: int = 8,
     import ray.data as rd  # noqa: F401
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:      # np.stack raises on zero arrays (empty
+            return pd.DataFrame({  # upstream block)
+                "vec_id": pd.array([], dtype="int64"),
+                "band": pd.array([], dtype="int64"),
+                "bucket": pd.array([], dtype="uint32"),
+                "shard": pd.array([], dtype="int32"),
+                "embedding": pd.array([], dtype=object)})
         V = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
         dim = V.shape[1]
@@ -702,19 +752,27 @@ def embedding_dedup(emb_ds, threshold: float = 0.95, n_planes: int = 8,
 
     def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
         out = []
+        CH = 2048        # row-block the similarity matrix: a degenerate
         for _, grp in g.groupby(["band", "bucket"], sort=False):
+            # bucket (near-identical embeddings) would otherwise allocate
+            # m×m float64 at once — OOM at m≈100k; chunking bounds the
+            # working set at CH×m while emitting identical pairs
             grp = grp.drop_duplicates("vec_id").sort_values("vec_id")
-            if len(grp) < 2:
+            m = len(grp)
+            if m < 2:
                 continue
             V = np.stack(grp["embedding"].to_numpy())
             ids = grp["vec_id"].to_numpy()
-            sims = V @ V.T
-            i, j = np.triu_indices(len(ids), k=1)
-            ok = sims[i, j] >= threshold
-            if ok.any():
-                out.append(pd.DataFrame({
-                    "a": ids[i][ok], "b": ids[j][ok],
-                    "cosine": np.round(sims[i, j][ok], 6)}))
+            cj = np.arange(m)[None, :]
+            for c0 in range(0, m, CH):
+                c1 = min(c0 + CH, m)
+                sims = V[c0:c1] @ V.T                     # (chunk, m)
+                mask = (cj > np.arange(c0, c1)[:, None]) & (sims >= threshold)
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    out.append(pd.DataFrame({
+                        "a": ids[ii + c0], "b": ids[jj],
+                        "cosine": np.round(sims[ii, jj], 6)}))
         if not out:
             return pd.DataFrame({"a": pd.array([], dtype="int64"),
                                  "b": pd.array([], dtype="int64"),

@@ -34,6 +34,10 @@ class BruteForceTopK:
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:      # np.stack raises on zero arrays
+            return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                                 "vec_id": pd.array([], dtype="int64"),
+                                 "cosine": pd.array([], dtype="float64")})
         V = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         ids = batch["vec_id"].to_numpy()
         sims = self.Q @ V.T                       # (n_queries, batch)
@@ -89,6 +93,8 @@ def train_centroids(emb_ds, n_centroids: int, sample_size: int = 65_536,
     At 100 TB the sample is a fixed-size fraction; training cost is O(sample ×
     iters), independent of corpus size."""
     df = emb_ds.limit(sample_size).to_pandas()
+    if df.empty:
+        raise ValueError("train_centroids: empty embedding dataset")
     V = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     k = min(n_centroids, len(V))
@@ -119,6 +125,10 @@ class IVFAssign:
                              # index size, the standard IVF spill trade-off
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:      # np.stack raises on zero arrays
+            out = batch[["vec_id", "embedding"]].copy()
+            out["_gkey"] = pd.array([], dtype="int64")
+            return out
         V = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
         sims = V @ self.C.T
         ids = batch["vec_id"].to_numpy().astype(np.int64)

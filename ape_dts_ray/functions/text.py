@@ -60,7 +60,10 @@ class LangId:
         self.tables = sorted(STOPWORDS.items())  # deterministic tie-break
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].to_numpy()
+        # fillna BEFORE the word scan: a pandas 'string'-dtype column's
+        # nulls are pd.NA, and `t or ''` raises on NA (QualityScore and
+        # _shingle_frame already guard this)
+        texts = batch["text"].fillna("").to_numpy()
         n = len(texts)
         flat, counts = _flatten_words(texts, self.word_re)
         doc_idx = np.repeat(np.arange(n), counts)
@@ -155,9 +158,21 @@ def rolling_hashes(data: bytes, window: int) -> np.ndarray:
     pows[0] = 1
     for i in range(1, window):
         pows[i] = (pows[i - 1] * BASE) % MOD
-    wins = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
-    # (byte < 2^8) × (pow < 2^31) summed over ≤ window terms stays < 2^63
-    return (wins * pows[::-1]).sum(axis=1) % MOD
+    # chunk the window matrix: materializing all (n−w+1, w) uint64 windows
+    # plus the product temp is O(n·w·8) bytes — ~1.3 GB for a 10 MB doc at
+    # w=16, twice. Chunking bounds the working set at ~32 MB while emitting
+    # byte-identical hashes (same per-window arithmetic).
+    n_out = len(b) - window + 1
+    out = np.empty(n_out, dtype=np.uint64)
+    rpows = pows[::-1].copy()
+    CH = max(1, (1 << 22) // window)
+    for c0 in range(0, n_out, CH):
+        c1 = min(c0 + CH, n_out)
+        wins = np.lib.stride_tricks.sliding_window_view(
+            b[c0:c1 + window - 1], window).astype(np.uint64)
+        # (byte < 2^8) × (pow < 2^31) summed over ≤ window terms < 2^63
+        out[c0:c1] = (wins * rpows).sum(axis=1) % MOD
+    return out
 
 
 class Fingerprint:

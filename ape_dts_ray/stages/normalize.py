@@ -81,6 +81,13 @@ def split_pk_change(
     del_half = del_half.set_column(
         del_half.column_names.index(COL_OP), COL_OP,
         pa.array([OP_DELETE] * n, type=pa.string()))
+    # seq FORCED to 0, not inherited: a source that populates seq (e.g. a
+    # multi-event-per-offset stream) could carry seq>=2 into the delete
+    # half, which would then outrank same-offset seq-1 events — the
+    # documented contract is delete=0 / insert=1 at the change's offset
+    del_half = del_half.set_column(
+        del_half.column_names.index(COL_SEQ), COL_SEQ,
+        pa.array(np.zeros(n, dtype=np.int32)))
     for col in del_half.column_names:
         if col in (COL_OFFSET, COL_SEQ, COL_OP) or col in key_cols or col == key_col:
             continue

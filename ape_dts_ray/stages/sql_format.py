@@ -110,13 +110,26 @@ def reverse_sql_with_before(events_ds, state_ds, table: str = "transcripts",
 
     kc, pcl = list(key_cols), list(payload_cols)
 
+    # null-pad a column missing from one side with the TYPE the other side
+    # carries (checker.check_datasets recipe) — a hard-coded pa.string()
+    # made the union fail when an evolved non-string payload column (e.g.
+    # a new int64) existed on only one side
+    col_types: dict[str, pa.DataType] = {}
+    for ds in (events_ds, state_ds):
+        sch = ds.schema()
+        if sch is None:
+            continue
+        for name, typ in zip(sch.names, sch.types):
+            col_types.setdefault(name, typ)
+
     def tag(side, cols):
         def fn(t: pa.Table) -> pa.Table:
             keep = [c for c in cols if c in t.column_names]
             t = t.select(keep)
             for c in cols:            # align schemas for the union
                 if c not in t.column_names:
-                    typ = pa.int64() if c == "log_offset" else pa.string()
+                    typ = pa.int64() if c == "log_offset" else \
+                        col_types.get(c, pa.string())
                     t = t.append_column(c, pa.nulls(t.num_rows, typ))
             t = t.append_column("_side", pa.array(
                 np.full(t.num_rows, side, dtype=object), type=pa.string()))

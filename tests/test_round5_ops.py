@@ -2382,3 +2382,131 @@ def test_write_check_logs_clears_stale_files(tmp_path, ray_session):
     counts = write_check_logs(rd.from_arrow(empty), out)
     assert counts == {}
     assert not os.path.exists(os.path.join(out, "miss.log"))
+
+
+# ---------------------- functions/stages post-review fixes (fifth pass)
+
+
+def test_minhash_degenerate_bucket_star_expansion(ray_session):
+    """All-identical (e.g. empty) docs share every band bucket; all-pairs
+    would allocate O(m²). The star expansion keeps O(m) pairs while the
+    union-find still recovers the full connected component — no duplicate
+    silently survives."""
+    import ray.data as rd
+
+    from ape_dts_ray.functions import dedup as dd
+
+    n = 5000                      # > MAX_LSH_BUCKET: the star path fires
+    assert n > dd.MAX_LSH_BUCKET
+    docs = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                         "text": ["same text body here"] * n})
+    src_pairs = dd.minhash_dedup_pairs(rd.from_pandas(docs), threshold=0.8)
+    assert len(src_pairs) == n - 1             # star, not the n(n-1)/2 pairs
+    comp = set(src_pairs["a"]) | set(src_pairs["b"])
+    assert comp == set(range(n))               # one full component
+    # every doc except the min-id keeper is a duplicate OF doc 0
+    dups = dd.minhash_dedup(rd.from_pandas(docs), threshold=0.8)
+    assert sorted(dups["doc_id"]) == list(range(1, n))
+    assert set(dups["dup_of"]) == {0}
+
+
+def test_cosine_pairs_sparse_ids(tmp_path, ray_session):
+    """Gaps in the id domain must not crash the empty-block read, and a
+    snowflake-wide domain refuses with the problem named instead of
+    building a quadratic descriptor grid on the driver."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.functions.dedup import cosine_pairs
+
+    rng = np.random.default_rng(5)
+    V = rng.standard_normal((6, 8))
+    V[1] = V[0]                               # one exact near-dup pair
+    ids = np.array([0, 1, 2, 5000, 5001, 5002], np.int64)  # gap in the middle
+    p = str(tmp_path / "emb.parquet")
+    pq.write_table(pa.table({"vec_id": ids, "embedding": list(V)}), p)
+    pairs = pa.concat_tables(
+        cosine_pairs(p, threshold=0.99, block_rows=1024).iter_batches(
+            batch_format="pyarrow", batch_size=None))
+    assert (0, 1) in set(zip(pairs.column("a").to_pylist(),
+                             pairs.column("b").to_pylist()))
+    wide = str(tmp_path / "wide.parquet")
+    pq.write_table(pa.table({"vec_id": pa.array([0, 1 << 40], pa.int64()),
+                             "embedding": list(V[:2])}), wide)
+    with pytest.raises(ValueError, match="dense id domain"):
+        cosine_pairs(wide, threshold=0.9, block_rows=1024)
+
+
+def test_split_pk_change_forces_delete_seq_zero():
+    """The delete half must carry seq=0 per the documented LWW tie-break —
+    an inherited source seq>=2 would outrank same-offset seq-1 events."""
+    from ape_dts_ray.stages.normalize import split_pk_change
+
+    batch = pa.table({
+        "log_offset": pa.array([10], pa.int64()),
+        "seq": pa.array([3], pa.int32()),
+        "op": ["update"], "conv_id": ["c"],
+        "turn_idx": pa.array([1], pa.int32()),
+        "new_turn_idx": pa.array([2], pa.int32()),
+        "text": ["body"],
+    })
+    out = split_pk_change(batch)
+    rows = sorted(out.to_pylist(), key=lambda r: r["seq"])
+    assert [(r["op"], r["seq"], r["turn_idx"]) for r in rows] == \
+        [("delete", 0, 1), ("insert", 1, 2)]
+
+
+def test_langid_handles_pd_na():
+    from ape_dts_ray.functions.text import LangId
+
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": pd.array(["the and of this", None],
+                                        dtype="string")})
+    out = LangId()(df)
+    assert list(out["lang_pred"]) == ["en", "und"]
+
+
+def test_rolling_hashes_chunked_identical():
+    """The chunked window matrix must emit byte-identical hashes to the
+    single-shot formula (same per-window arithmetic)."""
+    from ape_dts_ray.functions.text import MOD, BASE, rolling_hashes
+
+    rng = np.random.default_rng(9)
+    data = bytes(rng.integers(0, 256, 100_000, dtype=np.uint8))
+    w = 16
+    hs = rolling_hashes(data, w)
+    assert len(hs) == len(data) - w + 1
+    # spot-check against the direct definition at a few positions
+    b = np.frombuffer(data, np.uint8).astype(np.uint64)
+    pows = np.empty(w, np.uint64)
+    pows[0] = 1
+    for i in range(1, w):
+        pows[i] = (pows[i - 1] * BASE) % MOD
+    for pos in (0, 1, 31337, len(hs) - 1):
+        want = int((b[pos:pos + w] * pows[::-1]).sum() % MOD)
+        assert int(hs[pos]) == want, pos
+
+
+def test_reverse_sql_evolved_column_types(ray_session):
+    """A payload column existing on only ONE side must null-pad with the
+    type the other side carries — the hard-coded string pad made the union
+    fail for evolved int64 columns."""
+    import ray.data as rd
+
+    from ape_dts_ray.stages.sql_format import reverse_sql_with_before
+
+    events = pa.table({
+        "conv_id": ["c"], "turn_idx": pa.array([0], pa.int32()),
+        "log_offset": pa.array([5], pa.int64()), "op": ["update"],
+        "text": ["new"], "score": pa.array([42], pa.int64()),  # evolved col
+    })
+    state = pa.table({
+        "conv_id": ["c"], "turn_idx": pa.array([0], pa.int32()),
+        "text": ["old"],                                  # no score column
+    })
+    out = reverse_sql_with_before(
+        rd.from_arrow(events), rd.from_arrow(state), table="t",
+        key_cols=("conv_id", "turn_idx"), payload_cols=("text", "score"),
+        num_partitions=2)
+    rows = pa.concat_tables(out.iter_batches(batch_format="pyarrow",
+                                             batch_size=None)).to_pylist()
+    assert len(rows) == 1 and "REPLACE INTO" in rows[0]["sql"]
