@@ -65,6 +65,15 @@ def run_tables(
                               **job.replay_kwargs)
 
     allowed = [j for j in jobs if not table_filter.filtered(j.name)]
+    routed = {j.name: router.route_table(j.name) for j in allowed}
+    if len(set(routed.values())) != len(routed):
+        # same refusal as replay_mixed: two jobs routed onto one target
+        # share a lake root, and their deterministic delta paths collide —
+        # the second job's atomic writes silently erase the first's rows
+        raise ValueError(
+            "many-to-one table routing is not supported by run_tables "
+            f"(targets: {sorted(routed.values())}) — union the sources "
+            "upstream instead")
     results: dict[str, list] = {}
     with ThreadPoolExecutor(max_workers=max(1, tb_parallel)) as pool:
         for target, ms in pool.map(run_one, allowed):
@@ -224,11 +233,24 @@ def replay_mixed(
     id_cols = meta.id_cols
     roots = [lakes[t].root for t in src_tables]
     table_names = pa.array(src_tables, pa.string())  # index == tidx value
+    # per-table floors for the shard stage: rows at/below a table's truncate
+    # floor must never re-apply (replay.py clamps its read the same way —
+    # without this, a window pending only because ANOTHER lake lacks it
+    # resurrects pre-truncate history into the truncated lake), and rows in
+    # a (window, table) pair that lake already holds are skipped so covered
+    # lakes get neither orphan delta writes nor re-commits
+    tfloors = np.array([lakes[t].truncate_offset for t in src_tables],
+                       dtype=np.int64)
+
+    def lake_done(t: str, w) -> bool:
+        return w.hi <= cws[t] or w.epoch in committed_sets[t]
 
     def make_shard_fn(chunk):
         epoch_los = np.array([w.lo for w in chunk], dtype=np.int64)
         epoch_ids = np.array([w.epoch for w in chunk], dtype=np.int64)
         lo, hi = chunk[0].lo, chunk[-1].hi
+        skip_mat = np.array([[lake_done(t, w) for t in src_tables]
+                             for w in chunk], dtype=bool)   # (windows, T)
 
         def add_mixed_shard(t: pa.Table) -> pa.Table:
             keep = pc.and_(pc.greater_equal(t.column(COL_OFFSET), lo),
@@ -245,6 +267,12 @@ def replay_mixed(
             ti = ti_arr.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
             off = t.column(COL_OFFSET).to_numpy(zero_copy_only=False)
             widx = np.searchsorted(epoch_los, off, side="right") - 1
+            row_keep = ~skip_mat[widx, ti] & (off > tfloors[ti])
+            if not row_keep.all():
+                t = t.filter(pa.array(row_keep))
+                ti = ti[row_keep]
+                off = off[row_keep]
+                widx = widx[row_keep]
             epochs = epoch_ids[widx]
             conv = t.column(meta.partition_col).to_numpy(zero_copy_only=False)
             salt = id_cols[-1] if len(id_cols) > 1 else id_cols[0]
@@ -265,6 +293,13 @@ def replay_mixed(
         et, part_id = divmod(shard, P)
         epoch, ti = divmod(et, T)
         events = group.drop_columns(["_shard"])
+        if COL_EPOCH in events.column_names:
+            # same refusal as stages/apply.py: a source carrying the
+            # reserved stamp (exported lake files keep engine columns)
+            # would commit a duplicate-field delta that breaks every fold
+            raise ValueError(
+                f"events carry the reserved column {COL_EPOCH!r} — drop or "
+                "rename it before replay_mixed")
         merged = lww_last(events, key_cols=id_cols)   # canonical order (lww)
         n = merged.num_rows
         deletes = int(pc.sum(pc.equal(merged.column(COL_OP),
@@ -289,45 +324,91 @@ def replay_mixed(
 
     g = max(1, group_epochs)
     chunks = [pending[i:i + g] for i in range(0, len(pending), g)]
+    spill = None
+    if events_ds is not None and len(chunks) > 1:
+        # same scratch-parquet spill as replay(): >1 chunk would re-execute
+        # the full upstream Dataset once per chunk (and a non-deterministic
+        # upstream would even yield inconsistent rows across chunks)
+        from ape_dts_ray.pipelines.replay import _SpillState
+
+        spill = _SpillState()
+        spilled = spill.write(events_ds)
+        if spilled is not None:
+            paths, events_ds = spilled, None
     results: dict[str, list] = {targets[t]: [] for t in src_tables}
     by_te: dict[tuple[int, int], list[dict]] = {}
-    for chunk in chunks:    # group-size memory rule, same as replay()
-        if paths is not None:
-            expr = ((pads.field(COL_OFFSET) >= chunk[0].lo)
-                    & (pads.field(COL_OFFSET) <= chunk[-1].hi))
-            with _DS_BUILD_LOCK:
-                src = rd.read_parquet(paths, filter=expr)
-            # Parquet sources: Ray's SplitBlocks emits ~30k-row sub-blocks
-            # that flood the _shard sort with P² tiny objects — the same 8×
-            # pitfall replay() re-bundles away (replay.py / BASELINE.md r5).
-            # Real event rows, so bundle to the tuned ~131k-row unit; the
-            # descriptor-stream branch below keeps batch_size=None.
-            bs = 131_072
-        else:
-            src = events_ds
-            bs = None
-        ds = (src.map_batches(lambda t: normalize_batch(t, id_cols),
-                              batch_format="pyarrow", batch_size=bs)
-              .map_batches(make_shard_fn(chunk), batch_format="pyarrow",
-                           batch_size=bs))
-        lineage = ds.groupby("_shard").map_groups(
-            apply_group, batch_format="pyarrow").take_all()
-        for r in lineage:
-            epoch, ti = divmod(r["epoch"], T)
-            by_te.setdefault((epoch, ti), []).append({**r, "epoch": epoch})
-        # commit this chunk's windows (checkpoint granularity = chunk, like
-        # replay()); a crash re-runs at most one chunk, re-commits are no-ops
-        for w in chunk:
-            for t in src_tables:
-                ti = tidx[t]
-                rows = sorted(by_te.get((w.epoch, ti), []),
-                              key=lambda r: r["part_id"])
-                m = EpochManifest(
-                    epoch=w.epoch, offset_min=w.lo, offset_max=w.hi,
-                    schema_version=w.schema_version,
-                    partitions=[PartitionLineage(
-                        **{k: v for k, v in r.items() if k != "epoch"})
-                        for r in rows])
-                lakes[t].commit_epoch(m)
-                results[targets[t]].append(m)
+    try:
+        for chunk in chunks:    # group-size memory rule, same as replay()
+            if paths is not None:
+                expr = ((pads.field(COL_OFFSET) >= chunk[0].lo)
+                        & (pads.field(COL_OFFSET) <= chunk[-1].hi))
+                with _DS_BUILD_LOCK:
+                    src = rd.read_parquet(paths, filter=expr)
+                # Parquet sources: Ray's SplitBlocks emits ~30k-row
+                # sub-blocks that flood the _shard sort with P² tiny
+                # objects — the same 8× pitfall replay() re-bundles away
+                # (replay.py / BASELINE.md r5). Real event rows, so bundle
+                # to the tuned ~131k-row unit; the descriptor-stream branch
+                # below keeps batch_size=None.
+                bs = 131_072
+            else:
+                src = events_ds
+                bs = None
+            ds = (src.map_batches(lambda t: normalize_batch(t, id_cols),
+                                  batch_format="pyarrow", batch_size=bs)
+                  .map_batches(make_shard_fn(chunk), batch_format="pyarrow",
+                               batch_size=bs))
+            lineage = ds.groupby("_shard").map_groups(
+                apply_group, batch_format="pyarrow").take_all()
+            for r in lineage:
+                epoch, ti = divmod(r["epoch"], T)
+                by_te.setdefault((epoch, ti), []).append({**r, "epoch": epoch})
+            # commit this chunk's windows (checkpoint granularity = chunk,
+            # like replay()); a crash re-runs at most one chunk, re-commits
+            # are no-ops. (window, lake) pairs the lake already holds were
+            # dropped at the shard stage — skip their commits too (a
+            # re-commit over a truncated/compacted lake would re-publish
+            # coverage the fold no longer derives from files).
+            for w in chunk:
+                for t in src_tables:
+                    if lake_done(t, w):
+                        continue
+                    ti = tidx[t]
+                    rows = sorted(by_te.get((w.epoch, ti), []),
+                                  key=lambda r: r["part_id"])
+                    m = EpochManifest(
+                        epoch=w.epoch, offset_min=w.lo, offset_max=w.hi,
+                        schema_version=w.schema_version,
+                        partitions=[PartitionLineage(
+                            **{k: v for k, v in r.items() if k != "epoch"})
+                            for r in rows])
+                    lakes[t].commit_epoch(m)
+                    # post-commit delta verification (replay.py's
+                    # commit_verified analog): a stale concurrent compactor
+                    # can destroy this epoch's files between write and
+                    # commit, publishing coverage BELOW our offset_max —
+                    # the mixed path has no single-window re-run, so refuse
+                    # loudly (replay_mixed is idempotent; re-run it once
+                    # the racing compactor stops)
+                    missing = [p.file for p in m.partitions
+                               if not os.path.exists(
+                                   os.path.join(lakes[t].root, p.file))]
+                    if missing and \
+                            lakes[t].compacted_watermark() < m.offset_max:
+                        # UN-commit first: with the manifest in place a
+                        # re-run would see the epoch complete and skip it,
+                        # pinning the corruption
+                        try:
+                            os.remove(lakes[t].manifest_path(w.epoch))
+                        except FileNotFoundError:
+                            pass
+                        raise RuntimeError(
+                            f"lake {lakes[t].root} epoch {w.epoch}: delta "
+                            "files vanished under concurrent compaction "
+                            "without watermark coverage — stop the racing "
+                            "compactor and re-run replay_mixed")
+                    results[targets[t]].append(m)
+    finally:
+        if spill is not None:
+            spill.cleanup()
     return results

@@ -58,6 +58,28 @@ def check_event_source(paths: str | list[str],
         else:
             out.append(CheckResult(f"column:{col}", True))
 
+    # the column/type check is footer-only (cheap) — run it over EVERY
+    # file: a later segment written by an older producer (missing op, or a
+    # mistyped key column) previously passed precheck on file 0's schema
+    # and crashed replay deep inside a Ray task. Row sampling stays
+    # first-file-only (documented trade-off).
+    for p in paths[1:]:
+        try:
+            sch = pq.ParquetFile(p).schema_arrow
+        except Exception as e:  # noqa: BLE001
+            out.append(CheckResult("source_readable", False,
+                                   f"{p}: {e!r}"))
+            continue
+        for col, types in REQUIRED_EVENT_COLS.items():
+            idx = sch.get_field_index(col)
+            if idx < 0:
+                out.append(CheckResult(f"column:{col}", False,
+                                       f"missing in {p}"))
+            elif sch.field(idx).type not in types:
+                out.append(CheckResult(
+                    f"column:{col}", False,
+                    f"{p}: type {sch.field(idx).type} not in {types}"))
+
     if all(r.ok for r in out):
         sample = f.read_row_group(0).slice(0, sample_rows) \
             if f.metadata.num_row_groups else schema.empty_table()

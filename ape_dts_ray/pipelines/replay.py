@@ -444,6 +444,19 @@ class _SpillState:
         import shutil as _shutil
         import tempfile as _tempfile
 
+        import ray
+
+        if ray.is_initialized() and \
+                sum(1 for n in ray.nodes() if n.get("Alive")) > 1:
+            # the spill dir is DRIVER-local: on a multi-node cluster each
+            # worker writes to its own /tmp and the driver's glob would see
+            # zero/partial files — a non-empty stream silently planning as
+            # empty. Refuse; multi-node callers pass events_path on shared
+            # storage (or pre-spill the Dataset themselves).
+            raise RuntimeError(
+                "Dataset spill requires single-node Ray (the scratch dir "
+                "is driver-local) — on a cluster, write the events to "
+                "shared storage and pass events_path instead")
         self.dir = _tempfile.mkdtemp(prefix="ape_dts_replay_spill_")
         events_ds.write_parquet(self.dir)
         spilled = sorted(_glob.glob(os.path.join(self.dir, "*.parquet")))
@@ -661,20 +674,23 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
         before any unlink) already covers our offset_max."""
         for m in ms:
             lake.commit_epoch(m, schema_version=m.schema_version)
-            for _ in range(4):
+            for attempt in range(5):
                 missing = [p.file for p in m.partitions if not os.path.exists(
                     os.path.join(lake.root, p.file))]
                 if not missing or lake.compacted_watermark() >= m.offset_max:
                     break
+                if attempt == 4:
+                    # verify-first: the LAST re-run was re-checked above, so
+                    # this raise fires only when a check still fails after
+                    # four restorations — never after a successful one
+                    raise RuntimeError(
+                        f"epoch {m.epoch}: delta files kept vanishing under "
+                        "concurrent compaction without watermark coverage — "
+                        "stop the racing compactor and re-run replay")
                 rerun = run_chunk([win_by_id[m.epoch]])
                 if rerun:
                     m = rerun[0]
                     lake.commit_epoch(m, schema_version=m.schema_version)
-            else:
-                raise RuntimeError(
-                    f"epoch {m.epoch}: delta files kept vanishing under "
-                    "concurrent compaction without watermark coverage — "
-                    "stop the racing compactor and re-run replay")
 
     if pipeline_depth <= 1 or len(chunks) <= 1 or max_rps is not None:
         for chunk in chunks:

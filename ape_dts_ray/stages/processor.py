@@ -21,7 +21,7 @@ from collections.abc import Callable
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ape_dts_ray.meta import COL_OFFSET, COL_OP, OPS
+from ape_dts_ray.meta import COL_OFFSET, COL_OP, COL_SEQ, OPS
 
 
 class ProcessorError(ValueError):
@@ -39,8 +39,13 @@ class UserProcessor:
         if not isinstance(out, pa.Table):
             raise ProcessorError(
                 f"processor must return a pyarrow.Table, got {type(out)}")
-        missing = [c for c in (COL_OFFSET, COL_OP, *self.key_cols)
-                   if c not in out.column_names]
+        required = [COL_OFFSET, COL_OP, *self.key_cols]
+        if COL_SEQ in batch.column_names:
+            # seq must survive when the INPUT carried it (the module
+            # contract) — dropping it would fail far downstream inside the
+            # shuffle's lww ordering instead of at this boundary
+            required.append(COL_SEQ)
+        missing = [c for c in required if c not in out.column_names]
         if missing:
             raise ProcessorError(f"processor dropped required columns {missing}")
         if out.num_rows:

@@ -2510,3 +2510,102 @@ def test_reverse_sql_evolved_column_types(ray_session):
     rows = pa.concat_tables(out.iter_batches(batch_format="pyarrow",
                                              batch_size=None)).to_pylist()
     assert len(rows) == 1 and "REPLACE INTO" in rows[0]["sql"]
+
+
+# -------------------- replay/multitable post-review fixes (sixth pass)
+
+
+def test_mixed_no_truncate_resurrection(tmp_path, ray_session):
+    """A truncated lake must stay truncated through replay_mixed even when
+    ANOTHER lake still lacks those windows — pre-fix the window was pending
+    globally and the truncated lake's pre-truncate rows were re-applied
+    over its emptied base."""
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.meta import EngineConfig
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+    from ape_dts_ray.state.lake import LakeTable
+
+    ev = gen_events(seed=70, n_convs=20, max_turns=4, n_events=3000)
+    half = ev.num_rows // 2
+    rng = np.random.default_rng(3)
+    tbl = pa.array(np.where(rng.random(ev.num_rows) < 0.5, "ta", "tb"))
+    mixed = ev.append_column("table", tbl)
+    log = tmp_path / "log"
+    log.mkdir()
+    pq.write_table(mixed.slice(0, half), str(log / "seg0.parquet"))
+    root = str(tmp_path / "lakes")
+    cfg = EngineConfig(num_partitions=4, epoch_size=500)
+    replay_mixed(root, ["ta", "tb"], events_path=str(log / "seg0.parquet"),
+                 config=cfg)
+    la = LakeTable.open(os.path.join(root, "ta"))
+    assert la.state_table().num_rows > 0
+    la.truncate()                              # A emptied, watermark kept
+    assert la.state_table().num_rows == 0
+    # lake B loses ground: wipe B so every early window is pending for it
+    import shutil as _shutil
+    _shutil.rmtree(os.path.join(root, "tb"))
+    pq.write_table(mixed.slice(half), str(log / "seg1.parquet"))
+    replay_mixed(root, ["ta", "tb"],
+                 events_path=[str(log / "seg0.parquet"),
+                              str(log / "seg1.parquet")], config=cfg)
+    la = LakeTable.open(os.path.join(root, "ta"))
+    ta_rows = la.state_table()
+    # A holds ONLY post-truncate state: every live row's offset is above
+    # the truncate floor (pre-truncate history did not resurrect)
+    floor = la.truncate_offset
+    assert floor > 0
+    live = la.state_table(drop_engine_cols=False)
+    if live.num_rows:
+        assert min(live.column("log_offset").to_pylist()) > floor
+    # B converged over the full log
+    lb = LakeTable.open(os.path.join(root, "tb"))
+    assert lb.watermark() == la.watermark()
+
+
+def test_run_tables_refuses_many_to_one(tmp_path, ray_session):
+    from ape_dts_ray.pipelines.multitable import TableJob, run_tables
+    from ape_dts_ray.stages.router import Router
+
+    router = Router(table_map={"a.t1": "t1", "b.t1": "t1"})
+    with pytest.raises(ValueError, match="many-to-one"):
+        run_tables(str(tmp_path), [TableJob("a.t1"), TableJob("b.t1")],
+                   router=router)
+
+
+def test_user_processor_guards_seq():
+    from ape_dts_ray.stages.processor import ProcessorError, UserProcessor
+
+    batch = pa.table({
+        "log_offset": pa.array([1], pa.int64()),
+        "seq": pa.array([0], pa.int32()),
+        "op": ["insert"], "conv_id": ["c"],
+        "turn_idx": pa.array([0], pa.int32()),
+    })
+
+    def drops_seq(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["seq"])
+
+    with pytest.raises(ProcessorError, match="seq"):
+        UserProcessor(drops_seq)(batch)
+    # a batch that never carried seq is not required to invent it
+    no_seq = batch.drop_columns(["seq"])
+    assert UserProcessor(lambda t: t)(no_seq).num_rows == 1
+
+
+def test_precheck_validates_every_file(tmp_path):
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.pipelines.precheck import check_event_source
+
+    good = gen_events(seed=71, n_convs=5, max_turns=3, n_events=200)
+    p0 = str(tmp_path / "seg0.parquet")
+    p1 = str(tmp_path / "seg1.parquet")
+    pq.write_table(good, p0)
+    pq.write_table(good.drop_columns(["op"]), p1)     # older producer
+    results = check_event_source([p0, p1])
+    bad = [r for r in results if not r.ok]
+    assert any("seg1" in r.detail and r.name == "column:op" for r in bad)
+    assert all(r.ok for r in check_event_source([p0, p0]))
