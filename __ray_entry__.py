@@ -24,7 +24,9 @@ def _stopword_values() -> str:
     tables the Ray stage uses (ape_dts_ray/functions/text.py STOPWORDS)."""
     from ape_dts_ray.functions.text import STOPWORDS
 
-    rows = [f"('{lang}', '{w}')"
+    # escape single quotes like cdc_sql_format does: elided French forms
+    # ("d'", "l'") are the natural next additions and would break the SQL
+    rows = [f"""('{lang}', '{w.replace("'", "''")}')"""
             for lang in sorted(STOPWORDS) for w in sorted(STOPWORDS[lang])]
     return ", ".join(rows)
 

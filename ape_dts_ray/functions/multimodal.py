@@ -396,17 +396,30 @@ class DecodeImage:
     def _decode(self, payload: bytes) -> np.ndarray:
         if self._pil is not None:
             import io
-            img = self._pil.open(io.BytesIO(payload)).convert("L")
-            img = img.resize((self.out_size, self.out_size))
-            return np.asarray(img, dtype=np.float64) / 255.0
+            try:
+                img = self._pil.open(io.BytesIO(payload)).convert("L")
+                img = img.resize((self.out_size, self.out_size))
+                return np.asarray(img, dtype=np.float64) / 255.0
+            except Exception:
+                # the class contract: strict raises, non-strict falls back
+                # to the deterministic fake — an unguarded PIL error would
+                # kill the whole actor-pool stage on one bad payload
+                if self.strict:
+                    raise
+                return self._fake_decode(payload)
         if payload[:8] == _PNG_SIG:
-            img = decode_png(payload)
-            if img.ndim == 3:                       # luma from RGB(A)
-                img = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
-                       + 0.114 * img[:, :, 2])
-            img = resize_nearest(img.astype(np.float64),
-                                 self.out_size, self.out_size)
-            return img / 255.0
+            try:
+                img = decode_png(payload)
+                if img.ndim == 3:                   # luma from RGB(A)
+                    img = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                           + 0.114 * img[:, :, 2])
+                img = resize_nearest(img.astype(np.float64),
+                                     self.out_size, self.out_size)
+                return img / 255.0
+            except Exception:   # struct/zlib/Value errors from a corrupt
+                if self.strict:  # body — same contract as the PIL branch
+                    raise
+                return self._fake_decode(payload)
         if payload[:2] == b"\xff\xd8":              # baseline JPEG → luma
             from ape_dts_ray.functions.mjpeg import decode_baseline_jpeg_luma
 

@@ -110,8 +110,11 @@ class MetricsServer:
 
     def sample(self) -> tuple[dict, str]:
         lake = LakeTable.open(self.lake_root)
-        s = collect_metrics(lake)
         with self._lock:
+            # collect INSIDE the lock: two overlapping scrapes applying raw
+            # counters out of order would trip the reset heuristic (stale
+            # 100 after fresh 120 → carry += 120) and inflate totals forever
+            s = collect_metrics(lake)
             for k in self._carry:       # counter-reset handling: compaction
                 raw = s[k]              # folds manifests away; carry the
                 if raw < self._last_raw[k]:   # pre-reset total forward

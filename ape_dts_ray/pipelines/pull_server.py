@@ -65,11 +65,21 @@ class PullServer:
                 self.acked = json.load(f)["acked"]
         f = pq.ParquetFile(events_path)
         ci = f.schema_arrow.get_field_index(COL_OFFSET)
-        mx = -1
+        mx, complete = -1, True
         for rg in range(f.metadata.num_row_groups):
             st = f.metadata.row_group(rg).column(ci).statistics
-            if st is not None and st.max is not None:
-                mx = max(mx, st.max)
+            if st is None or st.max is None:
+                complete = False
+                break
+            mx = max(mx, st.max)
+        if not complete:
+            # stats-less writer: fall back to a one-column scan — with
+            # max_offset stuck at -1 fetch_new's widening loop would break
+            # on its first empty span and silently drop the sparse tail
+            import pyarrow.compute as _pc
+            t = pq.read_table(events_path, columns=[COL_OFFSET])
+            mx = _pc.max(t.column(COL_OFFSET)).as_py() if t.num_rows else -1
+            mx = -1 if mx is None else int(mx)
         self.max_offset = mx
         self.inflight: bytes | None = None
         self.inflight_hi = -1
@@ -96,16 +106,32 @@ class PullServer:
                         self._send(200, json.dumps(server.info()).encode(),
                                    "application/json")
                     elif u.path == "/fetch_new":
-                        self._send(200, server.fetch_new(
-                            int(q.get("batch_size", "1000"))))
+                        try:
+                            bs = int(q.get("batch_size", "1000"))
+                        except ValueError:
+                            self._send(400, b"batch_size must be an integer")
+                            return
+                        self._send(200, server.fetch_new(bs))
                     elif u.path == "/fetch_old":
                         self._send(200, server.fetch_old())
                     elif u.path == "/ack":
-                        server.ack(int(q["offset"]))
+                        if "offset" not in q:
+                            # a KeyError would escape the handler and close
+                            # the connection with NO status line — the
+                            # client couldn't tell a crash from a bad call
+                            self._send(400, b"ack requires ?offset=<int>")
+                            return
+                        try:
+                            off = int(q["offset"])
+                        except ValueError:
+                            self._send(400, b"offset must be an integer")
+                            return
+                        server.ack(off)
                         self._send(200, b"{}", "application/json")
                     else:
                         self._send(404, b"not found")
                 except ValueError as e:
+                    # protocol-state refusals (unacked batch, wrong ack)
                     self._send(409, str(e).encode())
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)

@@ -81,6 +81,17 @@ def load_snapshot(lake: LakeTable, snapshot_ds, batch_size: int | None = None,
                 if nulls:
                     raise ValueError(
                         f"snapshot violates NOT NULL({c}): {nulls} null rows")
+        clash = [c for c in (COL_OFFSET, COL_SEQ, COL_OP, COL_EPOCH)
+                 if c in t.column_names]
+        if clash:
+            # a snapshot source already carrying engine columns (e.g.
+            # re-ingesting an exported change log) would get DUPLICATE
+            # fields from append_column — the base commits fine and every
+            # later fold dies on the ambiguity; same refusal family as
+            # partition.py's COL_PART guard
+            raise ValueError(
+                f"snapshot rows carry reserved engine column(s) {clash} — "
+                "drop or rename them before load_snapshot")
         n = t.num_rows
         t = t.append_column(COL_OFFSET, pa.array(np.full(n, -1, dtype=np.int64)))
         t = t.append_column(COL_SEQ, pa.array(np.zeros(n, dtype=np.int32)))

@@ -49,6 +49,20 @@ NARROW = os.environ.get("BENCH_NARROW") == "1"
 TEXT_LEN = int(os.environ.get("BENCH_TEXT_LEN", "80"))
 
 
+def _wait_quiet(limit: float = 1.5, timeout: float = 600.0) -> float:
+    """BASELINE.md measurement protocol (shared by the strong and weak
+    ladders so the gate can never drift between them): this sandbox loses
+    up to 2-3x throughput to residual load from just-finished Ray sessions,
+    so a level is only recordable on a quiet machine. Returns the 1-min
+    loadavg the level actually started at (recorded alongside it)."""
+    t0 = time.time()
+    load = os.getloadavg()[0]
+    while load >= limit and time.time() - t0 < timeout:
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return load
+
+
 def _compact_host_memory() -> None:
     """Best-effort defragmentation before measuring (BASELINE.md round-4
     finding: THP allocation stalls from accumulated memory fragmentation
@@ -184,21 +198,9 @@ def scaling() -> None:
         time.sleep(10)   # let the previous Ray session's processes fully exit
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    def wait_quiet(limit: float = 1.5, timeout: float = 600.0) -> float:
-        """BASELINE.md measurement protocol: this sandbox loses up to 2-3×
-        throughput to residual load from just-finished Ray sessions, so a
-        level is only recordable on a quiet machine. Returns the 1-min
-        loadavg the level actually started at (recorded alongside it)."""
-        t0 = time.time()
-        load = os.getloadavg()[0]
-        while load >= limit and time.time() - t0 < timeout:
-            time.sleep(15)
-            load = os.getloadavg()[0]
-        return load
-
     report = {}
     for n in (2, 8, 6, 24, 32):
-        load = wait_quiet()
+        load = _wait_quiet()
         r = run(n)
         report[f"sec_{n}cpu"] = r["value"]
         report[f"events_per_sec_{n}cpu"] = r["events_per_sec"]
@@ -256,20 +258,12 @@ def weak_scaling() -> None:
     per-event rate)."""
     per_core = int(os.environ.get("BENCH_WEAK_PER_CORE", "500000"))
 
-    def wait_quiet(limit: float = 1.5, timeout: float = 600.0) -> float:
-        t0 = time.time()
-        load = os.getloadavg()[0]
-        while load >= limit and time.time() - t0 < timeout:
-            time.sleep(15)
-            load = os.getloadavg()[0]
-        return load
-
     levels = tuple(int(x) for x in os.environ.get(
         "BENCH_WEAK_LEVELS", "2,8,32").split(","))
     report = {"mode": "weak_scaling", "events_per_core": per_core,
               "levels": list(levels)}
     for n in levels:
-        load = wait_quiet()
+        load = _wait_quiet()
         cpu0, mem0, vm0 = _psi("cpu"), _psi("memory"), _vmstat()
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_QUERIES="0",
                    BENCH_TRIALS="2", BENCH_EVENTS=str(per_core * n))

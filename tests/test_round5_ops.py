@@ -2609,3 +2609,74 @@ def test_precheck_validates_every_file(tmp_path):
     bad = [r for r in results if not r.ok]
     assert any("seg1" in r.detail and r.name == "column:op" for r in bad)
     assert all(r.ok for r in check_event_source([p0, p0]))
+
+
+# ------------------- final sweep fixes (multimodal/server/snapshot)
+
+
+def test_decode_image_nonstrict_never_raises():
+    """The class contract: strict raises, non-strict falls back to the
+    deterministic fake — pre-fix the PIL and pure-PNG branches had no
+    guard and one bad payload killed the whole actor-pool stage."""
+    from ape_dts_ray.functions.multimodal import _PNG_SIG, DecodeImage
+
+    dec = DecodeImage(out_size=4, strict=False)
+    for payload in (b"garbage not an image",
+                    _PNG_SIG + b"\x00\x01corrupt body"):
+        img = dec._decode(payload)
+        assert img.shape == (4, 4)
+    strict = DecodeImage(out_size=4, strict=True)
+    with pytest.raises(Exception):
+        strict._decode(_PNG_SIG + b"\x00\x01corrupt body")
+
+
+def test_pull_server_statless_footers_and_bad_requests(tmp_path):
+    """Stats-less parquet must not truncate the served stream at -1, /ack
+    without an offset must be a 400 (not a dropped connection), and a
+    malformed batch_size a 400 (not a misleading 409)."""
+    import urllib.error
+    import urllib.request
+
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.pipelines.pull_server import PullServer
+
+    t = pa.table({
+        "log_offset": pa.array([0, 5_000], pa.int64()),     # sparse
+        "seq": pa.array([0, 0], pa.int32()),
+        "op": ["insert", "insert"], "conv_id": ["a", "b"],
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "role": ["user", "user"], "text": ["x", "y"],
+        "tool": pa.array([None, None], pa.string()),
+        "ts": pa.array([None, None], pa.timestamp("us")),
+    })
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(t, p, write_statistics=False)
+    srv = PullServer(p, str(tmp_path / "state.json")).start()
+    try:
+        base = f"http://127.0.0.1:{srv.port}"
+        assert srv.max_offset == 5_000            # scanned, not -1
+        got = urllib.request.urlopen(f"{base}/fetch_new?batch_size=1").read()
+        assert got                                 # first row served
+        for bad, code in (("/ack", 400), ("/fetch_new?batch_size=abc", 400)):
+            try:
+                urllib.request.urlopen(base + bad)
+                raise AssertionError("expected HTTPError")
+            except urllib.error.HTTPError as e:
+                assert e.code == code, (bad, e.code)
+    finally:
+        srv.stop()
+
+
+def test_load_snapshot_refuses_engine_columns(tmp_path, ray_session):
+    import ray.data as rd
+
+    from ape_dts_ray.pipelines.snapshot import load_snapshot
+
+    lake = _mini_lake(tmp_path, "snapres")
+    rows = pa.table({
+        "conv_id": ["c"], "turn_idx": pa.array([0], pa.int32()),
+        "text": ["x"], "log_offset": pa.array([9], pa.int64()),  # reserved
+    })
+    with pytest.raises(Exception, match="reserved engine column"):
+        load_snapshot(lake, rd.from_arrow(rows))
