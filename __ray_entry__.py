@@ -35,6 +35,15 @@ def _stopword_values() -> str:
 _LANGID_WORD_RE = "[a-zäöüßáéíóúñàâçèêîôû]+"
 
 
+def _q_epoch_size() -> int:
+    """The driver queries' lake epoch size — imported lazily so the oracle
+    SQL's epoch derivation is interpolated from the SAME constant the
+    engine-side lakes are created with (lockstep by construction)."""
+    from ape_dts_ray.pipelines.queries import QUERY_EPOCH_SIZE
+
+    return QUERY_EPOCH_SIZE
+
+
 def _fingerprint_window_sql(window: int = 16) -> str:
     """The per-window Rabin-Karp hash as a SQL expression over an ASCII text
     column (the sf corpus is pure ASCII, so char position == byte position).
@@ -227,11 +236,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, role, text, tool, ts
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
-        # epoch id = log_offset // 50000 must mirror the engine's epoch_size
-        # (pipelines/queries.py _fresh_lake); per-key-per-epoch last-op counts
-        # are partition-independent because a key's events never split across
-        # partitions
-        "cdc_lineage_totals": CHANGES_CTE + """,
+        # epoch id = log_offset // QUERY_EPOCH_SIZE must mirror the engine's
+        # epoch_size — interpolated from pipelines/queries.py's constant via
+        # the .replace below so the two can never drift; per-key-per-epoch
+        # last-op counts are partition-independent because a key's events
+        # never split across partitions
+        "cdc_lineage_totals": (CHANGES_CTE + """,
             per_epoch AS (
               -- // is floor division: CAST(x/50000 AS BIGINT) would ROUND
               -- and split keys mid-epoch (caught by the sf0.1 sweep)
@@ -249,7 +259,7 @@ def oracle_sql() -> dict[str, str]:
               (SELECT MIN(log_offset) FROM changes) AS offset_min,
               (SELECT MAX(log_offset) FROM changes) AS offset_max
             FROM per_epoch WHERE rn = 1
-        """,
+        """).replace("50000", str(_q_epoch_size())),
         "cdc_snapshot_sample": """
             SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 0
         """,

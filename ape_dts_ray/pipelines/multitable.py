@@ -354,60 +354,79 @@ def replay_mixed(
             else:
                 src = events_ds
                 bs = None
-            ds = (src.map_batches(lambda t: normalize_batch(t, id_cols),
-                                  batch_format="pyarrow", batch_size=bs)
-                  .map_batches(make_shard_fn(chunk), batch_format="pyarrow",
-                               batch_size=bs))
-            lineage = ds.groupby("_shard").map_groups(
-                apply_group, batch_format="pyarrow").take_all()
-            for r in lineage:
-                epoch, ti = divmod(r["epoch"], T)
-                by_te.setdefault((epoch, ti), []).append({**r, "epoch": epoch})
-            # commit this chunk's windows (checkpoint granularity = chunk,
-            # like replay()); a crash re-runs at most one chunk, re-commits
-            # are no-ops. (window, lake) pairs the lake already holds were
-            # dropped at the shard stage — skip their commits too (a
-            # re-commit over a truncated/compacted lake would re-publish
-            # coverage the fold no longer derives from files).
-            for w in chunk:
-                for t in src_tables:
-                    if lake_done(t, w):
-                        continue
-                    ti = tidx[t]
-                    rows = sorted(by_te.get((w.epoch, ti), []),
-                                  key=lambda r: r["part_id"])
-                    m = EpochManifest(
-                        epoch=w.epoch, offset_min=w.lo, offset_max=w.hi,
-                        schema_version=w.schema_version,
-                        partitions=[PartitionLineage(
-                            **{k: v for k, v in r.items() if k != "epoch"})
-                            for r in rows])
-                    lakes[t].commit_epoch(m)
-                    # post-commit delta verification (replay.py's
-                    # commit_verified analog): a stale concurrent compactor
-                    # can destroy this epoch's files between write and
-                    # commit, publishing coverage BELOW our offset_max —
-                    # the mixed path has no single-window re-run, so refuse
-                    # loudly (replay_mixed is idempotent; re-run it once
-                    # the racing compactor stops)
-                    missing = [p.file for p in m.partitions
-                               if not os.path.exists(
-                                   os.path.join(lakes[t].root, p.file))]
-                    if missing and \
-                            lakes[t].compacted_watermark() < m.offset_max:
-                        # UN-commit first: with the manifest in place a
-                        # re-run would see the epoch complete and skip it,
-                        # pinning the corruption
-                        try:
-                            os.remove(lakes[t].manifest_path(w.epoch))
-                        except FileNotFoundError:
-                            pass
-                        raise RuntimeError(
-                            f"lake {lakes[t].root} epoch {w.epoch}: delta "
-                            "files vanished under concurrent compaction "
-                            "without watermark coverage — stop the racing "
-                            "compactor and re-run replay_mixed")
-                    results[targets[t]].append(m)
+            for attempt in range(5):
+                # bounded chunk-level retry of the stale-compactor race
+                # (replay.py's commit_verified re-runs one window; the
+                # mixed apply is one shuffle for the whole chunk, so the
+                # retry unit is the chunk — idempotent: deterministic
+                # delta names, no-op re-commits). The soak showed this
+                # race fires routinely under an aggressive compactor; a
+                # loud death here would kill the daemon on a transient.
+                for w in chunk:          # a retry re-derives the lineage
+                    for i2 in range(T):
+                        by_te.pop((w.epoch, i2), None)
+                ds = (src.map_batches(lambda t: normalize_batch(t, id_cols),
+                                      batch_format="pyarrow", batch_size=bs)
+                      .map_batches(make_shard_fn(chunk),
+                                   batch_format="pyarrow", batch_size=bs))
+                lineage = ds.groupby("_shard").map_groups(
+                    apply_group, batch_format="pyarrow").take_all()
+                for r in lineage:
+                    epoch, ti = divmod(r["epoch"], T)
+                    by_te.setdefault((epoch, ti), []).append(
+                        {**r, "epoch": epoch})
+                # commit this chunk's windows (checkpoint granularity =
+                # chunk, like replay()); re-commits are no-ops. (window,
+                # lake) pairs the lake already held at PLAN time were
+                # dropped at the shard stage — skip their commits too.
+                committed_now: list[tuple[str, object]] = []
+                failed = False
+                for w in chunk:
+                    for t in src_tables:
+                        if lake_done(t, w):
+                            continue
+                        ti = tidx[t]
+                        rows = sorted(by_te.get((w.epoch, ti), []),
+                                      key=lambda r: r["part_id"])
+                        m = EpochManifest(
+                            epoch=w.epoch, offset_min=w.lo, offset_max=w.hi,
+                            schema_version=w.schema_version,
+                            partitions=[PartitionLineage(
+                                **{k: v for k, v in r.items()
+                                   if k != "epoch"})
+                                for r in rows])
+                        lakes[t].commit_epoch(m)
+                        # post-commit delta verification (commit_verified
+                        # analog): a stale compactor — snapshot taken
+                        # before this tail recommit — can rmtree the
+                        # epoch's files between write and commit with its
+                        # published coverage BELOW our offset_max
+                        missing = [p.file for p in m.partitions
+                                   if not os.path.exists(
+                                       os.path.join(lakes[t].root, p.file))]
+                        if missing and \
+                                lakes[t].compacted_watermark() < m.offset_max:
+                            # UN-commit: with the manifest in place the
+                            # retry would see the epoch complete and skip
+                            # it, pinning the corruption
+                            try:
+                                os.remove(lakes[t].manifest_path(w.epoch))
+                            except FileNotFoundError:
+                                pass
+                            failed = True
+                        else:
+                            committed_now.append((targets[t], m))
+                if not failed:
+                    results_chunk = committed_now
+                    break
+                if attempt == 4:
+                    raise RuntimeError(
+                        "delta files kept vanishing under concurrent "
+                        "compaction without watermark coverage across "
+                        f"{attempt + 1} chunk retries — stop the racing "
+                        "compactor and re-run replay_mixed")
+            for tgt, m in results_chunk:
+                results[tgt].append(m)
     finally:
         if spill is not None:
             spill.cleanup()

@@ -30,11 +30,17 @@ from ape_dts_ray.sources.derive import changes_dataset
 from ape_dts_ray.state.lake import LakeTable
 
 QUERY_PARTITIONS = 16
+# epoch geometry for every lake a driver query creates. LOCKSTEP: the
+# cdc_lineage_totals oracle SQL (__ray_entry__.py) derives epoch ids as
+# `log_offset // 50000` — interpolated from THIS constant there, so change
+# it here and the SQL follows; a per-site literal would desynchronize the
+# oracle from the engine with no signal.
+QUERY_EPOCH_SIZE = 50_000
 
 
 def _fresh_lake(tag: str, **cfg) -> LakeTable:
     root = tempfile.mkdtemp(prefix=f"ape_dts_ray_{tag}_")
-    defaults = dict(num_partitions=QUERY_PARTITIONS, epoch_size=50_000)
+    defaults = dict(num_partitions=QUERY_PARTITIONS, epoch_size=QUERY_EPOCH_SIZE)
     defaults.update(cfg)
     return LakeTable.create(root + "/lake", TableMeta(), EngineConfig(**defaults))
 
@@ -392,7 +398,7 @@ def cdc_multitable(sf_dir: str) -> pa.Table:
                                              batch_format="pyarrow")
     replay_mixed(root, list(_MIXED_TABLES), events_ds=ds,
                  config=EngineConfig(num_partitions=QUERY_PARTITIONS,
-                                     epoch_size=50_000),
+                                     epoch_size=QUERY_EPOCH_SIZE),
                  max_offset=_events_max_offset(sf_dir))
     out = _union_mixed_lakes(root)
     shutil.rmtree(root, ignore_errors=True)
@@ -428,7 +434,7 @@ def cdc_two_way(sf_dir: str) -> pa.Table:
     logs = {m: os.path.join(root, f"log_{m}") for m in nodes}
     lakes = {m: LakeTable.create(
         os.path.join(root, f"lake_{m}"), TableMeta(),
-        EngineConfig(num_partitions=QUERY_PARTITIONS, epoch_size=50_000))
+        EngineConfig(num_partitions=QUERY_PARTITIONS, epoch_size=QUERY_EPOCH_SIZE))
         for m in nodes}
 
     def local_writes(node: str):
@@ -603,7 +609,7 @@ def cdc_follow_mixed(sf_dir: str) -> pa.Table:
 
     root = tempfile.mkdtemp(prefix="ape_dts_ray_followmixed_")
     lakes_root = os.path.join(root, "lakes")
-    cfg = EngineConfig(num_partitions=QUERY_PARTITIONS, epoch_size=50_000)
+    cfg = EngineConfig(num_partitions=QUERY_PARTITIONS, epoch_size=QUERY_EPOCH_SIZE)
 
     def min_wm() -> int:
         try:
@@ -748,6 +754,15 @@ def redis_hotkeys(sf_dir: str) -> pa.Table:
     return out
 
 
+def _crash_probe_epoch_size(n_events: int) -> int:
+    """Epoch size for the crash+resume probe queries: guarantees >= 2 epochs
+    at EVERY scale factor, so stop_after_epoch=0 always crashes on a real
+    epoch boundary with committed work behind it and pending work ahead —
+    at sf0.001 a fixed size would make one epoch swallow the whole stream
+    and the 'resume' would be a fresh run proving nothing."""
+    return max(1, min(n_events // 2, max(4000, n_events // 8)))
+
+
 def cdc_mongo_doc(sf_dir: str) -> pa.Table:
     """Mongo oplog replay (MongoSnapshot/MongoCdc → MongoMerger,
     mongo_merger.rs:17-100): a SINGLE-id-col (`_id`) table with JSON doc
@@ -764,7 +779,7 @@ def cdc_mongo_doc(sf_dir: str) -> pa.Table:
     meta = TableMeta(name="docs", id_cols=("_id",), partition_col="_id",
                      order_cols=("_id",), payload_cols=("doc",))
     n = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
-    epoch_size = max(1, min(n // 2, max(4000, n // 8)))
+    epoch_size = _crash_probe_epoch_size(n)
     root = tempfile.mkdtemp(prefix="ape_dts_ray_mongo_")
     lake = LakeTable.create(root + "/lake", meta,
                             EngineConfig(num_partitions=QUERY_PARTITIONS,
@@ -867,7 +882,7 @@ def cdc_wide_types(sf_dir: str) -> pa.Table:
     # >=2 epochs at EVERY sf (the crash probe below must cross a real epoch
     # boundary — sf0.001 has 1000 events, so the cap n//2 guarantees it),
     # ~8 epochs at larger sf (bounded pipeline executions)
-    epoch_size = max(1, min(n_events // 2, max(4000, n_events // 8)))
+    epoch_size = _crash_probe_epoch_size(n_events)
     lake = LakeTable.create(root + "/lake", meta,
                             EngineConfig(num_partitions=QUERY_PARTITIONS,
                                          epoch_size=epoch_size))
@@ -958,8 +973,6 @@ def text_quality_counts(sf_dir: str):
 def text_langid(sf_dir: str):
     """Stopword-vote language ID — oracle-backed (the vote is mirrored in
     SQL over a generated stopword VALUES table)."""
-    import ray.data as rd
-
     from ape_dts_ray.functions.text import LangId
 
     # task pool, not actors: LangId's init is a regex compile — actor-pool
@@ -971,8 +984,6 @@ def text_langid(sf_dir: str):
 def doc_fingerprint(sf_dir: str):
     """Winnowing-style rolling-hash fingerprints — oracle-backed (window
     hashes recomputed in SQL over the ASCII corpus)."""
-    import ray.data as rd
-
     from ape_dts_ray.functions.text import Fingerprint
 
     return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
@@ -985,8 +996,6 @@ def dedup_minhash(sf_dir: str):
     driver-side corpus map). Banding recall ≈ 1 at the sf corpus (planted
     dup pairs all have J ≥ 0.87), so the output equals the exact true-Jaccard
     pair set and carries a shingle-join SQL oracle."""
-    import ray.data as rd
-
     from ape_dts_ray.functions.dedup import minhash_dedup_pairs
 
     return minhash_dedup_pairs(_docs_ds(sf_dir, ["doc_id", "text"]),
@@ -998,8 +1007,6 @@ def dedup_simhash(sf_dir: str):
     disabled, 4×16-bit banding is EXACT for Hamming ≤ 3 (pigeonhole), and the
     md5-derived word hash is reproducible in SQL — so the output equals the
     all-pairs Hamming join and carries a DuckDB oracle (bit_count ∘ xor)."""
-    import ray.data as rd
-
     from ape_dts_ray.functions.dedup import simhash_dedup
 
     return simhash_dedup(_docs_ds(sf_dir, ["doc_id", "text"]),
@@ -1019,12 +1026,12 @@ def dedup_embedding(sf_dir: str):
     return out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
 
 
-def ann_topk(sf_dir: str):
-    """Brute-force cosine top-10 of the first 5 embeddings against the corpus
-    — exact, so it carries a SQL oracle (list_cosine_similarity)."""
+def _ann_inputs(sf_dir: str):
+    """Shared ANN inputs: the embedding Dataset + the first-5 query dict —
+    one implementation for ann_topk and ann_ivf so the read columns, query
+    count and dtype can never drift between the exact baseline and the
+    approximate path it is judged against."""
     import ray.data as rd
-
-    from ape_dts_ray.functions.similarity import brute_force_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"]).repartition(16)
@@ -1033,6 +1040,15 @@ def ann_topk(sf_dir: str):
                           filter=pads.field("vec_id") < 5).to_pandas()
     queries = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
                for r in qdf.itertuples()}
+    return ds, queries
+
+
+def ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 of the first 5 embeddings against the corpus
+    — exact, so it carries a SQL oracle (list_cosine_similarity)."""
+    from ape_dts_ray.functions.similarity import brute_force_topk
+
+    ds, queries = _ann_inputs(sf_dir)
     out = brute_force_topk(ds, queries, k=10)
     return out[["query_id", "vec_id", "rank"]]
 
@@ -1043,17 +1059,9 @@ def ann_ivf(sf_dir: str):
     C×S tasks with bounded group size. Rows-only check (approximate by
     construction); recall@10 vs the exact ann_topk is asserted ≥ 0.9 in
     tests/test_functions.py and reported in BASELINE.md."""
-    import ray.data as rd
-
     from ape_dts_ray.functions.similarity import ivf_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"]).repartition(16)
-    qdf = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"],
-                          filter=pads.field("vec_id") < 5).to_pandas()
-    queries = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
-               for r in qdf.itertuples()}
+    ds, queries = _ann_inputs(sf_dir)
     # C=32/P=16/spill=2 measured recall@10 ≥ 0.90 (mean 0.96) at sf0.01 and
     # sf0.1 — random embeddings are the ANN-hardest case (no cluster
     # structure), hence the high probe fraction; real embedding corpora
@@ -1126,6 +1134,13 @@ def _redis_cmds_batch(t: pa.Table) -> pa.Table:
         # oracle's max_by yields NULL — fail loudly on latent data drift
         raise ValueError("redis_replay derivation: purchase event with NULL "
                          "value cannot be a deterministic ZADD score")
+    if df.loc[m_set | m_hset, "props"].isna().any():
+        # same drift class for the string-payload commands: NaN would ride
+        # pandas string concat into cmd and only explode later as an
+        # unintelligible TypeError inside the chunk writer's join
+        raise ValueError("redis_replay derivation: click/view/signup event "
+                         "with NULL props cannot build a deterministic "
+                         "SET/HSET payload")
     unmatched = ~(m_del | m_set | m_hset | m_zadd)
     if unmatched.any():
         # the oracle enumerates exactly these five types — a catch-all here
@@ -1149,9 +1164,13 @@ def _redis_cmds_batch(t: pa.Table) -> pa.Table:
         if mask.any():
             cmd[mask] = build(df[mask])
     eid = df["event_id"]
-    return pa.table({"chunk": (eid // REDIS_CHUNK).to_numpy(),
-                     "event_id": eid.to_numpy(),
-                     "cmd": cmd.to_numpy()})
+    import pyarrow as _pa
+    return pa.table({"chunk": _pa.array((eid // REDIS_CHUNK).to_numpy(),
+                                        _pa.int64()),
+                     "event_id": _pa.array(eid.to_numpy(), _pa.int64()),
+                     # explicit string type: a 0-row batch would otherwise
+                     # infer cmd: null and hand the groupby mixed schemas
+                     "cmd": _pa.array(cmd.to_numpy(), _pa.string())})
 
 
 def _write_redis_log(sf_dir: str, log_dir: str) -> None:
@@ -1200,6 +1219,18 @@ def _shared_redis_log(sf_dir: str) -> str:
     return d
 
 
+def _redis_oracle_shape(out: pa.Table) -> pa.Table:
+    """THE oracle landing shape shared by redis_replay and redis_incremental
+    (their docstrings promise identical output; one cast table keeps that
+    true by construction rather than by copy-paste)."""
+    return pa.table({
+        "key": pc.cast(out.column("key"), pa.string()),
+        "field": pc.cast(out.column("field"), pa.string()),
+        "value": pc.cast(out.column("value"), pa.string()),
+        "score": out.column("score"),
+    })
+
+
 def redis_replay(sf_dir: str) -> pa.Table:
     """Full Redis CDC path: derive a RESP replication log from events
     (distributed, one file per event-id chunk = psync segment), tail it back
@@ -1212,12 +1243,7 @@ def redis_replay(sf_dir: str) -> pa.Table:
                          num_partitions=QUERY_PARTITIONS)
     out = pa.concat_tables(
         state.iter_batches(batch_format="pyarrow")).combine_chunks()
-    return pa.table({
-        "key": pc.cast(out.column("key"), pa.string()),
-        "field": pc.cast(out.column("field"), pa.string()),
-        "value": pc.cast(out.column("value"), pa.string()),
-        "score": out.column("score"),
-    })
+    return _redis_oracle_shape(out)
 
 
 def redis_incremental(sf_dir: str) -> pa.Table:
@@ -1255,12 +1281,7 @@ def redis_incremental(sf_dir: str) -> pa.Table:
         out = store.keyspace_table()
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    return pa.table({
-        "key": pc.cast(out.column("key"), pa.string()),
-        "field": pc.cast(out.column("field"), pa.string()),
-        "value": pc.cast(out.column("value"), pa.string()),
-        "score": out.column("score"),
-    })
+    return _redis_oracle_shape(out)
 
 
 def redis_snapshot(sf_dir: str) -> pa.Table:

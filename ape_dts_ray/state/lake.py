@@ -662,14 +662,7 @@ class LakeTable:
                           offset_max=watermark,
                           schema_version=self.schema_version, partitions=[]))
         for e in epochs:
-            ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
-            try:
-                if os.path.isdir(ddir):
-                    shutil.rmtree(ddir)
-                os.remove(self.manifest_path(e))
-            except FileNotFoundError:
-                pass          # a concurrent compactor's epilogue got there
-                              # first — its compacted.json is durable too
+            self._gc_epoch(e)   # tolerant of sibling-GC and recommit races
         return len(epochs)
 
     def delta_file_counts(self) -> dict[int, int]:
@@ -787,14 +780,7 @@ class LakeTable:
                               schema_version=self.schema_version,
                               partitions=[]))
             for e in removable:
-                ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
-                try:
-                    if os.path.isdir(ddir):
-                        shutil.rmtree(ddir)
-                    os.remove(self.manifest_path(e))
-                except FileNotFoundError:
-                    pass      # a concurrent compactor's epilogue got there
-                              # first — its compacted.json is durable too
+                self._gc_epoch(e)   # sibling-GC + recommit-race tolerant
         return sum(bool(d) for d in done)
 
     def rotation_in_progress(self) -> bool:
@@ -836,16 +822,8 @@ class LakeTable:
             if os.path.exists(bp):
                 os.remove(bp)
         for e in epochs:
-            ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
-            try:
-                if os.path.isdir(ddir):
-                    shutil.rmtree(ddir)
-                os.remove(self.manifest_path(e))
-            except FileNotFoundError:
-                pass          # a concurrent compactor GC'd it first — same
-                              # tolerance as compact()'s epilogue; aborting
-                              # here would wedge the lake behind the marker
-        os.remove(marker)
+            self._gc_epoch(e)   # concurrent-GC tolerant; aborting here
+        os.remove(marker)       # would wedge the lake behind the marker
 
     def _recover_rotation(self) -> None:
         """Bring a lake crashed mid-rotation back to a consistent state.
@@ -907,13 +885,7 @@ class LakeTable:
         with open(swap_marker) as f:
             snap = json.load(f).get("epochs")
         for e in (snap if snap is not None else self.committed_epochs()):
-            ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
-            try:
-                if os.path.isdir(ddir):
-                    shutil.rmtree(ddir)
-                os.remove(self.manifest_path(e))
-            except FileNotFoundError:
-                pass          # a concurrent compactor's epilogue got here
+            self._gc_epoch(e)
         os.remove(swap_marker)
 
     def _compact_rotate(self, new_hot_keys: tuple[str, ...]) -> int:
@@ -1012,13 +984,7 @@ class LakeTable:
             raise RuntimeError("rotation swap failed to produce base/")
         shutil.rmtree(old)
         for e in epochs:
-            ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
-            try:
-                if os.path.isdir(ddir):
-                    shutil.rmtree(ddir)
-                os.remove(self.manifest_path(e))
-            except FileNotFoundError:
-                pass          # concurrent compactor epilogue tolerance
+            self._gc_epoch(e)
         os.remove(swap_marker)
         os.remove(marker)
         return len(epochs)
@@ -1029,6 +995,30 @@ class LakeTable:
             with open(p) as f:
                 return EpochManifest.from_json(f.read()).offset_max
         return -1
+
+    def _gc_epoch(self, e: int) -> None:
+        """Remove one epoch's delta dir + manifest, tolerating BOTH
+        directions of the concurrent race: already GC'd by a sibling
+        compactor (FileNotFoundError), and a concurrent tail recommit
+        WRITING fresh delta files into the dir mid-rmtree (ENOTEMPTY —
+        rmtree removed the old files, then rmdir found the writer's new
+        ones). On ENOTEMPTY leave the dir AND the manifest: the writer's
+        commit re-claims the epoch moments later, the rows this compactor
+        folded from the old files are idempotent, and readers tolerate
+        manifest entries whose files vanished (partition_files exists-
+        checks; _retry_vanished_files re-lists)."""
+        import errno
+
+        ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
+        try:
+            if os.path.isdir(ddir):
+                shutil.rmtree(ddir)
+            os.remove(self.manifest_path(e))
+        except FileNotFoundError:
+            pass
+        except OSError as err:
+            if err.errno != errno.ENOTEMPTY:
+                raise
 
     def _publish_compacted(self, m: EpochManifest) -> None:
         """Publish compacted.json without regressing offset_max. A plain

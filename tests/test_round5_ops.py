@@ -2680,3 +2680,31 @@ def test_load_snapshot_refuses_engine_columns(tmp_path, ray_session):
     })
     with pytest.raises(Exception, match="reserved engine column"):
         load_snapshot(lake, rd.from_arrow(rows))
+
+
+def test_gc_epoch_tolerates_concurrent_recommit_write(tmp_path, monkeypatch):
+    """A tail recommit can write NEW delta files into an epoch dir while a
+    compactor's rmtree walks it — rmtree then fails ENOTEMPTY. The GC must
+    leave the dir AND the manifest for the writer to re-claim (pre-fix the
+    OSError escaped the FileNotFoundError-only guard and crashed the
+    compactor; the mixed soak reproduced it)."""
+    import errno
+    import shutil as _shutil
+
+    from ape_dts_ray.state import lake as lakemod
+    from ape_dts_ray.state.manifest import EpochManifest
+
+    lake = _mini_lake(tmp_path, "gc1")
+    os.makedirs(os.path.join(lake.root, "delta", "epoch-00000000"))
+    lake.commit_epoch(EpochManifest(epoch=0, offset_min=0, offset_max=9,
+                                    schema_version=0, partitions=[]))
+
+    def busy_rmtree(path, **kw):
+        raise OSError(errno.ENOTEMPTY, "Directory not empty", path)
+
+    monkeypatch.setattr(lakemod.shutil, "rmtree", busy_rmtree)
+    lake._gc_epoch(0)                              # must NOT raise
+    assert lake.committed_epochs() == [0]          # manifest left in place
+    monkeypatch.undo()
+    lake._gc_epoch(0)                              # normal path still GCs
+    assert lake.committed_epochs() == []
