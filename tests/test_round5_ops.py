@@ -2708,3 +2708,106 @@ def test_gc_epoch_tolerates_concurrent_recommit_write(tmp_path, monkeypatch):
     monkeypatch.undo()
     lake._gc_epoch(0)                              # normal path still GCs
     assert lake.committed_epochs() == []
+
+
+# --------------------------------------- replay_mixed chunk retry (race)
+
+def _mixed_fixture(tmp_path, seed, n_events):
+    """An interleaved two-table log (parity of the conv_id's first-seen
+    index) + its per-table oracle inputs — the shape test_multitable uses."""
+    import pyarrow.compute as pc2
+    import pyarrow.parquet as pq
+
+    from ape_dts_ray.fixtures import gen_events
+
+    events = gen_events(seed=seed, n_convs=20, max_turns=5,
+                        n_events=n_events, delete_frac=0.2)
+    parity = pc2.bit_wise_and(
+        pc2.index_in(events.column("conv_id"),
+                     value_set=pc2.unique(events.column("conv_id"))),
+        pa.scalar(1, pa.int32()))
+    mixed = events.append_column(
+        "table", pc2.if_else(pc2.equal(parity, pa.scalar(0, pa.int32())),
+                             pa.scalar("tbl_even"), pa.scalar("tbl_odd")))
+    path = str(tmp_path / "mixed.parquet")
+    pq.write_table(mixed, path)
+    return events, parity, path
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replay_mixed_retries_stale_compactor_vanish(tmp_path, monkeypatch):
+    """A stale compactor rmtree-ing a freshly committed epoch's delta files
+    without watermark coverage used to kill replay_mixed with a loud
+    RuntimeError on the FIRST hit — but the follow daemon made the race
+    routine (the soak fired it every few rounds). The chunk-level bounded
+    retry must re-derive lineage, re-commit idempotently and converge."""
+    import shutil as _shutil
+
+    import pyarrow.compute as pc2
+
+    from ape_dts_ray.fixtures import oracle_replay
+    from ape_dts_ray.meta import EngineConfig
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+    from ape_dts_ray.state.lake import LakeTable
+
+    events, parity, path = _mixed_fixture(tmp_path, seed=81, n_events=2000)
+    root = str(tmp_path / "lakes")
+    cfg = EngineConfig(num_partitions=4, epoch_size=10_000)
+
+    real_commit = LakeTable.commit_epoch
+    hits = {"n": 0}
+
+    def compactor_races_once(self, m, schema_version=None):
+        real_commit(self, m, schema_version)
+        if hits["n"] == 0 and m.partitions:
+            # the stale compactor's rmtree lands between the delta write
+            # and the post-commit verification; its published coverage
+            # (compacted_watermark = -1 here) stays below offset_max
+            hits["n"] += 1
+            _shutil.rmtree(os.path.join(self.root, "delta",
+                                        f"epoch-{m.epoch:08d}"),
+                           ignore_errors=True)
+
+    monkeypatch.setattr(LakeTable, "commit_epoch", compactor_races_once)
+    res = replay_mixed(root, ["tbl_even", "tbl_odd"], events_path=path,
+                       config=cfg)
+    monkeypatch.undo()
+    assert hits["n"] == 1                      # the race actually fired
+    assert sorted(res) == ["tbl_even", "tbl_odd"]
+    for name, par in (("tbl_even", 0), ("tbl_odd", 1)):
+        got = LakeTable.open(os.path.join(root, name)) \
+            .state_table().to_pandas()
+        want = oracle_replay(events.filter(
+            pc2.equal(parity, pa.scalar(par, pa.int32()))))
+        assert len(got) == len(want)
+        assert sorted(got["text"]) == sorted(want["text"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replay_mixed_retry_exhaustion_raises(tmp_path, monkeypatch):
+    """A compactor that NEVER stops destroying fresh commits is not a
+    transient — after the bounded retries replay_mixed must still die
+    loudly instead of spinning (the old single-shot refusal, deferred)."""
+    import shutil as _shutil
+
+    from ape_dts_ray.meta import EngineConfig
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+    from ape_dts_ray.state.lake import LakeTable
+
+    _, _, path = _mixed_fixture(tmp_path, seed=82, n_events=600)
+    root = str(tmp_path / "lakes")
+    cfg = EngineConfig(num_partitions=2, epoch_size=10_000)
+
+    real_commit = LakeTable.commit_epoch
+
+    def compactor_races_always(self, m, schema_version=None):
+        real_commit(self, m, schema_version)
+        if m.partitions:
+            _shutil.rmtree(os.path.join(self.root, "delta",
+                                        f"epoch-{m.epoch:08d}"),
+                           ignore_errors=True)
+
+    monkeypatch.setattr(LakeTable, "commit_epoch", compactor_races_always)
+    with pytest.raises(RuntimeError, match="racing"):
+        replay_mixed(root, ["tbl_even", "tbl_odd"], events_path=path,
+                     config=cfg)
