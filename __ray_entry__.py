@@ -44,6 +44,17 @@ def _q_epoch_size() -> int:
     return QUERY_EPOCH_SIZE
 
 
+def _with_epoch_size(sql: str) -> str:
+    """Substitute the __EPOCH_SIZE__ sentinel; refuse SQL that lost it (an
+    un-substituted sentinel would also die loudly as a DuckDB syntax error,
+    but failing here names the actual mistake)."""
+    if "__EPOCH_SIZE__" not in sql:
+        raise AssertionError(
+            "cdc_lineage_totals SQL lost its __EPOCH_SIZE__ sentinel — the "
+            "oracle would silently desynchronize from QUERY_EPOCH_SIZE")
+    return sql.replace("__EPOCH_SIZE__", str(_q_epoch_size()))
+
+
 def _fingerprint_window_sql(window: int = 16) -> str:
     """The per-window Rabin-Karp hash as a SQL expression over an ASCII text
     column (the sf corpus is pure ASCII, so char position == byte position).
@@ -237,17 +248,21 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
         # epoch id = log_offset // QUERY_EPOCH_SIZE must mirror the engine's
-        # epoch_size — interpolated from pipelines/queries.py's constant via
-        # the .replace below so the two can never drift; per-key-per-epoch
-        # last-op counts are partition-independent because a key's events
-        # never split across partitions
-        "cdc_lineage_totals": (CHANGES_CTE + """,
+        # epoch_size — the __EPOCH_SIZE__ sentinel is substituted from
+        # pipelines/queries.py's constant by _with_epoch_size, which RAISES
+        # if the sentinel is missing (a bare literal .replace would silently
+        # no-op the moment someone edited the SQL — the exact no-signal
+        # drift this lockstep exists to prevent); per-key-per-epoch last-op
+        # counts are partition-independent because a key's events never
+        # split across partitions
+        "cdc_lineage_totals": _with_epoch_size(CHANGES_CTE + """,
             per_epoch AS (
-              -- // is floor division: CAST(x/50000 AS BIGINT) would ROUND
-              -- and split keys mid-epoch (caught by the sf0.1 sweep)
-              SELECT *, log_offset // 50000 AS ep,
+              -- // is floor division: CAST over / would ROUND and split
+              -- keys mid-epoch (caught by the sf0.1 sweep)
+              SELECT *, log_offset // __EPOCH_SIZE__ AS ep,
                      row_number() OVER (
-                       PARTITION BY conv_id, turn_idx, log_offset // 50000
+                       PARTITION BY conv_id, turn_idx,
+                                    log_offset // __EPOCH_SIZE__
                        ORDER BY log_offset DESC) AS rn
               FROM changes
             )
@@ -259,7 +274,7 @@ def oracle_sql() -> dict[str, str]:
               (SELECT MIN(log_offset) FROM changes) AS offset_min,
               (SELECT MAX(log_offset) FROM changes) AS offset_max
             FROM per_epoch WHERE rn = 1
-        """).replace("50000", str(_q_epoch_size())),
+        """),
         "cdc_snapshot_sample": """
             SELECT doc_id, n_chars FROM documents WHERE doc_id % 7 = 0
         """,

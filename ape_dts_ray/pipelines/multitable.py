@@ -325,10 +325,13 @@ def replay_mixed(
     g = max(1, group_epochs)
     chunks = [pending[i:i + g] for i in range(0, len(pending), g)]
     spill = None
-    if events_ds is not None and len(chunks) > 1:
+    if events_ds is not None:
         # same scratch-parquet spill as replay(): >1 chunk would re-execute
-        # the full upstream Dataset once per chunk (and a non-deterministic
-        # upstream would even yield inconsistent rows across chunks)
+        # the full upstream Dataset once per chunk, and since the
+        # stale-compactor retry below can re-run even a SINGLE chunk, a
+        # non-deterministic upstream could otherwise yield different rows
+        # across attempts — spill unconditionally so every execution reads
+        # the same frozen parquet
         from ape_dts_ray.pipelines.replay import _SpillState
 
         spill = _SpillState()

@@ -32,9 +32,10 @@ from ape_dts_ray.state.lake import LakeTable
 QUERY_PARTITIONS = 16
 # epoch geometry for every lake a driver query creates. LOCKSTEP: the
 # cdc_lineage_totals oracle SQL (__ray_entry__.py) derives epoch ids as
-# `log_offset // 50000` — interpolated from THIS constant there, so change
-# it here and the SQL follows; a per-site literal would desynchronize the
-# oracle from the engine with no signal.
+# `log_offset // __EPOCH_SIZE__` — the sentinel is substituted from THIS
+# constant there (and raises if it goes missing), so change it here and the
+# SQL follows; a per-site literal would desynchronize the oracle from the
+# engine with no signal.
 QUERY_EPOCH_SIZE = 50_000
 
 
@@ -1164,13 +1165,12 @@ def _redis_cmds_batch(t: pa.Table) -> pa.Table:
         if mask.any():
             cmd[mask] = build(df[mask])
     eid = df["event_id"]
-    import pyarrow as _pa
-    return pa.table({"chunk": _pa.array((eid // REDIS_CHUNK).to_numpy(),
-                                        _pa.int64()),
-                     "event_id": _pa.array(eid.to_numpy(), _pa.int64()),
+    return pa.table({"chunk": pa.array((eid // REDIS_CHUNK).to_numpy(),
+                                       pa.int64()),
+                     "event_id": pa.array(eid.to_numpy(), pa.int64()),
                      # explicit string type: a 0-row batch would otherwise
                      # infer cmd: null and hand the groupby mixed schemas
-                     "cmd": _pa.array(cmd.to_numpy(), _pa.string())})
+                     "cmd": pa.array(cmd.to_numpy(), pa.string())})
 
 
 def _write_redis_log(sf_dir: str, log_dir: str) -> None:

@@ -49,6 +49,72 @@ TABLE_FILE = "_table.json"
 REVISE_EPOCH_BASE = 1 << 40
 
 
+# Parquet footer metadata key carrying a base file's fold coverage: the max
+# source offset whose effects the file is guaranteed to contain. The stamp is
+# the anti-regression guard for CONCURRENT COMPACTORS: two compact() calls
+# with different snapshots race per-partition base writes, and the stale one
+# landing last silently erases the newer fold's rows AFTER the newer run
+# GC'd the deltas (reproduced by the randomized soak, seed 1050803233 —
+# partition base capped at 79999 under a published watermark of 97999).
+# Folds consume epoch PREFIXES, so a higher stamp always means a superset
+# fold; writers refuse to replace a base whose stamp exceeds their own.
+BASE_STAMP_KEY = b"ape_folded_wm"
+
+
+def _base_stamp(path: str) -> int:
+    """Fold-coverage stamp of a base file (-1 for absent or legacy unstamped
+    files — those are always an INPUT of whatever fold replaces them, so any
+    write may proceed over them)."""
+    try:
+        md = pq.read_schema(path).metadata
+    except (FileNotFoundError, OSError):
+        return -1
+    if md and BASE_STAMP_KEY in md:
+        try:
+            return int(md[BASE_STAMP_KEY])
+        except ValueError:
+            return -1
+    return -1
+
+
+def _stamped(t: "pa.Table", wm: int) -> "pa.Table":
+    md = dict(t.schema.metadata or {})
+    md[BASE_STAMP_KEY] = str(int(wm)).encode()
+    return t.replace_schema_metadata(md)
+
+
+def _proc_start(pid) -> int | None:
+    """Process start time in clock ticks (/proc/<pid>/stat field 22) — the
+    pid-reuse guard for the maintenance lock. None = no such process (or no
+    /proc, where liveness degrades to a bare kill-0 probe)."""
+    if not pid:
+        return None
+    try:
+        with open(f"/proc/{int(pid)}/stat", "rb") as f:
+            data = f.read()
+        # comm (field 2) may contain spaces/parens — split after the LAST ')'
+        return int(data.rsplit(b") ", 1)[1].split()[19])
+    except (FileNotFoundError, ProcessLookupError, PermissionError,
+            IndexError, ValueError, OSError):
+        return None
+
+
+def _pid_alive(pid, start) -> bool:
+    if not pid:
+        return False
+    s = _proc_start(pid)
+    if s is not None:
+        return start is None or s == start
+    # no /proc entry readable: fall back to signal-0 (non-Linux)
+    try:
+        os.kill(int(pid), 0)
+        return True
+    except (ProcessLookupError, ValueError):
+        return False
+    except PermissionError:
+        return True
+
+
 def _retry_vanished_files(fn, attempts: int = 4):
     """Run ``fn`` (which must RE-LIST its input files on every call), retrying
     when a listed file vanishes between the exists() check and the read.
@@ -530,6 +596,57 @@ class LakeTable:
         return self._with_comment_metadata(out.take(idx))
 
     # ---------- compaction ----------
+    # ---------- maintenance serialization ----------
+    def _maintenance_lock_path(self) -> str:
+        return os.path.join(self.root, MANIFEST_DIR, "maintenance.lock")
+
+    def _acquire_maintenance(self) -> bool:
+        """Advisory per-lake lock serializing maintenance (compact / partial
+        compact / rotation / truncate) within a node. Crash-safe without a
+        marker: the payload carries (pid, /proc start ticks); a holder that
+        died (SIGKILL) fails the liveness probe and its lock is stolen.
+        Maintenance is periodic, so a busy lock means SKIP THIS TICK (compact
+        returns 0), never wait. This is the common-case guard against the
+        concurrent-compactor stale-base race; the per-partition fold stamp
+        (BASE_STAMP_KEY) is the correctness backstop for the residual windows
+        (steal races, multi-node deployments where pid liveness is
+        meaningless — there, run ONE merger per lake, the reference's own
+        model, foxlake_merger.rs)."""
+        import time as _time
+
+        path = self._maintenance_lock_path()
+        for _ in range(16):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                try:
+                    with open(path) as f:
+                        cur = json.load(f)
+                except (FileNotFoundError, json.JSONDecodeError, OSError):
+                    _time.sleep(0.02)      # released or mid-write — retry
+                    continue
+                if _pid_alive(cur.get("pid"), cur.get("start")):
+                    return False
+                try:                       # dead holder — steal and retry
+                    os.remove(path)
+                except FileNotFoundError:
+                    pass
+                continue
+            with os.fdopen(fd, "w") as f:
+                json.dump({"pid": os.getpid(),
+                           "start": _proc_start(os.getpid())}, f)
+            return True
+        return False
+
+    def _release_maintenance(self) -> None:
+        path = self._maintenance_lock_path()
+        try:
+            with open(path) as f:
+                if json.load(f).get("pid") == os.getpid():
+                    os.remove(path)
+        except (FileNotFoundError, json.JSONDecodeError, OSError):
+            pass
+
     def compact(self, new_hot_keys: tuple[str, ...] | None = None,
                 parallel: bool = True,
                 max_delta_files: int | None = None,
@@ -577,18 +694,33 @@ class LakeTable:
             if max_delta_files is not None or keep_epochs:
                 raise ValueError("hot-key rotation requires a FULL compaction "
                                  "(every row re-placed under the new salt)")
-            # repartition-on-compact: fold full state, re-split by new salt
-            return self._compact_rotate(tuple(new_hot_keys))
-        if self.rotation_in_progress():
+        elif self.rotation_in_progress():
             # a plain compact against a half-rotated lake would fold
             # old-salt deltas into a possibly new-salt base — duplicate key
             # placements forever. Same refusal contract as replay().
             raise RuntimeError(
                 "hot-key rotation in progress (rotation.json present) — "
                 "re-run compact(new_hot_keys=...) to finish it first")
-        if max_delta_files is not None or keep_epochs:
-            return self._compact_partial(max_delta_files, keep_epochs, parallel)
+        if not self._acquire_maintenance():
+            if new_hot_keys is not None:
+                # a rotation silently skipped would leave the operator
+                # believing the salt changed — loud, unlike plain ticks
+                raise RuntimeError(
+                    "another maintenance run holds this lake's lock — "
+                    "retry compact(new_hot_keys=...) once it finishes")
+            return 0               # maintenance tick: skip, next tick folds
+        try:
+            if new_hot_keys is not None:
+                # repartition-on-compact: fold full state, re-split by salt
+                return self._compact_rotate(tuple(new_hot_keys))
+            if max_delta_files is not None or keep_epochs:
+                return self._compact_partial(max_delta_files, keep_epochs,
+                                             parallel)
+            return self._compact_full(parallel)
+        finally:
+            self._release_maintenance()
 
+    def _compact_full(self, parallel: bool) -> int:
         def snapshot() -> tuple[list[int], int]:
             # retried list-then-read: a concurrent compactor (e.g. a
             # follower's auto-compact tick racing an operator-run compact)
@@ -617,7 +749,8 @@ class LakeTable:
                 files = lake.partition_files(pid)
                 if not files:
                     return
-                if (len(files) == 1 and files[0] == lake.base_path(pid)
+                bp = lake.base_path(pid)
+                if (len(files) == 1 and files[0] == bp
                         and not ops and not cluster):
                     # base-only partition with no pending schema op and no
                     # clustering key that could have changed since the base
@@ -625,19 +758,31 @@ class LakeTable:
                     # the file — on the 100-TB shape that turns a no-op
                     # maintenance pass into a full-lake rewrite
                     return
+                # coverage this fold will contain: the snapshot watermark,
+                # or the listed base's own stamp if a sibling already
+                # folded further (that base is an INPUT here, so its
+                # coverage carries through)
+                in_stamp = _base_stamp(bp) if files[0] == bp else -1
+                my_wm = max(watermark, in_stamp)
                 folded = lake._fold_files(files, keep_tombstones=False)
-                bp = lake.base_path(pid)
-                if folded is None or folded.num_rows == 0:
-                    if os.path.exists(bp):
-                        os.remove(bp)
+                if folded is None:
                     return
-                # base rows rank below every future delta
+                # base rows rank below every future delta. A zero-row fold
+                # (all tombstones) writes an EMPTY stamped base, never
+                # os.remove: an absent file has no stamp, and a stale
+                # sibling could then resurrect the deleted rows.
                 n = folded.num_rows
                 i = folded.column_names.index(COL_EPOCH)
                 folded = folded.set_column(
                     i, COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
                 folded = _cluster_sorted(folded, cluster)
-                atomic_write_parquet(folded, bp, compression="zstd")
+                if _base_stamp(bp) > my_wm:
+                    # a sibling compactor published a STRICTLY newer fold
+                    # while we folded; ours is a subset — overwriting would
+                    # erase rows whose deltas the sibling already GC'd
+                    return
+                atomic_write_parquet(_stamped(folded, my_wm), bp,
+                                     compression="zstd")
 
             _retry_vanished_files(body)
 
@@ -707,24 +852,43 @@ class LakeTable:
             lake = LakeTable(root, meta, cfg, sv, ops)
 
             def body() -> bool:
-                dfiles = [lake.delta_path(e, pid) for e in hz]
-                dfiles = [f for f in dfiles if os.path.exists(f)]
-                if len(dfiles) <= threshold:
+                consumed = [(e, lake.delta_path(e, pid)) for e in hz]
+                consumed = [(e, f) for e, f in consumed if os.path.exists(f)]
+                if len(consumed) <= threshold:
                     return False
                 bp = lake.base_path(pid)
-                files = ([bp] if os.path.exists(bp) else []) + dfiles
+                in_stamp = _base_stamp(bp)
+                files = ([bp] if os.path.exists(bp) else []) \
+                    + [f for _, f in consumed]
+                # coverage claim: everything ≤ the last consumed NON-revise
+                # epoch's offset_max for this partition is in base ∪ consumed
+                # (epochs partition the offset space; earlier epochs are in
+                # the base via the prefix invariant). Revise epochs carry
+                # synthetic offsets — never claim them as source coverage.
+                src_es = [e for e, _ in consumed if e < REVISE_EPOCH_BASE]
+                try:
+                    ewm = lake.read_manifest(src_es[-1]).offset_max \
+                        if src_es else -1
+                except FileNotFoundError:
+                    # a sibling folded+GC'd the manifest after publishing
+                    # compacted.json — that publish covers the epoch
+                    ewm = lake.compacted_watermark()
+                my_wm = max(in_stamp, ewm)
                 folded = lake._fold_files(files, keep_tombstones=False)
-                if folded is None or folded.num_rows == 0:
-                    if os.path.exists(bp):
-                        os.remove(bp)
-                else:
-                    n = folded.num_rows
-                    i = folded.column_names.index(COL_EPOCH)
-                    folded = folded.set_column(
-                        i, COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
-                    folded = _cluster_sorted(folded, cluster)
-                    atomic_write_parquet(folded, bp, compression="zstd")
-                for f in dfiles:         # only after the new base is durable
+                if folded is None:
+                    return False
+                n = folded.num_rows    # zero-row fold → EMPTY stamped base
+                i = folded.column_names.index(COL_EPOCH)
+                folded = folded.set_column(
+                    i, COL_EPOCH, pa.array(np.full(n, -1, dtype=np.int64)))
+                folded = _cluster_sorted(folded, cluster)
+                if _base_stamp(bp) > my_wm:
+                    return False     # sibling folded strictly further: ours
+                                     # is a subset — skip write AND unlink
+                                     # (the sibling's GC owns those files)
+                atomic_write_parquet(_stamped(folded, my_wm), bp,
+                                     compression="zstd")
+                for _, f in consumed:    # only after the new base is durable
                     try:
                         os.remove(f)
                     except FileNotFoundError:
@@ -805,6 +969,19 @@ class LakeTable:
                 "hot-key rotation in progress (rotation.json present) — "
                 "re-run compact(new_hot_keys=...) to finish it before "
                 "truncating")
+        if not self._acquire_maintenance():
+            # a compactor mid-fold could rewrite base files AFTER the
+            # deletes below (its fold predates the marker) — resurrecting
+            # truncated rows. Loud: truncate is an operator DDL, not a tick.
+            raise RuntimeError(
+                "another maintenance run holds this lake's lock — retry "
+                "truncate() once it finishes")
+        try:
+            self._truncate_locked()
+        finally:
+            self._release_maintenance()
+
+    def _truncate_locked(self) -> None:
         marker = os.path.join(self.root, MANIFEST_DIR, "truncate.json")
         wm = self.watermark()
         atomic_write_text(marker, json.dumps({"watermark": wm}))
@@ -822,8 +999,12 @@ class LakeTable:
             if os.path.exists(bp):
                 os.remove(bp)
         for e in epochs:
-            self._gc_epoch(e)   # concurrent-GC tolerant; aborting here
-        os.remove(marker)       # would wedge the lake behind the marker
+            # STRICT: commit_epoch refuses under the marker, so nothing
+            # re-claims a left-behind manifest — it would resurrect
+            # pre-truncate rows forever. Raising keeps the marker; re-run
+            # truncate() to finish (the documented idempotent recovery).
+            self._gc_epoch(e, strict=True)
+        os.remove(marker)
 
     def _recover_rotation(self) -> None:
         """Bring a lake crashed mid-rotation back to a consistent state.
@@ -885,7 +1066,7 @@ class LakeTable:
         with open(swap_marker) as f:
             snap = json.load(f).get("epochs")
         for e in (snap if snap is not None else self.committed_epochs()):
-            self._gc_epoch(e)
+            self._gc_epoch(e, strict=True)   # marker semantics — see truncate
         os.remove(swap_marker)
 
     def _compact_rotate(self, new_hot_keys: tuple[str, ...]) -> int:
@@ -950,7 +1131,8 @@ class LakeTable:
             # full compact
             out = _cluster_sorted(out, cluster)
             atomic_write_parquet(
-                out, os.path.join(next_dir, f"part-{pid:05d}.parquet"),
+                _stamped(out, watermark),
+                os.path.join(next_dir, f"part-{pid:05d}.parquet"),
                 compression="zstd")
             return pa.table({"part_id": pa.array([pid], pa.int32())})
 
@@ -984,7 +1166,7 @@ class LakeTable:
             raise RuntimeError("rotation swap failed to produce base/")
         shutil.rmtree(old)
         for e in epochs:
-            self._gc_epoch(e)
+            self._gc_epoch(e, strict=True)   # marker semantics — see truncate
         os.remove(swap_marker)
         os.remove(marker)
         return len(epochs)
@@ -996,29 +1178,53 @@ class LakeTable:
                 return EpochManifest.from_json(f.read()).offset_max
         return -1
 
-    def _gc_epoch(self, e: int) -> None:
+    def _gc_epoch(self, e: int, strict: bool = False) -> None:
         """Remove one epoch's delta dir + manifest, tolerating BOTH
         directions of the concurrent race: already GC'd by a sibling
         compactor (FileNotFoundError), and a concurrent tail recommit
         WRITING fresh delta files into the dir mid-rmtree (ENOTEMPTY —
         rmtree removed the old files, then rmdir found the writer's new
-        ones). On ENOTEMPTY leave the dir AND the manifest: the writer's
-        commit re-claims the epoch moments later, the rows this compactor
-        folded from the old files are idempotent, and readers tolerate
-        manifest entries whose files vanished (partition_files exists-
-        checks; _retry_vanished_files re-lists)."""
+        ones).
+
+        ``strict=False`` (compact epilogues): on ENOTEMPTY leave the dir
+        AND the manifest — the writer's commit re-claims the epoch moments
+        later, the rows this compactor folded from the old files are
+        idempotent, and readers tolerate manifest entries whose files
+        vanished (partition_files exists-checks; _retry_vanished_files).
+
+        ``strict=True`` (truncate / rotation epilogues): those paths REMOVE
+        their marker right after this loop, and commit_epoch REFUSES under
+        the marker — so no writer ever re-claims the epoch, and a leftover
+        manifest would resurrect pre-truncate (or old-salt) delta files
+        into every later read. Retry the rmtree briefly (the racing
+        writer's chunk finishes in bounded time, its commit dies on the
+        marker), then raise WITH THE MARKER INTACT — re-running truncate()
+        / compact(new_hot_keys=...) finishes the job, the documented
+        recovery for both."""
         import errno
+        import time as _time
 
         ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
-        try:
-            if os.path.isdir(ddir):
-                shutil.rmtree(ddir)
-            os.remove(self.manifest_path(e))
-        except FileNotFoundError:
-            pass
-        except OSError as err:
-            if err.errno != errno.ENOTEMPTY:
-                raise
+        for attempt in range(8 if strict else 1):
+            try:
+                if os.path.isdir(ddir):
+                    shutil.rmtree(ddir)
+                os.remove(self.manifest_path(e))
+                return
+            except FileNotFoundError:
+                return
+            except OSError as err:
+                if err.errno != errno.ENOTEMPTY:
+                    raise
+                if not strict:
+                    return
+                _time.sleep(0.1 * (attempt + 1))
+        raise OSError(
+            errno.ENOTEMPTY,
+            f"epoch {e} delta dir kept refilling during strict GC — a "
+            "writer is racing this truncate/rotation; its commit will be "
+            "refused by the marker, re-run the maintenance op to finish",
+            ddir)
 
     def _publish_compacted(self, m: EpochManifest) -> None:
         """Publish compacted.json without regressing offset_max. A plain

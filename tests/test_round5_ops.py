@@ -2811,3 +2811,195 @@ def test_replay_mixed_retry_exhaustion_raises(tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="racing"):
         replay_mixed(root, ["tbl_even", "tbl_odd"], events_path=path,
                      config=cfg)
+
+
+# ------------------------- concurrent-compactor stale-base race (stamp)
+
+@pytest.mark.usefixtures("ray_session")
+def test_base_stamp_blocks_stale_compactor_overwrite(tmp_path, monkeypatch):
+    """TWO compactors with different snapshots race per-partition base
+    writes: the one that saw fewer epochs lands its fold LAST, erasing the
+    newer fold's rows after the newer run already GC'd their deltas
+    (reproduced by the randomized soak, seed 1050803233 — one partition's
+    base capped at 79999 under a published watermark of 97999). The fold
+    stamp must make the stale write a no-op. The maintenance lock is
+    bypassed here: the stamp is the backstop for exactly the windows the
+    lock cannot cover (steal races, multi-node)."""
+    import threading
+
+    import pyarrow.compute as pc2
+    import ray.data as rd
+
+    from ape_dts_ray.fixtures import gen_events, oracle_replay
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state import lake as lakemod
+
+    events = gen_events(seed=91, n_convs=10, max_turns=5, n_events=400,
+                        delete_frac=0.3)
+    max_off = int(pc2.max(events.column("log_offset")).as_py())
+    es = max_off // 2 + 1                     # exactly 2 epochs
+    lake = _mini_lake(tmp_path, "race", num_partitions=2, epoch_size=es)
+
+    monkeypatch.setattr(lakemod.LakeTable, "_acquire_maintenance",
+                        lambda self: True)
+    monkeypatch.setattr(lakemod.LakeTable, "_release_maintenance",
+                        lambda self: None)
+
+    # epoch 0 only
+    ep0 = events.filter(pc2.less(events.column("log_offset"),
+                                 pa.scalar(es, pa.int64())))
+    replay(lake, events_ds=rd.from_arrow(ep0), max_offset=es - 1,
+           heartbeat=False)
+
+    gate, reached = threading.Event(), threading.Event()
+    real_fold = lakemod.LakeTable._fold_files
+
+    def pausing_fold(self, files, **kw):
+        out = real_fold(self, files, **kw)
+        if threading.current_thread().name == "stale-compactor":
+            reached.set()
+            assert gate.wait(30)
+        return out
+
+    monkeypatch.setattr(lakemod.LakeTable, "_fold_files", pausing_fold)
+
+    # stale compactor: snapshot + listing see ONLY epoch 0, then stall
+    # between fold and write — exactly the soak's interleaving
+    errs = []
+
+    def stale_run():
+        try:
+            lake.compact(parallel=False)
+        except Exception as e:                 # pragma: no cover
+            errs.append(e)
+
+    t = threading.Thread(target=stale_run, name="stale-compactor")
+    t.start()
+    assert reached.wait(30)
+
+    # meanwhile the world moves on: epoch 1 commits and a fresh compactor
+    # folds BOTH epochs and GCs their deltas
+    replay(lake, events_ds=rd.from_arrow(events), max_offset=max_off,
+           heartbeat=False)
+    assert lake.compact(parallel=False) >= 1
+    want = oracle_replay(events)
+
+    gate.set()
+    t.join(60)
+    assert not t.is_alive() and not errs
+
+    got = lake.state_table().to_pandas()
+    assert len(got) == len(want)
+    assert sorted(got["text"]) == sorted(want["text"])
+    # and the lake still accepts further maintenance after the stale no-op
+    assert lake.compact(parallel=False) == 0  # nothing left to fold
+
+
+def test_maintenance_lock_busy_skips_and_dead_holder_stolen(tmp_path):
+    """A live holder makes compact() a no-op tick (returns 0) and truncate()
+    loud; a SIGKILLed holder's stale lock is stolen via the pid+starttime
+    liveness probe."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from ape_dts_ray.state import lake as lakemod
+    from ape_dts_ray.state.manifest import EpochManifest
+
+    lake = _mini_lake(tmp_path, "lock")
+    os.makedirs(os.path.join(lake.root, "delta", "epoch-00000000"))
+    lake.commit_epoch(EpochManifest(epoch=0, offset_min=0, offset_max=9,
+                                    schema_version=0, partitions=[]))
+
+    # live holder: a real sleeping process
+    holder = subprocess.Popen([sys.executable, "-c",
+                               "import time; time.sleep(60)"])
+    try:
+        with open(lake._maintenance_lock_path(), "w") as f:
+            _json.dump({"pid": holder.pid,
+                        "start": lakemod._proc_start(holder.pid)}, f)
+        assert lake.compact(parallel=False) == 0          # busy tick: skip
+        with pytest.raises(RuntimeError, match="maintenance"):
+            lake.truncate()
+        with pytest.raises(RuntimeError, match="maintenance"):
+            lake.compact(new_hot_keys=("conv-000000",), parallel=False)
+        assert lake.committed_epochs() == [0]             # nothing happened
+    finally:
+        holder.kill()
+        holder.wait()
+
+    # the holder is dead now (SIGKILL analog): the next compact steals the
+    # lock and folds for real
+    assert lake.compact(parallel=False) == 1
+    assert lake.committed_epochs() == []
+    assert not os.path.exists(lake._maintenance_lock_path())
+
+
+def test_truncate_strict_gc_raises_with_marker_intact(tmp_path, monkeypatch):
+    """truncate() removes its marker right after epoch GC, and commit_epoch
+    refuses under the marker — so an ENOTEMPTY-tolerated GC would leave a
+    manifest NOTHING ever re-claims, permanently resurrecting pre-truncate
+    rows (code-review finding). Strict GC must raise with the marker intact;
+    re-running truncate() (the documented recovery) finishes the job."""
+    import errno
+
+    from ape_dts_ray.state import lake as lakemod
+    from ape_dts_ray.state.manifest import EpochManifest
+
+    lake = _mini_lake(tmp_path, "tr")
+    os.makedirs(os.path.join(lake.root, "delta", "epoch-00000000"))
+    lake.commit_epoch(EpochManifest(epoch=0, offset_min=0, offset_max=9,
+                                    schema_version=0, partitions=[]))
+
+    def busy_rmtree(path, **kw):
+        raise OSError(errno.ENOTEMPTY, "Directory not empty", path)
+
+    monkeypatch.setattr(lakemod.shutil, "rmtree", busy_rmtree)
+    with pytest.raises(OSError, match="refilling"):
+        lake.truncate()
+    assert lake.truncate_in_progress()                # marker stays
+    assert lake.committed_epochs() == [0]             # manifest stays
+    monkeypatch.undo()
+    lake.truncate()                                   # recovery finishes
+    assert not lake.truncate_in_progress()
+    assert lake.committed_epochs() == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_all_tombstone_fold_writes_empty_stamped_base(tmp_path):
+    """A partition whose fold is ALL tombstones used to os.remove its base —
+    losing the coverage stamp, so a stale sibling could resurrect the
+    deleted rows. The fold now writes an EMPTY stamped base instead, and
+    state reads treat it as zero rows."""
+    import pyarrow.compute as pc2
+    import ray.data as rd
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.state import lake as lakemod
+
+    events = gen_events(seed=92, n_convs=4, max_turns=3, n_events=50,
+                        delete_frac=0.2)
+    # append a delete for EVERY key after everything else
+    ins = events.slice(0, 12)                       # insert phase: all keys
+    max_off = int(pc2.max(events.column("log_offset")).as_py())
+    dele = ins.set_column(ins.column_names.index("op"), "op",
+                          pa.array(["delete"] * ins.num_rows))
+    dele = dele.set_column(
+        dele.column_names.index("log_offset"), "log_offset",
+        pa.array(np.arange(max_off + 1, max_off + 1 + ins.num_rows,
+                           dtype=np.int64)))
+    full = pa.concat_tables([events, dele])
+
+    from ape_dts_ray.pipelines.replay import replay
+
+    lake = _mini_lake(tmp_path, "tomb", num_partitions=2,
+                      epoch_size=max_off + 20)
+    replay(lake, events_ds=rd.from_arrow(full), heartbeat=False)
+    assert lake.compact(parallel=False) >= 1
+    assert lake.state_table().num_rows == 0
+    for pid in range(2):
+        bp = lake.base_path(pid)
+        assert os.path.exists(bp)                   # empty, not absent
+        assert lakemod._base_stamp(bp) >= max_off + ins.num_rows
+    # replaying nothing new + recompacting stays a no-op and stays empty
+    assert lake.state_table().num_rows == 0
