@@ -152,6 +152,14 @@ def replay_mixed(
                 f"({lk.config.epoch_size}/{lk.config.num_partitions}) differ "
                 f"from the call's ({config.epoch_size}/"
                 f"{config.num_partitions}) — resume with the lake's config")
+        if tuple(lk.config.hot_keys) != tuple(config.hot_keys or ()):
+            # placement is a pure function of (num_partitions, hot_keys):
+            # sharding this call with a salt set differing from the lake's
+            # persisted one (e.g. after a rotation) double-places hot keys
+            raise ValueError(
+                f"lake {lk.root} persisted hot_keys {lk.config.hot_keys} "
+                f"differ from the call's {tuple(config.hot_keys or ())} — "
+                "pass the lake's current hot-key set")
         if lk.rotation_in_progress():
             raise RuntimeError(f"lake {lk.root}: hot-key rotation in "
                                "progress — finish compact(new_hot_keys=...)")
@@ -165,6 +173,10 @@ def replay_mixed(
                 "before replaying (revise rows outrank every normal epoch)")
     tidx = {t: i for i, t in enumerate(src_tables)}
     T, P = len(src_tables), config.num_partitions
+    # plan-time placement generations, verified at every commit: a rotation
+    # completing mid-chunk would leave rows placed under the old salt with
+    # no marker left to refuse the commit (see LakeTable.commit_epoch)
+    plan_gens = {t: lk.placement_gen for t, lk in lakes.items()}
 
     paths = None
     if events_path is not None and events_ds is None:
@@ -398,7 +410,8 @@ def replay_mixed(
                                 **{k: v for k, v in r.items()
                                    if k != "epoch"})
                                 for r in rows])
-                        lakes[t].commit_epoch(m)
+                        lakes[t].commit_epoch(
+                            m, expect_placement_gen=plan_gens[t])
                         # post-commit delta verification (commit_verified
                         # analog): a stale compactor — snapshot taken
                         # before this tail recommit — can rmtree the

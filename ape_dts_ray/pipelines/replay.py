@@ -498,6 +498,13 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
                         mx = max(mx, pc.max(t.column(COL_OFFSET)).as_py())
                 max_offset = mx
 
+    # refresh the persisted placement state (hot-key salt, truncate floor)
+    # into this instance: a follower daemon holds ONE LakeTable across
+    # rounds, and an external rotation completed between rounds would
+    # otherwise leave this plan placing hot keys under the stale salt —
+    # old-salt deltas + new-salt base both fold the key, duplicating it
+    # (maintenance soak, seed 274662159). Commits verify the gen below.
+    placement_gen = lake.refresh_placement()
     if lake.rotation_in_progress():
         raise RuntimeError(
             "hot-key rotation in progress (rotation.json present) — re-run "
@@ -673,7 +680,8 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
         listed our manifest before folding, so its compacted.json (written
         before any unlink) already covers our offset_max."""
         for m in ms:
-            lake.commit_epoch(m, schema_version=m.schema_version)
+            lake.commit_epoch(m, schema_version=m.schema_version,
+                              expect_placement_gen=placement_gen)
             for attempt in range(5):
                 missing = [p.file for p in m.partitions if not os.path.exists(
                     os.path.join(lake.root, p.file))]
@@ -690,7 +698,8 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
                 rerun = run_chunk([win_by_id[m.epoch]])
                 if rerun:
                     m = rerun[0]
-                    lake.commit_epoch(m, schema_version=m.schema_version)
+                    lake.commit_epoch(m, schema_version=m.schema_version,
+                                      expect_placement_gen=placement_gen)
 
     if pipeline_depth <= 1 or len(chunks) <= 1 or max_rps is not None:
         for chunk in chunks:

@@ -169,6 +169,15 @@ class LakeTable:
         # replay permanently drops events at or below it — without this, a
         # straddling epoch window would resurrect pre-truncate history
         self.truncate_offset: int = -1
+        # monotonic counter bumped by every hot-key rotation: partition
+        # placement is a pure function of (num_partitions, hot_keys), and a
+        # LONG-LIVED LakeTable instance (a follower daemon) that keeps its
+        # stale in-memory hot set after an EXTERNAL rotation completes
+        # would place rotated keys at their old-salt partition while the
+        # rotated base holds them at the new one — both fold, duplicating
+        # the key (caught by the maintenance soak, seed 274662159). replay
+        # refreshes from disk at plan time and commits verify the gen.
+        self.placement_gen: int = 0
         # constraint descriptors (structure_type.rs:5-24 subset — the
         # reference migrates constraints/indexes as structures; a Parquet
         # lake has no indexes, but NOT-NULL/UNIQUE descriptors feed
@@ -240,6 +249,7 @@ class LakeTable:
         t = cls(root, meta, cfg, schema_version=d.get("schema_version", 0),
                 schema_ops=d.get("schema_ops", []))
         t.truncate_offset = d.get("truncate_offset", -1)
+        t.placement_gen = d.get("placement_gen", 0)
         t.constraints = d.get("constraints", [])
         t.sequences = d.get("sequences", [])
         t.comments = d.get("comments", [])
@@ -261,6 +271,7 @@ class LakeTable:
             "schema_version": self.schema_version,
             "schema_ops": self.schema_ops,
             "truncate_offset": self.truncate_offset,
+            "placement_gen": self.placement_gen,
             "constraints": self.constraints,
             "sequences": self.sequences,
             "comments": self.comments,
@@ -312,8 +323,25 @@ class LakeTable:
 
         return _retry_vanished_files(body)
 
+    def refresh_placement(self) -> int:
+        """Re-read the PERSISTED placement state (hot-key salt set, placement
+        generation, truncate floor) into this instance and return the
+        generation. A long-lived instance (follower daemon) calls this at
+        every replay plan: an EXTERNAL rotation that completed since the
+        instance was opened changed where hot keys live, and planning with
+        the stale in-memory salt would double-place them (old-salt delta +
+        new-salt base both fold the key)."""
+        with open(os.path.join(self.root, TABLE_FILE)) as f:
+            d = json.load(f)
+        self.config.hot_keys = tuple(d.get("hot_keys", ()))
+        self.placement_gen = d.get("placement_gen", 0)
+        self.truncate_offset = max(self.truncate_offset,
+                                   d.get("truncate_offset", -1))
+        return self.placement_gen
+
     def commit_epoch(self, manifest: EpochManifest,
-                     schema_version: int | None = None) -> None:
+                     schema_version: int | None = None,
+                     expect_placement_gen: int | None = None) -> None:
         """Atomically publish an epoch (tmp+rename). Idempotent: re-committing
         an already-committed epoch with identical deterministic content is a
         no-op overwrite (duplicate replays deduped by epoch id —
@@ -325,12 +353,28 @@ class LakeTable:
         never saw, carrying old-salt placements the new base can't fold.
         The refusal turns that silent divergence into a crash; re-running
         replay after the maintenance op re-applies the chunk (delta file
-        names are deterministic, the overwrite converges)."""
+        names are deterministic, the overwrite converges).
+
+        ``expect_placement_gen`` closes the marker check's blind spot: a
+        rotation that STARTED AND FINISHED entirely inside this chunk's
+        apply window leaves no marker at commit time, yet the chunk's rows
+        were placed under the pre-rotation salt. Callers pass the
+        generation they planned under; a moved generation refuses the same
+        way (re-running replay re-plans under the new salt)."""
         if self.rotation_in_progress() or self.truncate_in_progress():
             raise RuntimeError(
                 "cannot commit an epoch: rotation/truncate in progress — "
                 "this chunk raced the marker; finish the maintenance op and "
                 "re-run replay")
+        if expect_placement_gen is not None:
+            with open(os.path.join(self.root, TABLE_FILE)) as f:
+                cur = json.load(f).get("placement_gen", 0)
+            if cur != expect_placement_gen:
+                raise RuntimeError(
+                    f"cannot commit an epoch: hot-key rotation completed "
+                    f"mid-chunk (placement gen {expect_placement_gen} → "
+                    f"{cur}) — this chunk's rows were placed under the old "
+                    "salt; re-run replay to re-place them")
         atomic_write_text(self.manifest_path(manifest.epoch), manifest.to_json())
         if schema_version is not None and schema_version != self.schema_version:
             self.schema_version = schema_version
@@ -1056,7 +1100,9 @@ class LakeTable:
                 f"{self.root} — lake state is unrecoverable")
         shutil.rmtree(old, ignore_errors=True)
         self.config.hot_keys = keys
-        self._save_table_json()
+        self.placement_gen += 1     # the crashed run may have bumped before
+        self._save_table_json()     # the swap marker — double-bump is fine,
+                                    # the check is "moved", not "+1"
         # delete ONLY the epochs the crashed rotation's snapshot folded into
         # base_next (recorded in the swap marker) — a fresh listing would
         # also destroy any epoch committed mid-rotation, regressing the
@@ -1149,7 +1195,8 @@ class LakeTable:
             EpochManifest(epoch=ep, offset_min=-1, offset_max=watermark,
                           schema_version=self.schema_version, partitions=[]))
         self.config.hot_keys = tuple(new_hot_keys)
-        self._save_table_json()
+        self.placement_gen += 1     # invalidates every plan made under the
+        self._save_table_json()     # old salt (commit_epoch gen check)
         base = os.path.join(self.root, "base")
         old = os.path.join(self.root, "base_old")
         swap_marker = os.path.join(self.root, MANIFEST_DIR, "rotation_swap.json")

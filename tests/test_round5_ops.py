@@ -1772,8 +1772,8 @@ def test_commit_survives_stale_compactor_gc(tmp_path):
     real_commit = lake.commit_epoch
     fired = {}
 
-    def sabotage(m, schema_version=None):
-        real_commit(m, schema_version=schema_version)
+    def sabotage(m, schema_version=None, **kw):
+        real_commit(m, schema_version=schema_version, **kw)
         if m.epoch == 1 and "done" not in fired:
             fired["done"] = True
             # the stale compactor: destroys the dir it believed empty and
@@ -2757,8 +2757,8 @@ def test_replay_mixed_retries_stale_compactor_vanish(tmp_path, monkeypatch):
     real_commit = LakeTable.commit_epoch
     hits = {"n": 0}
 
-    def compactor_races_once(self, m, schema_version=None):
-        real_commit(self, m, schema_version)
+    def compactor_races_once(self, m, schema_version=None, **kw):
+        real_commit(self, m, schema_version, **kw)
         if hits["n"] == 0 and m.partitions:
             # the stale compactor's rmtree lands between the delta write
             # and the post-commit verification; its published coverage
@@ -2800,8 +2800,8 @@ def test_replay_mixed_retry_exhaustion_raises(tmp_path, monkeypatch):
 
     real_commit = LakeTable.commit_epoch
 
-    def compactor_races_always(self, m, schema_version=None):
-        real_commit(self, m, schema_version)
+    def compactor_races_always(self, m, schema_version=None, **kw):
+        real_commit(self, m, schema_version, **kw)
         if m.partitions:
             _shutil.rmtree(os.path.join(self.root, "delta",
                                         f"epoch-{m.epoch:08d}"),
@@ -3003,3 +3003,87 @@ def test_all_tombstone_fold_writes_empty_stamped_base(tmp_path):
         assert lakemod._base_stamp(bp) >= max_off + ins.num_rows
     # replaying nothing new + recompacting stays a no-op and stays empty
     assert lake.state_table().num_rows == 0
+
+
+# ---------------- stale placement after an external rotation (gen check)
+
+@pytest.mark.usefixtures("ray_session")
+def test_long_lived_instance_refreshes_placement_after_rotation(tmp_path):
+    """A follower daemon holds ONE LakeTable across rounds. An EXTERNAL
+    rotation completing between its rounds changes where hot keys live;
+    pre-fix the daemon's next replay placed them under the stale in-memory
+    salt — old-salt delta + new-salt base both fold the key, DUPLICATING it
+    (maintenance soak, seed 274662159: 9 duplicated conv-000000 keys).
+    replay() now refreshes the persisted placement at plan time."""
+    import pyarrow.compute as pc2
+    import ray.data as rd
+
+    from ape_dts_ray.fixtures import gen_events, oracle_replay
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable
+
+    events = gen_events(seed=93, n_convs=8, max_turns=6, n_events=1500,
+                        hot_frac=0.5, delete_frac=0.1)
+    max_off = int(pc2.max(events.column("log_offset")).as_py())
+    cut = max_off // 2
+    lake = _mini_lake(tmp_path, "rotstale", num_partitions=4,
+                      epoch_size=cut + 1)
+
+    first = events.filter(pc2.less_equal(events.column("log_offset"),
+                                         pa.scalar(cut, pa.int64())))
+    replay(lake, events_ds=rd.from_arrow(first), max_offset=cut,
+           heartbeat=False)
+
+    # external rotation through a SEPARATE instance (operator CLI analog)
+    other = LakeTable.open(lake.root)
+    assert other.compact(new_hot_keys=("conv-000000",), parallel=False) >= 0
+    assert other.placement_gen == 1
+
+    # the ORIGINAL instance replays the second half — must pick up the salt
+    replay(lake, events_ds=rd.from_arrow(events), max_offset=max_off,
+           heartbeat=False)
+    got = lake.state_table().to_pandas()
+    assert not got.duplicated(["conv_id", "turn_idx"]).any()
+    want = oracle_replay(events)
+    assert len(got) == len(want)
+    assert sorted(got["text"]) == sorted(want["text"])
+
+
+def test_commit_refuses_on_moved_placement_gen(tmp_path):
+    """commit_epoch(expect_placement_gen=...) is the backstop for a rotation
+    that starts AND finishes inside one chunk's apply window (no marker
+    left at commit time): the moved generation refuses the stale-salt
+    commit the same way the markers refuse an in-flight one."""
+    from ape_dts_ray.state.manifest import EpochManifest
+
+    lake = _mini_lake(tmp_path, "genref")
+    g = lake.refresh_placement()
+    m = EpochManifest(epoch=0, offset_min=0, offset_max=9, schema_version=0,
+                      partitions=[])
+    lake.commit_epoch(m, expect_placement_gen=g)      # clean path commits
+    lake.placement_gen += 1                           # rotation's bump
+    lake._save_table_json()
+    with pytest.raises(RuntimeError, match="placement gen"):
+        lake.commit_epoch(m, expect_placement_gen=g)
+    lake.commit_epoch(m, expect_placement_gen=lake.refresh_placement())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_replay_mixed_refuses_hot_key_mismatch(tmp_path):
+    """Placement is a pure function of (num_partitions, hot_keys) — sharding
+    a mixed call with a salt set differing from the lake's persisted one
+    (e.g. after a rotation) double-places hot keys; refuse up front."""
+    import pyarrow.parquet as pq2
+
+    from ape_dts_ray.meta import EngineConfig
+    from ape_dts_ray.pipelines.multitable import replay_mixed
+
+    _, _, path = _mixed_fixture(tmp_path, seed=94, n_events=300)
+    root = str(tmp_path / "lakes")
+    cfg = EngineConfig(num_partitions=2, epoch_size=10_000)
+    replay_mixed(root, ["tbl_even", "tbl_odd"], events_path=path, config=cfg)
+    bad = EngineConfig(num_partitions=2, epoch_size=10_000,
+                       hot_keys=("conv-000000",))
+    with pytest.raises(ValueError, match="hot_keys"):
+        replay_mixed(root, ["tbl_even", "tbl_odd"], events_path=path,
+                     config=bad)
