@@ -41,7 +41,7 @@ import os
 import time
 from dataclasses import dataclass
 
-from ape_dts_ray.state.lake import LakeTable, _retry_vanished_files
+from ape_dts_ray.state.lake import LakeTable, MaintenanceInProgress, _retry_vanished_files
 
 
 @dataclass
@@ -210,6 +210,35 @@ class _SegmentScan:
         return present
 
 
+class _MaintenanceDefer:
+    """Daemon-side handling of ``MaintenanceInProgress``: the marker means a
+    rotation/truncate is RUNNING (or just completed under an in-flight
+    chunk's plan) — it clears by itself moments later, so the round defers
+    (sleeps one poll, reports progress=True so drain-then-exit mode cannot
+    stop with unapplied offsets) and the next round re-plans under the
+    lake's fresh placement. A marker that NEVER clears is a crashed
+    maintenance op only an operator's re-run fixes: after ``grace`` seconds
+    of consecutive refusals the original exception re-raises loudly. Any
+    successful replay resets the clock."""
+
+    def __init__(self, grace: float, poll_interval: float):
+        self.grace = grace
+        self.poll = poll_interval
+        self.since: float | None = None
+
+    def defer(self) -> bool:
+        now = time.monotonic()
+        if self.since is None:
+            self.since = now
+        elif now - self.since > self.grace:
+            raise   # noqa: PLE0704 — only reachable from an except block
+        time.sleep(self.poll)
+        return True
+
+    def clear(self) -> None:
+        self.since = None
+
+
 def replay_follow(
     lake: LakeTable,
     log_dir: str,
@@ -226,6 +255,7 @@ def replay_follow(
     router_fn=None,
     narrow_shuffle: bool = False,
     barriers: list[tuple[int, int]] | None = None,
+    maintenance_grace: float = 60.0,
 ) -> FollowStats:
     """Tail ``log_dir`` forever (or until a stop condition), replaying every
     offset past the lake's watermark as it appears.
@@ -239,6 +269,15 @@ def replay_follow(
       * ``max_rounds`` total rounds ran.
     With all three unset the loop is the reference's daemon: it never
     returns.
+
+    A round that races a CONCURRENT maintenance op (hot-key rotation /
+    truncate — ``MaintenanceInProgress``) is deferred and retried: the op
+    completes on its own and the next round re-plans under the lake's fresh
+    placement, so dying would force an operator restart after every routine
+    rotation (the mixed soak starved a follower to death this way under
+    rotation churn). Bounded by ``maintenance_grace`` seconds of
+    CONSECUTIVE refusals: a marker left by a CRASHED op never clears by
+    itself, and only the operator's re-run fixes it — surface that loudly.
     """
     from ape_dts_ray.meta import COL_OFFSET
     from ape_dts_ray.pipelines.replay import replay
@@ -250,6 +289,7 @@ def replay_follow(
     # same column (a per-caller override here would desynchronize pruning
     # from the apply path)
     scanner = _SegmentScan(log_dir, pattern, COL_OFFSET)
+    maint = _MaintenanceDefer(maintenance_grace, poll_interval)
 
     def one_round(stats: FollowStats) -> bool:
         floor = _pending_floor(lake)
@@ -272,12 +312,16 @@ def replay_follow(
 
         paths = sorted(p for p, (_, _, mx) in present.items()
                        if mx >= floor)
-        ms = replay(lake, events_path=paths, max_offset=log_max,
-                    barriers=barriers, event_filter=event_filter,
-                    router_fn=router_fn, group_epochs=group_epochs,
-                    pipeline_depth=pipeline_depth,
-                    narrow_shuffle=narrow_shuffle, heartbeat=heartbeat,
-                    auto_compact_max_deltas=auto_compact_max_deltas)
+        try:
+            ms = replay(lake, events_path=paths, max_offset=log_max,
+                        barriers=barriers, event_filter=event_filter,
+                        router_fn=router_fn, group_epochs=group_epochs,
+                        pipeline_depth=pipeline_depth,
+                        narrow_shuffle=narrow_shuffle, heartbeat=heartbeat,
+                        auto_compact_max_deltas=auto_compact_max_deltas)
+        except MaintenanceInProgress:
+            return maint.defer()        # transient marker: retry next round
+        maint.clear()
         stats.replay_rounds += 1
         stats.epochs_committed += len(ms)
         stats.events_applied += sum(p.events for m in ms for p in m.partitions)
@@ -306,6 +350,7 @@ def replay_follow_mixed(
     config=None,
     table_filter=None,
     router=None,
+    maintenance_grace: float = 60.0,
 ) -> FollowStats:
     """Mixed-stream daemon: tail ONE growing interleaved log (a ``table``
     column per event) into N lakes — the reference service's actual shape
@@ -317,7 +362,10 @@ def replay_follow_mixed(
     footer scan and the per-lake lag heartbeat. Crash safety: SIGKILL
     leaves epochs missing from SOME lakes; the next round (or a one-shot
     ``replay_mixed``) re-runs every window missing from ANY lake and
-    converges — probed in tests/test_follow.py."""
+    converges — probed in tests/test_follow.py. A round racing a rotation
+    or truncate on ANY of the lakes defers and retries like the single-lake
+    daemon (``maintenance_grace``) — under rotation churn a die-and-restart
+    follower starves (mixed soak, seed 785203650)."""
     from ape_dts_ray.meta import COL_OFFSET
     from ape_dts_ray.pipelines.multitable import replay_mixed
     from ape_dts_ray.stages.filter import TableFilter
@@ -336,6 +384,7 @@ def replay_follow_mixed(
         raise ValueError("replay_follow_mixed: no tables remain after "
                          "filtering — nothing to follow")
     scanner = _SegmentScan(log_dir, pattern, COL_OFFSET)  # see replay_follow
+    maint = _MaintenanceDefer(maintenance_grace, poll_interval)
     opened: dict[str, LakeTable] = {}      # lifetime handles (config/meta
                                            # are immutable; committed state
                                            # is read from disk per call)
@@ -386,10 +435,14 @@ def replay_follow_mixed(
         paths = sorted(p for p, (_, _, mx) in present.items() if mx >= floor)
         if not paths:
             return False                    # nothing pending yet (empty log)
-        res = replay_mixed(lake_root, tables, events_path=paths,
-                           max_offset=log_max, meta=meta, config=config,
-                           table_filter=table_filter, router=router,
-                           group_epochs=group_epochs)
+        try:
+            res = replay_mixed(lake_root, tables, events_path=paths,
+                               max_offset=log_max, meta=meta, config=config,
+                               table_filter=table_filter, router=router,
+                               group_epochs=group_epochs)
+        except MaintenanceInProgress:
+            return maint.defer()        # transient marker: retry next round
+        maint.clear()
         ms_all = [m for ms in res.values() for m in ms]
         if not ms_all:
             return False                    # nothing committed — idle round

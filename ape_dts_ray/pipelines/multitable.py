@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 from ape_dts_ray.meta import COL_EPOCH, COL_OFFSET, COL_OP, EngineConfig, OP_DELETE, TableMeta
 from ape_dts_ray.stages.filter import TableFilter
 from ape_dts_ray.stages.router import Router
-from ape_dts_ray.state.lake import LakeTable
+from ape_dts_ray.state.lake import LakeTable, MaintenanceInProgress
 
 
 @dataclass
@@ -152,20 +152,14 @@ def replay_mixed(
                 f"({lk.config.epoch_size}/{lk.config.num_partitions}) differ "
                 f"from the call's ({config.epoch_size}/"
                 f"{config.num_partitions}) — resume with the lake's config")
-        if tuple(lk.config.hot_keys) != tuple(config.hot_keys or ()):
-            # placement is a pure function of (num_partitions, hot_keys):
-            # sharding this call with a salt set differing from the lake's
-            # persisted one (e.g. after a rotation) double-places hot keys
-            raise ValueError(
-                f"lake {lk.root} persisted hot_keys {lk.config.hot_keys} "
-                f"differ from the call's {tuple(config.hot_keys or ())} — "
-                "pass the lake's current hot-key set")
         if lk.rotation_in_progress():
-            raise RuntimeError(f"lake {lk.root}: hot-key rotation in "
-                               "progress — finish compact(new_hot_keys=...)")
+            raise MaintenanceInProgress(
+                f"lake {lk.root}: hot-key rotation in "
+                "progress — finish compact(new_hot_keys=...)")
         if lk.truncate_in_progress():
-            raise RuntimeError(f"lake {lk.root}: truncate in progress — "
-                               "re-run truncate() first")
+            raise MaintenanceInProgress(
+                f"lake {lk.root}: truncate in progress — "
+                "re-run truncate() first")
         from ape_dts_ray.pipelines.checker import REVISE_EPOCH_BASE
         if any(e >= REVISE_EPOCH_BASE for e in lk.committed_epochs()):
             raise RuntimeError(
@@ -241,7 +235,15 @@ def replay_mixed(
     if not pending:
         return {targets[t]: [] for t in src_tables}
 
-    hot = frozenset(config.hot_keys) if config.hot_keys else None
+    # per-table hot-key salts, adopted from each lake's PERSISTED config
+    # (exactly like replay()'s refresh_placement): placement is a pure
+    # function of (num_partitions, hot_keys) and each lake may have rotated
+    # independently — one global set would double-place a rotated lake's hot
+    # keys, and a caller-supplied set can never match N divergent lakes at
+    # once. config.hot_keys only seeds lakes CREATED by this call; the
+    # plan_gens check at commit still refuses a rotation landing mid-chunk.
+    hots = [frozenset(lakes[t].config.hot_keys) or None for t in src_tables]
+    any_hot = any(hots)
     id_cols = meta.id_cols
     roots = [lakes[t].root for t in src_tables]
     table_names = pa.array(src_tables, pa.string())  # index == tidx value
@@ -289,7 +291,16 @@ def replay_mixed(
             conv = t.column(meta.partition_col).to_numpy(zero_copy_only=False)
             salt = id_cols[-1] if len(id_cols) > 1 else id_cols[0]
             turn = t.column(salt).to_numpy(zero_copy_only=False)
-            pid = partition_ids(conv, turn, P, hot)
+            if not any_hot:
+                pid = partition_ids(conv, turn, P, None)
+            else:
+                # per-table salting: T is small, each subset vectorized
+                pid = np.empty(len(conv), dtype=np.int64)
+                for k in range(T):
+                    mask = ti == k
+                    if mask.any():
+                        pid[mask] = partition_ids(conv[mask], turn[mask],
+                                                  P, hots[k])
             shard = (epochs * T + ti) * P + pid
             return t.drop_columns([table_col]).append_column(
                 "_shard", pa.array(shard))

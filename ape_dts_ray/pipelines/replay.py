@@ -51,7 +51,7 @@ _DS_BUILD_LOCK = threading.Lock()
 from ape_dts_ray.meta import COL_OFFSET, EngineConfig
 from ape_dts_ray.stages.apply import COL_SHARD, add_shard_column, make_apply_fn
 from ape_dts_ray.stages.normalize import normalize_batch
-from ape_dts_ray.state.lake import LakeTable
+from ape_dts_ray.state.lake import LakeTable, MaintenanceInProgress
 from ape_dts_ray.state.manifest import EpochManifest, PartitionLineage
 
 
@@ -506,11 +506,11 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
     # (maintenance soak, seed 274662159). Commits verify the gen below.
     placement_gen = lake.refresh_placement()
     if lake.rotation_in_progress():
-        raise RuntimeError(
+        raise MaintenanceInProgress(
             "hot-key rotation in progress (rotation.json present) — re-run "
             "compact(new_hot_keys=...) to finish it before replaying")
     if lake.truncate_in_progress():
-        raise RuntimeError(
+        raise MaintenanceInProgress(
             "truncate in progress (truncate.json present) — re-run "
             "lake.truncate() to finish it before replaying")
     committed = set(lake.committed_epochs())

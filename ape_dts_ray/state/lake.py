@@ -61,6 +61,19 @@ REVISE_EPOCH_BASE = 1 << 40
 BASE_STAMP_KEY = b"ape_folded_wm"
 
 
+class MaintenanceInProgress(RuntimeError):
+    """A replay plan or epoch commit raced a maintenance marker (hot-key
+    rotation / truncate in flight, or the placement generation moved under
+    an in-flight chunk). TRANSIENT by construction: the maintenance op
+    completes on its own and the identical replay call then succeeds —
+    unlike every other RuntimeError in this module, nothing is wrong with
+    the caller's inputs or the lake. Subclasses RuntimeError so one-shot
+    callers keep the loud-refusal contract; the follow daemons catch
+    exactly this type to defer the round and retry, bounded by a grace
+    window so a CRASHED maintenance op (marker left behind, which only an
+    operator's re-run clears) still surfaces loudly."""
+
+
 def _base_stamp(path: str) -> int:
     """Fold-coverage stamp of a base file (-1 for absent or legacy unstamped
     files — those are always an INPUT of whatever fold replaces them, so any
@@ -362,7 +375,7 @@ class LakeTable:
         generation they planned under; a moved generation refuses the same
         way (re-running replay re-plans under the new salt)."""
         if self.rotation_in_progress() or self.truncate_in_progress():
-            raise RuntimeError(
+            raise MaintenanceInProgress(
                 "cannot commit an epoch: rotation/truncate in progress — "
                 "this chunk raced the marker; finish the maintenance op and "
                 "re-run replay")
@@ -370,7 +383,7 @@ class LakeTable:
             with open(os.path.join(self.root, TABLE_FILE)) as f:
                 cur = json.load(f).get("placement_gen", 0)
             if cur != expect_placement_gen:
-                raise RuntimeError(
+                raise MaintenanceInProgress(
                     f"cannot commit an epoch: hot-key rotation completed "
                     f"mid-chunk (placement gen {expect_placement_gen} → "
                     f"{cur}) — this chunk's rows were placed under the old "

@@ -462,6 +462,252 @@ def test_follow_mixed_late_onboarding_backfills(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_follow_mixed_survives_external_rotation(tmp_path):
+    """Rotating ONE lake of a mixed set while the daemon runs: the shard
+    stage adopts each lake's PERSISTED salt per table (config.hot_keys only
+    seeds new lakes), so the daemon keeps draining after the rotation and
+    both lakes converge to their oracles — no duplicated hot keys (the
+    pre-fix one-global-salt placement folded old-salt deltas AND the
+    rotated base). Sequenced so the rotation lands while the daemon is
+    idle: a rotation racing an in-flight round is the marker/placement-gen
+    refusal, probed elsewhere."""
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    from ape_dts_ray.pipelines.follow import replay_follow_mixed
+
+    events = gen_events(seed=78, n_convs=30, max_turns=8, n_events=5000,
+                        delete_frac=0.2)
+    parity = pc2.bit_wise_and(
+        pc2.index_in(events.column("conv_id"),
+                     value_set=pc2.unique(events.column("conv_id"))),
+        pa.scalar(1, pa.int32()))
+    tblcol = pc2.if_else(pc2.equal(parity, pa.scalar(0, pa.int32())),
+                         pa.scalar("tbl_even"), pa.scalar("tbl_odd"))
+    mixed = events.append_column("table", tblcol)
+    segs, maxes = _segments(mixed, 4)
+    log = tmp_path / "log"
+    log.mkdir()
+    root = str(tmp_path / "lakes")
+    stop = str(tmp_path / "stop")
+    cfg = EngineConfig(num_partitions=4, epoch_size=1000)
+    box = {"stats": None, "exc": None}
+
+    def run():
+        try:
+            box["stats"] = replay_follow_mixed(
+                root, ["tbl_even", "tbl_odd"], str(log), poll_interval=0.05,
+                stop_file=stop, config=cfg)
+        except BaseException as e:
+            box["exc"] = e
+
+    def wait_both(target, timeout=120.0):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if box["exc"] is not None:
+                raise box["exc"]
+            try:
+                if all(LakeTable.open(os.path.join(root, n)).watermark()
+                       >= target for n in ("tbl_even", "tbl_odd")):
+                    return
+            except FileNotFoundError:
+                pass
+            time.sleep(0.1)
+        raise TimeoutError(f"watermarks never reached {target}")
+
+    th = threading.Thread(target=run)
+    th.start()
+    try:
+        for i, seg in enumerate(segs[:2]):
+            _append_segment(tmp_path, str(log), seg, i)
+            wait_both(maxes[i])
+        # external rotation of ONE lake while the daemon idles (conv-000000
+        # is first-seen → tbl_even); a SEPARATE instance, like an operator
+        # CLI — the daemon must pick the new salt up from disk next round
+        even = LakeTable.open(os.path.join(root, "tbl_even"))
+        assert even.compact(new_hot_keys=("conv-000000",),
+                            parallel=False) >= 0
+        assert even.placement_gen == 1
+        for i, seg in enumerate(segs[2:]):
+            _append_segment(tmp_path, str(log), seg, 2 + i)
+            wait_both(maxes[2 + i])
+    finally:
+        open(stop, "w").close()
+        th.join(timeout=120)
+    assert not th.is_alive() and box["exc"] is None
+
+    for name, par in (("tbl_even", 0), ("tbl_odd", 1)):
+        lk = LakeTable.open(os.path.join(root, name))
+        mask = pc2.equal(parity, pa.scalar(par, pa.int32()))
+        oracle = oracle_replay(events.filter(mask))
+        state = lk.state_table().to_pandas()
+        assert not state.duplicated(["conv_id", "turn_idx"]).any()
+        assert len(state) == len(oracle)
+        assert sorted(state["text"]) == sorted(oracle["text"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_defers_through_live_rotation_marker(tmp_path):
+    """A rotation marker appearing between rounds must NOT kill the daemon:
+    MaintenanceInProgress is transient by construction (the op completes and
+    the marker clears), so the round defers and retries — dying here forces
+    an operator restart after every routine rotation (the mixed soak starved
+    a follower to death that way, seed 785203650). While the marker is
+    present the watermark must hold (refusal, not replay-over-maintenance);
+    once it clears the daemon drains to convergence on its own."""
+    events = gen_events(seed=81, n_convs=30, max_turns=8, n_events=4000,
+                        delete_frac=0.2)
+    segs, maxes = _segments(events, 2)
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path)
+    stop = str(tmp_path / "stop")
+    box = {"stats": None, "exc": None}
+
+    def run():
+        try:
+            box["stats"] = replay_follow(lake, str(log), poll_interval=0.05,
+                                         stop_file=stop, pipeline_depth=1)
+        except BaseException as e:
+            box["exc"] = e
+
+    th = threading.Thread(target=run)
+    th.start()
+    marker = os.path.join(lake.root, "_manifests", "rotation.json")
+    try:
+        _append_segment(tmp_path, str(log), segs[0], 0)
+        _wait_watermark(lake.root, maxes[0], exc_box=box)
+        # rotation starts while the daemon idles: marker file IS the gate
+        with open(marker, "w") as f:
+            json.dump({"new_hot_keys": []}, f)
+        _append_segment(tmp_path, str(log), segs[1], 1)
+        t0 = time.time()
+        while time.time() - t0 < 2.0:       # daemon alive, deferring, held
+            assert th.is_alive() and box["exc"] is None
+            assert LakeTable.open(lake.root).watermark() == maxes[0]
+            time.sleep(0.2)
+        os.unlink(marker)                   # rotation finished
+        _wait_watermark(lake.root, maxes[1], exc_box=box)
+    finally:
+        if os.path.exists(marker):
+            os.unlink(marker)
+        open(stop, "w").close()
+        th.join(timeout=120)
+    assert not th.is_alive() and box["exc"] is None
+
+    state = LakeTable.open(lake.root).state_table().to_pandas()
+    oracle = oracle_replay(events)
+    assert len(state) == len(oracle)
+    assert list(state["text"]) == list(oracle["text"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_raises_after_maintenance_grace(tmp_path):
+    """A marker that NEVER clears is a crashed maintenance op — only an
+    operator's re-run fixes it, so after maintenance_grace seconds of
+    consecutive refusals the daemon surfaces the original exception loudly
+    instead of deferring forever."""
+    from ape_dts_ray.state.lake import MaintenanceInProgress
+
+    events = gen_events(seed=82, n_convs=10, max_turns=4, n_events=500)
+    log = tmp_path / "log"
+    log.mkdir()
+    lake = _mk_lake(tmp_path)
+    _append_segment(tmp_path, str(log), events, 0)
+    marker = os.path.join(lake.root, "_manifests", "rotation.json")
+    with open(marker, "w") as f:
+        json.dump({"new_hot_keys": []}, f)
+    t0 = time.time()
+    with pytest.raises(MaintenanceInProgress, match="rotation in progress"):
+        replay_follow(lake, str(log), poll_interval=0.05,
+                      stop_file=str(tmp_path / "stop"), pipeline_depth=1,
+                      maintenance_grace=1.0)
+    assert time.time() - t0 >= 1.0          # it did defer through the grace
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_follow_mixed_defers_through_live_rotation_marker(tmp_path):
+    """Mixed-daemon twin of the defer test: a rotation marker on ONE lake of
+    the set holds the WHOLE round (replay_mixed plans all lakes together),
+    the daemon stays alive, and draining resumes once the marker clears."""
+    import pyarrow as pa
+    import pyarrow.compute as pc2
+
+    from ape_dts_ray.pipelines.follow import replay_follow_mixed
+
+    events = gen_events(seed=83, n_convs=24, max_turns=6, n_events=3000,
+                        delete_frac=0.2)
+    parity = pc2.bit_wise_and(
+        pc2.index_in(events.column("conv_id"),
+                     value_set=pc2.unique(events.column("conv_id"))),
+        pa.scalar(1, pa.int32()))
+    tblcol = pc2.if_else(pc2.equal(parity, pa.scalar(0, pa.int32())),
+                         pa.scalar("tbl_even"), pa.scalar("tbl_odd"))
+    mixed = events.append_column("table", tblcol)
+    segs, maxes = _segments(mixed, 2)
+    log = tmp_path / "log"
+    log.mkdir()
+    root = str(tmp_path / "lakes")
+    stop = str(tmp_path / "stop")
+    cfg = EngineConfig(num_partitions=4, epoch_size=1000)
+    box = {"stats": None, "exc": None}
+
+    def run():
+        try:
+            box["stats"] = replay_follow_mixed(
+                root, ["tbl_even", "tbl_odd"], str(log), poll_interval=0.05,
+                stop_file=stop, config=cfg)
+        except BaseException as e:
+            box["exc"] = e
+
+    def wait_both(target, timeout=120.0):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if box["exc"] is not None:
+                raise box["exc"]
+            try:
+                if all(LakeTable.open(os.path.join(root, n)).watermark()
+                       >= target for n in ("tbl_even", "tbl_odd")):
+                    return
+            except FileNotFoundError:
+                pass
+            time.sleep(0.1)
+        raise TimeoutError(f"watermarks never reached {target}")
+
+    th = threading.Thread(target=run)
+    th.start()
+    marker = os.path.join(root, "tbl_even", "_manifests", "rotation.json")
+    try:
+        _append_segment(tmp_path, str(log), segs[0], 0)
+        wait_both(maxes[0])
+        with open(marker, "w") as f:
+            json.dump({"new_hot_keys": []}, f)
+        _append_segment(tmp_path, str(log), segs[1], 1)
+        t0 = time.time()
+        while time.time() - t0 < 2.0:
+            assert th.is_alive() and box["exc"] is None
+            assert LakeTable.open(os.path.join(root, "tbl_even")) \
+                .watermark() == maxes[0]
+            time.sleep(0.2)
+        os.unlink(marker)
+        wait_both(maxes[1])
+    finally:
+        if os.path.exists(marker):
+            os.unlink(marker)
+        open(stop, "w").close()
+        th.join(timeout=120)
+    assert not th.is_alive() and box["exc"] is None
+
+    for name, par in (("tbl_even", 0), ("tbl_odd", 1)):
+        lk = LakeTable.open(os.path.join(root, name))
+        mask = pc2.equal(parity, pa.scalar(par, pa.int32()))
+        oracle = oracle_replay(events.filter(mask))
+        state = lk.state_table().to_pandas()
+        assert len(state) == len(oracle)
+        assert sorted(state["text"]) == sorted(oracle["text"])
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_follow_heartbeat_lag_gauge(tmp_path):
     """The follower's heartbeat publishes the source position and derived
     lag (the reference monitor's sinked-vs-extracted pair): zero after a

@@ -3069,21 +3069,41 @@ def test_commit_refuses_on_moved_placement_gen(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
-def test_replay_mixed_refuses_hot_key_mismatch(tmp_path):
-    """Placement is a pure function of (num_partitions, hot_keys) — sharding
-    a mixed call with a salt set differing from the lake's persisted one
-    (e.g. after a rotation) double-places hot keys; refuse up front."""
-    import pyarrow.parquet as pq2
+def test_replay_mixed_adopts_per_table_salt_after_rotation(tmp_path):
+    """Placement is a pure function of (num_partitions, hot_keys) and each
+    lake rotates INDEPENDENTLY — after rotating one lake of a mixed set, no
+    single caller-supplied hot-key set can match every lake, so the shard
+    stage must adopt each lake's PERSISTED salt per table (config.hot_keys
+    only seeds new lakes — the mixed analog of replay()'s
+    refresh_placement). Pre-change, the one global salt double-placed the
+    rotated lake's hot keys: old-salt delta + new-salt base both fold."""
+    import pyarrow.compute as pc2
 
+    from ape_dts_ray.fixtures import oracle_replay
     from ape_dts_ray.meta import EngineConfig
     from ape_dts_ray.pipelines.multitable import replay_mixed
+    from ape_dts_ray.state.lake import LakeTable
 
-    _, _, path = _mixed_fixture(tmp_path, seed=94, n_events=300)
+    events, parity, path = _mixed_fixture(tmp_path, seed=94, n_events=2000)
+    max_off = int(pc2.max(events.column("log_offset")).as_py())
+    cut = max_off // 2
     root = str(tmp_path / "lakes")
-    cfg = EngineConfig(num_partitions=2, epoch_size=10_000)
+    cfg = EngineConfig(num_partitions=4, epoch_size=cut + 1)
+    replay_mixed(root, ["tbl_even", "tbl_odd"], events_path=path, config=cfg,
+                 max_offset=cut)
+
+    # external rotation of ONE lake (conv-000000 is first-seen → tbl_even)
+    even = LakeTable.open(os.path.join(root, "tbl_even"))
+    assert even.compact(new_hot_keys=("conv-000000",), parallel=False) >= 0
+    assert even.placement_gen == 1
+
+    # same caller config (hot_keys=()) — must adopt tbl_even's new salt
     replay_mixed(root, ["tbl_even", "tbl_odd"], events_path=path, config=cfg)
-    bad = EngineConfig(num_partitions=2, epoch_size=10_000,
-                       hot_keys=("conv-000000",))
-    with pytest.raises(ValueError, match="hot_keys"):
-        replay_mixed(root, ["tbl_even", "tbl_odd"], events_path=path,
-                     config=bad)
+    for name, par in (("tbl_even", 0), ("tbl_odd", 1)):
+        got = LakeTable.open(os.path.join(root, name)) \
+            .state_table().to_pandas()
+        assert not got.duplicated(["conv_id", "turn_idx"]).any()
+        want = oracle_replay(events.filter(
+            pc2.equal(parity, pa.scalar(par, pa.int32()))))
+        assert len(got) == len(want)
+        assert sorted(got["text"]) == sorted(want["text"])

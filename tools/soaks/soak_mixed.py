@@ -1,9 +1,17 @@
 """Randomized crash/race soak for the MIXED daemon: replay_follow_mixed in a
 SUBPROCESS over a growing interleaved log (a `table` column per event, two
 target lakes), SIGKILLed once at a random moment and restarted fresh, while a
-separate process loops compact() over BOTH lakes the whole time. Final state
-of both lakes must equal a one-shot replay_mixed of the full log.
+separate process loops compact() over BOTH lakes the whole time — and, per
+iteration with probability rotate_prob per tick, HOT-KEY ROTATES one lake
+(compact(new_hot_keys=...)): a rotation racing an in-flight round DEFERS the
+daemon's round (MaintenanceInProgress; it retries and re-plans under each
+lake's persisted salt per table — pre-fix the follower died on every refusal
+and starved under rotation churn, seed 785203650). The restart path stays as
+a safety net for a grace-window expiry. Final state of both lakes must equal
+a one-shot replay_mixed of the full log (rotation is state-preserving, so
+the oracle is unchanged).
 Usage: python soak_mixed.py <n_iters> [master_seed]
+APE_SOAK_SEEDS=<s1,s2,...> replays exact per-iteration seeds.
 """
 import glob
 import hashlib
@@ -38,7 +46,7 @@ ray.shutdown()
 """
 
 COMPACTOR_SRC = """
-import os, sys, time
+import os, random, sys, time
 sys.path.insert(0, {repo!r})
 import ray
 ray.init(address="local", num_cpus=2, include_dashboard=False,
@@ -46,16 +54,31 @@ ray.init(address="local", num_cpus=2, include_dashboard=False,
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 from ape_dts_ray.state.lake import LakeTable
+rng = random.Random({cseed})
 n = 0
+rot = 0
 while not os.path.exists({cstop!r}):
     for t in {tables!r}:
         try:
-            LakeTable.open(os.path.join({lakes!r}, t)).compact()
+            lk = LakeTable.open(os.path.join({lakes!r}, t))
+            if rng.random() < {rotate_prob}:
+                # occasional HOT-KEY ROTATION of one lake: the follower
+                # defers the racing round (MaintenanceInProgress) and must
+                # adopt the persisted salt per table next round. Key parity
+                # matches the table.
+                par = 0 if t == "tbl_even" else 1
+                key = "conv-%06d" % rng.choice([par, par + 2, par + 4])
+                lk.compact(new_hot_keys=(key,))
+                rot += 1
+            else:
+                lk.compact()
             n += 1
         except FileNotFoundError:
             pass
+        except (RuntimeError, OSError):
+            pass   # maintenance lock busy / marker left by a racing op
     time.sleep({pause})
-print("compactions:", n, flush=True)
+print("compactions:", n, "rotations:", rot, flush=True)
 ray.shutdown()
 """
 
@@ -117,18 +140,37 @@ def one_iter(it, seed):
     cstop = os.path.join(ROOT, "cstop")
     fsrc = FOLLOWER_SRC.format(repo=REPO, P=P, ES=ES, lakes=lakes,
                                tables=TABLES, log=log, stop=stop)
+    rotate_prob = rng.choice([0.0, 0.08, 0.2])
     csrc = COMPACTOR_SRC.format(repo=REPO, cstop=cstop, tables=TABLES,
-                                lakes=lakes, pause=rng.choice([0.05, 0.2]))
+                                lakes=lakes, pause=rng.choice([0.05, 0.2]),
+                                cseed=seed ^ 0x5f5f, rotate_prob=rotate_prob)
     follower = spawn(fsrc, "follower")
     compactor = spawn(csrc, "compactor")
 
     kill_after = rng.randrange(1, len(files))
     killed = False
+    frestarts = 0
     max_off = -1
+
+    def ensure_follower(f):
+        # the daemon DEFERS maintenance races internally now; a death here
+        # is the maintenance_grace expiring (or a real bug) — restart it,
+        # bounded, so a grace blip can't fail the whole iteration.
+        nonlocal frestarts
+        if f.poll() is None:
+            return f
+        if frestarts >= 12:
+            out, _ = f.communicate(timeout=30)
+            raise RuntimeError(f"iter {it} seed {seed}: follower kept "
+                               f"dying\n{out}")
+        frestarts += 1
+        return spawn(fsrc, f"follower-r{frestarts}")
+
     for i, p in enumerate(files):
         max_off = max(max_off, _file_offset_span(p, "log_offset")[1])
         os.rename(p, os.path.join(log, f"seg{i:03d}.parquet"))
         time.sleep(rng.uniform(0.5, 2.5))
+        follower = ensure_follower(follower)
         if not killed and i + 1 >= kill_after:
             time.sleep(rng.uniform(0.0, 1.5))
             follower.send_signal(signal.SIGKILL)
@@ -145,6 +187,7 @@ def one_iter(it, seed):
                 break
         except FileNotFoundError:
             pass
+        follower = ensure_follower(follower)
         if time.time() - t0 > 150:
             raise TimeoutError(f"iter {it} seed {seed}: stuck below "
                                f"{max_off}")
@@ -168,7 +211,8 @@ def one_iter(it, seed):
     md5_o, rows_o = state_md5(oneshot)
     ok = md5_f == md5_o and rows_f == rows_o
     print(f"iter {it} seed={seed} events={n_events} segs={n_segs} P={P} "
-          f"ES={ES} kill@{kill_after} {cout.strip()} rows={rows_f}/{rows_o} "
+          f"ES={ES} kill@{kill_after} rot_p={rotate_prob} "
+          f"f_restarts={frestarts} {cout.strip()} rows={rows_f}/{rows_o} "
           f"{'CONVERGED' if ok else 'DIVERGED'}", flush=True)
     if not ok:
         raise AssertionError(f"iter {it} seed {seed} DIVERGED")
@@ -183,9 +227,15 @@ def main():
              logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
-    rng = random.Random(master)
-    for it in range(n):
-        one_iter(it, rng.randrange(1 << 30))
+    explicit = os.environ.get("APE_SOAK_SEEDS")
+    if explicit:
+        # replay exact per-iteration seeds (e.g. a diverged one) verbatim
+        for it, s in enumerate(explicit.split(",")):
+            one_iter(it, int(s))
+    else:
+        rng = random.Random(master)
+        for it in range(n):
+            one_iter(it, rng.randrange(1 << 30))
     print("ALL CONVERGED", flush=True)
     ray.shutdown()
 

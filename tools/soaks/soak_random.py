@@ -186,9 +186,15 @@ def main():
              logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
-    rng = random.Random(master)
-    for it in range(n):
-        one_iter(it, rng.randrange(1 << 30))
+    explicit = os.environ.get("APE_SOAK_SEEDS")
+    if explicit:
+        # replay exact per-iteration seeds (e.g. a diverged one) verbatim
+        for it, s in enumerate(explicit.split(",")):
+            one_iter(it, int(s))
+    else:
+        rng = random.Random(master)
+        for it in range(n):
+            one_iter(it, rng.randrange(1 << 30))
     print("ALL CONVERGED", flush=True)
     ray.shutdown()
 
