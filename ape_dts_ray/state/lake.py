@@ -373,7 +373,19 @@ class LakeTable:
         apply window leaves no marker at commit time, yet the chunk's rows
         were placed under the pre-rotation salt. Callers pass the
         generation they planned under; a moved generation refuses the same
-        way (re-running replay re-plans under the new salt)."""
+        way (re-running replay re-plans under the new salt).
+
+        The manifest is the SOURCE OF TRUTH for the epoch dir's contents:
+        any file in the dir the manifest doesn't list is removed before
+        publishing. partition_files() is existence-based, so a stale file
+        would otherwise fold into reads forever — concretely, an
+        interrupted chunk's delta written under the OLD salt survives a
+        rotation (the rotation GCs only its committed-epoch snapshot) and
+        the re-placed re-run only overwrites partitions it emits rows
+        into: a partition left empty under the new salt keeps the old-salt
+        file, duplicating its rows (reachable by plain SIGKILL-after-apply
+        → rotate → resume; reproduced deterministically,
+        tests/test_round5_ops.py::test_recommit_after_rotation_drops_stale_placement)."""
         if self.rotation_in_progress() or self.truncate_in_progress():
             raise MaintenanceInProgress(
                 "cannot commit an epoch: rotation/truncate in progress — "
@@ -388,7 +400,35 @@ class LakeTable:
                     f"mid-chunk (placement gen {expect_placement_gen} → "
                     f"{cur}) — this chunk's rows were placed under the old "
                     "salt; re-run replay to re-place them")
+        def drop_unlisted():
+            ddir = os.path.dirname(self.delta_path(manifest.epoch, 0))
+            keep = {os.path.basename(p.file) for p in manifest.partitions}
+            try:
+                stale = [fn for fn in os.listdir(ddir) if fn not in keep]
+            except FileNotFoundError:
+                stale = []      # empty epoch, or a concurrent compactor's
+                                # GC — post-commit verification covers it
+            for fn in stale:
+                try:
+                    os.remove(os.path.join(ddir, fn))
+                except FileNotFoundError:
+                    pass
+
+        # unlisted files are stale placements (see docstring) or orphan
+        # .tmp-* from a crashed writer. ORDER vs the manifest write matters
+        # for the crash windows: a FRESH epoch cleans BEFORE publishing
+        # (SIGKILL mid-loop leaves the epoch uncommitted, the re-run repeats
+        # the cleanup), but a RE-commit (growing-log tail) cleans AFTER —
+        # deleting first would leave the still-committed OLD manifest
+        # pointing at removed files if the publish never lands (rows the
+        # watermark claims covered would silently vanish from folds).
+        recommit = os.path.exists(self.manifest_path(manifest.epoch))
+        if not recommit:
+            drop_unlisted()
         atomic_write_text(self.manifest_path(manifest.epoch), manifest.to_json())
+        if recommit:
+            drop_unlisted()     # crash before this = the pre-cleanup status
+                                # quo (same-partition staleness, LWW-folded)
         if schema_version is not None and schema_version != self.schema_version:
             self.schema_version = schema_version
             self._save_table_json()

@@ -3069,6 +3069,76 @@ def test_commit_refuses_on_moved_placement_gen(tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_recommit_after_rotation_drops_stale_placement(tmp_path):
+    """The manifest is the source of truth for its epoch dir: an
+    interrupted chunk's delta files written under the OLD salt survive a
+    rotation (the rotation GCs only its committed-epoch snapshot), and the
+    re-placed re-run only overwrites partitions it emits rows into — a
+    partition left EMPTY under the new salt kept the old-salt file and
+    partition_files() (existence-based) folded its rows forever,
+    duplicating them. Reachable by plain SIGKILL-after-apply → rotate →
+    resume. commit_epoch now removes unlisted files (before publishing for
+    a fresh epoch; after, for a re-commit, so a crash can never leave the
+    committed manifest pointing at removed files)."""
+    from ape_dts_ray.meta import EngineConfig, TableMeta
+    from ape_dts_ray.partition import partition_ids
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable, MaintenanceInProgress
+
+    P = 8
+    conv = "conv-000000"
+    # a turn whose SALTED placement differs from the unsalted one — the
+    # premise that makes the old-salt orphan un-overwritten
+    turn = next(t for t in range(64)
+                if partition_ids(np.array([conv]),
+                                 np.array([t], np.int64), P, None)[0]
+                != partition_ids(np.array([conv]), np.array([t], np.int64),
+                                 P, frozenset([conv]))[0])
+    n = 200
+    t = pa.table({
+        "log_offset": pa.array(np.arange(n, dtype=np.int64)),
+        "seq": pa.array(np.zeros(n, dtype=np.int64)),
+        "op": pa.array(["upsert"] * n),
+        "conv_id": pa.array([conv] * n),
+        "turn_idx": pa.array(np.full(n, turn, dtype=np.int32)),
+        "role": pa.array(["user"] * n),
+        "text": pa.array([f"text-{i}" for i in range(n)]),
+        "tool": pa.array([""] * n),
+        "ts": pa.array(np.arange(n, dtype=np.int64).astype("datetime64[us]")),
+    })
+    ev = str(tmp_path / "ev.parquet")
+    pa.parquet.write_table(t, ev)
+    lake = LakeTable.create(str(tmp_path / "lake"), TableMeta(),
+                            EngineConfig(num_partitions=P, epoch_size=100))
+    replay(lake, events_path=ev, max_offset=99)       # epoch 0 committed
+
+    # epoch 1: delta files land, commit refused — the rotation race (same
+    # state as a SIGKILL between apply and commit)
+    orig = LakeTable.commit_epoch
+    LakeTable.commit_epoch = lambda self, m, **kw: (_ for _ in ()).throw(
+        MaintenanceInProgress("simulated: rotation raced this chunk"))
+    try:
+        with pytest.raises(MaintenanceInProgress):
+            replay(lake, events_path=ev)
+    finally:
+        LakeTable.commit_epoch = orig
+    d1 = os.path.join(lake.root, "delta", "epoch-00000001")
+    orphans = sorted(os.listdir(d1))
+    assert orphans                                    # old-salt placement
+
+    lake2 = LakeTable.open(lake.root)
+    lake2.compact(new_hot_keys=(conv,), parallel=False)
+    assert sorted(os.listdir(d1)) == orphans          # rotation can't see it
+
+    lake3 = LakeTable.open(lake.root)
+    replay(lake3, events_path=ev)                     # documented recovery
+    assert orphans[0] not in os.listdir(d1)           # stale file dropped
+    st = lake3.state_table().to_pandas()
+    assert not st.duplicated(["conv_id", "turn_idx"]).any()
+    assert len(st) == 1 and st["text"].iloc[0] == f"text-{n - 1}"
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_replay_mixed_adopts_per_table_salt_after_rotation(tmp_path):
     """Placement is a pure function of (num_partitions, hot_keys) and each
     lake rotates INDEPENDENTLY — after rotating one lake of a mixed set, no

@@ -2,14 +2,18 @@
 SUBPROCESS over a growing interleaved log (a `table` column per event, two
 target lakes), SIGKILLed once at a random moment and restarted fresh, while a
 separate process loops compact() over BOTH lakes the whole time — and, per
-iteration with probability rotate_prob per tick, HOT-KEY ROTATES one lake
+iteration, HOT-KEY ROTATES a lake a bounded number of times at random ticks
 (compact(new_hot_keys=...)): a rotation racing an in-flight round DEFERS the
 daemon's round (MaintenanceInProgress; it retries and re-plans under each
 lake's persisted salt per table — pre-fix the follower died on every refusal
-and starved under rotation churn, seed 785203650). The restart path stays as
-a safety net for a grace-window expiry. Final state of both lakes must equal
-a one-shot replay_mixed of the full log (rotation is state-preserving, so
-the oracle is unchanged).
+and starved under rotation churn, seed 785203650). Rotations are BOUNDED per
+iteration, not a per-tick probability forever: an operator rotates rarely,
+and unbounded ~5 attempts/sec keeps a marker up most of wall time — the
+daemon then correctly defers all the way to the drain timeout (seed
+923500474), which probes nothing. The restart path stays as a safety net
+for a grace-window expiry. Final state of both lakes must equal a one-shot
+replay_mixed of the full log (rotation is state-preserving, so the oracle
+is unchanged).
 Usage: python soak_mixed.py <n_iters> [master_seed]
 APE_SOAK_SEEDS=<s1,s2,...> replays exact per-iteration seeds.
 """
@@ -57,12 +61,15 @@ from ape_dts_ray.state.lake import LakeTable
 rng = random.Random({cseed})
 n = 0
 rot = 0
+rot_budget = {rotate_n}
 while not os.path.exists({cstop!r}):
     for t in {tables!r}:
         try:
             lk = LakeTable.open(os.path.join({lakes!r}, t))
-            if rng.random() < {rotate_prob}:
-                # occasional HOT-KEY ROTATION of one lake: the follower
+            if rot_budget > 0 and rng.random() < 0.08:
+                # occasional HOT-KEY ROTATION of one lake, BOUNDED per
+                # iteration (operators rotate rarely; unbounded churn just
+                # starves the drain — see module docstring): the follower
                 # defers the racing round (MaintenanceInProgress) and must
                 # adopt the persisted salt per table next round. Key parity
                 # matches the table.
@@ -70,6 +77,7 @@ while not os.path.exists({cstop!r}):
                 key = "conv-%06d" % rng.choice([par, par + 2, par + 4])
                 lk.compact(new_hot_keys=(key,))
                 rot += 1
+                rot_budget -= 1
             else:
                 lk.compact()
             n += 1
@@ -140,10 +148,10 @@ def one_iter(it, seed):
     cstop = os.path.join(ROOT, "cstop")
     fsrc = FOLLOWER_SRC.format(repo=REPO, P=P, ES=ES, lakes=lakes,
                                tables=TABLES, log=log, stop=stop)
-    rotate_prob = rng.choice([0.0, 0.08, 0.2])
+    rotate_n = rng.choice([0, 2, 5])
     csrc = COMPACTOR_SRC.format(repo=REPO, cstop=cstop, tables=TABLES,
                                 lakes=lakes, pause=rng.choice([0.05, 0.2]),
-                                cseed=seed ^ 0x5f5f, rotate_prob=rotate_prob)
+                                cseed=seed ^ 0x5f5f, rotate_n=rotate_n)
     follower = spawn(fsrc, "follower")
     compactor = spawn(csrc, "compactor")
 
@@ -211,7 +219,7 @@ def one_iter(it, seed):
     md5_o, rows_o = state_md5(oneshot)
     ok = md5_f == md5_o and rows_f == rows_o
     print(f"iter {it} seed={seed} events={n_events} segs={n_segs} P={P} "
-          f"ES={ES} kill@{kill_after} rot_p={rotate_prob} "
+          f"ES={ES} kill@{kill_after} rot_n={rotate_n} "
           f"f_restarts={frestarts} {cout.strip()} rows={rows_f}/{rows_o} "
           f"{'CONVERGED' if ok else 'DIVERGED'}", flush=True)
     if not ok:
