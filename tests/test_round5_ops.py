@@ -3068,6 +3068,42 @@ def test_commit_refuses_on_moved_placement_gen(tmp_path):
     lake.commit_epoch(m, expect_placement_gen=lake.refresh_placement())
 
 
+def test_commit_epoch_drops_unlisted_files_both_orders(tmp_path):
+    """commit_epoch enforces the manifest as source of truth for its epoch
+    dir, with the cleanup ORDER depending on the commit kind: a FRESH epoch
+    cleans before publishing (a crash mid-cleanup leaves the epoch
+    uncommitted, the re-run repeats it), a RE-commit cleans after (deleting
+    first could leave the still-committed old manifest pointing at removed
+    files). Listed files survive both; strays — stale placements, orphan
+    .tmp from crashed writers — do not."""
+    import pyarrow.parquet as pq2
+
+    from ape_dts_ray.state.manifest import EpochManifest, PartitionLineage
+
+    lake = _mini_lake(tmp_path, "cln")
+    ddir = os.path.join(lake.root, "delta", "epoch-00000000")
+    os.makedirs(ddir)
+    tiny = pa.table({"x": pa.array([1])})
+    for fn in ("part-00000.parquet", "part-00003.parquet",
+               "part-00001.parquet.tmp-dead"):
+        pq2.write_table(tiny, os.path.join(ddir, fn))
+    m = EpochManifest(
+        epoch=0, offset_min=0, offset_max=9, schema_version=0,
+        partitions=[PartitionLineage(
+            part_id=0, file="delta/epoch-00000000/part-00000.parquet",
+            rows=1, events=1, upserts=1, deletes=0,
+            offset_min=0, offset_max=9)])
+    lake.commit_epoch(m)                              # fresh: clean BEFORE
+    assert sorted(os.listdir(ddir)) == ["part-00000.parquet"]
+
+    # re-commit: a stray re-appears (e.g. the pre-cleanup status quo of a
+    # snapped-shorter tail), the same manifest re-publishes, stray dropped
+    pq2.write_table(tiny, os.path.join(ddir, "part-00002.parquet"))
+    lake.commit_epoch(m)
+    assert sorted(os.listdir(ddir)) == ["part-00000.parquet"]
+    assert 0 in lake.committed_epochs()
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_recommit_after_rotation_drops_stale_placement(tmp_path):
     """The manifest is the source of truth for its epoch dir: an
