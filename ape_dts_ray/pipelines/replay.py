@@ -636,21 +636,31 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
             # partitions whose committed delta buildup crossed the
             # threshold; a no-op when none did
             import ray
-            counts = lake.delta_file_counts()
-            if counts and max(counts.values()) > auto_compact_max_deltas:
-                lake.compact(max_delta_files=auto_compact_max_deltas,
-                             parallel=ray.is_initialized())
-            # COLD partitions under the threshold pin the manifest prefix
-            # (their epoch-0 file keeps every later manifest alive), which
-            # would grow both committed_epochs() and the per-chunk scan
-            # above linearly over a long run — once the retained span
-            # exceeds 4× the threshold anyway, fold every partition with
-            # files, clearing the prefix and bounding the scan at
-            # partitions × O(threshold)
-            if len(lake.committed_epochs()) > max(8,
-                                                  4 * auto_compact_max_deltas):
-                lake.compact(max_delta_files=0,
-                             parallel=ray.is_initialized())
+            try:
+                counts = lake.delta_file_counts()
+                if counts and max(counts.values()) > auto_compact_max_deltas:
+                    lake.compact(max_delta_files=auto_compact_max_deltas,
+                                 parallel=ray.is_initialized())
+                # COLD partitions under the threshold pin the manifest
+                # prefix (their epoch-0 file keeps every later manifest
+                # alive), which would grow both committed_epochs() and the
+                # per-chunk scan above linearly over a long run — once the
+                # retained span exceeds 4× the threshold anyway, fold every
+                # partition with files, clearing the prefix and bounding
+                # the scan at partitions × O(threshold)
+                if len(lake.committed_epochs()) > max(
+                        8, 4 * auto_compact_max_deltas):
+                    lake.compact(max_delta_files=0,
+                                 parallel=ray.is_initialized())
+            except MaintenanceInProgress:
+                # an EXTERNAL rotation/truncate owns the lake this tick
+                # (marker up, or the maintenance lock held) — skip, like
+                # compact()'s own lock-busy tick: a rotation IS a full
+                # compaction, so it restores the delta bound itself, and
+                # dying here would kill a daemon mid-round on a transient.
+                # This chunk's commits already landed; the NEXT commit (or
+                # the daemon's next round) retries the tick.
+                pass
         if max_rps is not None:
             applied_events += sum(p.events for m in ms for p in m.partitions)
             min_elapsed = applied_events / max_rps

@@ -784,7 +784,7 @@ class LakeTable:
             # refuse on the truncate marker — leaving BOTH markers in place,
             # where truncate() refuses on rotation and rotation on truncate
             # (a mutual wedge only hand-deleting a marker could clear)
-            raise RuntimeError(
+            raise MaintenanceInProgress(
                 "truncate in progress (truncate.json present) — re-run "
                 "truncate() to finish it before compacting")
         if new_hot_keys is not None:
@@ -795,14 +795,14 @@ class LakeTable:
             # a plain compact against a half-rotated lake would fold
             # old-salt deltas into a possibly new-salt base — duplicate key
             # placements forever. Same refusal contract as replay().
-            raise RuntimeError(
+            raise MaintenanceInProgress(
                 "hot-key rotation in progress (rotation.json present) — "
                 "re-run compact(new_hot_keys=...) to finish it first")
         if not self._acquire_maintenance():
             if new_hot_keys is not None:
                 # a rotation silently skipped would leave the operator
                 # believing the salt changed — loud, unlike plain ticks
-                raise RuntimeError(
+                raise MaintenanceInProgress(
                     "another maintenance run holds this lake's lock — "
                     "retry compact(new_hot_keys=...) once it finishes")
             return 0               # maintenance tick: skip, next tick folds
@@ -1062,7 +1062,7 @@ class LakeTable:
         deletes, replay() refuses while it exists, and re-running
         ``truncate()`` (idempotent) finishes the job."""
         if self.rotation_in_progress():
-            raise RuntimeError(
+            raise MaintenanceInProgress(
                 "hot-key rotation in progress (rotation.json present) — "
                 "re-run compact(new_hot_keys=...) to finish it before "
                 "truncating")
@@ -1070,7 +1070,7 @@ class LakeTable:
             # a compactor mid-fold could rewrite base files AFTER the
             # deletes below (its fold predates the marker) — resurrecting
             # truncated rows. Loud: truncate is an operator DDL, not a tick.
-            raise RuntimeError(
+            raise MaintenanceInProgress(
                 "another maintenance run holds this lake's lock — retry "
                 "truncate() once it finishes")
         try:

@@ -3068,6 +3068,48 @@ def test_commit_refuses_on_moved_placement_gen(tmp_path):
     lake.commit_epoch(m, expect_placement_gen=lake.refresh_placement())
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_online_compact_tick_skips_external_maintenance(tmp_path):
+    """The ONLINE auto-compact tick after each committed chunk must SKIP
+    when an external rotation/truncate owns the lake (marker up or lock
+    held) instead of propagating — a rotation IS a full compaction, so it
+    restores the delta bound itself, and dying here killed a daemon
+    mid-round on a transient. compact()'s marker/lock refusals are typed
+    MaintenanceInProgress and the tick swallows exactly that."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq2
+
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable, MaintenanceInProgress
+
+    events = gen_events(seed=95, n_convs=20, max_turns=6, n_events=4000)
+    ev = str(tmp_path / "ev.parquet")
+    pq2.write_table(events, ev)
+    lake = _mini_lake(tmp_path, "tick", num_partitions=4, epoch_size=500)
+    calls = {"n": 0}
+    orig = LakeTable.compact
+
+    def busy_compact(self, **kw):
+        calls["n"] += 1
+        raise MaintenanceInProgress("simulated: external rotation holds "
+                                    "the maintenance lock")
+
+    LakeTable.compact = busy_compact
+    try:
+        ms = replay(lake, events_path=ev, auto_compact_max_deltas=1,
+                    group_epochs=2)
+    finally:
+        LakeTable.compact = orig
+    assert calls["n"] >= 1                  # the tick DID run and refuse
+    assert len(ms) >= 4                     # every epoch still committed
+    assert lake.watermark() == int(
+        pc.max(events.column("log_offset")).as_py())
+    # and the bound restores on the next unobstructed invocation
+    assert replay(lake, events_path=ev, auto_compact_max_deltas=1) == []
+    assert max(lake.delta_file_counts().values()) <= 2
+
+
 def test_commit_epoch_drops_unlisted_files_both_orders(tmp_path):
     """commit_epoch enforces the manifest as source of truth for its epoch
     dir, with the cleanup ORDER depending on the commit kind: a FRESH epoch
