@@ -823,6 +823,15 @@ def read_rdb_snapshot(path: str, verify_checksum: bool = True):
     def parse_file(batch: pa.Table) -> pa.Table:
         tables = []
         for data in batch.column("bytes").to_pylist():
+            # same working-set bound as rdb_key_statistics: one shard is
+            # one task's heap; a FOREIGN monolithic dump would balloon the
+            # worker — refuse with guidance instead of OOMing
+            if len(data) > MAX_RDB_SHARD_BYTES:
+                raise ValueError(
+                    f"rdb shard is {len(data)} bytes (> "
+                    f"{MAX_RDB_SHARD_BYTES}); split the dump into "
+                    "per-slot shards (write_rdb_snapshot layout) before "
+                    "reading")
             _, entries = rdbmod.parse_rdb(data, verify_checksum=verify_checksum)
             tables.append(_entries_table(entries))
         return pa.concat_tables(tables) if tables else \

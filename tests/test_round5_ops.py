@@ -3255,3 +3255,23 @@ def test_replay_mixed_adopts_per_table_salt_after_rotation(tmp_path):
             pc2.equal(parity, pa.scalar(par, pa.int32()))))
         assert len(got) == len(want)
         assert sorted(got["text"]) == sorted(want["text"])
+
+
+def test_rdb_shard_size_bound_refuses(tmp_path, ray_session, monkeypatch):
+    """Both directory readers bound their per-task working set: a FOREIGN
+    monolithic dump (one shard ≫ MAX_RDB_SHARD_BYTES) must refuse with
+    split guidance instead of ballooning a worker's heap (the writer's own
+    shards are bounded by construction, so only foreign dumps hit this)."""
+    import ape_dts_ray.pipelines.redis_replay as rr
+
+    entries = [{"db": 0, "key": b"k1", "type": "string", "expire_ms": 0,
+                "value": b"v" * 64}]
+    d = tmp_path / "snap"
+    d.mkdir()
+    (d / "rdb_part_00000.rdb").write_bytes(rdbmod.encode_rdb(entries))
+    monkeypatch.setattr(rr, "MAX_RDB_SHARD_BYTES", 16)
+    for reader in (rr.read_rdb_snapshot, rr.rdb_key_statistics):
+        # Ray wraps the task's ValueError in RayTaskError(UserCodeException)
+        with pytest.raises(Exception, match="split the dump"):
+            pa.concat_tables(reader(str(d)).iter_batches(
+                batch_format="pyarrow", batch_size=None))
