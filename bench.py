@@ -154,16 +154,40 @@ def _host_health() -> dict:
     it returns) — the identical bench measured 2.4 s healthy vs 7.8-20.5 s
     squeezed, minutes apart, on an otherwise idle box. A 2000² float64
     matmul ×3 runs well under 1 s healthy; report it so a recorded number
-    can be judged against the host state it was measured under."""
+    can be judged against the host state it was measured under.
+
+    The squeeze can hit WIDE work only (three same-day ladders: every
+    2-24-cpu level stable, only the 32-cpu level degraded, by a different
+    factor each run), which the single-thread probe cannot see — so also
+    report a 16-process matmul: healthy = per-worker time ≈ the
+    single-thread rate (~0.3 s for 4× 1200² here); a squeezed host shows
+    per-worker times several × that while the serial probe stays clean."""
     import numpy as np
+    from concurrent.futures import ProcessPoolExecutor
 
     t0 = time.perf_counter()
     a = np.random.default_rng(0).random((2000, 2000))
     for _ in range(3):
         a @ a
+    serial = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    with ProcessPoolExecutor(16) as ex:
+        workers = list(ex.map(_parallel_probe_worker, range(16)))
     return {"cpus_effective": len(os.sched_getaffinity(0)),
-            "host_matmul3_sec": round(time.perf_counter() - t0, 2),
+            "host_matmul3_sec": serial,
+            "host_par16_wall_sec": round(time.perf_counter() - t0, 2),
+            "host_par16_worker_max_sec": round(max(workers), 2),
             "load_1min": round(os.getloadavg()[0], 2)}
+
+
+def _parallel_probe_worker(_i: int) -> float:
+    import numpy as np
+
+    a = np.random.default_rng(1).random((1200, 1200))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        a @ a
+    return time.perf_counter() - t0
 
 
 def main() -> None:
