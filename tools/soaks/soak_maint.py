@@ -21,6 +21,7 @@ import time
 
 ROOT = os.environ.get("APE_DTS_RAY_SOAK_DIR", "/tmp/vdrive") + "/soakmaint"
 REPO = os.environ.get("APE_DTS_RAY_REPO", "/root/repo")
+sys.path.insert(0, REPO)  # script dir, not cwd, is on sys.path
 
 FOLLOWER_SRC = """
 import sys

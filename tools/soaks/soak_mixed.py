@@ -29,6 +29,7 @@ import time
 
 ROOT = os.environ.get("APE_DTS_RAY_SOAK_DIR", "/tmp/vdrive") + "/soakmixed"
 REPO = os.environ.get("APE_DTS_RAY_REPO", "/root/repo")
+sys.path.insert(0, REPO)  # script dir, not cwd, is on sys.path
 TABLES = ["tbl_even", "tbl_odd"]
 
 FOLLOWER_SRC = """
