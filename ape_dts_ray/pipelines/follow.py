@@ -112,7 +112,14 @@ def _pending_floor(lake: LakeTable) -> int:
         lo = 0
         if committed:
             m = lake.read_manifest(max(committed))
-            lo = m.offset_min if m.offset_min != -1 else m.offset_max + 1
+            # a FINAL tail epoch can never be extended (its window ended at
+            # a natural boundary), so nothing below its end is pending; a
+            # provisional tail may be re-committed with more events when
+            # the log grows — keep every segment back to its window start
+            if m.offset_min == -1 or m.final:
+                lo = m.offset_max + 1
+            else:
+                lo = m.offset_min
         return max(lo, lake.compacted_watermark() + 1,
                    lake.truncate_offset + 1, 0)
 

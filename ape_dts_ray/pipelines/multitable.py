@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 from ape_dts_ray.meta import COL_EPOCH, COL_OFFSET, COL_OP, EngineConfig, OP_DELETE, TableMeta
 from ape_dts_ray.stages.filter import TableFilter
 from ape_dts_ray.stages.router import Router
-from ape_dts_ray.state.lake import LakeTable, MaintenanceInProgress
+from ape_dts_ray.state.lake import LakeTable, MaintenanceInProgress, _dbg
 
 
 @dataclass
@@ -333,6 +333,11 @@ def replay_mixed(
         path = os.path.join(root, "delta", f"epoch-{epoch:08d}",
                             f"part-{part_id:05d}.parquet")
         os.makedirs(os.path.dirname(path), exist_ok=True)
+        offs0 = events.column(COL_OFFSET)
+        _dbg("delta_write_mixed", root=root, epoch=epoch, pid_part=part_id,
+             rows=n, events=events.num_rows,
+             off_min=int(pc.min(offs0).as_py()),
+             off_max=int(pc.max(offs0).as_py()))
         atomic_write_parquet(merged, path, compression="lz4")
         offs = events.column(COL_OFFSET)
         row = {"epoch": epoch * T + ti,   # (epoch, table) packed for routing
@@ -416,7 +421,7 @@ def replay_mixed(
                                       key=lambda r: r["part_id"])
                         m = EpochManifest(
                             epoch=w.epoch, offset_min=w.lo, offset_max=w.hi,
-                            schema_version=w.schema_version,
+                            final=w.final, schema_version=w.schema_version,
                             partitions=[PartitionLineage(
                                 **{k: v for k, v in r.items()
                                    if k != "epoch"})

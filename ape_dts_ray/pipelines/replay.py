@@ -61,6 +61,12 @@ class EpochWindow:
     lo: int          # inclusive
     hi: int          # inclusive
     schema_version: int = 0
+    # False iff this window was cut short by the END OF THE LOG (hi ==
+    # max_offset with no natural boundary there): a growing log may extend
+    # it, so its commit is re-runnable and must never be folded into base
+    # (manifest.py EpochManifest.final). Synthetic/ad-hoc windows default
+    # to final: only plan_epochs-produced tails are extendable.
+    final: bool = True
 
 
 def suggest_epoch_config(avg_event_bytes: int, num_cpus: int = 32,
@@ -129,9 +135,10 @@ def plan_epochs(max_offset: int, epoch_size: int,
             # yields one short first window and then boundary-aligned ones —
             # the id↔offset-range mapping is stable across replays
             if align:
-                hi = min((lo // epoch_size + 1) * epoch_size - 1, bound - 1)
+                nat = (lo // epoch_size + 1) * epoch_size - 1
             else:
-                hi = min(lo + epoch_size - 1, bound - 1)
+                nat = lo + epoch_size - 1
+            hi = min(nat, bound - 1)
             if co is not None and hi < bound - 1:
                 i = np.searchsorted(co, hi, side="right") - 1
                 if i >= 0 and co[i] >= lo:
@@ -142,7 +149,13 @@ def plan_epochs(max_offset: int, epoch_size: int,
                         hi = int(co[j])        # oversized txn: extend to its end
                     else:
                         hi = bound - 1
-            windows.append(EpochWindow(epoch, lo, hi, version))
+            # a window is EXTENDABLE (final=False) only when the log end was
+            # what cut it: hi == max_offset and no natural size boundary
+            # coincides there. Barrier cuts (bound < max_offset + 1),
+            # size-boundary ends and commit snaps below the log end are all
+            # natural — re-planning a longer log reproduces them verbatim.
+            windows.append(EpochWindow(epoch, lo, hi, version,
+                                       final=(hi < max_offset or hi == nat)))
             epoch += 1
             lo = hi + 1
         for boff, bver in ver_at:
@@ -248,7 +261,7 @@ def apply_windows(
         rows = sorted(by_epoch.get(w.epoch, []), key=lambda r: r["part_id"])
         manifests.append(EpochManifest(
             epoch=w.epoch, offset_min=w.lo, offset_max=w.hi,
-            schema_version=w.schema_version,
+            final=w.final, schema_version=w.schema_version,
             partitions=[PartitionLineage(**{k: v for k, v in r.items()
                                             if k != "epoch"}) for r in rows]))
     return manifests

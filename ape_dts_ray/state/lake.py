@@ -43,6 +43,23 @@ from ape_dts_ray.stages import merge as merge_mod
 
 MANIFEST_DIR = "_manifests"
 TABLE_FILE = "_table.json"
+
+
+def _dbg(event: str, **kw) -> None:
+    """Append-only forensic trace, active only when APE_DEBUG_LOG is set —
+    one JSON line per maintenance/commit mutation so a diverged randomized
+    soak can be autopsied (single O_APPEND write stays atomic per line)."""
+    path = os.environ.get("APE_DEBUG_LOG")
+    if not path:
+        return
+    import time as _time
+    try:
+        rec = {"t": round(_time.time(), 4), "pid": os.getpid(), "ev": event}
+        rec.update(kw)
+        with open(path, "a") as f:
+            f.write(json.dumps(rec, default=str) + "\n")
+    except OSError:
+        pass
 # Reserved epoch band for checker.revise() fixes: ids at/above this are
 # synthetic (not source-log coverage). Owned here so watermark computations
 # can exclude them without importing pipeline modules (checker re-exports).
@@ -391,6 +408,21 @@ class LakeTable:
                 "cannot commit an epoch: rotation/truncate in progress — "
                 "this chunk raced the marker; finish the maintenance op and "
                 "re-run replay")
+        cw = self.compacted_watermark() if manifest.epoch < REVISE_EPOCH_BASE \
+            else -1
+        if manifest.offset_max <= cw:
+            # rank-invariant backstop: this epoch's whole window is already
+            # folded into base (_epoch = -1, tombstones dropped) — a delta
+            # committed UNDER the folded coverage would outrank those base
+            # rows and rewind/resurrect keys. Folds exclude the provisional
+            # tail precisely so no live plan ever reaches this; hitting it
+            # means the plan raced a fold that covered the window since,
+            # and the re-plan will see it covered and skip.
+            raise MaintenanceInProgress(
+                f"cannot commit epoch {manifest.epoch}: its window "
+                f"[{manifest.offset_min}, {manifest.offset_max}] is already "
+                f"folded into base (compacted watermark {cw}) — re-plan; "
+                "the window will be skipped as covered")
         if expect_placement_gen is not None:
             with open(os.path.join(self.root, TABLE_FILE)) as f:
                 cur = json.load(f).get("placement_gen", 0)
@@ -409,6 +441,8 @@ class LakeTable:
                 stale = []      # empty epoch, or a concurrent compactor's
                                 # GC — post-commit verification covers it
             for fn in stale:
+                _dbg("drop_unlisted", root=self.root, epoch=manifest.epoch,
+                     file=fn)
                 try:
                     os.remove(os.path.join(ddir, fn))
                 except FileNotFoundError:
@@ -423,6 +457,12 @@ class LakeTable:
         # pointing at removed files if the publish never lands (rows the
         # watermark claims covered would silently vanish from folds).
         recommit = os.path.exists(self.manifest_path(manifest.epoch))
+        _dbg("commit_epoch", root=self.root, epoch=manifest.epoch,
+             recommit=recommit, n_parts=len(manifest.partitions),
+             files=sorted(os.path.basename(p.file)
+                          for p in manifest.partitions),
+             off_min=manifest.offset_min, off_max=manifest.offset_max,
+             events=sum(p.events for p in manifest.partitions))
         if not recommit:
             drop_unlisted()
         atomic_write_text(self.manifest_path(manifest.epoch), manifest.to_json())
@@ -826,12 +866,37 @@ class LakeTable:
             # fixes squat synthetic offsets wm+1..wm+n, and publishing them
             # as source coverage would skip the next n real CDC events
             # after this compact re-enables replay.
+            #
+            # PROVISIONAL-TAIL EXCLUSION: a non-final epoch (its window was
+            # cut by the then-current log end) may be RE-COMMITTED with more
+            # events when the log grows. Folding it flattens its rows to
+            # _epoch = -1 and drops its tombstones; a later re-commit of
+            # the same epoch id then ranks ABOVE base rows folded from
+            # HIGHER epochs — resurrecting deleted keys and rewinding LWW
+            # winners (mixed-soak divergence, seed 164990304). Plain folds
+            # therefore consume only the PREFIX of final epochs and leave
+            # the extendable tail as delta. Exception: once REVISE epochs
+            # are committed the lake is in the operator-serialized
+            # revise→compact()→replay window (replay refuses until the
+            # revise band folds), so compact() folds EVERYTHING — the
+            # documented recovery path, with no concurrent writer by
+            # construction. Rotation/truncate also fold everything; their
+            # markers refuse every concurrent commit.
             es = self.committed_epochs()
+            if not any(e >= REVISE_EPOCH_BASE for e in es):
+                kept = []
+                for e in es:
+                    if not self.read_manifest(e).final:
+                        break
+                    kept.append(e)
+                es = kept
             src = [e for e in es if e < REVISE_EPOCH_BASE]
             return (es, self.read_manifest(src[-1]).offset_max) if src \
                 else (es, -1)
 
         epochs, watermark = _retry_vanished_files(snapshot)
+        _dbg("compact_full_snapshot", root=self.root, epochs=epochs,
+             wm=watermark)
         if not epochs:
             return 0
 
@@ -843,7 +908,16 @@ class LakeTable:
             lake = LakeTable(root, meta, cfg, sv, ops)
 
             def body():
-                files = lake.partition_files(pid)
+                # files PINNED to the snapshot's epoch list (NOT a fresh
+                # partition_files listing): epochs committed after the
+                # snapshot — above all the provisional tail, which a
+                # concurrent round may be re-committing right now — must
+                # stay as deltas ranked above this fold's base, and the
+                # epilogue GC removes exactly the snapshot epochs
+                bp0 = lake.base_path(pid)
+                files = ([bp0] if os.path.exists(bp0) else []) + \
+                    [f for f in (lake.delta_path(e, pid) for e in epochs)
+                     if os.path.exists(f)]
                 if not files:
                     return
                 bp = lake.base_path(pid)
@@ -877,7 +951,13 @@ class LakeTable:
                     # a sibling compactor published a STRICTLY newer fold
                     # while we folded; ours is a subset — overwriting would
                     # erase rows whose deltas the sibling already GC'd
+                    _dbg("fold_abort_stamp", root=root, pid_part=pid,
+                         my_wm=my_wm, base_stamp=_base_stamp(bp))
                     return
+                _dbg("fold_write", root=root, pid_part=pid, my_wm=my_wm,
+                     rows=n, files=[os.path.basename(os.path.dirname(f))
+                                    + "/" + os.path.basename(f)
+                                    for f in files])
                 atomic_write_parquet(_stamped(folded, my_wm), bp,
                                      compression="zstd")
 
@@ -934,7 +1014,21 @@ class LakeTable:
         they form a prefix of committed epochs; the prefix watermark is
         published to compacted.json BEFORE manifests are removed so
         watermark() never regresses (resume contract, replay.py)."""
-        epochs = self.committed_epochs()
+        # fold only the prefix of FINAL epochs (same provisional-tail rule
+        # as _compact_full — an extendable tail folded here would let its
+        # re-commit outrank base rows folded from higher epochs) and never
+        # the revise band (revise drains through the documented full
+        # compact() only). Re-listed on retry: a concurrent fold can GC a
+        # manifest between the listing and the read.
+        def kept_prefix() -> list[int]:
+            out = []
+            for e in self.committed_epochs():
+                if e >= REVISE_EPOCH_BASE or not self.read_manifest(e).final:
+                    break
+                out.append(e)
+            return out
+
+        epochs = _retry_vanished_files(kept_prefix)
         horizon = epochs[:len(epochs) - keep_epochs] if keep_epochs else epochs
         if not horizon:
             return 0
@@ -983,6 +1077,9 @@ class LakeTable:
                     return False     # sibling folded strictly further: ours
                                      # is a subset — skip write AND unlink
                                      # (the sibling's GC owns those files)
+                _dbg("partial_fold_write", root=root, pid_part=pid,
+                     my_wm=my_wm, rows=n,
+                     consumed=[e for e, _ in consumed])
                 atomic_write_parquet(_stamped(folded, my_wm), bp,
                                      compression="zstd")
                 for _, f in consumed:    # only after the new base is durable
@@ -1307,9 +1404,13 @@ class LakeTable:
         ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
         for attempt in range(8 if strict else 1):
             try:
+                _dbg("gc_epoch", root=self.root, epoch=e, strict=strict,
+                     files=sorted(os.listdir(ddir))
+                     if os.path.isdir(ddir) else [])
                 if os.path.isdir(ddir):
                     shutil.rmtree(ddir)
                 os.remove(self.manifest_path(e))
+                _dbg("gc_epoch_done", root=self.root, epoch=e)
                 return
             except FileNotFoundError:
                 return

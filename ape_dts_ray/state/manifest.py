@@ -46,6 +46,17 @@ class EpochManifest:
     offset_max: int        # window upper bound (inclusive) = committed watermark
     schema_version: int
     partitions: list[PartitionLineage] = field(default_factory=list)
+    # True iff the window ended at a NATURAL boundary (epoch-size multiple,
+    # schema barrier, or commit snap) rather than at the then-current end of
+    # the log. A provisional (final=False) tail epoch may legally be
+    # RE-COMMITTED with more events when the log grows — so plain compaction
+    # must never fold it into base: base rows are re-ranked to _epoch = -1
+    # and their tombstones dropped, and a later re-commit of the same epoch
+    # id would rank ABOVE base rows folded from HIGHER offsets, resurrecting
+    # deleted keys and rewinding winners (the mixed-soak divergence, seed
+    # 164990304 — see lake.py fold snapshots). Default False: a legacy
+    # manifest without the field is conservatively treated as extendable.
+    final: bool = False
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), indent=1, sort_keys=True)
@@ -54,6 +65,7 @@ class EpochManifest:
     def from_json(s: str) -> "EpochManifest":
         d = json.loads(s)
         parts = [PartitionLineage(**p) for p in d.pop("partitions")]
+        d.setdefault("final", False)
         return EpochManifest(partitions=parts, **d)
 
 

@@ -101,7 +101,13 @@ def test_compaction_preserves_state_and_watermark(tmp_path):
     after = lake.state_table()
     assert before.equals(after)
     assert lake.watermark() == wm
-    assert lake.committed_epochs() == []
+    # the PROVISIONAL tail epoch (window cut by the log end, extendable by
+    # a growing log) must survive compaction as a delta — folding it would
+    # let a later tail re-commit outrank base rows (lake.py fold snapshot);
+    # every complete epoch below it is folded and GC'd
+    tail = lake.committed_epochs()
+    assert tail == [2]
+    assert not lake.read_manifest(2).final
     # replay after compaction is a no-op (watermark covers all offsets)
     replay(LakeTable.open(lake.root), events_path=path)
     assert LakeTable.open(lake.root).state_table().equals(before)
@@ -139,7 +145,11 @@ def test_compact_then_continue_cdc(tmp_path):
     lake = _mk_lake(tmp_path, epoch_size=1000)
     replay(lake, events_path=p1)
     lake.compact(parallel=False)
-    assert lake.committed_epochs() == []
+    # complete epochs folded; the provisional tail (cut at the half-log
+    # end, extendable) stays as delta — the exact shape this test's
+    # continuation then exercises
+    remaining = lake.committed_epochs()
+    assert all(not lake.read_manifest(e).final for e in remaining)
     replay(LakeTable.open(lake.root), events_path=p2, min_offset=half)
     _assert_state_matches(LakeTable.open(lake.root), events)
 

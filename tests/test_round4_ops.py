@@ -47,8 +47,8 @@ def test_partial_compaction_horizon_preserves_state(tmp_path):
     watermark unchanged, the newest H epochs' deltas stay as files, every
     partition's merge-on-read amplification drops to ≤ 1 base + H deltas,
     and replay resume stays a no-op."""
-    events = gen_events(seed=41, n_convs=40, max_turns=8, n_events=4000,
-                        delete_frac=0.2)
+    events = gen_events(seed=41, n_convs=40, max_turns=8, n_events=4180,
+                        delete_frac=0.2)   # 4500 events = 9 full epochs
     path = str(tmp_path / "e.parquet")
     pq.write_table(events, path)
     lake = _mk_lake(tmp_path)
@@ -75,8 +75,8 @@ def test_partial_compaction_threshold_is_strict_subset(tmp_path):
     """compact(max_delta_files=K) touches ONLY partitions over the
     threshold: after a hot-partition-only delta buildup, cold partitions'
     base files are byte-identical (never rewritten) while hot ones fold."""
-    events = gen_events(seed=43, n_convs=40, max_turns=8, n_events=4000,
-                        delete_frac=0.1)
+    events = gen_events(seed=43, n_convs=40, max_turns=8, n_events=4180,
+                        delete_frac=0.1)   # 4500 events = 9 full epochs
     path = str(tmp_path / "e.parquet")
     pq.write_table(events, path)
     lake = _mk_lake(tmp_path)
@@ -88,8 +88,8 @@ def test_partial_compaction_threshold_is_strict_subset(tmp_path):
     import pyarrow as pa
     import pyarrow.compute as pc
     n0 = events.num_rows
-    tail = gen_events(seed=44, n_convs=1, max_turns=8, n_events=1500,
-                      delete_frac=0.0)
+    tail = gen_events(seed=44, n_convs=1, max_turns=8, n_events=1492,
+                      delete_frac=0.0)     # 1500 events = 3 full epochs
     tail = tail.set_column(
         tail.column_names.index("log_offset"), "log_offset",
         pc.add(tail.column("log_offset"), pa.scalar(n0, pa.int64())))
@@ -158,7 +158,7 @@ def test_partial_compaction_crash_midway_converges(tmp_path):
     window of the markerless protocol): the overlap (base ⊇ deltas) folds
     to identical LWW winners, so state is unchanged, and a rerun converges
     to the clean-compaction result."""
-    events = gen_events(seed=46, n_convs=40, max_turns=8, n_events=4000,
+    events = gen_events(seed=46, n_convs=40, max_turns=8, n_events=4180,
                         delete_frac=0.25)
     path = str(tmp_path / "e.parquet")
     pq.write_table(events, path)
@@ -233,7 +233,7 @@ def test_online_auto_compaction_during_replay(tmp_path):
     Delta buildup stays bounded at K for the whole replay, the state is
     oracle-exact, a mid-replay crash resumes exactly-once under the same
     policy, and depth-2 overlapped groups are safe."""
-    events = gen_events(seed=49, n_convs=40, max_turns=8, n_events=6000,
+    events = gen_events(seed=49, n_convs=40, max_turns=8, n_events=6180,
                         delete_frac=0.2)
     path = str(tmp_path / "e.parquet")
     pq.write_table(events, path)
@@ -283,7 +283,7 @@ def test_online_auto_compaction_sigkill_resume(tmp_path):
     process — state converges to the oracle exactly once."""
     import time
 
-    events = gen_events(seed=50, n_convs=30, max_turns=8, n_events=5000,
+    events = gen_events(seed=50, n_convs=30, max_turns=8, n_events=5010,
                         delete_frac=0.2)
     path = str(tmp_path / "e.parquet")
     pq.write_table(events, path)
@@ -658,8 +658,8 @@ def test_partial_compaction_crash_during_manifest_cleanup(tmp_path):
     the full removable prefix before any removal; surviving manifests only
     raise it), surviving manifests with empty delta dirs are harmless, and a
     rerun finishes the cleanup."""
-    events = gen_events(seed=47, n_convs=30, max_turns=6, n_events=3000,
-                        delete_frac=0.2)
+    events = gen_events(seed=47, n_convs=30, max_turns=6, n_events=3320,
+                        delete_frac=0.2)   # 3500 events = 7 full epochs
     path = str(tmp_path / "e.parquet")
     pq.write_table(events, path)
     lake = _mk_lake(tmp_path)

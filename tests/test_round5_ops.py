@@ -1388,7 +1388,9 @@ def test_partial_compact_gc_ignores_orphan_tmp(tmp_path):
     from ape_dts_ray.pipelines.replay import replay
     from ape_dts_ray.state.lake import LakeTable
 
-    events = gen_events(seed=92, n_convs=12, max_turns=4, n_events=2000)
+    # 48 inserts + 1952 changes = 2000 events: the log ends exactly on an
+    # epoch boundary so every window is final (foldable prefix)
+    events = gen_events(seed=92, n_convs=12, max_turns=4, n_events=1952)
     lake = LakeTable.create(str(tmp_path / "lake"), TableMeta(),
                             EngineConfig(num_partitions=4, epoch_size=400))
     src = str(tmp_path / "ev.parquet")
@@ -2697,7 +2699,8 @@ def test_gc_epoch_tolerates_concurrent_recommit_write(tmp_path, monkeypatch):
     lake = _mini_lake(tmp_path, "gc1")
     os.makedirs(os.path.join(lake.root, "delta", "epoch-00000000"))
     lake.commit_epoch(EpochManifest(epoch=0, offset_min=0, offset_max=9,
-                                    schema_version=0, partitions=[]))
+                                    final=True, schema_version=0,
+                                    partitions=[]))
 
     def busy_rmtree(path, **kw):
         raise OSError(errno.ENOTEMPTY, "Directory not empty", path)
@@ -2909,7 +2912,8 @@ def test_maintenance_lock_busy_skips_and_dead_holder_stolen(tmp_path):
     lake = _mini_lake(tmp_path, "lock")
     os.makedirs(os.path.join(lake.root, "delta", "epoch-00000000"))
     lake.commit_epoch(EpochManifest(epoch=0, offset_min=0, offset_max=9,
-                                    schema_version=0, partitions=[]))
+                                    final=True, schema_version=0,
+                                    partitions=[]))
 
     # live holder: a real sleeping process
     holder = subprocess.Popen([sys.executable, "-c",
@@ -2949,7 +2953,8 @@ def test_truncate_strict_gc_raises_with_marker_intact(tmp_path, monkeypatch):
     lake = _mini_lake(tmp_path, "tr")
     os.makedirs(os.path.join(lake.root, "delta", "epoch-00000000"))
     lake.commit_epoch(EpochManifest(epoch=0, offset_min=0, offset_max=9,
-                                    schema_version=0, partitions=[]))
+                                    final=True, schema_version=0,
+                                    partitions=[]))
 
     def busy_rmtree(path, **kw):
         raise OSError(errno.ENOTEMPTY, "Directory not empty", path)
@@ -2992,8 +2997,10 @@ def test_all_tombstone_fold_writes_empty_stamped_base(tmp_path):
 
     from ape_dts_ray.pipelines.replay import replay
 
+    # epoch_size exactly spans the log so the single window ends at its
+    # natural boundary (final) — a provisional tail is excluded from folds
     lake = _mini_lake(tmp_path, "tomb", num_partitions=2,
-                      epoch_size=max_off + 20)
+                      epoch_size=max_off + 1 + ins.num_rows)
     replay(lake, events_ds=rd.from_arrow(full), heartbeat=False)
     assert lake.compact(parallel=False) >= 1
     assert lake.state_table().num_rows == 0
@@ -3275,3 +3282,158 @@ def test_rdb_shard_size_bound_refuses(tmp_path, ray_session, monkeypatch):
         with pytest.raises(Exception, match="split the dump"):
             pa.concat_tables(reader(str(d)).iter_batches(
                 batch_format="pyarrow", batch_size=None))
+
+
+# ---------------------------------------------------------------------------
+# Provisional-tail fold exclusion (mixed-soak divergence, seed 164990304):
+# an epoch whose window was cut by the then-current LOG END may be
+# re-committed with more events when the log grows. Folding it into base
+# flattens its rank to _epoch = -1 and drops its tombstones, so the later
+# re-commit outranks base rows folded from HIGHER epochs — resurrecting
+# deleted keys and rewinding LWW winners. Plain folds must consume only the
+# prefix of FINAL epochs; commit_epoch backstops the residual races.
+# ---------------------------------------------------------------------------
+
+def _tail_lake(tmp_path, name="tl", epoch_size=100):
+    from ape_dts_ray.meta import EngineConfig
+    from ape_dts_ray.state.lake import LakeTable
+    return LakeTable.create(str(tmp_path / name),
+                            config=EngineConfig(num_partitions=4,
+                                                epoch_size=epoch_size))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_excludes_provisional_tail(tmp_path):
+    import pyarrow.parquet as pq
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable
+
+    full = gen_events(seed=41, n_convs=8, max_turns=4, n_events=568,
+                      delete_frac=0.3)                # 600 events, ES=100
+    events = full.slice(0, 350)           # the log as first observed
+    p = str(tmp_path / "e.parquet")
+    pq.write_table(events, p)
+    lake = _tail_lake(tmp_path)
+    replay(lake, events_path=p)
+    # windows: 0-2 final, 3 = [300, 349] cut by the log end → provisional
+    ms = {e: lake.read_manifest(e) for e in lake.committed_epochs()}
+    assert [ms[e].final for e in sorted(ms)] == [True, True, True, False]
+
+    lake.compact(parallel=False)
+    # the provisional tail survives as delta (manifest AND files), the
+    # complete prefix folds, and the compacted watermark stops BELOW the
+    # tail window — so a tail re-commit is never "under" base coverage
+    assert lake.committed_epochs() == [3]
+    assert ms[3].offset_min == 300
+    assert lake.compacted_watermark() == 299
+    assert any(os.path.exists(lake.delta_path(3, pid)) for pid in range(4))
+    assert lake.watermark() == 349
+
+    # grow the log past the tail window and replay: the tail re-commit
+    # extends epoch 3 to its natural end, later epochs commit above it
+    pq.write_table(full, p)
+    replay(LakeTable.open(lake.root), events_path=p)
+    lake = LakeTable.open(lake.root)
+    assert lake.read_manifest(3).final          # now ends at 399 naturally
+    lake.compact(parallel=False)
+
+    # state equals a clean one-shot replay of the full log
+    clean = _tail_lake(tmp_path, "clean")
+    replay(clean, events_path=p)
+    got = lake.state_table().to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = clean.state_table().to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_commit_refuses_below_folded_coverage(tmp_path):
+    """The rank-invariant backstop: committing an epoch whose whole window
+    is already folded into base must refuse (transient, deferrable) — a
+    delta under the folded coverage would outrank base rows."""
+    import pyarrow.parquet as pq
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import MaintenanceInProgress
+    from ape_dts_ray.state.manifest import EpochManifest
+
+    events = gen_events(seed=43, n_convs=6, max_turns=4, n_events=176)
+    p = str(tmp_path / "e.parquet")
+    pq.write_table(events, p)
+    lake = _tail_lake(tmp_path)
+    replay(lake, events_path=p)
+    lake.compact(parallel=False)
+    cw = lake.compacted_watermark()
+    assert cw >= 99                      # at least epoch 0 folded
+    stale = EpochManifest(epoch=0, offset_min=0, offset_max=99,
+                          schema_version=0, final=True)
+    with pytest.raises(MaintenanceInProgress):
+        lake.commit_epoch(stale)
+
+
+def test_manifest_final_field_roundtrip_and_legacy():
+    from ape_dts_ray.state.manifest import EpochManifest
+
+    m = EpochManifest(epoch=7, offset_min=700, offset_max=755,
+                      schema_version=0, final=False)
+    m2 = EpochManifest.from_json(m.to_json())
+    assert m2.final is False and m2.offset_max == 755
+    # legacy manifest without the field: conservatively extendable
+    import json as _json
+    d = _json.loads(m.to_json())
+    d.pop("final")
+    legacy = EpochManifest.from_json(_json.dumps(d))
+    assert legacy.final is False
+
+
+def test_plan_epochs_final_flags():
+    from ape_dts_ray.pipelines.replay import plan_epochs
+
+    # log ends mid-window → provisional tail
+    ws = plan_epochs(max_offset=349, epoch_size=100)
+    assert [w.final for w in ws] == [True, True, True, False]
+    # log ends exactly on a window boundary → ALL final
+    ws = plan_epochs(max_offset=399, epoch_size=100)
+    assert [w.final for w in ws] == [True] * 4
+    # barrier cut below the log end is a natural boundary; the log-end cut
+    # stays provisional (350+99=449 nat ≠ 429)
+    ws = plan_epochs(max_offset=429, epoch_size=100,
+                     barriers=[(150, 1)])
+    by_hi = {w.hi: w.final for w in ws}
+    assert by_hi[149] is True            # barrier-cut window is final
+    assert by_hi[429] is False           # log-end cut stays provisional
+    # a window that happens to end at BOTH a size boundary and the log end
+    # replans identically on a longer log → final
+    ws = plan_epochs(max_offset=349, epoch_size=100,
+                     commit_offsets=[49, 149, 249, 349])
+    assert ws[-1].hi == 349 and ws[-1].final is True
+    # a log ending mid-window stays provisional even under commit alignment
+    ws = plan_epochs(max_offset=339, epoch_size=100,
+                     commit_offsets=[49, 149, 249, 339])
+    assert ws[-1].hi == 339 and ws[-1].final is False
+    assert all(w.final for w in ws[:-1])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pending_floor_final_vs_provisional_tail(tmp_path):
+    import pyarrow.parquet as pq
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.pipelines.follow import _pending_floor
+    from ape_dts_ray.pipelines.replay import replay
+
+    full = gen_events(seed=44, n_convs=6, max_turns=4, n_events=376)
+    p = str(tmp_path / "e.parquet")
+    pq.write_table(full.slice(0, 330), p)
+    lake = _tail_lake(tmp_path)
+    replay(lake, events_path=p)          # tail [300, 329] provisional
+    # provisional tail: everything from its window start is re-runnable
+    assert _pending_floor(lake) == 300
+    # a final tail pends nothing below its end
+    pq.write_table(full, p)              # grows to 400 = a window boundary
+    from ape_dts_ray.state.lake import LakeTable
+    replay(LakeTable.open(lake.root), events_path=p)   # tail now [300,399] final
+    lake = LakeTable.open(lake.root)
+    assert lake.read_manifest(max(lake.committed_epochs())).final
+    assert _pending_floor(lake) == 400
