@@ -224,6 +224,22 @@ def replay_mixed(
             # folded by a concurrent compactor between the listing and the
             # read — coverage moves to the compacted watermark read below
             committed_sets[t].discard(last)
+        # re-finalize provisional manifests whose replanned window is now
+        # FINAL with an identical span (replay.py does the same): without
+        # the flip the fold prefix wedges behind them forever, since the
+        # growing-log recommit never fires when offset_max == w.hi. Cheap:
+        # post-fold only the unfolded suffix still has manifests.
+        for e in sorted(committed_sets[t]):
+            w = win_by_id.get(e)
+            if w is None or not w.final:
+                continue
+            try:
+                m = lk.read_manifest(e)
+            except FileNotFoundError:
+                continue                 # folded concurrently; cws covers
+            if (not m.final and m.offset_min == w.lo
+                    and m.offset_max == w.hi):
+                lk.refinalize_epoch(m)
     # compacted watermarks are read AFTER the manifest snapshots: anything
     # a concurrent compactor folds between the two reads is covered by the
     # later watermark (truncate publishes compacted.json too, so this is
@@ -333,19 +349,18 @@ def replay_mixed(
         path = os.path.join(root, "delta", f"epoch-{epoch:08d}",
                             f"part-{part_id:05d}.parquet")
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        offs0 = events.column(COL_OFFSET)
-        _dbg("delta_write_mixed", root=root, epoch=epoch, pid_part=part_id,
-             rows=n, events=events.num_rows,
-             off_min=int(pc.min(offs0).as_py()),
-             off_max=int(pc.max(offs0).as_py()))
-        atomic_write_parquet(merged, path, compression="lz4")
         offs = events.column(COL_OFFSET)
+        off_min, off_max = int(pc.min(offs).as_py()), int(pc.max(offs).as_py())
+        if os.environ.get("APE_DEBUG_LOG"):   # args are cheap ints, but the
+            _dbg("delta_write_mixed", root=root, epoch=epoch,  # guard keeps
+                 pid_part=part_id, rows=n, events=events.num_rows,  # the hot
+                 off_min=off_min, off_max=off_max)   # path call-free
+        atomic_write_parquet(merged, path, compression="lz4")
         row = {"epoch": epoch * T + ti,   # (epoch, table) packed for routing
                "part_id": part_id, "file": os.path.relpath(path, root),
                "rows": n, "events": events.num_rows, "upserts": n - deletes,
                "deletes": deletes,
-               "offset_min": int(pc.min(offs).as_py()),
-               "offset_max": int(pc.max(offs).as_py())}
+               "offset_min": off_min, "offset_max": off_max}
         return pa.Table.from_pylist([row], schema=LINEAGE_SCHEMA)
 
     import pyarrow.dataset as pads

@@ -903,6 +903,7 @@ def cdc_wide_types(sf_dir: str) -> pa.Table:
     # window cut by the log end, extendable on a growing log) remains as
     # delta — schema ops apply to it at read time (lake._fold_files)
     left = lake.committed_epochs()
+    assert len(left) <= 1, left          # the whole final prefix folded
     assert all(not lake.read_manifest(e).final for e in left), left
     out = _consume_lake(lake)
     assert out.schema.field("amount").type == pa.decimal128(18, 4)

@@ -595,6 +595,15 @@ def _replay_inner(lake, events_path, events_ds, events_factory, max_offset,
             except FileNotFoundError:
                 committed.discard(e)       # folded concurrently; coverage
                 continue                   # moves to the compacted watermark
+            if (not m.final and w.final and m.offset_min == w.lo
+                    and m.offset_max == w.hi):
+                # the replan reproduced this provisional window byte-for-byte
+                # but it is now FINAL (a barrier/commit-snap/boundary landed
+                # exactly on the old log end, or a legacy pre-`final`
+                # manifest): flip the flag so the fold prefix can pass it —
+                # the growing-log recommit above never fires (offset_max ==
+                # w.hi), so without this the epoch wedges compaction forever
+                lake.refinalize_epoch(m)
             if m.offset_min != -1 and not (w.lo <= m.offset_min
                                            and m.offset_max <= w.hi):
                 raise ValueError(

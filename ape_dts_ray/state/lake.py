@@ -417,7 +417,12 @@ class LakeTable:
             # rows and rewind/resurrect keys. Folds exclude the provisional
             # tail precisely so no live plan ever reaches this; hitting it
             # means the plan raced a fold that covered the window since,
-            # and the re-plan will see it covered and skip.
+            # and the re-plan will see it covered and skip. Check-then-act:
+            # under the ONE-replayer-per-lake deployment model (the
+            # reference's one-merger rule) a fold can only cover epochs the
+            # sole writer already committed, so the residual read→write
+            # window is unreachable; two concurrent replayers on one lake
+            # could still interleave past it.
             raise MaintenanceInProgress(
                 f"cannot commit epoch {manifest.epoch}: its window "
                 f"[{manifest.offset_min}, {manifest.offset_max}] is already "
@@ -457,12 +462,13 @@ class LakeTable:
         # pointing at removed files if the publish never lands (rows the
         # watermark claims covered would silently vanish from folds).
         recommit = os.path.exists(self.manifest_path(manifest.epoch))
-        _dbg("commit_epoch", root=self.root, epoch=manifest.epoch,
-             recommit=recommit, n_parts=len(manifest.partitions),
-             files=sorted(os.path.basename(p.file)
-                          for p in manifest.partitions),
-             off_min=manifest.offset_min, off_max=manifest.offset_max,
-             events=sum(p.events for p in manifest.partitions))
+        if os.environ.get("APE_DEBUG_LOG"):    # guard: args are O(partitions)
+            _dbg("commit_epoch", root=self.root, epoch=manifest.epoch,
+                 recommit=recommit, n_parts=len(manifest.partitions),
+                 files=sorted(os.path.basename(p.file)
+                              for p in manifest.partitions),
+                 off_min=manifest.offset_min, off_max=manifest.offset_max,
+                 events=sum(p.events for p in manifest.partitions))
         if not recommit:
             drop_unlisted()
         atomic_write_text(self.manifest_path(manifest.epoch), manifest.to_json())
@@ -472,6 +478,30 @@ class LakeTable:
         if schema_version is not None and schema_version != self.schema_version:
             self.schema_version = schema_version
             self._save_table_json()
+
+    def refinalize_epoch(self, m: EpochManifest) -> None:
+        """Flip a committed PROVISIONAL manifest to final=True in place —
+        called by the PLANNERS (the only components that know window
+        finality: barriers/commit snaps live in the plan, not the lake)
+        when a replan reproduces the window byte-for-byte but now final.
+        Without this, a window that becomes final WITHOUT changing its end
+        (a schema barrier at old-log-end+1; a commit snap landing exactly
+        on the old end; any pre-`final`-field legacy manifest) is never
+        re-committed — offset_max == w.hi so the growing-log recommit
+        never fires — and the fold prefix wedges behind it forever.
+        Content is unchanged, so this is safe under every reader; skipped
+        while a rotation/truncate marker is up (their strict GC must not
+        race a manifest resurrection), and only an EXISTING manifest is
+        rewritten (a concurrently-folded epoch stays folded)."""
+        if self.rotation_in_progress() or self.truncate_in_progress():
+            return
+        path = self.manifest_path(m.epoch)
+        if not os.path.exists(path):
+            return                       # folded+GC'd concurrently
+        from dataclasses import replace as _dc_replace
+        atomic_write_text(path, _dc_replace(m, final=True).to_json())
+        _dbg("refinalize_epoch", root=self.root, epoch=m.epoch,
+             off_min=m.offset_min, off_max=m.offset_max)
 
     # ---------- read path ----------
     def partition_files(self, part_id: int) -> list[str]:
@@ -1404,9 +1434,10 @@ class LakeTable:
         ddir = os.path.join(self.root, "delta", f"epoch-{e:08d}")
         for attempt in range(8 if strict else 1):
             try:
-                _dbg("gc_epoch", root=self.root, epoch=e, strict=strict,
-                     files=sorted(os.listdir(ddir))
-                     if os.path.isdir(ddir) else [])
+                if os.environ.get("APE_DEBUG_LOG"):   # guard: listdir arg
+                    _dbg("gc_epoch", root=self.root, epoch=e, strict=strict,
+                         files=sorted(os.listdir(ddir))
+                         if os.path.isdir(ddir) else [])
                 if os.path.isdir(ddir):
                     shutil.rmtree(ddir)
                 os.remove(self.manifest_path(e))

@@ -65,7 +65,9 @@ class EpochManifest:
     def from_json(s: str) -> "EpochManifest":
         d = json.loads(s)
         parts = [PartitionLineage(**p) for p in d.pop("partitions")]
-        d.setdefault("final", False)
+        # a legacy manifest without the field gets the dataclass default
+        # (final=False, the safe extendable direction); planners re-finalize
+        # it on the next replan (LakeTable.refinalize_epoch)
         return EpochManifest(partitions=parts, **d)
 
 

@@ -3437,3 +3437,81 @@ def test_pending_floor_final_vs_provisional_tail(tmp_path):
     lake = LakeTable.open(lake.root)
     assert lake.read_manifest(max(lake.committed_epochs())).final
     assert _pending_floor(lake) == 400
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refinalize_unwedges_boundary_landed_tail(tmp_path):
+    """Review finding on the provisional-tail fix: a window that becomes
+    FINAL without changing its end (here: a schema barrier lands exactly at
+    old-log-end+1 on the longer replan) is never re-committed — offset_max
+    == w.hi, so the growing-log recommit never fires — and without
+    re-finalization the fold prefix wedges behind it forever."""
+    import pyarrow.parquet as pq
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable
+
+    full = gen_events(seed=46, n_convs=6, max_turns=4, n_events=576)  # 600
+    p = str(tmp_path / "e.parquet")
+    pq.write_table(full.slice(0, 350), p)
+    lake = _tail_lake(tmp_path)
+    barriers = [(350, 1)]                 # exactly at the first log's end+1
+    replay(lake, events_path=p, barriers=barriers)
+    assert not lake.read_manifest(3).final          # [300,349] cut by eof
+    lake.compact(parallel=False)
+    assert lake.committed_epochs() == [3]           # wedge candidate
+    assert lake.compacted_watermark() == 299
+
+    pq.write_table(full, p)               # log grows; replan: [300,349] is
+    replay(LakeTable.open(lake.root), events_path=p,   # now BARRIER-final
+           barriers=barriers)             # with an identical span
+    lake = LakeTable.open(lake.root)
+    assert lake.read_manifest(3).final              # re-finalized in place
+    lake.compact(parallel=False)
+    # the prefix passes epoch 3: everything final folds, only the new
+    # provisional tail [550,599] remains — no permanent wedge
+    left = lake.committed_epochs()
+    assert left == [6] and not lake.read_manifest(6).final
+    assert lake.compacted_watermark() == 549
+
+    clean = _tail_lake(tmp_path, "clean46")
+    replay(clean, events_path=p, barriers=barriers)
+    got = lake.state_table().to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    want = clean.state_table().to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_refinalize_heals_legacy_manifest(tmp_path):
+    """A pre-`final`-field manifest (key absent → conservatively
+    extendable) must not wedge compaction forever: the next replan with
+    identical boundaries re-finalizes it in place."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+    from ape_dts_ray.fixtures import gen_events
+    from ape_dts_ray.pipelines.replay import replay
+    from ape_dts_ray.state.lake import LakeTable
+
+    events = gen_events(seed=47, n_convs=6, max_turns=4, n_events=376)  # 400
+    p = str(tmp_path / "e.parquet")
+    pq.write_table(events, p)
+    lake = _tail_lake(tmp_path)
+    replay(lake, events_path=p)
+    # simulate a legacy lake: strip the field from epoch 0's manifest
+    mp = lake.manifest_path(0)
+    d = _json.load(open(mp))
+    d.pop("final")
+    with open(mp, "w") as f:
+        _json.dump(d, f)
+    assert not lake.read_manifest(0).final          # legacy default
+    lake.compact(parallel=False)
+    assert 0 in lake.committed_epochs()             # prefix wedged at 0
+
+    replay(LakeTable.open(lake.root), events_path=p)   # replan heals it
+    lake = LakeTable.open(lake.root)
+    assert lake.read_manifest(0).final
+    lake.compact(parallel=False)
+    assert lake.committed_epochs() == []            # 400 = boundary: all fold
